@@ -1,13 +1,44 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates every implemented capability (one entry per operator
+  * from SURVEY.md §2 plus the pipeline extensions); `oracleSql` carries the
+  * DuckDB-equivalent SQL for each SQL-expressible entry.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** All implemented capabilities, one QueryDef each. */
+  def allDefs: Seq[QueryDef] =
+    operators.RelationalQueries.defs
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Customer order volume by nation — scan + broadcast join + shuffle join +
+    * aggregate + top-k, the minimum end-to-end slice of SURVEY §7.2.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val n = Tables.nation(spark, dir)
+    c.join(o, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), n("n_nationkey") === c("c_nationkey"))
+      .groupBy(n("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(o("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("revenue").desc)
+  }
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map(d => d.name -> d.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    allDefs.flatMap(d => d.oracle.map(d.name -> _)).toMap
 }

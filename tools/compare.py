@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/compare.py <sfdir> <verify_out_dir>
+
+For each <name>/ parquet dir in verify_out and each oracle in
+oracle_sql.json: run the SQL in DuckDB against the sf tables, and compare to
+the Spark-written parquet (columns sorted by name, rows sorted, exact value
+compare). Prints PASS/FAIL per query.
+"""
+import json
+import sys
+
+import duckdb
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm(r[i]) for i in order))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return [cols[i] for i in order], out
+
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    npass = nfail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            oc = con.execute(sql)
+            ocols = [d[0] for d in oc.description]
+            orows = oc.fetchall()
+            sc = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+            scols = [d[0] for d in sc.description]
+            srows = sc.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exception {e}")
+            nfail += 1
+            continue
+        if sorted(ocols) != sorted(scols):
+            print(f"FAIL {name}: cols oracle={sorted(ocols)} spark={sorted(scols)}")
+            nfail += 1
+            continue
+        c1, r1 = canon(orows, ocols)
+        c2, r2 = canon(srows, scols)
+        if len(r1) != len(r2):
+            print(f"FAIL {name}: rowcount oracle={len(r1)} spark={len(r2)}")
+            nfail += 1
+            continue
+        bad = [(a, b) for a, b in zip(r1, r2) if a != b]
+        if bad:
+            print(f"FAIL {name}: {len(bad)} mismatched rows; first: "
+                  f"oracle={bad[0][0]} spark={bad[0][1]}")
+            nfail += 1
+        else:
+            print(f"PASS {name} ({len(r1)} rows)")
+            npass += 1
+    print(f"== {npass} pass, {nfail} fail ==")
+    sys.exit(1 if nfail else 0)
+
+
+if __name__ == "__main__":
+    main()
