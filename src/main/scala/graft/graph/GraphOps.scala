@@ -1,0 +1,122 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph => XGraph}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Traversal operators over a PropertyGraph, Spark-first.
+  *
+  * The reference implements these as GraphBLAS matrix expressions
+  * (ConditionalTraverse `ops/op_conditional_traverse.c:127-180`, var-len
+  * `ops/op_cond_var_len_traverse.c`, BFS `src/algorithms/LAGraph_bfs_pushpull.c`).
+  * Here: one hop = one equi-join (Catalyst picks broadcast vs shuffle);
+  * var-len/BFS = iterative frontier joins with per-iteration lineage cuts;
+  * whole-graph analytics (pageRank, connected components) = GraphX.
+  */
+object GraphOps {
+
+  /** One-hop expansion: ConditionalTraverse.
+    * `bound` must carry a `node` column (the frontier endpoint); result
+    * re-binds `node` to the neighbor and keeps all other bound columns.
+    */
+  def expand(bound: DataFrame, edges: DataFrame,
+      direction: String = "out"): DataFrame = {
+    val (from, to) = direction match {
+      case "out" => ("src", "dst")
+      case "in"  => ("dst", "src") // transpose ≡ column swap
+      case _     => throw new IllegalArgumentException(direction)
+    }
+    val e = edges.select(col(from).as("__from"), col(to).as("__to"))
+    bound.join(e, bound("node") === e("__from"))
+      .drop("node").drop("__from")
+      .withColumnRenamed("__to", "node")
+  }
+
+  /** ExpandInto: both endpoints bound — verify edge existence (left_semi on
+    * the (src,dst) pair; no row duplication, `ops/op_expand_into.c`).
+    */
+  def expandInto(boundPairs: DataFrame, edges: DataFrame): DataFrame =
+    boundPairs.join(
+      edges.select(col("src"), col("dst")),
+      boundPairs("a") === col("src") && boundPairs("b") === col("dst"),
+      "left_semi")
+
+  /** Variable-length expansion `*min..max` (CondVarLenTraverse):
+    * reachability form — distinct (start, node) pairs with the minimum hop
+    * count, sources = DataFrame with an `id` column.
+    *
+    * Iterative frontier join. Per iteration:
+    *   - join frontier ⋈ edges on node==src (shuffle on the join key; at
+    *     scale both sides hash-partitioned on the key so successive
+    *     iterations reuse the partitioning)
+    *   - drop already-visited (start,node) pairs — keeps frontiers minimal
+    *     (BFS level-synchronous semantics, ≡ reference's all_neighbors mode)
+    *   - localCheckpoint to cut lineage (on a cluster: checkpoint dir);
+    *     without it the plan doubles per hop and Catalyst analysis blows up.
+    */
+  def varLenExpand(sources: DataFrame, edges: DataFrame,
+      minHops: Int, maxHops: Int): DataFrame = {
+    require(minHops >= 0 && maxHops >= minHops, s"bad bounds $minHops..$maxHops")
+    val e = edges.select(col("src"), col("dst"))
+    var visited = sources.select(col("id").as("start"), col("id").as("node"),
+      lit(0).as("hops")).localCheckpoint(true)
+    var frontier = visited
+    var h = 0
+    while (h < maxHops && !frontier.isEmpty) {
+      h += 1
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(frontier("start"), e("dst").as("node"), lit(h).as("hops"))
+        .distinct()
+      // anti-join against visited: BFS keeps first (= minimal) hop count
+      frontier = next.join(visited,
+          next("start") <=> visited("start") && next("node") <=> visited("node"),
+          "left_anti")
+        .localCheckpoint(true)
+      visited = visited.unionByName(frontier).localCheckpoint(true)
+    }
+    visited.filter(col("hops").between(minHops, maxHops))
+  }
+
+  /** Unweighted single-source-set shortest path lengths: BFS until all
+    * frontiers die or maxHops. Returns (start, node, hops) for nodes whose
+    * label/predicate matches `isTarget` applied on the node id set.
+    * (reference: shortestPath via LAGraph BFS push-pull,
+    * `src/arithmetic/path_funcs/path_funcs.c:108-190`).
+    */
+  def shortestPaths(sources: DataFrame, edges: DataFrame, targets: DataFrame,
+      maxHops: Int): DataFrame = {
+    val reach = varLenExpand(sources, edges, 1, maxHops)
+    val t = targets.select(col("id").as("__tid"))
+    reach.join(t, reach("node") === col("__tid"), "left_semi")
+      .groupBy("start", "node").agg(min("hops").as("hops"))
+  }
+
+  /** PageRank via GraphX (reference: `src/algorithms/pagerank.c`,
+    * `src/procedures/proc_pagerank.c:202`).
+    */
+  def pageRank(graph: PropertyGraph, resetProb: Double = 0.15,
+      iters: Int = 20): DataFrame = {
+    val spark = graph.nodes.sparkSession
+    import spark.implicits._
+    val vRdd = graph.nodes.select(col("id")).as[Long].rdd.map(id => (id, ()))
+    val eRdd = graph.edges.select(col("src"), col("dst"))
+      .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
+    val g = XGraph(vRdd, eRdd, (), StorageLevel.MEMORY_AND_DISK,
+      StorageLevel.MEMORY_AND_DISK)
+    g.staticPageRank(iters, resetProb).vertices
+      .toDF("id", "pagerank")
+  }
+
+  /** Connected components (undirected) via GraphX. */
+  def connectedComponents(graph: PropertyGraph): DataFrame = {
+    val spark = graph.nodes.sparkSession
+    import spark.implicits._
+    val vRdd = graph.nodes.select(col("id")).as[Long].rdd.map(id => (id, ()))
+    val eRdd = graph.edges.select(col("src"), col("dst"))
+      .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
+    val g = XGraph(vRdd, eRdd, (), StorageLevel.MEMORY_AND_DISK,
+      StorageLevel.MEMORY_AND_DISK)
+    g.connectedComponents().vertices.toDF("id", "component")
+  }
+}

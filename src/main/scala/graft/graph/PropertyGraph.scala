@@ -1,0 +1,74 @@
+package graft.graph
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The engine's property-graph currency: two DataFrames.
+  *
+  * Mirrors the reference's data model (`/root/reference/src/graph/graph.h:69-78`):
+  * node/edge DataBlock row stores + per-label/per-reltype sparse matrices.
+  * Spark-first re-expression (SURVEY.md §1.6):
+  *   - label matrix      ≡ `nodes.filter($"label" === L)` (at scale: `label`
+  *     is a partition column → partition pruning, no row filter)
+  *   - relation matrix   ≡ `edges.filter($"reltype" === R)`
+  *   - adjacency matrix  ≡ `edges.select(src, dst)`
+  *   - transpose         ≡ column swap (free)
+  *
+  * Schema contract:
+  *   nodes: id Long, label String, props Map[String, String-encoded value]*
+  *   edges: id Long, src Long, dst Long, reltype String, props …
+  * (*extra typed columns are allowed and pass through; `props` is optional —
+  * graphs built from typed relational tables keep their native columns.)
+  *
+  * Scale: at 100 TB both tables live as Parquet/Delta bucketed by id (nodes)
+  * and src (edges, plus a dst-bucketed transpose copy for reverse expansion —
+  * the same trade the reference makes storing explicit transposes,
+  * `graph.h:72-73`).
+  */
+final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
+
+  def nodesByLabel(label: String): DataFrame =
+    nodes.filter(col("label") === label)
+
+  def edgesByType(reltype: String): DataFrame =
+    edges.filter(col("reltype") === reltype)
+
+  /** Out-degree per node (reference `entity_funcs.c:186-230` outdegree). */
+  def outDegrees: DataFrame =
+    edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_degree"))
+
+  def inDegrees: DataFrame =
+    edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_degree"))
+}
+
+object PropertyGraph {
+
+  /** Event-chain graph over the `events` table: one node per event, one edge
+    * from each event to the user's next event (by ts, event_id). Gives real
+    * directed chains for traversal/path testing with a SQL-derivable
+    * topology (window lead), so every traversal op gets a DuckDB oracle.
+    */
+  def eventChain(spark: SparkSession, dir: String): PropertyGraph = {
+    val ev = Tables.events(spark, dir)
+    val nodes = ev.select(
+      col("event_id").as("id"),
+      col("event_type").as("label"),
+      col("user_id"),
+      col("value"))
+    // Window shuffles once on user_id — the natural edge-build partitioning;
+    // at scale user_id is the bucketing key so this is shuffle-free.
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val edges = ev
+      .withColumn("dst", lead(col("event_id"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .select(
+        col("event_id").as("id"),
+        col("event_id").as("src"),
+        col("dst"),
+        lit("next").as("reltype"),
+        col("user_id"))
+    PropertyGraph(nodes, edges)
+  }
+}
