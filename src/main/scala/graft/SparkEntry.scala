@@ -14,7 +14,8 @@ object SparkEntry {
   /** All implemented capabilities, one QueryDef each. */
   def allDefs: Seq[QueryDef] =
     operators.RelationalQueries.defs ++
-      operators.GraphQueries.defs
+      operators.GraphQueries.defs ++
+      operators.PipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Customer order volume by nation — scan + broadcast join + shuffle join +

@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over `documents`/`embeddings`/`events`:
+  * text analysis, dedup (exact → MinHash/SimHash), similarity search, JSON
+  * extraction. Oracle-checked wherever the math is portable to DuckDB.
+  */
+object PipelineQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── text analysis ───────────────────────────────────────────────────────
+    QueryDef(
+      "q_doc_stats",
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+        |  CAST(length(text) AS INT) AS n_chars_m,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT) AS n_punct,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS INT) AS n_upper,
+        |  round(CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |        / len(regexp_split_to_array(trim(text), '\s+')), 5) AS mean_token_len
+        |FROM documents""".stripMargin) { (s, dir) =>
+      // token counting + quality signals (pure codegen'd expressions).
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars_m"),
+        TextOps.punctCount(col("text")).as("n_punct"),
+        TextOps.upperCount(col("text")).as("n_upper"),
+        round(TextOps.meanTokenLen(col("text")), 5).as("mean_token_len"))
+    },
+
+    QueryDef(
+      "q_doc_fingerprint",
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(text, ''), c -> unicode(c))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        |FROM documents""".stripMargin) { (s, dir) =>
+      // rolling-hash content fingerprint, portable mod-1e9+7 arithmetic.
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    },
+
+    QueryDef(
+      "q_text_langid",
+      """SELECT doc_id, lang,
+        |  CASE WHEN s_en + s_de + s_es + s_fr = 0 THEN 'und'
+        |       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_es >= s_fr THEN 'es'
+        |       ELSE 'fr' END AS lang_guess
+        |FROM (SELECT doc_id, lang,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|for|with)\b')) AS s_en,
+        |  len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|mit|ein)\b')) AS s_de,
+        |  len(regexp_extract_all(lower(text), '\b(el|la|de|los|que|es|por|con)\b')) AS s_es,
+        |  len(regexp_extract_all(lower(text), '\b(le|la|les|et|des|est|pour|dans)\b')) AS s_fr
+        |  FROM documents)""".stripMargin) { (s, dir) =>
+      // n-gram/stopword language ID heuristic (argmax, first-listed wins).
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"), TextOps.langId(col("text")).as("lang_guess"))
+    },
+
+    QueryDef(
+      "q_json_extract",
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events""".stripMargin) { (s, dir) =>
+      // JSON property extraction (reference surface is toJSON-only; the
+      // extraction direction is the pipeline-relevant extension).
+      Tables.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+    },
+
+    // ── dedup ───────────────────────────────────────────────────────────────
+    QueryDef(
+      "q_dedup_exact",
+      """SELECT md5(text) AS content_hash, count(*) AS n_docs,
+        |       min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir))
+    },
+
+    QueryDef(
+      "q_dedup_exact_keep",
+      """SELECT doc_id FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY md5(text)
+        |                           ORDER BY doc_id) = 1""".stripMargin) { (s, dir) =>
+      Dedup.exactDedup(Tables.documents(s, dir)).select("doc_id")
+    },
+
+    QueryDef(
+      "q_ngram_jaccard",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+        |        FROM toks)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT d1.doc_id AS a, d2.doc_id AS b
+        |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1),
+        |common AS (
+        |  SELECT p.a, p.b, count(*) AS c
+        |  FROM pairs p
+        |  JOIN sh sa ON sa.doc_id = p.a
+        |  JOIN sh sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle
+        |  GROUP BY 1, 2)
+        |SELECT p.a, p.b,
+        |  round(CAST(coalesce(c.c, 0) AS DOUBLE)
+        |        / (na.n + nb.n - coalesce(c.c, 0)), 5) AS jaccard
+        |FROM pairs p
+        |LEFT JOIN common c ON c.a = p.a AND c.b = p.b
+        |JOIN sizes na ON na.doc_id = p.a
+        |JOIN sizes nb ON nb.doc_id = p.b""".stripMargin) { (s, dir) =>
+      // exact word-3-gram Jaccard on adjacent-id candidate pairs (the
+      // correctness anchor; MinHash below is the scalable candidate path).
+      val docs = Tables.documents(s, dir)
+      val ids = docs.select(col("doc_id"))
+      val pairs = ids.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .join(ids.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      Dedup.jaccard(docs, pairs, 3)
+    },
+
+    QueryDef.noOracle("q_dedup_minhash") { (s, dir) =>
+      // MinHash(64) + LSH(16 bands × 4) candidates → exact-Jaccard ≥ 0.3.
+      // No SQL oracle (xxhash64 seeds); DedupSpec checks candidate recall
+      // against brute-force Jaccard on sf0.001.
+      Dedup.minHashDedup(Tables.documents(s, dir), 0.3)
+    },
+
+    QueryDef.noOracle("q_dedup_simhash") { (s, dir) =>
+      // SimHash-64 near-dup pairs, 16-bit-prefix blocking, hamming ≤ 16.
+      Dedup.simHashPairs(Tables.documents(s, dir), 16, 16)
+    },
+
+    // ── similarity search ───────────────────────────────────────────────────
+    QueryDef(
+      "q_knn_cosine",
+      """WITH q AS (SELECT vec_id AS a, embedding AS ea
+        |           FROM embeddings WHERE vec_id < 50),
+        |c AS (SELECT vec_id AS b, embedding AS eb FROM embeddings)
+        |SELECT a, b, sim, CAST(rank AS INT) AS rank FROM (
+        |  SELECT a, b,
+        |    round(list_cosine_similarity(CAST(ea AS DOUBLE[]),
+        |                                 CAST(eb AS DOUBLE[])), 5) AS sim,
+        |    row_number() OVER (PARTITION BY a ORDER BY
+        |      round(list_cosine_similarity(CAST(ea AS DOUBLE[]),
+        |                                   CAST(eb AS DOUBLE[])), 5) DESC,
+        |      b) AS rank
+        |  FROM q JOIN c ON a <> b)
+        |WHERE rank <= 3""".stripMargin) { (s, dir) =>
+      // brute-force cosine top-3 for a 50-query batch (exact baseline).
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 50), 3)
+    },
+
+    QueryDef.noOracle("q_ann_lsh") { (s, dir) =>
+      // ANN: random-hyperplane LSH, 8 tables × 8 bits → in-bucket exact rank.
+      // SimilaritySpec measures recall vs brute force.
+      Similarity.annTopK(Tables.embeddings(s, dir), 3, 8, 8)
+    })
+}

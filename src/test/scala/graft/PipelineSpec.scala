@@ -1,0 +1,76 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  lazy val docs = Tables.documents(spark, sfDir)
+  lazy val emb = Tables.embeddings(spark, sfDir)
+
+  test("minhash LSH candidates achieve high recall of true near-dups") {
+    // ground truth: brute-force Jaccard >= 0.5 over all pairs (500 docs →
+    // 125k pairs, fine at sf0.001)
+    val ids = docs.select(col("doc_id"))
+    val allPairs = ids.select(col("doc_id").as("a"))
+      .crossJoin(ids.select(col("doc_id").as("b")))
+      .filter(col("a") < col("b"))
+    val truth = Dedup.jaccard(docs, allPairs, 3)
+      .filter(col("jaccard") >= 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val cands = Dedup.lshCandidates(Dedup.minHashSignatures(docs, 64, 3), 64, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    if (truth.nonEmpty) {
+      val recall = truth.count(cands.contains).toDouble / truth.size
+      assert(recall >= 0.9, s"LSH recall $recall over ${truth.size} true pairs")
+    }
+    // candidate set should be far smaller than the cross product
+    assert(cands.size < 125000 / 10)
+  }
+
+  test("exact dedup keeps one doc per distinct text") {
+    val kept = Dedup.exactDedup(docs)
+    assert(kept.count() == docs.select(md5(col("text"))).distinct().count())
+  }
+
+  test("simhash: identical docs get identical signatures, hamming 0") {
+    val dup = docs.limit(3)
+      .union(docs.limit(3)) // duplicate rows, same text
+    val sig = Dedup.simHash(dup.withColumn("doc_id",
+      monotonically_increasing_id()))
+    // 6 rows, 3 distinct texts → at most 3 distinct signatures
+    assert(sig.select("simhash").distinct().count() <= 3)
+  }
+
+  test("brute-force knn: rank 1 is the most similar, sims within [-1,1]") {
+    val topk = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 3)
+    val rows = topk.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.000001))
+    val byQuery = rows.groupBy(_.getLong(0))
+    byQuery.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(3))
+      val sims = sorted.map(_.getDouble(2)).toSeq
+      assert(sims.zip(sims.drop(1)).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("ann lsh topk recall vs brute force") {
+    val bf = Similarity.bruteForceTopK(emb, emb, 3)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(emb, 3, 4, 8)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // near-uniform synthetic vectors are the LSH worst case: per-bit
+    // collision p≈0.6 → predicted recall 1-(1-p^4)^8 ≈ 0.7. bits/tables is
+    // the recall/cost knob; exact path stays available via bruteForceTopK.
+    val recall = bf.count(ann.contains).toDouble / bf.size
+    assert(recall >= 0.5, s"ANN top-1 recall $recall")
+  }
+}
