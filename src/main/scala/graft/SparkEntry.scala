@@ -15,7 +15,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     operators.RelationalQueries.defs ++
       operators.GraphQueries.defs ++
-      operators.PipelineQueries.defs
+      operators.PipelineQueries.defs ++
+      operators.StreamQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Customer order volume by nation — scan + broadcast join + shuffle join +

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.multimodal.Multimodal
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+
+/** Streaming-shaped (batch-checkable) and multimodal capabilities. The
+  * windowed/sessionize transforms are the exact functions the streaming path
+  * runs (StreamingSpec drives them through readStream/writeStream); here they
+  * execute in batch so DuckDB can oracle them.
+  */
+object StreamQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_stream_window",
+      """SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS win_start_ms,
+        |       event_type, count(*) AS n_events,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      StreamOps.windowedCounts(Tables.events(s, dir))
+    },
+
+    QueryDef(
+      "q_sessionize",
+      """SELECT event_id, user_id, CAST(session_seq AS BIGINT) AS session_seq
+        |FROM (
+        |  SELECT event_id, user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM (
+        |    SELECT event_id, user_id, ts,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id)
+        |              > INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS new_session
+        |    FROM events))""".stripMargin) { (s, dir) =>
+      // gap-based sessionization (streaming analogue:
+      // flatMapGroupsWithState; batch window form is the oracle for both).
+      StreamOps.sessionize(Tables.events(s, dir), 30)
+    },
+
+    QueryDef(
+      "q_multimodal_bytes",
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes
+        |FROM documents""".stripMargin) { (s, dir) =>
+      // binary-column plumbing: payload byte length survives the
+      // cast→binary→mapPartitions round trip.
+      Multimodal.extractFeatures(
+          Multimodal.mediaFromDocs(Tables.documents(s, dir)))
+        .toDF().select(col("doc_id"), col("n_bytes"))
+    },
+
+    QueryDef.noOracle("q_multimodal_decode") { (s, dir) =>
+      // full feature extraction incl. stubbed decode (deterministic fake
+      // dims) + 16-bin byte histogram; MultimodalSpec checks invariants.
+      Multimodal.extractFeatures(
+        Multimodal.mediaFromDocs(Tables.documents(s, dir))).toDF()
+    })
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming extension (SURVEY.md §2.7 — the reference has no
+  * streaming; this is the Spark-native capability a 100 TB ingest pipeline
+  * needs).
+  *
+  * Transforms are written against plain DataFrames so the SAME function runs
+  * in batch (oracle-checkable) and as a streaming query (`readStream` →
+  * transform → `writeStream`); StreamingSpec drives the streaming path
+  * through a memory sink.
+  */
+object StreamOps {
+
+  /** events schema as stored (ts = epoch nanos read via nanosAsLong). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** epoch-ns long → timestamp (µs precision). */
+  def tsCol: org.apache.spark.sql.Column =
+    timestamp_micros((col("ts") / 1000).cast("long"))
+
+  /** Hourly tumbling-window counts/sums per event type. In streaming mode
+    * the watermark bounds state; in batch mode it's a no-op.
+    */
+  def windowedCounts(events: DataFrame): DataFrame = {
+    val withTs = events.withColumn("event_ts", tsCol)
+    val marked =
+      if (withTs.isStreaming) withTs.withWatermark("event_ts", "1 hour")
+      else withTs
+    marked
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(
+        unix_millis(col("window.start")).as("win_start_ms"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  }
+
+  /** Sessionization: gap-based session ids per user (new session when the
+    * gap to the previous event exceeds `gapMinutes`). Batch form uses a
+    * window; the streaming analogue is flatMapGroupsWithState — the batch
+    * result is the oracle for both.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapNs = gapMinutes.toLong * 60L * 1000000000L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum("new_session").over(w.rowsBetween(Long.MinValue, 0)))
+      .select(col("event_id"), col("user_id"), col("session_seq"))
+  }
+
+  /** Run `transform` over the events parquet as a real streaming query into
+    * a named memory sink; returns the sink contents. Complete-mode (windowed
+    * aggregation).
+    */
+  def runStreamOnce(spark: SparkSession, dir: String,
+      transform: DataFrame => DataFrame, sinkName: String): DataFrame = {
+    // FileStreamSource needs a directory; select the single file via glob
+    val stream = spark.readStream
+      .schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val q = transform(stream).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName)
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("streaming windowedCounts equals the batch result") {
+    val batch = StreamOps.windowedCounts(Tables.events(spark, sfDir))
+      .collect().map(_.toSeq).toSet
+    val streamed = StreamOps.runStreamOnce(spark, sfDir,
+        StreamOps.windowedCounts, "win_sink")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("sessionize: session_seq starts at 1 and is monotonic per user") {
+    val s = StreamOps.sessionize(Tables.events(spark, sfDir), 30)
+    assert(s.agg(min("session_seq")).head().getLong(0) == 1L)
+    val perUser = s.groupBy("user_id").agg(
+      max("session_seq").as("mx"),
+      countDistinct("session_seq").as("nd"))
+    // sessions are numbered 1..max contiguously
+    assert(perUser.filter(col("mx") =!= col("nd")).isEmpty)
+  }
+
+  test("multimodal features: deterministic stub decode, histogram sums to n_bytes") {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.mediaFromDocs(Tables.documents(spark, sfDir)))
+    val df = feats.toDF()
+      .withColumn("hist_sum", aggregate(col("histogram"), lit(0L), _ + _))
+    assert(df.filter(col("hist_sum") =!= col("n_bytes")).isEmpty)
+    assert(df.filter(col("width") < 1 || col("height") < 1).isEmpty)
+    // determinism: re-running yields identical rows
+    val again = Multimodal.extractFeatures(
+      Multimodal.mediaFromDocs(Tables.documents(spark, sfDir)))
+    assert(feats.toDF().exceptAll(again.toDF()).isEmpty)
+  }
+}
