@@ -1,0 +1,311 @@
+package graft.cypher
+
+import scala.util.parsing.combinator.RegexParsers
+
+/** Hand-built openCypher parser (subset per the reference's whitelist,
+  * `/root/reference/src/ast/cypher_whitelist.c`) on scala-parser-combinators.
+  * Produces Ast.Query; the translator rejects what it can't run.
+  */
+object CypherParser extends RegexParsers {
+  import Ast._
+
+  override def skipWhitespace = true
+  override val whiteSpace = """(\s|//[^\n]*)+""".r
+
+  // ── lexical ──────────────────────────────────────────────────────────────
+  private def kw(s: String): Parser[String] =
+    ("""(?i)""" + s + """\b""").r ^^ (_.toUpperCase)
+
+  private val identRe = """[a-zA-Z_][a-zA-Z0-9_]*""".r
+  private val reserved = Set(
+    "MATCH", "OPTIONAL", "WHERE", "RETURN", "WITH", "UNWIND", "AS", "ORDER",
+    "BY", "SKIP", "LIMIT", "ASC", "ASCENDING", "DESC", "DESCENDING", "AND",
+    "OR", "XOR", "NOT", "IN", "STARTS", "ENDS", "CONTAINS", "IS", "NULL",
+    "TRUE", "FALSE", "CASE", "WHEN", "THEN", "ELSE", "END", "DISTINCT",
+    "CREATE", "MERGE", "SET", "DELETE", "DETACH", "UNION", "ALL", "ON")
+
+  def ident: Parser[String] =
+    identRe.filter(s => !reserved.contains(s.toUpperCase)) |
+      "`" ~> """[^`]+""".r <~ "`"
+
+  /** identifiers where keywords are allowed (labels, reltypes, prop keys) */
+  def anyIdent: Parser[String] = identRe | "`" ~> """[^`]+""".r <~ "`"
+
+  def stringLit: Parser[String] =
+    ("'" + """(?:[^'\\]|\\.)*""" + "'").r ^^ (s => unescape(s.substring(1, s.length - 1))) |
+      ("\"" + """(?:[^"\\]|\\.)*""" + "\"").r ^^ (s => unescape(s.substring(1, s.length - 1)))
+
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+          case 'r' => sb.append('\r'); case other => sb.append(other)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  def floatLit: Parser[Double] =
+    """-?(\d+\.\d+([eE][+-]?\d+)?|\d+[eE][+-]?\d+)""".r ^^ (_.toDouble)
+  def intLit: Parser[Long] = """-?\d+""".r ^^ (_.toLong)
+
+  // ── expressions (precedence ladder) ──────────────────────────────────────
+  def expr: Parser[Expr] = orExpr
+
+  def orExpr: Parser[Expr] =
+    xorExpr ~ rep(kw("OR") ~> xorExpr) ^^ {
+      case h ~ t => t.foldLeft(h)((a, b) => Bin("OR", a, b))
+    }
+  def xorExpr: Parser[Expr] =
+    andExpr ~ rep(kw("XOR") ~> andExpr) ^^ {
+      case h ~ t => t.foldLeft(h)((a, b) => Bin("XOR", a, b))
+    }
+  def andExpr: Parser[Expr] =
+    notExpr ~ rep(kw("AND") ~> notExpr) ^^ {
+      case h ~ t => t.foldLeft(h)((a, b) => Bin("AND", a, b))
+    }
+  def notExpr: Parser[Expr] =
+    kw("NOT") ~> notExpr ^^ (Not(_)) | comparison
+
+  def comparison: Parser[Expr] =
+    addSub ~ rep(compOp) ^^ { case h ~ t =>
+      // chained comparisons a < b < c → (a<b) AND (b<c)
+      if (t.isEmpty) h
+      else {
+        val pairs = (h +: t.map(_._2)).sliding(2).toList
+          .zip(t.map(_._1))
+          .map { case (Seq(l, r), op) => Bin(op, l, r): Expr }
+        pairs.reduceLeft((a, b) => Bin("AND", a, b))
+      }
+    }
+
+  private def compOp: Parser[(String, Expr)] =
+    ("<>" | "<=" | ">=" | "=" | "<" | ">") ~ addSub ^^ { case op ~ e => (op, e) } |
+      kw("IN") ~> addSub ^^ (e => ("IN", e)) |
+      kw("STARTS") ~> kw("WITH") ~> addSub ^^ (e => ("STARTSWITH", e)) |
+      kw("ENDS") ~> kw("WITH") ~> addSub ^^ (e => ("ENDSWITH", e)) |
+      kw("CONTAINS") ~> addSub ^^ (e => ("CONTAINS", e))
+
+  def addSub: Parser[Expr] =
+    mulDiv ~ rep(("+" | "-") ~ mulDiv) ^^ { case h ~ t =>
+      t.foldLeft(h) { case (a, op ~ b) => Bin(op, a, b) }
+    }
+  def mulDiv: Parser[Expr] =
+    powExpr ~ rep(("*" | "/" | "%") ~ powExpr) ^^ { case h ~ t =>
+      t.foldLeft(h) { case (a, op ~ b) => Bin(op, a, b) }
+    }
+  def powExpr: Parser[Expr] =
+    unary ~ rep("^" ~> unary) ^^ { case h ~ t =>
+      // right-associative
+      val all = h +: t
+      all.reduceRight((a, b) => Bin("^", a, b))
+    }
+  def unary: Parser[Expr] =
+    "-" ~> unary ^^ (Neg(_)) | "+" ~> unary | postfix
+
+  /** postfix: property access, IS NULL, subscript/slice. */
+  def postfix: Parser[Expr] =
+    atom ~ rep(postfixOp) ^^ { case a ~ ops => ops.foldLeft(a)((e, f) => f(e)) }
+
+  private def postfixOp: Parser[Expr => Expr] =
+    "." ~> anyIdent ^^ (k => (e: Expr) => Prop(e, k)) |
+      kw("IS") ~> kw("NOT") ~> kw("NULL") ^^^ ((e: Expr) => IsNull(e, negated = true)) |
+      kw("IS") ~> kw("NULL") ^^^ ((e: Expr) => IsNull(e, negated = false)) |
+      ("[" ~> expr ~ opt(".." ~> opt(expr)) <~ "]") ^^ {
+        case i ~ None => (e: Expr) => Subscript(e, i)
+        case from ~ Some(to) => (e: Expr) => SliceExpr(e, Some(from), to)
+      } |
+      ("[" ~> ".." ~> opt(expr) <~ "]") ^^ (to => (e: Expr) => SliceExpr(e, None, to))
+
+  def atom: Parser[Expr] =
+    caseExpr |
+      quantifier |
+      listComprehension |
+      kw("COUNT") ~ "(" ~ "*" ~ ")" ^^^ CountStar |
+      functionCall |
+      patternPredicate |
+      kw("TRUE") ^^^ LitBool(true) |
+      kw("FALSE") ^^^ LitBool(false) |
+      kw("NULL") ^^^ LitNull |
+      floatLit ^^ (LitFloat(_)) |
+      intLit ^^ (LitInt(_)) |
+      stringLit ^^ (LitString(_)) |
+      "$" ~> anyIdent ^^ (Param(_)) |
+      mapLit |
+      listLit |
+      "(" ~> expr <~ ")" |
+      ident ^^ (Variable(_))
+
+  def caseExpr: Parser[Expr] =
+    kw("CASE") ~> opt(not(kw("WHEN")) ~> expr) ~
+      rep1(kw("WHEN") ~> expr ~ (kw("THEN") ~> expr)) ~
+      opt(kw("ELSE") ~> expr) <~ kw("END") ^^ {
+      case scrut ~ whens ~ els =>
+        CaseExpr(scrut, whens.map { case w ~ t => (w, t) }, els)
+    }
+
+  def quantifier: Parser[Expr] =
+    (kw("ANY") | kw("ALL") | kw("NONE") | kw("SINGLE")) ~
+      ("(" ~> ident) ~ (kw("IN") ~> expr) ~ (kw("WHERE") ~> expr) <~ ")" ^^ {
+      case k ~ v ~ l ~ p => Quantifier(k.toLowerCase, v, l, p)
+    }
+
+  def listComprehension: Parser[Expr] =
+    "[" ~> ident ~ (kw("IN") ~> expr) ~ opt(kw("WHERE") ~> expr) ~
+      opt("|" ~> expr) <~ "]" ^^ {
+      case v ~ l ~ w ~ p => ListComprehension(v, l, w, p)
+    }
+
+  def functionCall: Parser[Expr] =
+    (anyIdent ~ ("(" ~> opt(kw("DISTINCT")) ~ repsep(expr, ",") <~ ")")).filter {
+      case name ~ _ => !reserved.contains(name.toUpperCase) ||
+        name.toUpperCase == "EXISTS"
+    } ^^ { case name ~ (d ~ args) =>
+      Fn(name.toLowerCase, args, d.isDefined)
+    }
+
+  def patternPredicate: Parser[Expr] =
+    pathPattern.filter(_.tail.nonEmpty) ^^ (PatternPred(_))
+
+  def mapLit: Parser[Expr] =
+    "{" ~> repsep(anyIdent ~ (":" ~> expr), ",") <~ "}" ^^ (entries =>
+      MapLit(entries.map { case k ~ v => (k, v) }))
+
+  def listLit: Parser[Expr] =
+    "[" ~> repsep(expr, ",") <~ "]" ^^ (ListLit(_))
+
+  // ── patterns ─────────────────────────────────────────────────────────────
+  def propMap: Parser[List[(String, Expr)]] =
+    "{" ~> repsep(anyIdent ~ (":" ~> expr), ",") <~ "}" ^^
+      (_.map { case k ~ v => (k, v) })
+
+  def nodePat: Parser[NodePat] =
+    "(" ~> opt(ident) ~ opt(":" ~> anyIdent) ~ opt(propMap) <~ ")" ^^ {
+      case v ~ l ~ p => NodePat(v, l, p.getOrElse(Nil))
+    }
+
+  private def varLenSpec: Parser[(Int, Option[Int])] =
+    "*" ~> (
+      (intLit ~ (".." ~> opt(intLit))) ^^ {          // *1..3 / *1..
+        case mn ~ mx => (mn.toInt, mx.map(_.toInt))
+      } |
+        (".." ~> intLit) ^^ (mx => (1, Some(mx.toInt))) | // *..3
+        intLit ^^ (n => (n.toInt, Some(n.toInt))) |       // *2 (exactly)
+        success((1, None)))                               // bare *
+
+  private def relDetail: Parser[RelPat] =
+    "[" ~> opt(ident) ~
+      opt(":" ~> rep1sep(anyIdent, "|" ~ opt(":"))) ~
+      opt(varLenSpec) ~ opt(propMap) <~ "]" ^^ {
+      case v ~ t ~ vl ~ p =>
+        RelPat(v, t.getOrElse(Nil), p.getOrElse(Nil), 0, vl)
+    }
+
+  def relPat: Parser[RelPat] =
+    ("<-" ~> relDetail <~ "-" ~ not(">")) ^^ (_.copy(direction = -1)) |
+      ("-" ~> relDetail <~ "->") ^^ (_.copy(direction = 1)) |
+      ("-" ~> relDetail <~ "-" ~ not(">")) ^^ (_.copy(direction = 0)) |
+      "<-" ~ "-" ~ not(">") ^^^ RelPat(None, Nil, Nil, -1, None) |
+      "-" ~ "->" ^^^ RelPat(None, Nil, Nil, 1, None) |
+      "--" ~ not(">") ^^^ RelPat(None, Nil, Nil, 0, None)
+
+  def pathPattern: Parser[PathPat] =
+    opt(ident <~ "=") ~ nodePat ~ rep(relPat ~ nodePat) ^^ {
+      case pv ~ h ~ t =>
+        PathPat(pv, h, t.map { case r ~ n => (r, n) })
+    }
+
+  def patternList: Parser[List[PathPat]] = rep1sep(pathPattern, ",")
+
+  // ── clauses ──────────────────────────────────────────────────────────────
+  def matchClause: Parser[Clause] =
+    opt(kw("OPTIONAL")) ~ (kw("MATCH") ~> patternList) ~
+      opt(kw("WHERE") ~> expr) ^^ {
+      case o ~ ps ~ w => Match(o.isDefined, ps, w)
+    }
+
+  def unwindClause: Parser[Clause] =
+    kw("UNWIND") ~> expr ~ (kw("AS") ~> ident) ^^ {
+      case e ~ a => Unwind(e, a)
+    }
+
+  def sortItem: Parser[SortItem] =
+    expr ~ opt(kw("ASCENDING") | kw("ASC") | kw("DESCENDING") | kw("DESC")) ^^ {
+      case e ~ d => SortItem(e, !d.exists(_.startsWith("DESC")))
+    }
+
+  def projectionBody: Parser[Projection] =
+    opt(kw("DISTINCT")) ~
+      rep1sep(returnItem, ",") ~
+      opt(kw("ORDER") ~> kw("BY") ~> rep1sep(sortItem, ",")) ~
+      opt(kw("SKIP") ~> expr) ~ opt(kw("LIMIT") ~> expr) ^^ {
+      case d ~ items ~ ob ~ sk ~ lm =>
+        Projection(d.isDefined, items, ob.getOrElse(Nil), sk, lm)
+    }
+
+  def returnItem: Parser[(Expr, Option[String])] =
+    "*" ^^^ (Variable("*"), None) |
+      expr ~ opt(kw("AS") ~> ident) ^^ { case e ~ a => (e, a) }
+
+  def withClause: Parser[Clause] =
+    kw("WITH") ~> projectionBody ~ opt(kw("WHERE") ~> expr) ^^ {
+      case p ~ w => With(p, w)
+    }
+
+  def returnClause: Parser[Clause] =
+    kw("RETURN") ~> projectionBody ^^ (Return(_))
+
+  def createClause: Parser[Clause] =
+    kw("CREATE") ~> patternList ^^ (Create(_))
+
+  def setItem: Parser[SetItem] =
+    postfix ~ ("=" ~> expr) ^^ {
+      case Prop(t, k) ~ v => SetItem(t, Some(k), v)
+      case t ~ v => SetItem(t, None, v)
+    }
+
+  def setClause: Parser[Clause] =
+    kw("SET") ~> rep1sep(setItem, ",") ^^ (SetClause(_))
+
+  def deleteClause: Parser[Clause] =
+    opt(kw("DETACH")) ~ (kw("DELETE") ~> rep1sep(expr, ",")) ^^ {
+      case d ~ es => Delete(es, d.isDefined)
+    }
+
+  def mergeClause: Parser[Clause] =
+    kw("MERGE") ~> pathPattern ~
+      rep(kw("ON") ~ (kw("MATCH") | kw("CREATE")) ~ (kw("SET") ~> rep1sep(setItem, ","))) ^^ {
+      case p ~ actions =>
+        val onMatch = actions.collect { case _ ~ "MATCH" ~ items => items }.flatten
+        val onCreate = actions.collect { case _ ~ "CREATE" ~ items => items }.flatten
+        Merge(p, onMatch, onCreate)
+    }
+
+  def clause: Parser[Clause] =
+    matchClause | unwindClause | withClause | returnClause |
+      createClause | mergeClause | setClause | deleteClause
+
+  def singleQuery: Parser[SingleQuery] = rep1(clause) ^^ (SingleQuery(_))
+
+  def query: Parser[Query] =
+    singleQuery ~ rep((kw("UNION") ~> opt(kw("ALL"))) ~ singleQuery) ^^ {
+      case h ~ t =>
+        Query(h :: t.map { case _ ~ q => q },
+          t.map { case a ~ _ => a.isDefined })
+    }
+
+  /** Parse a full query; Left(error) on failure. */
+  def parse(input: String): Either[String, Query] =
+    parseAll(query, input) match {
+      case Success(q, _) => Right(q)
+      case NoSuccess(msg, next) =>
+        Left(s"Cypher parse error at ${next.pos.line}:${next.pos.column}: $msg")
+      case other => Left(other.toString)
+    }
+}

@@ -1,0 +1,801 @@
+package graft.cypher
+
+import graft.graph.PropertyGraph
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Cypher AST → DataFrame plan translator.
+  *
+  * The reference compiles MATCH patterns to GraphBLAS algebraic expressions
+  * and runs a pull-based op tree (`/root/reference/src/execution_plan/`);
+  * here every pattern element becomes a Catalyst join and every clause a
+  * DataFrame transform — Catalyst then owns filter pushdown, join strategy,
+  * partial aggregation (SURVEY.md §4: most reference optimizer passes
+  * dissolve into built-in rules).
+  *
+  * Record ≡ DataFrame row; variables are columns: node/edge vars are structs
+  * (id/label/props resp. id/src/dst/reltype/props), value vars are variant
+  * structs (Values.variantType). Missing property ≡ NULL via element_at.
+  */
+object Translator {
+
+  sealed trait Kind
+  case object KNode extends Kind
+  case object KEdge extends Kind
+  case object KValue extends Kind
+
+  /** the Volcano Record analogue (`src/execution_plan/record.h:18-44`):
+    * df columns ↔ alias→entry mapping.
+    */
+  case class Frame(df: DataFrame, vars: Map[String, Kind]) {
+    def col(name: String): Column = df(s"`$name`")
+    def has(name: String): Boolean = vars.contains(name)
+  }
+
+  case class TranslateError(msg: String) extends RuntimeException(msg)
+
+  private val AggFns = Set("count", "sum", "avg", "min", "max", "collect",
+    "stdev", "stdevp", "percentiledisc", "percentilecont")
+
+  def nodeStruct(df: DataFrame): Column =
+    struct(df("id").as("id"), df("label").as("label"), df("props").as("props"))
+
+  private var anonCounter = 0
+  private def freshName(prefix: String): String = synchronized {
+    anonCounter += 1; s"__${prefix}_$anonCounter"
+  }
+
+  // ═══════════════════════════════ queries ═══════════════════════════════
+  /** Translate a read-only query to a result DataFrame (columns = return
+    * items, values = variants or entity structs).
+    */
+  def translate(graph: PropertyGraph, q: Ast.Query,
+      params: Map[String, Any] = Map.empty): DataFrame = {
+    val parts = q.parts.map(p => translateSingle(graph, p, params))
+    if (parts.size == 1) parts.head
+    else {
+      // UNION: sequence of (unionAll?) combines (`op_join.c` +
+      // execution_plan.c:91-103 distinct for UNION)
+      var acc = parts.head
+      q.unionAll.zip(parts.tail).foreach { case (all, df) =>
+        acc = acc.unionByName(df)
+        if (!all) acc = acc.dropDuplicates()
+      }
+      acc
+    }
+  }
+
+  def translateSingle(graph: PropertyGraph, sq: Ast.SingleQuery,
+      params: Map[String, Any]): DataFrame = {
+    val spark = graph.nodes.sparkSession
+    val unit = spark.range(1).select(lit(1).as("__unit"))
+    var frame = Frame(unit, Map.empty)
+    val ctx = Ctx(graph, params)
+    sq.clauses.foreach {
+      case m: Ast.Match => frame = translateMatch(ctx, frame, m)
+      case u: Ast.Unwind => frame = translateUnwind(ctx, frame, u)
+      case w: Ast.With => frame = translateProjection(ctx, frame, w.proj, w.where)
+      case r: Ast.Return =>
+        frame = translateProjection(ctx, frame, r.proj, None)
+      case other =>
+        throw TranslateError(s"unsupported clause in read query: $other")
+    }
+    frame.df
+  }
+
+  case class Ctx(graph: PropertyGraph, params: Map[String, Any])
+
+  // ═══════════════════════════════ MATCH ═══════════════════════════════
+  def translateMatch(ctx: Ctx, frame: Frame, m: Ast.Match): Frame = {
+    if (m.optional) return translateOptional(ctx, frame, m)
+    var f = frame
+    val pathEdgeVars = scala.collection.mutable.ArrayBuffer[List[String]]()
+    m.paths.foreach { p =>
+      val (f2, evs) = translatePath(ctx, f, p)
+      f = f2
+      pathEdgeVars += evs
+    }
+    // relationship uniqueness per path (docs/known_limitations.md:3)
+    pathEdgeVars.foreach { evs =>
+      evs.combinations(2).foreach { case List(a, b) =>
+        f = f.copy(df = f.df.filter(
+          f.col(a).getField("id") =!= f.col(b).getField("id")))
+      }
+    }
+    m.where.foreach { w => f = applyWhere(ctx, f, w) }
+    f
+  }
+
+  /** OPTIONAL MATCH via the row-id trick: tag each input row, run the inner
+    * match, left-join the new columns back on the tag (`op_optional.c` +
+    * Apply → decorrelated left_outer, SURVEY §2.3).
+    */
+  private def translateOptional(ctx: Ctx, frame: Frame, m: Ast.Match): Frame = {
+    val rid = freshName("rid")
+    val tagged = frame.df.withColumn(rid, monotonically_increasing_id())
+      .localCheckpoint(true)
+    val seed = Frame(tagged, frame.vars)
+    val inner = translateMatch(ctx, seed, m.copy(optional = false))
+    val newVars = inner.vars.keySet -- frame.vars.keySet
+    val right = inner.df.select(
+      (Seq(inner.col(rid)) ++ newVars.toSeq.map(inner.col)): _*)
+    val joined = tagged.join(right, Seq(rid), "left_outer").drop(rid)
+    Frame(joined, frame.vars ++ newVars.map(n => n -> inner.vars(n)))
+  }
+
+  /** Translate one path; returns frame + edge var names (for uniqueness). */
+  private def translatePath(ctx: Ctx, frame: Frame,
+      p: Ast.PathPat): (Frame, List[String]) = {
+    if (p.pathVar.isDefined)
+      throw TranslateError("named paths not supported yet")
+    var f = bindNode(ctx, frame, p.head)
+    var prev = p.head.variable.getOrElse(nameOf(p.head))
+    val edgeVars = scala.collection.mutable.ArrayBuffer[String]()
+    p.tail.foreach { case (rel, node) =>
+      rel.varLen match {
+        case None =>
+          val (f2, ev) = expandOne(ctx, f, prev, rel, node)
+          f = f2
+          edgeVars += ev
+        case Some((mn, mx)) =>
+          f = expandVarLen(ctx, f, prev, rel, node, mn, mx.getOrElse(15))
+      }
+      prev = node.variable.getOrElse(nameOf(node))
+    }
+    (f, edgeVars.toList)
+  }
+
+  private val nodeNames = new java.util.IdentityHashMap[Ast.NodePat, String]()
+  private def nameOf(np: Ast.NodePat): String = synchronized {
+    np.variable.getOrElse {
+      Option(nodeNames.get(np)).getOrElse {
+        val n = freshName("n"); nodeNames.put(np, n); n
+      }
+    }
+  }
+  private val relNames = new java.util.IdentityHashMap[Ast.RelPat, String]()
+  private def nameOf(rp: Ast.RelPat): String = synchronized {
+    rp.variable.getOrElse {
+      Option(relNames.get(rp)).getOrElse {
+        val n = freshName("r"); relNames.put(rp, n); n
+      }
+    }
+  }
+
+  /** Scan for a node pattern (label/props pushed into the scan —
+    * NodeByLabelScan, `op_node_by_label_scan.c`).
+    */
+  private def nodeScan(ctx: Ctx, np: Ast.NodePat, as: String): DataFrame = {
+    var df = ctx.graph.nodes
+    np.label.foreach(l => df = df.filter(col("label") === l))
+    np.props.foreach { case (k, e) =>
+      val v = constantValue(ctx, e)
+      df = df.filter(coalesce(Values.eq(
+        element_at(col("props"), k), v), lit(false)))
+    }
+    df.select(struct(col("id"), col("label"), col("props")).as(as))
+  }
+
+  private def bindNode(ctx: Ctx, frame: Frame, np: Ast.NodePat): Frame = {
+    val name = nameOf(np)
+    if (frame.has(name)) {
+      // re-matched bound var: apply label/prop predicates as filters
+      var df = frame.df
+      np.label.foreach(l => df = df.filter(
+        frame.col(name).getField("label") === l))
+      np.props.foreach { case (k, e) =>
+        df = df.filter(coalesce(Values.eq(
+          element_at(frame.col(name).getField("props"), k),
+          constantValue(ctx, e)), lit(false)))
+      }
+      Frame(df, frame.vars)
+    } else {
+      val scan = nodeScan(ctx, np, name)
+      val df =
+        if (frame.vars.isEmpty) scan.crossJoin(frame.df).drop("__unit")
+        else frame.df.crossJoin(scan)
+      Frame(df, frame.vars + (name -> KNode))
+    }
+  }
+
+  /** Directed traversal view over the edge table: (__from,__to) per
+    * direction; undirected = union of both orientations (transpose ≡ swap).
+    */
+  private def edgeView(ctx: Ctx, rel: Ast.RelPat): DataFrame = {
+    var e = ctx.graph.edges
+    if (rel.types.nonEmpty)
+      e = e.filter(col("reltype").isin(rel.types: _*))
+    rel.props.foreach { case (k, expr) =>
+      e = e.filter(coalesce(Values.eq(
+        element_at(col("props"), k), constantValue(ctx, expr)), lit(false)))
+    }
+    val base = e.select(struct(col("id"), col("src"), col("dst"),
+      col("reltype"), col("props")).as("__edge"),
+      col("src").as("__from"), col("dst").as("__to"))
+    rel.direction match {
+      case 1 => base
+      case -1 => base.select(col("__edge"), col("__to").as("__from"),
+        col("__from").as("__to"))
+        .select(col("__edge"), col("__from"), col("__to"))
+      case 0 => base.unionByName(
+        base.select(col("__edge"), col("__to").as("__from"),
+          col("__from").as("__to"))
+          .select(col("__edge"), col("__from"), col("__to")))
+    }
+  }
+
+  /** One-hop expansion: ConditionalTraverse / ExpandInto
+    * (`op_conditional_traverse.c`, `op_expand_into.c`) as equi-joins.
+    */
+  private def expandOne(ctx: Ctx, frame: Frame, prev: String,
+      rel: Ast.RelPat, node: Ast.NodePat): (Frame, String) = {
+    val rname = nameOf(rel)
+    val nname = nameOf(node)
+    val ev = edgeView(ctx, rel)
+      .withColumnRenamed("__edge", rname)
+    val joined = frame.df.join(ev,
+      frame.col(prev).getField("id") === ev("__from"))
+    val f1 = Frame(joined, frame.vars + (rname -> KEdge))
+    val result =
+      if (frame.has(nname)) {
+        // ExpandInto: destination already bound
+        var df = joined.filter(
+          col("__to") === frame.col(nname).getField("id"))
+        Frame(df, f1.vars)
+      } else {
+        val scan = nodeScan(ctx, node, nname)
+        val df = joined.join(scan,
+          col("__to") === scan(nname).getField("id"))
+        Frame(df, f1.vars + (nname -> KNode))
+      }
+    (result.copy(df = result.df.drop("__from", "__to")), rname)
+  }
+
+  /** Var-len expansion `*min..max` (CondVarLenTraverse,
+    * `op_cond_var_len_traverse.c`): BFS frontier joins on the DISTINCT
+    * source-id set, re-joined to the frame at the end — the frame is never
+    * multiplied through the loop.
+    */
+  private def expandVarLen(ctx: Ctx, frame: Frame, prev: String,
+      rel: Ast.RelPat, node: Ast.NodePat, minH: Int, maxH: Int): Frame = {
+    if (rel.variable.isDefined)
+      throw TranslateError("edge variable on var-length pattern unsupported")
+    val nname = nameOf(node)
+    val ev = edgeView(ctx, rel).select(col("__from").as("src"),
+      col("__to").as("dst"))
+    val sources = frame.df
+      .select(frame.col(prev).getField("id").as("id")).distinct()
+    val reach = graft.graph.GraphOps.varLenExpand(sources, ev, minH, maxH)
+      .select(col("start"), col("node"))
+    val joined = frame.df.join(reach,
+      frame.col(prev).getField("id") === reach("start"))
+    val result =
+      if (frame.has(nname)) {
+        Frame(joined.filter(
+          col("node") === frame.col(nname).getField("id")), frame.vars)
+      } else {
+        val scan = nodeScan(ctx, node, nname)
+        Frame(joined.join(scan,
+          col("node") === scan(nname).getField("id")),
+          frame.vars + (nname -> KNode))
+      }
+    result.copy(df = result.df.drop("start", "node"))
+  }
+
+  // ═══════════════════════════ WHERE / predicates ══════════════════════════
+  /** Split top-level conjunction; pattern predicates become semi/anti joins
+    * (`reduce_to_apply.c` ≡ RewritePredicateSubquery, done at translation).
+    */
+  private def applyWhere(ctx: Ctx, frame: Frame, w: Ast.Expr): Frame = {
+    def conjuncts(e: Ast.Expr): List[Ast.Expr] = e match {
+      case Ast.Bin("AND", l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => List(other)
+    }
+    var f = frame
+    conjuncts(w).foreach {
+      case Ast.PatternPred(p) => f = patternFilter(ctx, f, p, anti = false)
+      case Ast.Not(Ast.PatternPred(p)) => f = patternFilter(ctx, f, p, anti = true)
+      case Ast.Fn("exists", List(Ast.PatternPred(p)), _) =>
+        f = patternFilter(ctx, f, p, anti = false)
+      case Ast.Not(Ast.Fn("exists", List(Ast.PatternPred(p)), _)) =>
+        f = patternFilter(ctx, f, p, anti = true)
+      case pred =>
+        f = f.copy(df = f.df.filter(Values.isTrue(trExpr(ctx, f, pred))))
+    }
+    f
+  }
+
+  /** SemiApply / AntiSemiApply (`op_semi_apply.c`) via left_semi/left_anti
+    * on a tagged row id.
+    */
+  private def patternFilter(ctx: Ctx, frame: Frame, p: Ast.PathPat,
+      anti: Boolean): Frame = {
+    val rid = freshName("rid")
+    val tagged = frame.df.withColumn(rid, monotonically_increasing_id())
+      .localCheckpoint(true)
+    val seed = Frame(tagged, frame.vars)
+    val (inner, _) = translatePath(ctx, seed, p)
+    val keys = inner.df.select(inner.col(rid)).distinct()
+    val how = if (anti) "left_anti" else "left_semi"
+    val kept = tagged.join(keys, Seq(rid), how).drop(rid)
+    Frame(kept, frame.vars)
+  }
+
+  // ═══════════════════════════════ UNWIND ══════════════════════════════════
+  private def translateUnwind(ctx: Ctx, frame: Frame,
+      u: Ast.Unwind): Frame = {
+    val v = trExpr(ctx, frame, u.list)
+    val tmp = freshName("ex")
+    val df = frame.df
+      .withColumn(tmp, explode(v.getField("arr")))
+      .withColumn(u.alias, Values.widen(col(tmp)))
+      .drop(tmp)
+    Frame(df, frame.vars + (u.alias -> KValue))
+  }
+
+  // ═══════════════════════════ WITH / RETURN ═══════════════════════════════
+  private def containsAgg(e: Ast.Expr): Boolean = e match {
+    case Ast.CountStar => true
+    case Ast.Fn(n, args, _) =>
+      AggFns.contains(n) || args.exists(containsAgg)
+    case Ast.Bin(_, l, r) => containsAgg(l) || containsAgg(r)
+    case Ast.Not(x) => containsAgg(x)
+    case Ast.Neg(x) => containsAgg(x)
+    case Ast.IsNull(x, _) => containsAgg(x)
+    case Ast.Prop(x, _) => containsAgg(x)
+    case Ast.CaseExpr(s, w, o) =>
+      s.exists(containsAgg) || w.exists { case (a, b) =>
+        containsAgg(a) || containsAgg(b)
+      } || o.exists(containsAgg)
+    case _ => false
+  }
+
+  private def defaultName(e: Ast.Expr): String = e match {
+    case Ast.Variable(n) => n
+    case Ast.Prop(Ast.Variable(n), k) => s"$n.$k"
+    case Ast.CountStar => "count(*)"
+    case Ast.Fn(n, _, _) => n
+    case _ => freshName("col")
+  }
+
+  private def translateProjection(ctx: Ctx, frame: Frame,
+      proj: Ast.Projection, where: Option[Ast.Expr]): Frame = {
+    // expand RETURN *
+    val items: List[(Ast.Expr, String)] = proj.items.flatMap {
+      case (Ast.Variable("*"), _) =>
+        frame.vars.keys.filter(!_.startsWith("__")).toList.sorted
+          .map(n => (Ast.Variable(n), n))
+      case (e, alias) => List((e, alias.getOrElse(defaultName(e))))
+    }
+
+    val hasAgg = items.exists { case (e, _) => containsAgg(e) }
+    var df: DataFrame = null
+    if (hasAgg) {
+      // Aggregate (`op_aggregate.c`): keys = non-aggregate items
+      val keys = items.filter { case (e, _) => !containsAgg(e) }
+      val aggs = items.filter { case (e, _) => containsAgg(e) }
+      val keyCols = keys.map { case (e, n) => trAny(ctx, frame, e).as(n) }
+      val aggCols = aggs.map { case (e, n) => trAgg(ctx, frame, e).as(n) }
+      df =
+        if (keys.isEmpty) frame.df.agg(aggCols.head, aggCols.tail: _*)
+        else frame.df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      // restore item order
+      df = df.select(items.map { case (_, n) => col(s"`$n`") }: _*)
+    } else {
+      df = frame.df.select(items.map { case (e, n) =>
+        trAny(ctx, frame, e).as(n)
+      }: _*)
+    }
+
+    var vars: Map[String, Kind] = items.map { case (e, n) =>
+      n -> kindOf(ctx, frame, e)
+    }.toMap
+    var f = Frame(df, vars)
+
+    if (proj.distinct) f = f.copy(df = f.df.dropDuplicates())
+    where.foreach { w => f = applyWhere(ctx, f, w) }
+
+    if (proj.orderBy.nonEmpty) {
+      val sorts = proj.orderBy.map { si =>
+        val c = trExpr(ctx, f, si.expr)
+        val k = Values.orderKey(c)
+        if (si.ascending) k.asc_nulls_last else k.desc_nulls_first
+      }
+      f = f.copy(df = f.df.orderBy(sorts: _*))
+    }
+    proj.skip.foreach {
+      case Ast.LitInt(n) => f = f.copy(df = f.df.offset(n.toInt))
+      case other => throw TranslateError(s"SKIP must be a literal: $other")
+    }
+    proj.limit.foreach {
+      case Ast.LitInt(n) => f = f.copy(df = f.df.limit(n.toInt))
+      case other => throw TranslateError(s"LIMIT must be a literal: $other")
+    }
+    f
+  }
+
+  private def kindOf(ctx: Ctx, frame: Frame, e: Ast.Expr): Kind = e match {
+    case Ast.Variable(n) => frame.vars.getOrElse(n, KValue)
+    case _ => KValue
+  }
+
+  /** entity vars pass through as structs; everything else becomes a variant. */
+  private def trAny(ctx: Ctx, frame: Frame, e: Ast.Expr): Column = e match {
+    case Ast.Variable(n) if frame.has(n) && frame.vars(n) != KValue =>
+      frame.col(n)
+    case other => trExpr(ctx, frame, other)
+  }
+
+  // ═══════════════════════════ aggregates ══════════════════════════════════
+  private def trAgg(ctx: Ctx, frame: Frame, e: Ast.Expr): Column = e match {
+    case Ast.CountStar => Values.vInt(count(lit(1)))
+    case Ast.Fn("count", List(arg), distinct) =>
+      val v = trAny(ctx, frame, arg)
+      Values.vInt(if (distinct) countDistinct(v) else count(v))
+    case Ast.Fn("sum", List(arg), _) =>
+      val n = Values.num(trExpr(ctx, frame, arg))
+      Values.vFloat(sum(n))
+    case Ast.Fn("avg", List(arg), _) =>
+      Values.vFloat(avg(Values.num(trExpr(ctx, frame, arg))))
+    case Ast.Fn("min", List(arg), _) =>
+      // global-order min via sortable struct (custom Aggregator equivalent,
+      // SURVEY §2.4 min/max note); aggregates skip nulls natively
+      val v = trExpr(ctx, frame, arg)
+      min(when(v.isNotNull, struct(Values.orderKey(v).as("k"), v.as("v"))))
+        .getField("v")
+    case Ast.Fn("max", List(arg), _) =>
+      val v = trExpr(ctx, frame, arg)
+      max(when(v.isNotNull, struct(Values.orderKey(v).as("k"), v.as("v"))))
+        .getField("v")
+    case Ast.Fn("collect", List(arg), distinct) =>
+      val v = Values.narrow(trExpr(ctx, frame, arg))
+      val collected =
+        if (distinct) collect_set(v) else collect_list(v)
+      Values.vArr(collected)
+    case Ast.Fn("stdev", List(arg), _) =>
+      Values.vFloat(stddev_samp(Values.num(trExpr(ctx, frame, arg))))
+    case Ast.Fn("stdevp", List(arg), _) =>
+      Values.vFloat(stddev_pop(Values.num(trExpr(ctx, frame, arg))))
+    case Ast.Fn("percentiledisc", List(arg, p), _) =>
+      // exact for group sizes < 2^31 (approx sketch degenerates to exact)
+      val n = Values.num(trExpr(ctx, frame, arg))
+      Values.vFloat(percentile_approx(n,
+        lit(constantDouble(ctx, p)), lit(2147483647)))
+    case Ast.Fn("percentilecont", List(arg, p), _) =>
+      Values.vFloat(percentile(Values.num(trExpr(ctx, frame, arg)),
+        lit(constantDouble(ctx, p))))
+    case Ast.Fn(n, _, _) if AggFns.contains(n) =>
+      throw TranslateError(s"unsupported aggregate: $n")
+    case other =>
+      throw TranslateError(s"aggregate must be top-level, got: $other")
+  }
+
+  private def constantDouble(ctx: Ctx, e: Ast.Expr): Double = e match {
+    case Ast.LitFloat(v) => v
+    case Ast.LitInt(v) => v.toDouble
+    case other => throw TranslateError(s"expected numeric literal: $other")
+  }
+
+  /** literal/parameter subtree → variant Column (for prop-map predicates). */
+  private def constantValue(ctx: Ctx, e: Ast.Expr): Column =
+    trExpr(ctx, Frame(null, Map.empty), e)
+
+  // ═══════════════════════════ expressions ═════════════════════════════════
+  def trExpr(ctx: Ctx, frame: Frame, e: Ast.Expr): Column = {
+    import Values._
+    def t(x: Ast.Expr): Column = trExpr(ctx, frame, x)
+    e match {
+      case Ast.LitInt(v) => vInt(lit(v))
+      case Ast.LitFloat(v) => vFloat(lit(v))
+      case Ast.LitString(v) => vStr(lit(v))
+      case Ast.LitBool(v) => vBool(lit(v))
+      case Ast.LitNull => vNull
+      case Ast.Param(name) => paramValue(ctx, name)
+      case Ast.ListLit(items) =>
+        vArr(array(items.map(i => narrow(t(i))): _*))
+
+      case Ast.Variable(n) =>
+        frame.vars.get(n) match {
+          case Some(KValue) => frame.col(n)
+          case Some(_) => frame.col(n) // entity struct; ops below special-case
+          case None => throw TranslateError(s"unknown variable: $n")
+        }
+
+      case Ast.Prop(target, key) =>
+        val tv = target match {
+          case Ast.Variable(n) if frame.has(n) && frame.vars(n) != KValue =>
+            frame.col(n).getField("props")
+          case other => t(other).getField("arr") // maps unsupported on values
+        }
+        element_at(tv, key)
+
+      case Ast.Bin(op, l, r) =>
+        val isEntity = (x: Ast.Expr) => x match {
+          case Ast.Variable(n) => frame.vars.get(n).exists(_ != KValue)
+          case _ => false
+        }
+        if ((op == "=" || op == "<>") && isEntity(l) && isEntity(r)) {
+          val c = t(l).getField("id") === t(r).getField("id")
+          if (op == "=") vBool(c) else vBool(!c)
+        } else op match {
+          case "OR" => or(t(l), t(r))
+          case "XOR" => xor(t(l), t(r))
+          case "AND" => and(t(l), t(r))
+          case "=" => vBool(Values.eq(t(l), t(r)))
+          case "<>" => vBool(Values.neq(t(l), t(r)))
+          case "<" => vBool(lt(t(l), t(r)))
+          case "<=" => vBool(lte(t(l), t(r)))
+          case ">" => vBool(gt(t(l), t(r)))
+          case ">=" => vBool(gte(t(l), t(r)))
+          case "+" => add(t(l), t(r))
+          case "-" => sub(t(l), t(r))
+          case "*" => mul(t(l), t(r))
+          case "/" => div(t(l), t(r))
+          case "%" => Values.mod(t(l), t(r))
+          case "^" =>
+            val a = num(t(l)); val b = num(t(r))
+            when(a.isNull || b.isNull, vNull).otherwise(vFloat(pow(a, b)))
+          case "IN" => vBool(Values.in(t(l), t(r)))
+          case "STARTSWITH" =>
+            strPred(t(l), t(r))((a, b) => a.startsWith(b))
+          case "ENDSWITH" =>
+            strPred(t(l), t(r))((a, b) => a.endsWith(b))
+          case "CONTAINS" =>
+            strPred(t(l), t(r))((a, b) => a.contains(b))
+          case other => throw TranslateError(s"unknown operator $other")
+        }
+
+      case Ast.Not(x) => Values.not(t(x))
+      case Ast.Neg(x) => neg(t(x))
+      case Ast.IsNull(x, negated) =>
+        val c = t(x).isNull
+        vBool(if (negated) !c else c)
+
+      case Ast.CaseExpr(scrut, whens, otherwise) =>
+        val els = otherwise.map(t).getOrElse(vNull)
+        scrut match {
+          case Some(s) =>
+            val sv = t(s)
+            whens.foldRight(els) { case ((w, r), acc) =>
+              when(Values.isTrue(vBool(Values.eq(sv, t(w)))), t(r))
+                .otherwise(acc)
+            }
+          case None =>
+            whens.foldRight(els) { case ((w, r), acc) =>
+              when(Values.isTrue(t(w)), t(r)).otherwise(acc)
+            }
+        }
+
+      case Ast.Subscript(target, idx) => subscript(t(target), t(idx))
+
+      case Ast.SliceExpr(target, from, to) =>
+        val arr = t(target).getField("arr")
+        val n = size(arr)
+        def norm(c: Column) = when(c >= 0, c).otherwise(n + c)
+        val lo = from.map(f => norm(num(t(f)).cast(IntegerType)))
+          .getOrElse(lit(0))
+        val hi = to.map(x => norm(num(t(x)).cast(IntegerType)))
+          .getOrElse(n)
+        vArr(slice(arr, lo + 1, greatest(hi - lo, lit(0))))
+
+      case Ast.ListComprehension(v, list, where, projTo) =>
+        val arr = t(list).getField("arr")
+        val filtered = where match {
+          case Some(p) =>
+            filter(arr, x => Values.isTrue(lambdaExpr(ctx, frame, v, x, p)))
+          case None => arr
+        }
+        val projected = projTo match {
+          case Some(p) =>
+            transform(filtered, x =>
+              Values.narrow(lambdaExpr(ctx, frame, v, x, p)))
+          case None => filtered
+        }
+        vArr(projected)
+
+      case Ast.Quantifier(kind, v, list, pred) =>
+        val arr = t(list).getField("arr")
+        def matches(x: Column) =
+          Values.isTrue(lambdaExpr(ctx, frame, v, x, pred))
+        kind match {
+          case "any" => vBool(exists(arr, matches))
+          case "all" => vBool(forall(arr, matches))
+          case "none" => vBool(!exists(arr, matches))
+          case "single" =>
+            vBool(size(filter(arr, x => matches(x))) === 1)
+        }
+
+      case fn: Ast.Fn => trFn(ctx, frame, fn)
+
+      case Ast.CountStar =>
+        throw TranslateError("count(*) outside aggregation context")
+      case other => throw TranslateError(s"unsupported expression: $other")
+    }
+  }
+
+  /** evaluate `body` with variable `v` bound to scalar-variant lambda arg. */
+  private def lambdaExpr(ctx: Ctx, frame: Frame, v: String, x: Column,
+      body: Ast.Expr): Column = {
+    // substitute by translating against a frame where v resolves to widen(x)
+    val f2 = new Frame(frame.df, frame.vars + (v -> KValue)) {
+      override def col(name: String): Column =
+        if (name == v) Values.widen(x) else super.col(name)
+    }
+    trExpr(ctx, f2, body)
+  }
+
+  private def strPred(a: Column, b: Column)(
+      f: (Column, Column) => Column): Column = {
+    import Values._
+    when(a.isNull || b.isNull, lit(null).cast(BooleanType))
+      .when(tag(a) === T_STRING && tag(b) === T_STRING,
+        f(a.getField("s"), b.getField("s")))
+      .otherwise(lit(null).cast(BooleanType)) match {
+      case c => vBool(c)
+    }
+  }
+
+  private def paramValue(ctx: Ctx, name: String): Column = {
+    import Values._
+    ctx.params.get(name) match {
+      case Some(v: Long) => vInt(lit(v))
+      case Some(v: Int) => vInt(lit(v.toLong))
+      case Some(v: Double) => vFloat(lit(v))
+      case Some(v: String) => vStr(lit(v))
+      case Some(v: Boolean) => vBool(lit(v))
+      case Some(v: Seq[_]) =>
+        vArr(array(v.map {
+          case i: Long => sInt(lit(i))
+          case i: Int => sInt(lit(i.toLong))
+          case d: Double => sFloat(lit(d))
+          case s: String => sStr(lit(s))
+          case other => throw TranslateError(s"bad param element: $other")
+        }: _*))
+      case Some(other) => throw TranslateError(s"bad param type: $other")
+      case None => throw TranslateError(s"missing parameter: $$$name")
+    }
+  }
+
+  // ═══════════════════════ scalar function library ═════════════════════════
+  /** SURVEY §2.6 function inventory (117 fns in
+    * `src/arithmetic/funcs.c`) — each a Column composition.
+    */
+  private def trFn(ctx: Ctx, frame: Frame, fn: Ast.Fn): Column = {
+    import Values._
+    def t(x: Ast.Expr): Column = trExpr(ctx, frame, x)
+    def entity(x: Ast.Expr): Column = x match {
+      case Ast.Variable(n) if frame.has(n) && frame.vars(n) != KValue =>
+        frame.col(n)
+      case other => throw TranslateError(s"expected entity: $other")
+    }
+    def str1(f: Column => Column): Column = {
+      val v = t(fn.args.head)
+      when(v.isNull, vNull)
+        .when(tag(v) === T_STRING, vStr(f(v.getField("s"))))
+        .otherwise(vNull)
+    }
+    def num1(f: Column => Column, keepInt: Boolean = false): Column = {
+      val v = t(fn.args.head)
+      when(v.isNull, vNull)
+        .when(tag(v) === T_INT && lit(keepInt),
+          vInt(f(v.getField("i").cast(DoubleType)).cast(LongType)))
+        .when(isNum(v), vFloat(f(num(v))))
+        .otherwise(vNull)
+    }
+
+    fn.name match {
+      // entity funcs (`entity_funcs.c:186-230`)
+      case "id" => vInt(entity(fn.args.head).getField("id"))
+      case "labels" =>
+        vArr(array(sStr(entity(fn.args.head).getField("label"))))
+      case "type" => vStr(entity(fn.args.head).getField("reltype"))
+      case "exists" => vBool(t(fn.args.head).isNotNull)
+      case "startnode" | "endnode" =>
+        throw TranslateError(s"${fn.name} needs node lookup — unsupported")
+
+      // conditional (`conditional_funcs.c`)
+      case "coalesce" => coalesce(fn.args.map(t): _*)
+
+      // string (`string_funcs.c:249-324`)
+      case "tolower" => str1(lower)
+      case "toupper" => str1(upper)
+      case "trim" => str1(trim(_))
+      case "ltrim" => str1(ltrim(_))
+      case "rtrim" => str1(rtrim(_))
+      case "reverse" => str1(reverse)
+      case "left" => str1(s => s.substr(lit(1),
+        lit(constantLong(fn.args(1)).toInt)))
+      case "right" => str1(s => s.substr(
+        length(s) - lit(constantLong(fn.args(1)).toInt - 1),
+        lit(constantLong(fn.args(1)).toInt)))
+      case "substring" =>
+        // Cypher substring(s, start, len) is 0-based (`string_funcs.c`)
+        val start = constantLong(fn.args(1)).toInt
+        fn.args match {
+          case List(_, _) => str1(s => s.substr(lit(start + 1), length(s)))
+          case List(_, _, lenE) =>
+            str1(s => s.substr(lit(start + 1), lit(constantLong(lenE).toInt)))
+          case _ => throw TranslateError("substring arity")
+        }
+      case "replace" => fn.args match {
+        case List(_, s1, s2) =>
+          str1(s => regexp_replace(s,
+            lit(java.util.regex.Pattern.quote(constantString(s1))),
+            lit(java.util.regex.Matcher.quoteReplacement(constantString(s2)))))
+        case _ => throw TranslateError("replace arity")
+      }
+      case "split" =>
+        val sep = constantString(fn.args(1))
+        val v = t(fn.args.head)
+        when(v.isNull, vNull).otherwise(vArr(transform(
+          split(v.getField("s"), java.util.regex.Pattern.quote(sep)),
+          x => sStr(x))))
+      case "tostring" =>
+        val v = t(fn.args.head)
+        when(v.isNull, vNull).otherwise(vStr(render(v)))
+      case "tojson" =>
+        val v = t(fn.args.head)
+        vStr(render(v))
+
+      // numeric (`numeric_funcs.c:144-203`)
+      case "abs" => num1(abs, keepInt = true)
+      case "ceil" => num1(ceil(_).cast(DoubleType))
+      case "floor" => num1(floor(_).cast(DoubleType))
+      case "round" => num1(round(_, 0))
+      case "sqrt" => num1(sqrt)
+      case "sign" => num1(signum, keepInt = true)
+      case "rand" => vFloat(rand())
+      case "tointeger" =>
+        val v = t(fn.args.head)
+        when(v.isNull, vNull)
+          .when(tag(v) === T_INT, v)
+          .when(tag(v) === T_FLOAT, vInt(v.getField("f").cast(LongType)))
+          .when(tag(v) === T_STRING, vInt(v.getField("s").cast(LongType)))
+          .otherwise(vNull)
+      case "tofloat" =>
+        val v = t(fn.args.head)
+        when(v.isNull, vNull)
+          .when(tag(v) === T_FLOAT, v)
+          .when(tag(v) === T_INT, vFloat(v.getField("i").cast(DoubleType)))
+          .when(tag(v) === T_STRING, vFloat(v.getField("s").cast(DoubleType)))
+          .otherwise(vNull)
+
+      // list (`list_funcs.c:222-263`)
+      case "size" => sizeOf(t(fn.args.head))
+      case "head" =>
+        val v = t(fn.args.head)
+        subscript(v, vInt(lit(0L)))
+      case "last" =>
+        val v = t(fn.args.head)
+        subscript(v, vInt(lit(-1L)))
+      case "tail" =>
+        val v = t(fn.args.head)
+        when(v.isNull, vNull)
+          .otherwise(vArr(slice(v.getField("arr"), lit(2),
+            greatest(size(v.getField("arr")) - 1, lit(0)))))
+      case "range" =>
+        val from = num(t(fn.args.head)).cast(LongType)
+        val to = num(t(fn.args(1))).cast(LongType)
+        val step = fn.args.drop(2).headOption
+          .map(s => num(t(s)).cast(LongType)).getOrElse(lit(1L))
+        vArr(transform(sequence(from, to, step), x => sInt(x)))
+
+      // temporal (`time_funcs.c:22`)
+      case "timestamp" =>
+        vInt(unix_millis(current_timestamp()))
+
+      case other =>
+        throw TranslateError(s"unknown function: $other")
+    }
+  }
+
+  private def constantLong(e: Ast.Expr): Long = e match {
+    case Ast.LitInt(v) => v
+    case other => throw TranslateError(s"expected int literal: $other")
+  }
+  private def constantString(e: Ast.Expr): String = e match {
+    case Ast.LitString(v) => v
+    case other => throw TranslateError(s"expected string literal: $other")
+  }
+}

@@ -1,0 +1,274 @@
+package graft.cypher
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The Cypher value kernel on Catalyst: a variant struct column encoding the
+  * reference's SIValue tagged union (`/root/reference/src/value.h:81-96`),
+  * with Cypher ternary comparison/equality and the cross-type global sort
+  * order (`value.h:19-41` — enum order MAP < NODE < EDGE < ARRAY < … <
+  * STRING < BOOL < NUMERIC < NULL; `SIValue_Order`).
+  *
+  * Encoding: `struct<t:int, i:long, f:double, s:string, b:boolean,
+  * arr:array<scalar-variant>>`; a NULL column IS the Cypher null (so missing
+  * property ≡ NULL falls out of `element_at` for free, matching
+  * PROPERTY_NOTFOUND, `graph_entity.h:24,76`).
+  *
+  * Everything here is built from Spark built-ins (`when/struct/…`) — stays
+  * inside whole-stage codegen, no UDFs.
+  */
+object Values {
+
+  // type tags (stored in t)
+  val T_INT = 1
+  val T_FLOAT = 2
+  val T_STRING = 3
+  val T_BOOL = 4
+  val T_ARRAY = 5
+  val T_NODE = 6
+  val T_EDGE = 7
+
+  val scalarFields: Seq[StructField] = Seq(
+    StructField("t", IntegerType),
+    StructField("i", LongType),
+    StructField("f", DoubleType),
+    StructField("s", StringType),
+    StructField("b", BooleanType))
+
+  val scalarType: StructType = StructType(scalarFields)
+
+  /** Full variant: scalar branches + one level of list nesting (the
+    * reference restricts property values to primitives/arrays-of-primitives,
+    * SI_VALID_PROPERTY_VALUE `value.h:54`).
+    */
+  val variantType: StructType = StructType(
+    scalarFields :+ StructField("arr", ArrayType(scalarType)))
+
+  val propsType: DataType = MapType(StringType, variantType)
+
+  def vNull: Column = lit(null).cast(variantType)
+
+  private def mk(t: Column, i: Column, f: Column, s: Column, b: Column,
+      arr: Column): Column =
+    struct(t.as("t"), i.cast(LongType).as("i"), f.cast(DoubleType).as("f"),
+      s.cast(StringType).as("s"), b.cast(BooleanType).as("b"),
+      arr.cast(ArrayType(scalarType)).as("arr"))
+
+  private val nI = lit(null).cast(LongType)
+  private val nF = lit(null).cast(DoubleType)
+  private val nS = lit(null).cast(StringType)
+  private val nB = lit(null).cast(BooleanType)
+  private val nA = lit(null).cast(ArrayType(scalarType))
+
+  def vInt(c: Column): Column =
+    when(c.isNull, vNull).otherwise(mk(lit(T_INT), c, nF, nS, nB, nA))
+  def vFloat(c: Column): Column =
+    when(c.isNull, vNull).otherwise(mk(lit(T_FLOAT), nI, c, nS, nB, nA))
+  def vStr(c: Column): Column =
+    when(c.isNull, vNull).otherwise(mk(lit(T_STRING), nI, nF, c, nB, nA))
+  def vBool(c: Column): Column =
+    when(c.isNull, vNull).otherwise(mk(lit(T_BOOL), nI, nF, nS, c, nA))
+  /** arr must be array<scalar-variant>. */
+  def vArr(c: Column): Column =
+    when(c.isNull, vNull).otherwise(mk(lit(T_ARRAY), nI, nF, nS, nB, c))
+
+  /** Scalar (non-list) variant from the same branches — for list elements. */
+  def sInt(c: Column): Column = when(c.isNull, lit(null).cast(scalarType))
+    .otherwise(struct(lit(T_INT).as("t"), c.cast(LongType).as("i"),
+      nF.as("f"), nS.as("s"), nB.as("b")))
+  def sFloat(c: Column): Column = when(c.isNull, lit(null).cast(scalarType))
+    .otherwise(struct(lit(T_FLOAT).as("t"), nI.as("i"),
+      c.cast(DoubleType).as("f"), nS.as("s"), nB.as("b")))
+  def sStr(c: Column): Column = when(c.isNull, lit(null).cast(scalarType))
+    .otherwise(struct(lit(T_STRING).as("t"), nI.as("i"), nF.as("f"),
+      c.cast(StringType).as("s"), nB.as("b")))
+
+  /** Widen a scalar variant to the full variant type. */
+  def widen(c: Column): Column =
+    when(c.isNull, vNull)
+      .otherwise(mk(c.getField("t"), c.getField("i"), c.getField("f"),
+        c.getField("s"), c.getField("b"), nA))
+
+  /** Narrow a full variant to scalar (drops list branch). */
+  def narrow(c: Column): Column =
+    when(c.isNull || c.getField("t") === T_ARRAY, lit(null).cast(scalarType))
+      .otherwise(struct(c.getField("t").as("t"), c.getField("i").as("i"),
+        c.getField("f").as("f"), c.getField("s").as("s"),
+        c.getField("b").as("b")))
+
+  // ── accessors ─────────────────────────────────────────────────────────────
+  def tag(v: Column): Column = v.getField("t")
+  def isNum(v: Column): Column = tag(v) === T_INT || tag(v) === T_FLOAT
+  /** numeric view (int widened to double). */
+  def num(v: Column): Column =
+    when(tag(v) === T_INT, v.getField("i").cast(DoubleType))
+      .when(tag(v) === T_FLOAT, v.getField("f"))
+
+  // ── equality & comparison (ternary logic) ────────────────────────────────
+  /** Cypher `=`: null if either operand null; numerics cross-compare; same
+    * type compares natively; differing types → false.
+    */
+  def eq(a: Column, b: Column): Column = {
+    val bothNum = isNum(a) && isNum(b)
+    when(a.isNull || b.isNull, nB)
+      .when(bothNum, num(a) === num(b))
+      .when(tag(a) =!= tag(b), lit(false))
+      .when(tag(a) === T_STRING, a.getField("s") === b.getField("s"))
+      .when(tag(a) === T_BOOL, a.getField("b") === b.getField("b"))
+      .when(tag(a) === T_ARRAY, a.getField("arr") === b.getField("arr"))
+      .otherwise(a === b)
+  }
+
+  def neq(a: Column, b: Column): Column = !eq(a, b)
+
+  /** Cypher `<`: null if either null OR types incomparable
+    * (`SI_VALUES_ARE_COMPARABLE`, `value.h:60`; DISJOINT → null).
+    */
+  def lt(a: Column, b: Column): Column = {
+    val bothNum = isNum(a) && isNum(b)
+    when(a.isNull || b.isNull, nB)
+      .when(bothNum, num(a) < num(b))
+      .when(tag(a) =!= tag(b), nB)
+      .when(tag(a) === T_STRING, a.getField("s") < b.getField("s"))
+      .when(tag(a) === T_BOOL, a.getField("b") < b.getField("b"))
+      .otherwise(nB)
+  }
+  def lte(a: Column, b: Column): Column = {
+    val bothNum = isNum(a) && isNum(b)
+    when(a.isNull || b.isNull, nB)
+      .when(bothNum, num(a) <= num(b))
+      .when(tag(a) =!= tag(b), nB)
+      .when(tag(a) === T_STRING, a.getField("s") <= b.getField("s"))
+      .when(tag(a) === T_BOOL, a.getField("b") <= b.getField("b"))
+      .otherwise(nB)
+  }
+  def gt(a: Column, b: Column): Column = lt(b, a)
+  def gte(a: Column, b: Column): Column = lte(b, a)
+
+  /** Global-order sort key (`value.h:19-41` enum ranks): sortable struct —
+    * (typeRank, numeric, string, bool). ORDER BY ASC puts NULL last (enum
+    * T_NULL highest) → pair with asc_nulls_last/desc_nulls_first.
+    */
+  def orderKey(v: Column): Column = {
+    val rank =
+      when(tag(v) === T_ARRAY, 3)
+        .when(tag(v) === T_NODE, 1)
+        .when(tag(v) === T_EDGE, 2)
+        .when(tag(v) === T_STRING, 11)
+        .when(tag(v) === T_BOOL, 12)
+        .otherwise(13) // numerics
+    when(v.isNull, lit(null).cast(StructType(Seq(
+      StructField("r", IntegerType), StructField("n", DoubleType),
+      StructField("s", StringType), StructField("b", BooleanType),
+      StructField("a", ArrayType(scalarType))))))
+      .otherwise(struct(rank.as("r"), num(v).as("n"),
+        v.getField("s").as("s"), v.getField("b").as("b"),
+        v.getField("arr").as("a")))
+  }
+
+  // ── ternary boolean ops ───────────────────────────────────────────────────
+  /** Extract SQL boolean (null-preserving); non-bool variants → null. */
+  def boolOf(v: Column): Column =
+    when(v.isNull, nB).when(tag(v) === T_BOOL, v.getField("b")).otherwise(nB)
+
+  /** WHERE-truthiness: only TRUE passes (null/false filtered). */
+  def isTrue(v: Column): Column = coalesce(boolOf(v), lit(false))
+
+  def and(a: Column, b: Column): Column = vBool(boolOf(a) && boolOf(b))
+  def or(a: Column, b: Column): Column = vBool(boolOf(a) || boolOf(b))
+  def not(a: Column): Column = vBool(!boolOf(a))
+  def xor(a: Column, b: Column): Column = vBool(boolOf(a) =!= boolOf(b))
+
+  // ── arithmetic (int/float promotion, `value.h:51` cross-numeric) ─────────
+  private def arith(a: Column, b: Column,
+      intOp: (Column, Column) => Column,
+      dblOp: (Column, Column) => Column): Column = {
+    val bothInt = tag(a) === T_INT && tag(b) === T_INT
+    val bothNum = isNum(a) && isNum(b)
+    when(a.isNull || b.isNull, vNull)
+      .when(bothInt, vInt(intOp(a.getField("i"), b.getField("i"))))
+      .when(bothNum, vFloat(dblOp(num(a), num(b))))
+      .otherwise(vNull)
+  }
+
+  def add(a: Column, b: Column): Column = {
+    val bothStr = tag(a) === T_STRING && tag(b) === T_STRING
+    val anyArr = tag(a) === T_ARRAY || tag(b) === T_ARRAY
+    when(a.isNull || b.isNull, vNull)
+      .when(bothStr, vStr(concat(a.getField("s"), b.getField("s"))))
+      .when(anyArr, vArr(concat(
+        when(tag(a) === T_ARRAY, a.getField("arr")).otherwise(array(narrow(a))),
+        when(tag(b) === T_ARRAY, b.getField("arr")).otherwise(array(narrow(b))))))
+      .otherwise(arith(a, b, _ + _, _ + _))
+  }
+  def sub(a: Column, b: Column): Column = arith(a, b, _ - _, _ - _)
+  def mul(a: Column, b: Column): Column = arith(a, b, _ * _, _ * _)
+  /** Cypher `/`: int/int is integer division (`numeric_funcs.c:144-203`). */
+  def div(a: Column, b: Column): Column =
+    arith(a, b, (x, y) => (x / y).cast(LongType), _ / _)
+  def mod(a: Column, b: Column): Column = arith(a, b, _ % _, _ % _)
+  def neg(a: Column): Column =
+    when(a.isNull, vNull)
+      .when(tag(a) === T_INT, vInt(-a.getField("i")))
+      .when(tag(a) === T_FLOAT, vFloat(-a.getField("f")))
+      .otherwise(vNull)
+
+  // ── list ops ─────────────────────────────────────────────────────────────
+  /** `x IN list` with Cypher null semantics: null if x is null, or if no
+    * match but the list contains a null.
+    */
+  def in(x: Column, list: Column): Column = {
+    val arr = list.getField("arr")
+    val xs = narrow(x)
+    val hit = exists(arr, e => coalesce(scalarEq(e, xs), lit(false)))
+    val hasNull = exists(arr, e => e.isNull)
+    when(x.isNull || list.isNull || tag(list) =!= T_ARRAY, nB)
+      .when(hit, lit(true))
+      .when(hasNull, nB)
+      .otherwise(lit(false))
+  }
+
+  /** Equality on scalar variants (used inside list lambdas). */
+  def scalarEq(a: Column, b: Column): Column = {
+    def sIsNum(v: Column) = v.getField("t") === T_INT || v.getField("t") === T_FLOAT
+    def sNum(v: Column) =
+      when(v.getField("t") === T_INT, v.getField("i").cast(DoubleType))
+        .otherwise(v.getField("f"))
+    when(a.isNull || b.isNull, nB)
+      .when(sIsNum(a) && sIsNum(b), sNum(a) === sNum(b))
+      .when(a.getField("t") =!= b.getField("t"), lit(false))
+      .when(a.getField("t") === T_STRING, a.getField("s") === b.getField("s"))
+      .when(a.getField("t") === T_BOOL, a.getField("b") === b.getField("b"))
+      .otherwise(nB)
+  }
+
+  /** list subscript l[i], negative from end (`list_funcs.c:222-263`). */
+  def subscript(l: Column, idx: Column): Column = {
+    val arr = l.getField("arr")
+    val i = idx.getField("i")
+    val n = size(arr)
+    val pos = when(i >= 0, i + 1).otherwise(n + i + 1) // element_at is 1-based
+    when(l.isNull || idx.isNull || tag(l) =!= T_ARRAY, vNull)
+      .when(pos < 1 || pos > n, vNull)
+      .otherwise(widen(element_at(arr, pos.cast(IntegerType))))
+  }
+
+  /** size() of list or string. */
+  def sizeOf(v: Column): Column =
+    when(v.isNull, vNull)
+      .when(tag(v) === T_ARRAY, vInt(size(v.getField("arr"))))
+      .when(tag(v) === T_STRING, vInt(length(v.getField("s"))))
+      .otherwise(vNull)
+
+  // ── rendering (tests / result serving) ────────────────────────────────────
+  /** Human/debug string form of a variant. */
+  def render(v: Column): Column =
+    when(v.isNull, lit("null"))
+      .when(tag(v) === T_INT, v.getField("i").cast(StringType))
+      .when(tag(v) === T_FLOAT, v.getField("f").cast(StringType))
+      .when(tag(v) === T_STRING, v.getField("s"))
+      .when(tag(v) === T_BOOL, v.getField("b").cast(StringType))
+      .when(tag(v) === T_ARRAY, to_json(v.getField("arr")))
+      .otherwise(lit("?"))
+}
