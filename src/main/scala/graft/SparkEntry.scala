@@ -16,7 +16,8 @@ object SparkEntry {
     operators.RelationalQueries.defs ++
       operators.GraphQueries.defs ++
       operators.PipelineQueries.defs ++
-      operators.StreamQueries.defs
+      operators.StreamQueries.defs ++
+      operators.CypherQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Customer order volume by nation — scan + broadcast join + shuffle join +

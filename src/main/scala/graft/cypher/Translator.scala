@@ -370,36 +370,104 @@ object Translator {
     }
 
     val hasAgg = items.exists { case (e, _) => containsAgg(e) }
-    var df: DataFrame = null
+    var f: Frame = null
+
     if (hasAgg) {
-      // Aggregate (`op_aggregate.c`): keys = non-aggregate items
+      // Aggregate (`op_aggregate.c`): keys = non-aggregate items. Aggregate
+      // calls nested in expressions (round(sum(x))/2) are extracted into
+      // temp columns, the outer expression runs post-aggregation.
       val keys = items.filter { case (e, _) => !containsAgg(e) }
-      val aggs = items.filter { case (e, _) => containsAgg(e) }
+      val aggTemps = scala.collection.mutable.ArrayBuffer[(String, Column)]()
+      def extract(e: Ast.Expr): Ast.Expr = e match {
+        case a if isAggCall(a) =>
+          val n = freshName("agg")
+          aggTemps += n -> trAgg(ctx, frame, a).as(n)
+          Ast.Variable(n)
+        case Ast.Bin(op, l, r) => Ast.Bin(op, extract(l), extract(r))
+        case Ast.Not(x) => Ast.Not(extract(x))
+        case Ast.Neg(x) => Ast.Neg(extract(x))
+        case Ast.IsNull(x, neg) => Ast.IsNull(extract(x), neg)
+        case Ast.Fn(n, args, d) => Ast.Fn(n, args.map(extract), d)
+        case Ast.CaseExpr(s, w, o) => Ast.CaseExpr(s.map(extract),
+          w.map { case (a, b) => (extract(a), extract(b)) }, o.map(extract))
+        case other => other
+      }
+      val rewritten = items.map { case (e, n) =>
+        // key items are already materialized as named groupBy columns
+        if (containsAgg(e)) (extract(e), n) else (Ast.Variable(n), n)
+      }
       val keyCols = keys.map { case (e, n) => trAny(ctx, frame, e).as(n) }
-      val aggCols = aggs.map { case (e, n) => trAgg(ctx, frame, e).as(n) }
-      df =
+      val aggCols = aggTemps.toSeq.map(_._2)
+      val grouped =
         if (keys.isEmpty) frame.df.agg(aggCols.head, aggCols.tail: _*)
         else frame.df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
-      // restore item order
-      df = df.select(items.map { case (_, n) => col(s"`$n`") }: _*)
-    } else {
-      df = frame.df.select(items.map { case (e, n) =>
+      val postVars: Map[String, Kind] =
+        keys.map { case (e, n) => n -> kindOf(ctx, frame, e) }.toMap ++
+          aggTemps.map(_._1 -> KValue)
+      val postFrame = Frame(grouped, postVars)
+      val finalCols = rewritten.map { case (e, n) =>
+        trAny(ctx, postFrame, e).as(n)
+      }
+      f = Frame(grouped.select(finalCols: _*),
+        items.map { case (e, n) => n -> kindOf(ctx, frame, e) }.toMap)
+
+    } else if (proj.distinct) {
+      // DISTINCT projects first; ORDER BY sees only projected values
+      val df = frame.df.select(items.map { case (e, n) =>
         trAny(ctx, frame, e).as(n)
+      }: _*).dropDuplicates()
+      f = Frame(df, items.map { case (e, n) =>
+        n -> kindOf(ctx, frame, e)
+      }.toMap)
+
+    } else {
+      // keep pre-projection columns alongside items so ORDER BY can
+      // reference underlying variables (Cypher scoping); dropped after sort
+      val itemCols = items.zipWithIndex.map { case ((e, _), i) =>
+        trAny(ctx, frame, e).as(s"__item_$i")
+      }
+      val wide = frame.df.select(frame.df.col("*") +: itemCols: _*)
+      val aliasMap = items.zipWithIndex.map { case ((_, n), i) =>
+        n -> s"__item_$i"
+      }.toMap
+      val sortVars = frame.vars ++ items.map { case (e, n) =>
+        n -> kindOf(ctx, frame, e)
+      }
+      def aliased(d: DataFrame): Frame = new Frame(d, sortVars) {
+        override def col(name: String): Column =
+          aliasMap.get(name).map(d(_)).getOrElse(super.col(name))
+      }
+      var sorted = wide
+      where.foreach { w => sorted = applyWhere(ctx, aliased(sorted), w).df }
+      if (proj.orderBy.nonEmpty) {
+        val sf = aliased(sorted)
+        val sorts = proj.orderBy.map { si =>
+          val k = Values.orderKey(trExpr(ctx, sf, si.expr))
+          if (si.ascending) k.asc_nulls_last else k.desc_nulls_first
+        }
+        sorted = sorted.orderBy(sorts: _*)
+      }
+      proj.skip.foreach {
+        case Ast.LitInt(n) => sorted = sorted.offset(n.toInt)
+        case other => throw TranslateError(s"SKIP must be a literal: $other")
+      }
+      proj.limit.foreach {
+        case Ast.LitInt(n) => sorted = sorted.limit(n.toInt)
+        case other => throw TranslateError(s"LIMIT must be a literal: $other")
+      }
+      val named = sorted.select(items.zipWithIndex.map { case ((_, n), i) =>
+        col(s"__item_$i").as(n)
       }: _*)
+      return Frame(named, items.map { case (e, n) =>
+        n -> kindOf(ctx, frame, e)
+      }.toMap)
     }
 
-    var vars: Map[String, Kind] = items.map { case (e, n) =>
-      n -> kindOf(ctx, frame, e)
-    }.toMap
-    var f = Frame(df, vars)
-
-    if (proj.distinct) f = f.copy(df = f.df.dropDuplicates())
+    // agg / distinct paths: ORDER BY over projected aliases only
     where.foreach { w => f = applyWhere(ctx, f, w) }
-
     if (proj.orderBy.nonEmpty) {
       val sorts = proj.orderBy.map { si =>
-        val c = trExpr(ctx, f, si.expr)
-        val k = Values.orderKey(c)
+        val k = Values.orderKey(trExpr(ctx, f, si.expr))
         if (si.ascending) k.asc_nulls_last else k.desc_nulls_first
       }
       f = f.copy(df = f.df.orderBy(sorts: _*))
@@ -413,6 +481,12 @@ object Translator {
       case other => throw TranslateError(s"LIMIT must be a literal: $other")
     }
     f
+  }
+
+  private def isAggCall(e: Ast.Expr): Boolean = e match {
+    case Ast.CountStar => true
+    case Ast.Fn(n, _, _) => AggFns.contains(n)
+    case _ => false
   }
 
   private def kindOf(ctx: Ctx, frame: Frame, e: Ast.Expr): Kind = e match {

@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.cypher.{CypherParser, Translator, Values}
+import graft.graph.GraphBuilder
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** End-to-end Cypher pipeline (parse → translate → Catalyst → execute)
+  * over the TPC-H property graph, each query oracle-checked by equivalent
+  * SQL in DuckDB — the engine's `GRAPH.QUERY` surface under the driver's
+  * correctness gate.
+  */
+object CypherQueries {
+
+  private def run(s: SparkSession, dir: String, cypher: String): DataFrame = {
+    val g = GraphBuilder.tpch(s, dir)
+    val ast = CypherParser.parse(cypher).fold(
+      err => throw new IllegalArgumentException(err), identity)
+    Translator.translate(g, ast)
+  }
+
+  // variant → native projections (driver compares native parquet values)
+  private def asLong(name: String): Column =
+    col(s"`$name`").getField("i").as(name)
+  private def asDouble(name: String): Column =
+    col(s"`$name`").getField("f").as(name)
+  private def asString(name: String): Column =
+    col(s"`$name`").getField("s").as(name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_cypher_label_scan",
+      """SELECT c_custkey AS ck, c_name AS name FROM customer
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin) { (s, dir) =>
+      run(s, dir,
+        """MATCH (c:Customer {mktsegment: 'BUILDING'})
+          |RETURN c.custkey AS ck, c.name AS name""".stripMargin)
+        .select(asLong("ck"), asString("name"))
+    },
+
+    QueryDef(
+      "q_cypher_expand",
+      """SELECT c_custkey AS ck, o_orderkey AS ok,
+        |       round(o_totalprice, 2) AS price
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |WHERE o_totalprice > 300000""".stripMargin) { (s, dir) =>
+      run(s, dir,
+        """MATCH (c:Customer)-[:PLACED]->(o:Order)
+          |WHERE o.totalprice > 300000
+          |RETURN c.custkey AS ck, o.orderkey AS ok,
+          |       round(o.totalprice * 100) / 100 AS price""".stripMargin)
+        .select(asLong("ck"), asLong("ok"), asDouble("price"))
+    },
+
+    QueryDef(
+      "q_cypher_agg",
+      """SELECT n_name AS nation, count(*) AS n_cust,
+        |       round(sum(c_acctbal), 2) AS bal
+        |FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      run(s, dir,
+        """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+          |RETURN n.name AS nation, count(*) AS n_cust,
+          |       round(sum(c.acctbal) * 100) / 100 AS bal""".stripMargin)
+        .select(asString("nation"), asLong("n_cust"), asDouble("bal"))
+    },
+
+    QueryDef(
+      "q_cypher_two_hop",
+      """SELECT c_custkey AS ck, r_name AS region
+        |FROM customer
+        |JOIN nation ON n_nationkey = c_nationkey
+        |JOIN region ON r_regionkey = n_regionkey""".stripMargin) { (s, dir) =>
+      run(s, dir,
+        """MATCH (c:Customer)-[:IN_NATION]->(:Nation)-[:IN_REGION]->(r:Region)
+          |RETURN c.custkey AS ck, r.name AS region""".stripMargin)
+        .select(asLong("ck"), asString("region"))
+    },
+
+    QueryDef(
+      "q_cypher_optional",
+      """SELECT c_custkey AS ck, CAST(coalesce(oc.cnt, 0) AS BIGINT) AS n_orders
+        |FROM customer c LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS cnt FROM orders
+        |  WHERE o_totalprice > 300000 GROUP BY 1) oc
+        |ON oc.o_custkey = c.c_custkey""".stripMargin) { (s, dir) =>
+      run(s, dir,
+        """MATCH (c:Customer)
+          |OPTIONAL MATCH (c)-[:PLACED]->(o:Order) WHERE o.totalprice > 300000
+          |RETURN c.custkey AS ck, count(o) AS n_orders""".stripMargin)
+        .select(asLong("ck"), asLong("n_orders"))
+    },
+
+    QueryDef(
+      "q_cypher_topk",
+      """SELECT o_orderkey AS ok, round(o_totalprice, 2) AS price
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      run(s, dir,
+        """MATCH (o:Order)
+          |RETURN o.orderkey AS ok,
+          |       round(o.totalprice * 100) / 100 AS price
+          |ORDER BY o.totalprice DESC, o.orderkey LIMIT 10""".stripMargin)
+        .select(asLong("ok"), asDouble("price"))
+    },
+
+    QueryDef(
+      "q_cypher_varlen",
+      """SELECT c_custkey AS ck, r_regionkey AS rk
+        |FROM customer
+        |JOIN nation ON n_nationkey = c_nationkey
+        |JOIN region ON r_regionkey = n_regionkey""".stripMargin) { (s, dir) =>
+      // *2 over IN_NATION|IN_REGION from a Customer lands exactly on Region
+      run(s, dir,
+        """MATCH (c:Customer)-[:IN_NATION|IN_REGION*2]->(r:Region)
+          |RETURN c.custkey AS ck, r.regionkey AS rk""".stripMargin)
+        .select(asLong("ck"), asLong("rk"))
+    },
+
+    QueryDef(
+      "q_cypher_semi",
+      """SELECT c_custkey AS ck FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""".stripMargin) { (s, dir) =>
+      // pattern predicate → left_semi join (SemiApply)
+      run(s, dir,
+        """MATCH (c:Customer)
+          |WHERE (c)-[:PLACED]->(:Order {status: 'F'})
+          |RETURN c.custkey AS ck""".stripMargin)
+        .select(asLong("ck"))
+    },
+
+    QueryDef(
+      "q_cypher_union",
+      """SELECT c_name AS name FROM customer WHERE c_acctbal > 9000
+        |UNION
+        |SELECT s_name FROM supplier WHERE s_acctbal > 9000""".stripMargin) { (s, dir) =>
+      run(s, dir,
+        """MATCH (c:Customer) WHERE c.acctbal > 9000 RETURN c.name AS name
+          |UNION
+          |MATCH (su:Supplier) WHERE su.acctbal > 9000 RETURN su.name AS name""".stripMargin)
+        .select(asString("name"))
+    },
+
+    QueryDef(
+      "q_cypher_edge_props",
+      """SELECT o_orderkey AS ok, p_partkey AS pk,
+        |       round(l_extendedprice, 2) AS price
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity >= 49""".stripMargin) { (s, dir) =>
+      run(s, dir,
+        """MATCH (o:Order)-[l:CONTAINS]->(p:Part)
+          |WHERE l.quantity >= 49
+          |RETURN o.orderkey AS ok, p.partkey AS pk,
+          |       round(l.extendedprice * 100) / 100 AS price""".stripMargin)
+        .select(asLong("ok"), asLong("pk"), asDouble("price"))
+    })
+}
