@@ -48,6 +48,20 @@ class CypherSession(val spark: SparkSession) {
     if (df.isEmpty) -1L
     else df.agg(max("id")).head().getLong(0)
 
+  private[cypher] def nodeIdBase: Long = nextNodeId
+  private[cypher] def edgeIdBase: Long = nextEdgeId
+
+  /** Swap in a mutated graph; `localCheckpoint` materializes the new tables
+    * (≡ the Delta table rewrite/commit at scale) and truncates lineage so
+    * chained mutations don't stack plans.
+    */
+  private[cypher] def commit(nodes: DataFrame, edges: DataFrame): Unit = {
+    graph = PropertyGraph(
+      nodes.localCheckpoint(true), edges.localCheckpoint(true))
+    nextNodeId = maxId(graph.nodes) + 1
+    nextEdgeId = maxId(graph.edges) + 1
+  }
+
   /** Run a Cypher query. Mutating statements return an empty DataFrame with
     * a statistics-bearing schema; reads return the result frame.
     */
@@ -60,8 +74,10 @@ class CypherSession(val spark: SparkSession) {
       case _: Ast.Create | _: Ast.Merge | _: Ast.SetClause | _: Ast.Delete => true
       case _ => false
     })
-    if (isMutation) runMutation(ast, params)
-    else Translator.translate(graph, ast, params)
+    if (isMutation) {
+      require(ast.parts.size == 1, "mutations cannot be UNIONed")
+      new MutationRunner(this).run(ast.parts.head.clauses, params)
+    } else Translator.translate(graph, ast, params)
   }
 
   /** Decode a result DataFrame into Scala values (tests / client serving):
@@ -99,100 +115,5 @@ class CypherSession(val spark: SparkSession) {
         arr.map(e => if (e == null) null else decodeVariant(e)).toList
       case _ => null
     }
-  }
-
-  // ═══════════════════════════ mutations ═══════════════════════════════════
-  /** CREATE execution (`op_create.c` + shared/create_functions.c): evaluate
-    * literal patterns, assign sequential ids, append. Returns statistics.
-    */
-  private def runMutation(ast: Ast.Query, params: Map[String, Any]): DataFrame = {
-    require(ast.parts.size == 1, "mutations cannot be UNIONed")
-    val clauses = ast.parts.head.clauses
-    require(clauses.forall(_.isInstanceOf[Ast.Create]),
-      "only pure CREATE statements are supported as mutations for now")
-
-    val newNodes = scala.collection.mutable.ArrayBuffer[Row]()
-    val newEdges = scala.collection.mutable.ArrayBuffer[Row]()
-    val bound = scala.collection.mutable.Map[String, Long]()
-
-    def litValue(e: Ast.Expr): Any = e match {
-      case Ast.LitInt(v) => Row(Values.T_INT, v, null, null, null, null)
-      case Ast.LitFloat(v) => Row(Values.T_FLOAT, null, v, null, null, null)
-      case Ast.LitString(v) => Row(Values.T_STRING, null, null, v, null, null)
-      case Ast.LitBool(v) => Row(Values.T_BOOL, null, null, null, v, null)
-      case Ast.Neg(Ast.LitInt(v)) => Row(Values.T_INT, -v, null, null, null, null)
-      case Ast.Neg(Ast.LitFloat(v)) => Row(Values.T_FLOAT, null, -v, null, null, null)
-      case Ast.LitNull => null
-      case Ast.ListLit(items) =>
-        Row(Values.T_ARRAY, null, null, null, null,
-          items.map(i => litValue(i) match {
-            case Row(t, iv, f, s, b, _) => Row(t, iv, f, s, b)
-            case null => null
-          }))
-      case Ast.Param(name) => params.get(name) match {
-        case Some(v: Long) => Row(Values.T_INT, v, null, null, null, null)
-        case Some(v: Int) => Row(Values.T_INT, v.toLong, null, null, null, null)
-        case Some(v: Double) => Row(Values.T_FLOAT, null, v, null, null, null)
-        case Some(v: String) => Row(Values.T_STRING, null, null, v, null, null)
-        case Some(v: Boolean) => Row(Values.T_BOOL, null, null, null, v, null)
-        case other => throw Translator.TranslateError(s"bad param: $other")
-      }
-      case other =>
-        throw Translator.TranslateError(s"CREATE props must be literal: $other")
-    }
-
-    def propsMap(props: List[(String, Ast.Expr)]): Map[String, Any] =
-      props.flatMap { case (k, e) =>
-        Option(litValue(e)).map(k -> _)
-      }.toMap
-
-    def createNode(np: Ast.NodePat): Long = {
-      np.variable.filter(bound.contains) match {
-        case Some(v) =>
-          require(np.label.isEmpty && np.props.isEmpty,
-            s"rebinding $v with label/props")
-          bound(v)
-        case None =>
-          val id = nextNodeId; nextNodeId += 1
-          newNodes += Row(id, np.label.orNull, propsMap(np.props))
-          np.variable.foreach(v => bound(v) = id)
-          id
-      }
-    }
-
-    var nodesCreated = 0
-    var edgesCreated = 0
-    clauses.foreach { case Ast.Create(paths) =>
-      paths.foreach { p =>
-        var prevId = createNode(p.head)
-        p.tail.foreach { case (rel, node) =>
-          require(rel.varLen.isEmpty, "CREATE with var-length edge")
-          require(rel.types.size == 1,
-            "CREATE edge needs exactly one reltype")
-          val nid = createNode(node)
-          val (s, d) = if (rel.direction == -1) (nid, prevId) else (prevId, nid)
-          val eid = nextEdgeId; nextEdgeId += 1
-          newEdges += Row(eid, s, d, rel.types.head, propsMap(rel.props))
-          edgesCreated += 1
-          prevId = nid
-        }
-      }
-      case _ => ()
-    }
-    nodesCreated = newNodes.size
-
-    import scala.jdk.CollectionConverters._
-    val nDf = spark.createDataFrame(newNodes.asJava, nodeSchema)
-    val eDf = spark.createDataFrame(newEdges.asJava, edgeSchema)
-    graph = PropertyGraph(
-      graph.nodes.unionByName(nDf).localCheckpoint(true),
-      graph.edges.unionByName(eDf).localCheckpoint(true))
-
-    spark.createDataFrame(
-      java.util.Collections.singletonList(
-        Row(nodesCreated.toLong, edgesCreated.toLong)),
-      StructType(Seq(
-        StructField("nodes_created", LongType),
-        StructField("relationships_created", LongType))))
   }
 }

@@ -1,0 +1,455 @@
+package graft.cypher
+
+import graft.graph.PropertyGraph
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Graph DML (SURVEY.md §2.5): CREATE / SET / DELETE / MERGE executed as
+  * distributed DataFrame transforms over the session graph.
+  *
+  * The reference buffers pending changes per operator and commits at stream
+  * end (`/root/reference/src/execution_plan/ops/op_create.c`, `op_update.c`,
+  * `op_delete.c`, `op_merge.c`). Here each write clause derives a new
+  * immutable (nodes, edges) pair with joins — exactly the shape a Delta
+  * `MERGE INTO` / `UPDATE` / `DELETE` takes at scale, with `localCheckpoint`
+  * standing in for the table rewrite. No collect loops: creation fan-out,
+  * property updates and deletions all stay distributed.
+  */
+private[cypher] final class MutationRunner(session: CypherSession) {
+  import Translator._
+
+  private val spark = session.spark
+
+  private var nodesCreated = 0L
+  private var relsCreated = 0L
+  private var propsSet = 0L
+  private var nodesDeleted = 0L
+  private var relsDeleted = 0L
+
+  private def ctx(params: Map[String, Any]) = Ctx(session.graph, params)
+
+  /** Execute a statement containing write clauses. Returns the RETURN
+    * projection if present, else a one-row statistics frame
+    * (≡ ResultSetStatistics, `src/resultset/resultset_statistics.h`).
+    */
+  def run(clauses: List[Ast.Clause], params: Map[String, Any]): DataFrame = {
+    val unit = spark.range(1).select(lit(1).as("__unit"))
+    var frame = Frame(unit, Map.empty)
+    var returned: Option[DataFrame] = None
+    clauses.foreach {
+      case m: Ast.Match => frame = translateMatch(ctx(params), frame, m)
+      case u: Ast.Unwind => frame = translateUnwind(ctx(params), frame, u)
+      case w: Ast.With =>
+        frame = translateProjection(ctx(params), frame, w.proj, w.where)
+      case c: Ast.Create => frame = execCreate(frame, c.paths, params)
+      case s: Ast.SetClause => frame = execSet(frame, s.items, params)
+      case d: Ast.Delete => frame = execDelete(frame, d)
+      case mg: Ast.Merge => frame = execMerge(frame, mg, params)
+      case r: Ast.Return =>
+        returned = Some(
+          translateProjection(ctx(params), frame, r.proj, None).df)
+    }
+    returned.getOrElse(statsDf)
+  }
+
+  private def statsDf: DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      List(Row(nodesCreated, relsCreated, propsSet,
+        nodesDeleted, relsDeleted)).asJava,
+      StructType(Seq(
+        StructField("nodes_created", LongType),
+        StructField("relationships_created", LongType),
+        StructField("properties_set", LongType),
+        StructField("nodes_deleted", LongType),
+        StructField("relationships_deleted", LongType))))
+  }
+
+  private val emptyProps: Column =
+    map_from_arrays(array().cast(ArrayType(StringType)),
+      array().cast(ArrayType(Values.variantType)))
+
+  /** Evaluate a pattern prop map against a frame; null values dropped
+    * (Cypher never stores null properties).
+    */
+  private def propsCol(c: Ctx, frame: Frame,
+      props: List[(String, Ast.Expr)]): Column =
+    if (props.isEmpty) emptyProps
+    else map_filter(
+      map_from_arrays(
+        array(props.map { case (k, _) => lit(k) }: _*),
+        array(props.map { case (_, e) => trExpr(c, frame, e) }: _*)),
+      (_, v) => v.isNotNull)
+
+  // ═══════════════════════════════ CREATE ══════════════════════════════════
+  /** One pattern element scheduled for creation. */
+  private case class PendingNode(name: String, pat: Ast.NodePat, slot: Int)
+  private case class PendingEdge(name: String, rel: Ast.RelPat,
+      srcVar: String, dstVar: String, slot: Int)
+
+  /** Plan the unbound elements of CREATE/MERGE paths. */
+  private def planPending(vars: Set[String], paths: List[Ast.PathPat]):
+      (List[PendingNode], List[PendingEdge]) = {
+    val newNodes = scala.collection.mutable.ArrayBuffer[PendingNode]()
+    val newEdges = scala.collection.mutable.ArrayBuffer[PendingEdge]()
+    var bound = vars
+    paths.foreach { p =>
+      def visit(np: Ast.NodePat): String = {
+        val name = nameOf(np)
+        if (!bound.contains(name)) {
+          newNodes += PendingNode(name, np, newNodes.size)
+          bound += name
+        }
+        name
+      }
+      var prev = visit(p.head)
+      p.tail.foreach { case (rel, node) =>
+        if (rel.varLen.isDefined)
+          throw TranslateError("cannot create a var-length edge")
+        if (rel.types.size != 1)
+          throw TranslateError("created edge needs exactly one relationship type")
+        if (rel.direction == 0)
+          throw TranslateError("created edge needs a direction")
+        val cur = visit(node)
+        val (s, d) = if (rel.direction == -1) (cur, prev) else (prev, cur)
+        newEdges += PendingEdge(nameOf(rel), rel, s, d, newEdges.size)
+        prev = cur
+      }
+    }
+    (newNodes.toList, newEdges.toList)
+  }
+
+  /** CREATE (`op_create.c` + `shared/create_functions.c`): per input row,
+    * materialize the pattern's unbound elements with row-unique ids
+    * (base + rowTag*K + slot — distributed id assignment, no driver loop),
+    * append to the graph, and extend the frame with the new bindings.
+    */
+  private def execCreate(frame: Frame, paths: List[Ast.PathPat],
+      params: Map[String, Any]): Frame = {
+    val c = ctx(params)
+    val (pn, pe) = planPending(
+      frame.vars.filter(_._2 != KValue).keySet, paths)
+    val rid = "__create_rid"
+    // materialize the tag: ids must be stable across re-evaluation
+    val tagged = frame.df.withColumn(rid, monotonically_increasing_id())
+      .localCheckpoint(true)
+    val rows = tagged.count()
+
+    val nodeBase = session.nodeIdBase
+    val edgeBase = session.edgeIdBase
+    def nodeId(slot: Int): Column =
+      lit(nodeBase) + col(rid) * pn.size + slot
+    def edgeId(slot: Int): Column =
+      lit(edgeBase) + col(rid) * pe.size + slot
+
+    var df = tagged
+    var vars = frame.vars
+    val exprFrame = () => Frame(df, vars)
+    // bind new node structs first (edges reference them)
+    pn.foreach { n =>
+      df = df.withColumn(n.name, struct(
+        nodeId(n.slot).as("id"),
+        lit(n.pat.label.orNull).cast(StringType).as("label"),
+        propsCol(c, exprFrame(), n.pat.props).as("props")))
+      vars += n.name -> KNode
+    }
+    pe.foreach { e =>
+      df = df.withColumn(e.name, struct(
+        edgeId(e.slot).as("id"),
+        df(e.srcVar).getField("id").as("src"),
+        df(e.dstVar).getField("id").as("dst"),
+        lit(e.rel.types.head).as("reltype"),
+        propsCol(c, exprFrame(), e.rel.props).as("props")))
+      vars += e.name -> KEdge
+    }
+
+    val newNodeDf =
+      if (pn.isEmpty) None
+      else Some(pn.map(n => df.select(
+        df(n.name).getField("id").as("id"),
+        df(n.name).getField("label").as("label"),
+        df(n.name).getField("props").as("props"))).reduce(_ unionByName _))
+    val newEdgeDf =
+      if (pe.isEmpty) None
+      else Some(pe.map(e => df.select(
+        df(e.name).getField("id").as("id"),
+        df(e.name).getField("src").as("src"),
+        df(e.name).getField("dst").as("dst"),
+        df(e.name).getField("reltype").as("reltype"),
+        df(e.name).getField("props").as("props"))).reduce(_ unionByName _))
+
+    nodesCreated += rows * pn.size
+    relsCreated += rows * pe.size
+    session.commit(
+      newNodeDf.map(n => session.graph.nodes.unionByName(n,
+        allowMissingColumns = true)).getOrElse(session.graph.nodes),
+      newEdgeDf.map(e => session.graph.edges.unionByName(e,
+        allowMissingColumns = true)).getOrElse(session.graph.edges))
+    Frame(df.drop(rid).localCheckpoint(true), vars)
+  }
+
+  // ════════════════════════════════ SET ════════════════════════════════════
+  /** SET (`op_update.c` + `shared/update_functions.c`): build a distributed
+    * (entity id, key, value) update set, reduce last-write-wins, merge into
+    * the props map with a left join — the Delta `UPDATE`/`MERGE` shape.
+    * `SET x.k = null` removes the property (reference semantics).
+    */
+  private def execSet(frame: Frame, items: List[Ast.SetItem],
+      params: Map[String, Any]): Frame = {
+    val c = ctx(params)
+    def updatesFor(kind: Kind): Option[DataFrame] = {
+      val ups = items.flatMap { it =>
+        it.target match {
+          case Ast.Variable(n) if frame.vars.get(n).contains(kind) =>
+            val key = it.key.getOrElse(throw TranslateError(
+              "whole-entity SET unsupported; use SET x.key = value"))
+            Some(frame.df.select(
+              frame.col(n).getField("id").as("__id"),
+              lit(key).as("__k"),
+              trExpr(c, frame, it.value).as("__v")))
+          case Ast.Variable(_) => None
+          case other =>
+            throw TranslateError(s"SET target must be a variable: $other")
+        }
+      }
+      ups.reduceOption(_ unionByName _)
+    }
+
+    def applyUpdates(table: DataFrame, ups: DataFrame): DataFrame = {
+      val entries = ups.groupBy("__id", "__k").agg(last("__v").as("__v"))
+      propsSet += entries.count()
+      val updMap = entries.groupBy("__id").agg(
+        map_from_entries(collect_list(struct(col("__k"), col("__v"))))
+          .as("__upd"))
+      table.join(updMap, table("id") === updMap("__id"), "left_outer")
+        .withColumn("props",
+          when(col("__upd").isNull, col("props")).otherwise(
+            map_filter(
+              map_concat(
+                map_filter(coalesce(col("props"), emptyProps),
+                  (k, _) => !array_contains(map_keys(col("__upd")), k)),
+                col("__upd")),
+              (_, v) => v.isNotNull)))
+        .drop("__id", "__upd")
+    }
+
+    val nodeUps = updatesFor(KNode)
+    val edgeUps = updatesFor(KEdge)
+    val newNodes = nodeUps.map(applyUpdates(session.graph.nodes, _))
+      .getOrElse(session.graph.nodes)
+    val newEdges = edgeUps.map(applyUpdates(session.graph.edges, _))
+      .getOrElse(session.graph.edges)
+    session.commit(newNodes, newEdges)
+
+    // rebind updated vars so a following RETURN sees the new props
+    val touched = items.collect {
+      case Ast.SetItem(Ast.Variable(n), _, _) => n
+    }.toSet
+    var df = frame.df
+    touched.foreach { n =>
+      val kind = frame.vars(n)
+      val table = if (kind == KNode) session.graph.nodes else session.graph.edges
+      val fresh = table.select(col("id").as("__fid"), col("props").as("__fp"))
+      df = df.join(fresh, df(n).getField("id") === col("__fid"), "left_outer")
+        .withColumn(n, col(n).withField("props", col("__fp")))
+        .drop("__fid", "__fp")
+    }
+    Frame(df, frame.vars)
+  }
+
+  // ═══════════════════════════════ DELETE ══════════════════════════════════
+  /** DELETE / DETACH DELETE (`op_delete.c`): edges first, then nodes, with
+    * implicit deletion of edges touching deleted nodes — all anti-joins.
+    */
+  private def execDelete(frame: Frame, d: Ast.Delete): Frame = {
+    val nodeIdDfs = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val edgeIdDfs = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    d.exprs.foreach {
+      case Ast.Variable(n) => frame.vars.get(n) match {
+        case Some(KNode) =>
+          nodeIdDfs += frame.df.select(frame.col(n).getField("id").as("id"))
+        case Some(KEdge) =>
+          edgeIdDfs += frame.df.select(frame.col(n).getField("id").as("id"))
+        case _ => throw TranslateError(s"DELETE target must be an entity: $n")
+      }
+      case other => throw TranslateError(s"DELETE target must be a variable: $other")
+    }
+    val nodes = session.graph.nodes
+    val edges = session.graph.edges
+    val edgeCount = edges.count()
+
+    var newEdges = edges
+    edgeIdDfs.reduceOption(_ union _).foreach { ids =>
+      val del = ids.distinct()
+      newEdges = newEdges.join(del, Seq("id"), "left_anti")
+    }
+    var newNodes = nodes
+    nodeIdDfs.reduceOption(_ union _).foreach { rawIds =>
+      val ids = rawIds.distinct().localCheckpoint(true)
+      nodesDeleted += ids.count()
+      newNodes = newNodes.join(ids, Seq("id"), "left_anti")
+      // implicit edge deletion for deleted endpoints
+      newEdges = newEdges
+        .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+        .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+    }
+    session.commit(newNodes, newEdges)
+    relsDeleted += edgeCount - session.graph.edges.count()
+    frame
+  }
+
+  // ═══════════════════════════════ MERGE ═══════════════════════════════════
+  /** MERGE (`op_merge.c`, three-stream match/create dance): per input row,
+    * match the whole pattern; rows with no match create the full unbound
+    * portion — deduplicated on the evaluated pattern keys so identical
+    * pending patterns create once (`op_merge_create.c` dedup). ON MATCH /
+    * ON CREATE SET run on the respective branches.
+    */
+  private def execMerge(frame: Frame, m: Ast.Merge,
+      params: Map[String, Any]): Frame = {
+    val c = ctx(params)
+    val rid = "__merge_rid"
+    val tagged = frame.df.withColumn(rid, monotonically_increasing_id())
+      .localCheckpoint(true)
+    val seed = Frame(tagged, frame.vars)
+    val (matched, _) = translatePath(c, seed, m.path)
+    val matchedRids = matched.df.select(matched.col(rid)).distinct()
+    val misses = tagged.join(matchedRids, Seq(rid), "left_anti")
+
+    val (pn, pe) = planPending(
+      frame.vars.filter(_._2 != KValue).keySet, List(m.path))
+    if (pn.isEmpty && pe.isEmpty)
+      throw TranslateError("MERGE pattern is fully bound")
+
+    // evaluated create-keys: bound endpoint ids + every pattern prop value
+    val missFrame = Frame(misses, frame.vars)
+    val boundEndpoints = pe.flatMap(e => List(e.srcVar, e.dstVar))
+      .filter(frame.vars.contains).distinct
+    val keyCols = scala.collection.mutable.LinkedHashMap[String, Column]()
+    boundEndpoints.zipWithIndex.foreach { case (v, i) =>
+      keyCols(s"__kb_$i") = missFrame.col(v).getField("id")
+    }
+    pn.foreach { n =>
+      n.pat.props.zipWithIndex.foreach { case ((_, e), i) =>
+        keyCols(s"__kn_${n.slot}_$i") = trExpr(c, missFrame, e)
+      }
+    }
+    pe.foreach { e =>
+      e.rel.props.zipWithIndex.foreach { case ((_, ex), i) =>
+        keyCols(s"__ke_${e.slot}_$i") = trExpr(c, missFrame, ex)
+      }
+    }
+
+    val missKeyed = misses.select(
+      (misses.columns.map(misses(_)) ++
+        keyCols.map { case (n, col) => col.as(n) }).toSeq: _*)
+    val distinctKeys = missKeyed.select(keyCols.keys.map(col).toSeq: _*)
+      .distinct()
+      .withColumn("__crid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val created = distinctKeys.count()
+
+    // build created entities on the distinct key set
+    val nodeBase = session.nodeIdBase
+    val edgeBase = session.edgeIdBase
+    var ck = distinctKeys
+    val boundIdOf = boundEndpoints.zipWithIndex
+      .map { case (v, i) => v -> col(s"__kb_$i") }.toMap
+    pn.foreach { n =>
+      val props =
+        if (n.pat.props.isEmpty) emptyProps
+        else map_filter(map_from_arrays(
+          array(n.pat.props.map { case (k, _) => lit(k) }: _*),
+          array(n.pat.props.zipWithIndex.map { case (_, i) =>
+            col(s"__kn_${n.slot}_$i")
+          }: _*)), (_, v) => v.isNotNull)
+      ck = ck.withColumn(n.name, struct(
+        (lit(nodeBase) + col("__crid") * pn.size + n.slot).as("id"),
+        lit(n.pat.label.orNull).cast(StringType).as("label"),
+        props.as("props")))
+    }
+    pe.foreach { e =>
+      val props =
+        if (e.rel.props.isEmpty) emptyProps
+        else map_filter(map_from_arrays(
+          array(e.rel.props.map { case (k, _) => lit(k) }: _*),
+          array(e.rel.props.zipWithIndex.map { case (_, i) =>
+            col(s"__ke_${e.slot}_$i")
+          }: _*)), (_, v) => v.isNotNull)
+      def endpoint(v: String): Column =
+        if (frame.vars.contains(v)) boundIdOf(v)
+        else ck(v).getField("id")
+      ck = ck.withColumn(e.name, struct(
+        (lit(edgeBase) + col("__crid") * pe.size + e.slot).as("id"),
+        endpoint(e.srcVar).as("src"),
+        endpoint(e.dstVar).as("dst"),
+        lit(e.rel.types.head).as("reltype"),
+        props.as("props")))
+    }
+
+    val newNodeDf = pn.map(n => ck.select(
+      ck(n.name).getField("id").as("id"),
+      ck(n.name).getField("label").as("label"),
+      ck(n.name).getField("props").as("props"))).reduceOption(_ unionByName _)
+    val newEdgeDf = pe.map(e => ck.select(
+      ck(e.name).getField("id").as("id"),
+      ck(e.name).getField("src").as("src"),
+      ck(e.name).getField("dst").as("dst"),
+      ck(e.name).getField("reltype").as("reltype"),
+      ck(e.name).getField("props").as("props"))).reduceOption(_ unionByName _)
+    nodesCreated += created * pn.size
+    relsCreated += created * pe.size
+    session.commit(
+      newNodeDf.map(n => session.graph.nodes.unionByName(n,
+        allowMissingColumns = true)).getOrElse(session.graph.nodes),
+      newEdgeDf.map(e => session.graph.edges.unionByName(e,
+        allowMissingColumns = true)).getOrElse(session.graph.edges))
+
+    // bind created entities back to miss rows via the key columns
+    val patVars = (pn.map(_.name) ++ pe.map(_.name))
+    val createdBind = missKeyed.join(ck, keyCols.keys.toSeq)
+    val newVars: Map[String, Kind] = frame.vars ++
+      pn.map(_.name -> (KNode: Kind)) ++ pe.map(_.name -> (KEdge: Kind)) ++
+      (m.path.head :: m.path.tail.map(_._2)).flatMap(_.variable)
+        .map(_ -> (KNode: Kind)) ++
+      m.path.tail.flatMap(_._1.variable).map(_ -> (KEdge: Kind))
+
+    val outCols = (frame.vars.keys.toSeq ++ patVars ++
+      (newVars.keySet -- frame.vars.keySet -- patVars).toSeq).distinct
+        .filter(v => matched.df.columns.contains(v))
+    val matchedOut = matched.df.select(outCols.map(matched.df(_)): _*)
+    val createdOut = createdBind.select(outCols.map(createdBind(_)): _*)
+    var result = Frame(matchedOut.unionByName(createdOut)
+      .localCheckpoint(true), newVars)
+
+    if (m.onMatch.nonEmpty && !matched.df.isEmpty) {
+      val mf = Frame(matched.df, newVars)
+      execSet(mf, m.onMatch, params)
+      result = refresh(result)
+    }
+    if (m.onCreate.nonEmpty && created > 0) {
+      val cf = Frame(createdBind, newVars)
+      execSet(cf, m.onCreate, params)
+      result = refresh(result)
+    }
+    result
+  }
+
+  /** Re-join entity props from the committed graph (post ON MATCH/CREATE). */
+  private def refresh(frame: Frame): Frame = {
+    var df = frame.df
+    frame.vars.foreach { case (n, kind) =>
+      if (kind != KValue && df.columns.contains(n)) {
+        val table =
+          if (kind == KNode) session.graph.nodes else session.graph.edges
+        val fresh = table.select(col("id").as("__fid"),
+          col("props").as("__fp"))
+        df = df.join(fresh, df(n).getField("id") === col("__fid"), "left_outer")
+          .withColumn(n, col(n).withField("props", col("__fp")))
+          .drop("__fid", "__fp")
+      }
+    }
+    Frame(df, frame.vars)
+  }
+}

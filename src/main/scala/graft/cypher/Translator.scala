@@ -67,12 +67,20 @@ object Translator {
   }
 
   def translateSingle(graph: PropertyGraph, sq: Ast.SingleQuery,
-      params: Map[String, Any]): DataFrame = {
+      params: Map[String, Any]): DataFrame =
+    readFrame(graph, sq.clauses, params).df
+
+  /** Run the read-clause prefix of a query (MATCH/UNWIND/WITH/RETURN) —
+    * also the entry point for mutation statements that bind variables
+    * before writing (MATCH … SET/DELETE/CREATE).
+    */
+  def readFrame(graph: PropertyGraph, clauses: List[Ast.Clause],
+      params: Map[String, Any]): Frame = {
     val spark = graph.nodes.sparkSession
     val unit = spark.range(1).select(lit(1).as("__unit"))
     var frame = Frame(unit, Map.empty)
     val ctx = Ctx(graph, params)
-    sq.clauses.foreach {
+    clauses.foreach {
       case m: Ast.Match => frame = translateMatch(ctx, frame, m)
       case u: Ast.Unwind => frame = translateUnwind(ctx, frame, u)
       case w: Ast.With => frame = translateProjection(ctx, frame, w.proj, w.where)
@@ -81,7 +89,7 @@ object Translator {
       case other =>
         throw TranslateError(s"unsupported clause in read query: $other")
     }
-    frame.df
+    frame
   }
 
   case class Ctx(graph: PropertyGraph, params: Map[String, Any])
@@ -125,7 +133,7 @@ object Translator {
   }
 
   /** Translate one path; returns frame + edge var names (for uniqueness). */
-  private def translatePath(ctx: Ctx, frame: Frame,
+  private[cypher] def translatePath(ctx: Ctx, frame: Frame,
       p: Ast.PathPat): (Frame, List[String]) = {
     if (p.pathVar.isDefined)
       throw TranslateError("named paths not supported yet")
@@ -147,7 +155,7 @@ object Translator {
   }
 
   private val nodeNames = new java.util.IdentityHashMap[Ast.NodePat, String]()
-  private def nameOf(np: Ast.NodePat): String = synchronized {
+  private[cypher] def nameOf(np: Ast.NodePat): String = synchronized {
     np.variable.getOrElse {
       Option(nodeNames.get(np)).getOrElse {
         val n = freshName("n"); nodeNames.put(np, n); n
@@ -155,7 +163,7 @@ object Translator {
     }
   }
   private val relNames = new java.util.IdentityHashMap[Ast.RelPat, String]()
-  private def nameOf(rp: Ast.RelPat): String = synchronized {
+  private[cypher] def nameOf(rp: Ast.RelPat): String = synchronized {
     rp.variable.getOrElse {
       Option(relNames.get(rp)).getOrElse {
         val n = freshName("r"); relNames.put(rp, n); n
@@ -177,6 +185,18 @@ object Translator {
     df.select(struct(col("id"), col("label"), col("props")).as(as))
   }
 
+  /** true iff the expression references no frame state (literals/params
+    * only) — safe to push into a base-table scan.
+    */
+  private def isConst(e: Ast.Expr): Boolean = e match {
+    case Ast.LitInt(_) | Ast.LitFloat(_) | Ast.LitString(_) |
+         Ast.LitBool(_) | Ast.LitNull | Ast.Param(_) => true
+    case Ast.ListLit(items) => items.forall(isConst)
+    case Ast.Neg(x) => isConst(x)
+    case Ast.Bin(_, l, r) => isConst(l) && isConst(r)
+    case _ => false
+  }
+
   private def bindNode(ctx: Ctx, frame: Frame, np: Ast.NodePat): Frame = {
     val name = nameOf(np)
     if (frame.has(name)) {
@@ -187,15 +207,24 @@ object Translator {
       np.props.foreach { case (k, e) =>
         df = df.filter(coalesce(Values.eq(
           element_at(frame.col(name).getField("props"), k),
-          constantValue(ctx, e)), lit(false)))
+          trExpr(ctx, frame, e)), lit(false)))
       }
       Frame(df, frame.vars)
     } else {
-      val scan = nodeScan(ctx, np, name)
+      // const props push into the scan (filter reaches the parquet read);
+      // frame-dependent props filter after the join
+      val (constProps, dynProps) = np.props.partition { case (_, e) => isConst(e) }
+      val scan = nodeScan(ctx, np.copy(props = constProps), name)
       val df =
         if (frame.vars.isEmpty) scan.crossJoin(frame.df).drop("__unit")
         else frame.df.crossJoin(scan)
-      Frame(df, frame.vars + (name -> KNode))
+      var f = Frame(df, frame.vars + (name -> KNode))
+      dynProps.foreach { case (k, e) =>
+        f = f.copy(df = f.df.filter(coalesce(Values.eq(
+          element_at(f.col(name).getField("props"), k),
+          trExpr(ctx, f, e)), lit(false))))
+      }
+      f
     }
   }
 
@@ -232,10 +261,17 @@ object Translator {
       rel: Ast.RelPat, node: Ast.NodePat): (Frame, String) = {
     val rname = nameOf(rel)
     val nname = nameOf(node)
-    val ev = edgeView(ctx, rel)
+    val (constRelProps, dynRelProps) =
+      rel.props.partition { case (_, e) => isConst(e) }
+    val ev = edgeView(ctx, rel.copy(props = constRelProps))
       .withColumnRenamed("__edge", rname)
-    val joined = frame.df.join(ev,
+    var joined = frame.df.join(ev,
       frame.col(prev).getField("id") === ev("__from"))
+    dynRelProps.foreach { case (k, e) =>
+      joined = joined.filter(coalesce(Values.eq(
+        element_at(col(s"`$rname`").getField("props"), k),
+        trExpr(ctx, Frame(joined, frame.vars), e)), lit(false)))
+    }
     val f1 = Frame(joined, frame.vars + (rname -> KEdge))
     val result =
       if (frame.has(nname)) {
@@ -244,10 +280,18 @@ object Translator {
           col("__to") === frame.col(nname).getField("id"))
         Frame(df, f1.vars)
       } else {
-        val scan = nodeScan(ctx, node, nname)
+        val (constProps, dynProps) =
+          node.props.partition { case (_, e) => isConst(e) }
+        val scan = nodeScan(ctx, node.copy(props = constProps), nname)
         val df = joined.join(scan,
           col("__to") === scan(nname).getField("id"))
-        Frame(df, f1.vars + (nname -> KNode))
+        var f = Frame(df, f1.vars + (nname -> KNode))
+        dynProps.foreach { case (k, e) =>
+          f = f.copy(df = f.df.filter(coalesce(Values.eq(
+            element_at(f.col(nname).getField("props"), k),
+            trExpr(ctx, f, e)), lit(false))))
+        }
+        f
       }
     (result.copy(df = result.df.drop("__from", "__to")), rname)
   }
@@ -323,7 +367,7 @@ object Translator {
   }
 
   // ═══════════════════════════════ UNWIND ══════════════════════════════════
-  private def translateUnwind(ctx: Ctx, frame: Frame,
+  private[cypher] def translateUnwind(ctx: Ctx, frame: Frame,
       u: Ast.Unwind): Frame = {
     val v = trExpr(ctx, frame, u.list)
     val tmp = freshName("ex")
@@ -359,7 +403,7 @@ object Translator {
     case _ => freshName("col")
   }
 
-  private def translateProjection(ctx: Ctx, frame: Frame,
+  private[cypher] def translateProjection(ctx: Ctx, frame: Frame,
       proj: Ast.Projection, where: Option[Ast.Expr]): Frame = {
     // expand RETURN *
     val items: List[(Ast.Expr, String)] = proj.items.flatMap {
