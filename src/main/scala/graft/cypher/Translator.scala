@@ -24,6 +24,10 @@ object Translator {
   case object KNode extends Kind
   case object KEdge extends Kind
   case object KValue extends Kind
+  /** named path: raw struct(nodes: array<node>, rels: array<edge>) —
+    * the T_PATH analogue (`src/datatypes/path/sipath.h:19-73`).
+    */
+  case object KPath extends Kind
 
   /** the Volcano Record analogue (`src/execution_plan/record.h:18-44`):
     * df columns ↔ alias→entry mapping.
@@ -132,27 +136,75 @@ object Translator {
     Frame(joined, frame.vars ++ newVars.map(n => n -> inner.vars(n)))
   }
 
+  /** path composition tracker for named paths (T_PATH). */
+  private sealed trait PathSeg
+  private case class NodeSeg(name: String) extends PathSeg
+  private case class EdgeSeg(name: String) extends PathSeg
+  /** var-len segment: accumulated rels/nodes array columns. */
+  private case class VarSeg(relsCol: String, nodesCol: String) extends PathSeg
+
   /** Translate one path; returns frame + edge var names (for uniqueness). */
   private[cypher] def translatePath(ctx: Ctx, frame: Frame,
       p: Ast.PathPat): (Frame, List[String]) = {
-    if (p.pathVar.isDefined)
-      throw TranslateError("named paths not supported yet")
     var f = bindNode(ctx, frame, p.head)
     var prev = p.head.variable.getOrElse(nameOf(p.head))
     val edgeVars = scala.collection.mutable.ArrayBuffer[String]()
+    val segs = scala.collection.mutable.ArrayBuffer[PathSeg](NodeSeg(prev))
+    val temps = scala.collection.mutable.ArrayBuffer[String]()
+    val needAcc = p.pathVar.isDefined
     p.tail.foreach { case (rel, node) =>
       rel.varLen match {
         case None =>
           val (f2, ev) = expandOne(ctx, f, prev, rel, node)
           f = f2
           edgeVars += ev
+          segs += EdgeSeg(ev)
+          segs += NodeSeg(node.variable.getOrElse(nameOf(node)))
         case Some((mn, mx)) =>
-          f = expandVarLen(ctx, f, prev, rel, node, mn, mx.getOrElse(15))
+          val (f2, acc) = expandVarLen(ctx, f, prev, rel, node, mn,
+            mx.getOrElse(15), keepAcc = needAcc || rel.variable.isDefined)
+          f = f2
+          acc.foreach { case (relsCol, nodesCol) =>
+            segs += VarSeg(relsCol, nodesCol)
+            if (rel.variable.isEmpty) temps += relsCol
+            temps += nodesCol
+          }
       }
       prev = node.variable.getOrElse(nameOf(node))
     }
+    p.pathVar.foreach { pv =>
+      // assemble struct(nodes, rels) from the segments (`topath`,
+      // `path_funcs.c:266-289`)
+      val nodeArrs = segs.collect {
+        case NodeSeg(n) => array(f.col(n))
+        case VarSeg(_, nc) => f.col(nc)
+      }
+      val relArrs = segs.collect {
+        case EdgeSeg(e) => array(f.col(e))
+        case VarSeg(rc, _) => f.col(rc)
+      }
+      val rels =
+        if (relArrs.isEmpty) array().cast(ArrayType(edgeStructType))
+        else concat(relArrs.toSeq: _*)
+      val df = f.df.withColumn(pv,
+        struct(concat(nodeArrs.toSeq: _*).as("nodes"), rels.as("rels")))
+      f = Frame(df, f.vars + (pv -> KPath))
+    }
+    if (temps.nonEmpty) f = f.copy(df = f.df.drop(temps.toSeq: _*))
     (f, edgeVars.toList)
   }
+
+  val nodeStructType: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("label", StringType),
+    StructField("props", Values.propsType)))
+
+  val edgeStructType: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("src", LongType),
+    StructField("dst", LongType),
+    StructField("reltype", StringType),
+    StructField("props", Values.propsType)))
 
   private val nodeNames = new java.util.IdentityHashMap[Ast.NodePat, String]()
   private[cypher] def nameOf(np: Ast.NodePat): String = synchronized {
@@ -297,34 +349,86 @@ object Translator {
   }
 
   /** Var-len expansion `*min..max` (CondVarLenTraverse,
-    * `op_cond_var_len_traverse.c`): BFS frontier joins on the DISTINCT
-    * source-id set, re-joined to the frame at the end — the frame is never
-    * multiplied through the loop.
+    * `op_cond_var_len_traverse.c` + all-paths DFS `src/algorithms/
+    * all_paths.c`): PATH-enumeration semantics — one output row per distinct
+    * path with edge-uniqueness inside the traversal, not mere reachability
+    * (two parallel routes to the same node = two rows).
+    *
+    * Iterative frontier joins on the DISTINCT source-id set (the frame is
+    * never multiplied through the loop; re-joined on start at the end).
+    * Each frontier row carries accumulated rels/nodes arrays;
+    * `localCheckpoint` per hop cuts the doubling lineage. At scale the
+    * per-hop join shuffles on the frontier key, which successive iterations
+    * reuse.
     */
   private def expandVarLen(ctx: Ctx, frame: Frame, prev: String,
-      rel: Ast.RelPat, node: Ast.NodePat, minH: Int, maxH: Int): Frame = {
-    if (rel.variable.isDefined)
-      throw TranslateError("edge variable on var-length pattern unsupported")
+      rel: Ast.RelPat, node: Ast.NodePat, minH: Int, maxH: Int,
+      keepAcc: Boolean): (Frame, Option[(String, String)]) = {
     val nname = nameOf(node)
-    val ev = edgeView(ctx, rel).select(col("__from").as("src"),
-      col("__to").as("dst"))
+    val relsName = rel.variable.getOrElse(freshName("vrels"))
+    val nodesName = freshName("vnodes")
+    val ev = edgeView(ctx, rel)
+    val nodesTbl = ctx.graph.nodes.select(col("id").as("__vnid"),
+      struct(col("id"), col("label"), col("props")).as("__vn"))
+
     val sources = frame.df
-      .select(frame.col(prev).getField("id").as("id")).distinct()
-    val reach = graft.graph.GraphOps.varLenExpand(sources, ev, minH, maxH)
-      .select(col("start"), col("node"))
+      .select(frame.col(prev).getField("id").as("__vstart"))
+      .distinct().localCheckpoint(true)
+    var frontier = sources.select(col("__vstart"),
+      col("__vstart").as("__vcur"),
+      array().cast(ArrayType(edgeStructType)).as("__vrels"),
+      array().cast(ArrayType(nodeStructType)).as("__vnodes"))
+      .localCheckpoint(true)
+    val results = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    if (minH == 0) results += frontier
+    var h = 0
+    while (h < maxH && !frontier.isEmpty) {
+      h += 1
+      val step = frontier.join(ev, col("__vcur") === ev("__from"))
+        .filter(!exists(col("__vrels"),
+          r => r.getField("id") === ev("__edge").getField("id")))
+        .join(nodesTbl, ev("__to") === col("__vnid"))
+        .select(col("__vstart"), col("__vnid").as("__vcur"),
+          concat(col("__vrels"), array(ev("__edge"))).as("__vrels"),
+          concat(col("__vnodes"), array(col("__vn"))).as("__vnodes"))
+        .localCheckpoint(true)
+      if (h >= minH) results += step
+      frontier = step
+    }
+    val reach = results.reduceOption(_ unionByName _).getOrElse(
+      frontier.limit(0))
     val joined = frame.df.join(reach,
-      frame.col(prev).getField("id") === reach("start"))
-    val result =
+      frame.col(prev).getField("id") === reach("__vstart"))
+    var result =
       if (frame.has(nname)) {
         Frame(joined.filter(
-          col("node") === frame.col(nname).getField("id")), frame.vars)
+          col("__vcur") === frame.col(nname).getField("id")), frame.vars)
       } else {
-        val scan = nodeScan(ctx, node, nname)
-        Frame(joined.join(scan,
-          col("node") === scan(nname).getField("id")),
+        val (constProps, dynProps) =
+          node.props.partition { case (_, e) => isConst(e) }
+        val scan = nodeScan(ctx, node.copy(props = constProps), nname)
+        var f = Frame(joined.join(scan,
+          col("__vcur") === scan(nname).getField("id")),
           frame.vars + (nname -> KNode))
+        dynProps.foreach { case (k, e) =>
+          f = f.copy(df = f.df.filter(coalesce(Values.eq(
+            element_at(f.col(nname).getField("props"), k),
+            trExpr(ctx, f, e)), lit(false))))
+        }
+        f
       }
-    result.copy(df = result.df.drop("start", "node"))
+    var df = result.df.drop("__vstart", "__vcur")
+    val acc =
+      if (keepAcc || rel.variable.isDefined) {
+        df = df.withColumnRenamed("__vrels", relsName)
+          .withColumnRenamed("__vnodes", nodesName)
+        Some((relsName, nodesName))
+      } else {
+        df = df.drop("__vrels", "__vnodes")
+        None
+      }
+    val vars = result.vars ++ rel.variable.map(_ -> KValue)
+    (Frame(df, vars), acc)
   }
 
   // ═══════════════════════════ WHERE / predicates ══════════════════════════
@@ -785,6 +889,7 @@ object Translator {
     def entity(x: Ast.Expr): Column = x match {
       case Ast.Variable(n) if frame.has(n) && frame.vars(n) != KValue =>
         frame.col(n)
+      case f @ Ast.Fn("startnode" | "endnode", _, _) => trFn(ctx, frame, f)
       case other => throw TranslateError(s"expected entity: $other")
     }
     def str1(f: Column => Column): Column = {
@@ -809,8 +914,44 @@ object Translator {
         vArr(array(sStr(entity(fn.args.head).getField("label"))))
       case "type" => vStr(entity(fn.args.head).getField("reltype"))
       case "exists" => vBool(t(fn.args.head).isNotNull)
-      case "startnode" | "endnode" =>
-        throw TranslateError(s"${fn.name} needs node lookup — unsupported")
+      // id-only node stubs: enough for id(startNode(r)) composition; full
+      // entity hydration would need a join, which callers do via patterns
+      case "startnode" =>
+        val e = entity(fn.args.head)
+        struct(e.getField("src").as("id"),
+          lit(null).cast(StringType).as("label"),
+          lit(null).cast(Values.propsType).as("props"))
+      case "endnode" =>
+        val e = entity(fn.args.head)
+        struct(e.getField("dst").as("id"),
+          lit(null).cast(StringType).as("label"),
+          lit(null).cast(Values.propsType).as("props"))
+
+      // path funcs (`path_funcs.c:266-289`) — raw entity arrays
+      case "nodes" => t(fn.args.head).getField("nodes")
+      case "relationships" => t(fn.args.head).getField("rels")
+      case "length" => vInt(size(t(fn.args.head).getField("rels")))
+
+      // point/geo (`point_funcs.c:14,98`: haversine, EARTH_RADIUS 6378140)
+      case "point" => fn.args.head match {
+        case Ast.MapLit(entries) =>
+          val m = entries.toMap
+          val lat = num(t(m.getOrElse("latitude",
+            throw TranslateError("point needs latitude"))))
+          val lon = num(t(m.getOrElse("longitude",
+            throw TranslateError("point needs longitude"))))
+          vPoint(lat, lon)
+        case other => throw TranslateError(s"point needs a map literal: $other")
+      }
+      case "distance" =>
+        val a = t(fn.args.head); val b = t(fn.args(1))
+        val lat1 = radians(pointLat(a)); val lon1 = radians(pointLon(a))
+        val lat2 = radians(pointLat(b)); val lon2 = radians(pointLon(b))
+        val sdlat = sin((lat2 - lat1) / 2)
+        val sdlon = sin((lon2 - lon1) / 2)
+        val h = sdlat * sdlat + cos(lat1) * cos(lat2) * sdlon * sdlon
+        when(a.isNull || b.isNull, vNull)
+          .otherwise(vFloat(lit(2.0 * 6378140.0) * asin(sqrt(h))))
 
       // conditional (`conditional_funcs.c`)
       case "coalesce" => coalesce(fn.args.map(t): _*)

@@ -28,6 +28,10 @@ object Values {
   val T_ARRAY = 5
   val T_NODE = 6
   val T_EDGE = 7
+  /** lat/lon pair (`value.h:90-93`), encoded in the arr branch as two
+    * scalar floats [latitude, longitude].
+    */
+  val T_POINT = 8
 
   val scalarFields: Seq[StructField] = Seq(
     StructField("t", IntegerType),
@@ -72,6 +76,13 @@ object Values {
   /** arr must be array<scalar-variant>. */
   def vArr(c: Column): Column =
     when(c.isNull, vNull).otherwise(mk(lit(T_ARRAY), nI, nF, nS, nB, c))
+
+  def vPoint(lat: Column, lon: Column): Column =
+    when(lat.isNull || lon.isNull, vNull)
+      .otherwise(mk(lit(T_POINT), nI, nF, nS, nB,
+        array(sFloat(lat), sFloat(lon))))
+  def pointLat(v: Column): Column = element_at(v.getField("arr"), 1).getField("f")
+  def pointLon(v: Column): Column = element_at(v.getField("arr"), 2).getField("f")
 
   /** Scalar (non-list) variant from the same branches — for list elements. */
   def sInt(c: Column): Column = when(c.isNull, lit(null).cast(scalarType))

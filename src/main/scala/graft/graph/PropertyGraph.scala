@@ -41,6 +41,21 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
 
   def inDegrees: DataFrame =
     edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_degree"))
+
+  /** Graph statistics (≡ `src/graph/graph_statistics.c` per-label node /
+    * per-type edge counts): computed once per graph version with a single
+    * map-side-combined groupBy each, then served from the driver — the
+    * `reduceCount` O(1) answer path (`optimizations/reduce_count.c:13-40`).
+    * At scale these come from Delta table metadata / partition stats.
+    */
+  @transient lazy val labelCounts: Map[String, Long] =
+    nodes.groupBy("label").count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(1)).toMap
+  @transient lazy val reltypeCounts: Map[String, Long] =
+    edges.groupBy("reltype").count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(1)).toMap
+  @transient lazy val nodeCount: Long = labelCounts.values.sum
+  @transient lazy val edgeCount: Long = reltypeCounts.values.sum
 }
 
 object PropertyGraph {
