@@ -68,6 +68,9 @@ object Ast {
   case class SetItem(target: Expr, key: Option[String], value: Expr)
   case class SetClause(items: List[SetItem]) extends Clause
   case class Delete(exprs: List[Expr], detach: Boolean) extends Clause
+  /** CALL proc.name(args) YIELD col AS alias, … (`op_procedure_call.c`) */
+  case class CallProc(name: String, args: List[Expr],
+      yields: List[(String, Option[String])]) extends Clause
 
   case class SingleQuery(clauses: List[Clause])
   /** union chain: parts(i) UNION [ALL] parts(i+1); unionAll(i) applies

@@ -22,7 +22,8 @@ object CypherParser extends RegexParsers {
     "BY", "SKIP", "LIMIT", "ASC", "ASCENDING", "DESC", "DESCENDING", "AND",
     "OR", "XOR", "NOT", "IN", "STARTS", "ENDS", "CONTAINS", "IS", "NULL",
     "TRUE", "FALSE", "CASE", "WHEN", "THEN", "ELSE", "END", "DISTINCT",
-    "CREATE", "MERGE", "SET", "DELETE", "DETACH", "UNION", "ALL", "ON")
+    "CREATE", "MERGE", "SET", "DELETE", "DETACH", "UNION", "ALL", "ON",
+    "CALL", "YIELD")
 
   def ident: Parser[String] =
     identRe.filter(s => !reserved.contains(s.toUpperCase)) |
@@ -287,9 +288,18 @@ object CypherParser extends RegexParsers {
         Merge(p, onMatch, onCreate)
     }
 
+  def callClause: Parser[Clause] =
+    kw("CALL") ~> rep1sep(anyIdent, ".") ~
+      ("(" ~> repsep(expr, ",") <~ ")") ~
+      opt(kw("YIELD") ~> rep1sep(anyIdent ~ opt(kw("AS") ~> ident), ",")) ^^ {
+      case parts ~ args ~ y =>
+        CallProc(parts.mkString("."), args,
+          y.getOrElse(Nil).map { case c ~ a => (c, a) })
+    }
+
   def clause: Parser[Clause] =
     matchClause | unwindClause | withClause | returnClause |
-      createClause | mergeClause | setClause | deleteClause
+      createClause | mergeClause | setClause | deleteClause | callClause
 
   def singleQuery: Parser[SingleQuery] = rep1(clause) ^^ (SingleQuery(_))
 

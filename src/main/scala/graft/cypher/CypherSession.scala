@@ -42,6 +42,7 @@ class CypherSession(val spark: SparkSession) {
     graph = g
     nextNodeId = maxId(g.nodes) + 1
     nextEdgeId = maxId(g.edges) + 1
+    graphVersion += 1
   }
 
   private def maxId(df: DataFrame): Long =
@@ -60,6 +61,7 @@ class CypherSession(val spark: SparkSession) {
       nodes.localCheckpoint(true), edges.localCheckpoint(true))
     nextNodeId = maxId(graph.nodes) + 1
     nextEdgeId = maxId(graph.edges) + 1
+    graphVersion += 1
   }
 
   /** Query-string → AST LRU cache (≡ the reference's execution-plan cache,
@@ -96,8 +98,43 @@ class CypherSession(val spark: SparkSession) {
       require(ast.parts.size == 1, "mutations cannot be UNIONed")
       new MutationRunner(this).run(ast.parts.head.clauses, params)
     } else countFastPath(ast).getOrElse(
-      Translator.translate(graph, ast, params))
+      Translator.translate(graph, ast, params, Some(this)))
   }
+
+  // ═══════════════════════ fulltext indexes ════════════════════════════════
+  /** Fulltext ≈ tokenized inverted-index DataFrame per label (the reference
+    * delegates to RediSearch, `src/index/index.h:29`). Indexes are rebuilt
+    * lazily when the graph version moves (reference reindexes on write).
+    * At scale the index is a bucketed-by-token Delta table.
+    */
+  private var graphVersion = 0L
+  private val ftIndexes =
+    scala.collection.mutable.Map[String, (List[String], Long, DataFrame)]()
+
+  private[cypher] def buildFulltextIndex(label: String,
+      props: List[String]): Unit = {
+    val toks = graph.nodes.filter(col("label") === label)
+      .select(col("id"), explode(array(props.map(p =>
+        element_at(col("props"), p).getField("s")): _*)).as("text"))
+      .filter(col("text").isNotNull)
+      .select(col("id"),
+        explode(split(lower(col("text")), "[^\\p{L}\\p{N}]+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+    ftIndexes(label) = (props, graphVersion, toks.localCheckpoint(true))
+  }
+
+  private[cypher] def fulltextIndex(label: String): Option[DataFrame] =
+    ftIndexes.get(label).map { case (props, v, df) =>
+      if (v == graphVersion) df
+      else { buildFulltextIndex(label, props); ftIndexes(label)._3 }
+    }
+
+  private[cypher] def dropFulltextIndex(label: String): Unit =
+    ftIndexes.remove(label)
+
+  private[cypher] def fulltextLabels: Seq[String] =
+    ftIndexes.keys.toSeq.sorted
 
   /** `reduceCount` (`optimizations/reduce_count.c:13-40`): a count-only
     * MATCH over a bare node or relationship pattern answers from graph
@@ -170,7 +207,7 @@ class CypherSession(val spark: SparkSession) {
     case other => other
   }
 
-  private def decodeVariant(r: Row): Any = {
+  private[cypher] def decodeVariant(r: Row): Any = {
     r.getInt(r.fieldIndex("t")) match {
       case Values.T_INT => r.getLong(r.fieldIndex("i"))
       case Values.T_FLOAT => r.getDouble(r.fieldIndex("f"))
@@ -186,4 +223,10 @@ class CypherSession(val spark: SparkSession) {
       case _ => null
     }
   }
+}
+
+object CypherSession {
+  /** Query/document tokenizer shared by index build and fulltext search. */
+  def tokenize(q: String): Seq[String] =
+    q.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
 }

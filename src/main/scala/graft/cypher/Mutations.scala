@@ -27,7 +27,8 @@ private[cypher] final class MutationRunner(session: CypherSession) {
   private var nodesDeleted = 0L
   private var relsDeleted = 0L
 
-  private def ctx(params: Map[String, Any]) = Ctx(session.graph, params)
+  private def ctx(params: Map[String, Any]) =
+    Ctx(session.graph, params, Some(session))
 
   /** Execute a statement containing write clauses. Returns the RETURN
     * projection if present, else a one-row statistics frame
@@ -42,6 +43,7 @@ private[cypher] final class MutationRunner(session: CypherSession) {
       case u: Ast.Unwind => frame = translateUnwind(ctx(params), frame, u)
       case w: Ast.With =>
         frame = translateProjection(ctx(params), frame, w.proj, w.where)
+      case c: Ast.CallProc => frame = translateCall(ctx(params), frame, c)
       case c: Ast.Create => frame = execCreate(frame, c.paths, params)
       case s: Ast.SetClause => frame = execSet(frame, s.items, params)
       case d: Ast.Delete => frame = execDelete(frame, d)

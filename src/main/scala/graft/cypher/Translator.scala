@@ -55,8 +55,9 @@ object Translator {
     * items, values = variants or entity structs).
     */
   def translate(graph: PropertyGraph, q: Ast.Query,
-      params: Map[String, Any] = Map.empty): DataFrame = {
-    val parts = q.parts.map(p => translateSingle(graph, p, params))
+      params: Map[String, Any] = Map.empty,
+      session: Option[CypherSession] = None): DataFrame = {
+    val parts = q.parts.map(p => translateSingle(graph, p, params, session))
     if (parts.size == 1) parts.head
     else {
       // UNION: sequence of (unionAll?) combines (`op_join.c` +
@@ -71,23 +72,26 @@ object Translator {
   }
 
   def translateSingle(graph: PropertyGraph, sq: Ast.SingleQuery,
-      params: Map[String, Any]): DataFrame =
-    readFrame(graph, sq.clauses, params).df
+      params: Map[String, Any],
+      session: Option[CypherSession] = None): DataFrame =
+    readFrame(graph, sq.clauses, params, session).df
 
-  /** Run the read-clause prefix of a query (MATCH/UNWIND/WITH/RETURN) —
+  /** Run the read-clause prefix of a query (MATCH/UNWIND/WITH/RETURN/CALL) —
     * also the entry point for mutation statements that bind variables
     * before writing (MATCH … SET/DELETE/CREATE).
     */
   def readFrame(graph: PropertyGraph, clauses: List[Ast.Clause],
-      params: Map[String, Any]): Frame = {
+      params: Map[String, Any],
+      session: Option[CypherSession] = None): Frame = {
     val spark = graph.nodes.sparkSession
     val unit = spark.range(1).select(lit(1).as("__unit"))
     var frame = Frame(unit, Map.empty)
-    val ctx = Ctx(graph, params)
+    val ctx = Ctx(graph, params, session)
     clauses.foreach {
       case m: Ast.Match => frame = translateMatch(ctx, frame, m)
       case u: Ast.Unwind => frame = translateUnwind(ctx, frame, u)
       case w: Ast.With => frame = translateProjection(ctx, frame, w.proj, w.where)
+      case c: Ast.CallProc => frame = translateCall(ctx, frame, c)
       case r: Ast.Return =>
         frame = translateProjection(ctx, frame, r.proj, None)
       case other =>
@@ -96,7 +100,50 @@ object Translator {
     frame
   }
 
-  case class Ctx(graph: PropertyGraph, params: Map[String, Any])
+  case class Ctx(graph: PropertyGraph, params: Map[String, Any],
+      session: Option[CypherSession] = None)
+
+  // ═══════════════════════════════ CALL ════════════════════════════════════
+  /** ProcedureCall (`op_procedure_call.c`): invoke a registered procedure
+    * with constant args, YIELD columns into the frame (cross-joined when
+    * variables are already bound — procs are uncorrelated table functions).
+    */
+  private[cypher] def translateCall(ctx: Ctx, frame: Frame,
+      c: Ast.CallProc): Frame = {
+    val session = ctx.session.getOrElse(
+      throw TranslateError("CALL requires a CypherSession"))
+    val args = c.args.map(constantAny(ctx, _))
+    val (df, kinds) = Procedures.invoke(session, c.name, args)
+    val (outDf, outKinds) =
+      if (c.yields.isEmpty) (df, kinds)
+      else {
+        val cols = c.yields.map { case (n, a) => df(n).as(a.getOrElse(n)) }
+        (df.select(cols: _*),
+          c.yields.map { case (n, a) =>
+            a.getOrElse(n) -> kinds.getOrElse(n,
+              throw TranslateError(s"procedure ${c.name} yields no `$n`"))
+          }.toMap)
+      }
+    if (frame.vars.isEmpty) Frame(outDf, outKinds)
+    else Frame(frame.df.crossJoin(outDf), frame.vars ++ outKinds)
+  }
+
+  /** constant (literal/param) expression → Scala value for procedure args. */
+  private def constantAny(ctx: Ctx, e: Ast.Expr): Any = e match {
+    case Ast.LitInt(v) => v
+    case Ast.LitFloat(v) => v
+    case Ast.LitString(v) => v
+    case Ast.LitBool(v) => v
+    case Ast.LitNull => null
+    case Ast.Neg(Ast.LitInt(v)) => -v
+    case Ast.Neg(Ast.LitFloat(v)) => -v
+    case Ast.Param(n) => ctx.params.getOrElse(n,
+      throw TranslateError(s"missing parameter: $$$n")) match {
+      case i: Int => i.toLong
+      case v => v
+    }
+    case other => throw TranslateError(s"procedure arg must be constant: $other")
+  }
 
   // ═══════════════════════════════ MATCH ═══════════════════════════════
   def translateMatch(ctx: Ctx, frame: Frame, m: Ast.Match): Frame = {

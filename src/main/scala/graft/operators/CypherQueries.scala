@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
-import graft.cypher.{CypherParser, Translator, Values}
+import graft.cypher.{CypherParser, CypherSession, Translator, Values}
 import graft.graph.GraphBuilder
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
@@ -18,6 +18,17 @@ object CypherQueries {
     val ast = CypherParser.parse(cypher).fold(
       err => throw new IllegalArgumentException(err), identity)
     Translator.translate(g, ast)
+  }
+
+  /** Session-based runner (CALL procedures, mutations, count fast path):
+    * executes statements in order, returns the last result.
+    */
+  private def runS(s: SparkSession, dir: Option[String],
+      statements: String*): DataFrame = {
+    val sess = new CypherSession(s)
+    dir.foreach(d => sess.setGraph(GraphBuilder.tpch(s, d)))
+    statements.init.foreach(sess.run(_))
+    sess.run(statements.last)
   }
 
   // variant → native projections (driver compares native parquet values)
@@ -141,6 +152,60 @@ object CypherQueries {
           |UNION
           |MATCH (su:Supplier) WHERE su.acctbal > 9000 RETURN su.name AS name""".stripMargin)
         .select(asString("name"))
+    },
+
+    QueryDef(
+      "q_cypher_count_stats",
+      "SELECT count(*) AS c FROM customer") { (s, dir) =>
+      // served from graph statistics, no scan (reduceCount fast path)
+      runS(s, Some(dir), "MATCH (c:Customer) RETURN count(c) AS c")
+        .select(asLong("c"))
+    },
+
+    QueryDef(
+      "q_cypher_named_path",
+      """SELECT c_custkey AS ck, CAST(1 AS BIGINT) AS len FROM customer
+        |UNION ALL
+        |SELECT c_custkey AS ck, CAST(2 AS BIGINT) AS len FROM customer""".stripMargin) { (s, dir) =>
+      // 1 hop lands on Nation, 2 hops on Region — one path row each
+      run(s, dir,
+        """MATCH p = (c:Customer)-[:IN_NATION|IN_REGION*1..2]->(x)
+          |RETURN c.custkey AS ck, length(p) AS len""".stripMargin)
+        .select(asLong("ck"), asLong("len"))
+    },
+
+    QueryDef(
+      "q_cypher_call_labels",
+      """SELECT label FROM (VALUES ('Customer'), ('Nation'), ('Order'),
+        |  ('Part'), ('Region'), ('Supplier')) t(label)""".stripMargin) { (s, dir) =>
+      runS(s, Some(dir),
+        "CALL db.labels() YIELD label RETURN label ORDER BY label")
+        .select(asString("label"))
+    },
+
+    QueryDef(
+      "q_cypher_mutation",
+      "SELECT CAST(10 AS BIGINT) AS flagged, CAST(30 AS BIGINT) AS total") { (s, dir) =>
+      // graph DML round-trip on a scratch graph: CREATE fan-out via UNWIND,
+      // SET on a matched subset, MERGE idempotency, count read-back
+      runS(s, None,
+        "UNWIND range(0, 29) AS x CREATE (:T {v: x % 3})",
+        "MATCH (t:T) WHERE t.v = 0 SET t.flag = true",
+        "MERGE (t:T {v: 1})", // all exist — creates nothing
+        """MATCH (t:T) WITH t.flag AS f
+          |RETURN count(f) AS flagged, count(*) AS total""".stripMargin)
+        .select(asLong("flagged"), asLong("total"))
+    },
+
+    QueryDef(
+      "q_cypher_fulltext",
+      """SELECT CAST(p_partkey AS BIGINT) AS pk FROM part
+        |WHERE ' ' || p_name || ' ' LIKE '% goldenrod %'""".stripMargin) { (s, dir) =>
+      runS(s, Some(dir),
+        "CALL db.idx.fulltext.createNodeIndex('Part', 'name')",
+        """CALL db.idx.fulltext.queryNodes('Part', 'goldenrod')
+          |YIELD node RETURN node.partkey AS pk""".stripMargin)
+        .select(asLong("pk"))
     },
 
     QueryDef(

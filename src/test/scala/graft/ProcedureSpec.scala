@@ -1,0 +1,85 @@
+package graft
+
+import graft.cypher.CypherSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CALL … YIELD procedures (reference registry
+  * `src/procedures/procedure.c:29-42`; flow tests tests/flow/test_procs.py,
+  * test_index_scan fulltext cases).
+  */
+class ProcedureSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def freshSession(create: String*): CypherSession = {
+    val s = new CypherSession(spark)
+    create.foreach(s.run(_))
+    s
+  }
+
+  private def rows(s: CypherSession, q: String): Seq[Map[String, Any]] =
+    s.rows(s.run(q))
+
+  test("db.labels / db.relationshipTypes / db.propertyKeys") {
+    val s = freshSession(
+      "CREATE (:A {x:1})-[:R {w:2}]->(:B {y:'s'})")
+    assert(rows(s, "CALL db.labels() YIELD label RETURN label ORDER BY label")
+      == Seq(Map("label" -> "A"), Map("label" -> "B")))
+    assert(rows(s, "CALL db.relationshipTypes() YIELD relationshipType RETURN relationshipType")
+      == Seq(Map("relationshipType" -> "R")))
+    assert(rows(s,
+      "CALL db.propertyKeys() YIELD propertyKey RETURN propertyKey ORDER BY propertyKey")
+      == Seq(Map("propertyKey" -> "w"), Map("propertyKey" -> "x"),
+        Map("propertyKey" -> "y")))
+  }
+
+  test("YIELD aliases and downstream clauses") {
+    val s = freshSession("CREATE (:A)", "CREATE (:B)", "CREATE (:C)")
+    val r = rows(s,
+      """CALL db.labels() YIELD label AS l
+        |WITH l WHERE l <> 'B' RETURN count(*) AS c""".stripMargin)
+    assert(r == Seq(Map("c" -> 2L)))
+  }
+
+  test("algo.pageRank yields positive scores for all nodes") {
+    val s = freshSession(
+      "CREATE (a:P)-[:L]->(b:P)-[:L]->(c:P)-[:L]->(a)")
+    val r = rows(s,
+      "CALL algo.pageRank() YIELD node, score RETURN id(node) AS id, score")
+    assert(r.size == 3)
+    assert(r.forall(_("score").asInstanceOf[Double] > 0))
+  }
+
+  test("algo.BFS levels from a source") {
+    val s = freshSession(
+      "CREATE (:V {name:'a'})-[:E]->(:V {name:'b'})-[:E]->(:V {name:'c'})")
+    // find id of a through a query, feed as param-free literal via two steps
+    val aId = rows(s, "MATCH (a:V {name:'a'}) RETURN id(a) AS i")
+      .head("i").asInstanceOf[Long]
+    val r = rows(s,
+      s"CALL algo.BFS($aId, 10) YIELD node, level RETURN node.name AS n, level ORDER BY level")
+    assert(r == Seq(Map("n" -> "b", "level" -> 1L),
+      Map("n" -> "c", "level" -> 2L)))
+  }
+
+  test("fulltext index: create, query, drop") {
+    val s = freshSession(
+      "CREATE (:Doc {title: 'the quick brown fox'})",
+      "CREATE (:Doc {title: 'lazy dogs sleep'})",
+      "CREATE (:Doc {title: 'quick quick dogs'})")
+    s.run("CALL db.idx.fulltext.createNodeIndex('Doc', 'title')")
+    val r = rows(s,
+      """CALL db.idx.fulltext.queryNodes('Doc', 'quick fox') YIELD node, score
+        |RETURN node.title AS t, score ORDER BY score DESC, t""".stripMargin)
+    assert(r == Seq(
+      Map("t" -> "the quick brown fox", "score" -> 2.0),
+      Map("t" -> "quick quick dogs", "score" -> 1.0)))
+    // index follows graph mutations (lazy rebuild on version bump)
+    s.run("CREATE (:Doc {title: 'fox cubs'})")
+    val r2 = rows(s,
+      """CALL db.idx.fulltext.queryNodes('Doc', 'fox') YIELD node
+        |RETURN count(*) AS c""".stripMargin)
+    assert(r2 == Seq(Map("c" -> 2L)))
+    assert(rows(s, "CALL db.indexes() YIELD label RETURN label")
+      == Seq(Map("label" -> "Doc")))
+  }
+}
