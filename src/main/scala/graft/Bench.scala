@@ -15,7 +15,9 @@ object Bench {
   def headline: Seq[String] = {
     val prefer = Seq(
       "q1_agg", "q_expand_join", "q_count_distinct", "q_window_running",
-      "q_topk", "q_apply_decorrelated", "q_optional_match", "q_rollup")
+      "q_topk", "q_apply_decorrelated", "q_optional_match", "q_rollup",
+      // Cypher engine end-to-end (BASELINE entity_count / traversal shapes)
+      "q_cypher_count_stats", "q_cypher_agg", "q_cypher_varlen")
     val have = SparkEntry.queries.keySet
     prefer.filter(have)
   }

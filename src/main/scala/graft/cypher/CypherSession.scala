@@ -34,14 +34,16 @@ class CypherSession(val spark: SparkSession) {
   var graph: PropertyGraph = PropertyGraph(
     emptyDf(nodeSchema), emptyDf(edgeSchema))
 
-  private var nextNodeId = 0L
-  private var nextEdgeId = 0L
+  // id allocation is lazy: the max-id scan only runs when a mutation first
+  // needs a fresh id, so read-only sessions never pay it
+  private var nextNodeId: Option[Long] = Some(0L)
+  private var nextEdgeId: Option[Long] = Some(0L)
 
   /** Install an externally built graph (e.g. GraphBuilder.tpch). */
   def setGraph(g: PropertyGraph): Unit = {
     graph = g
-    nextNodeId = maxId(g.nodes) + 1
-    nextEdgeId = maxId(g.edges) + 1
+    nextNodeId = None
+    nextEdgeId = None
     graphVersion += 1
   }
 
@@ -49,8 +51,12 @@ class CypherSession(val spark: SparkSession) {
     if (df.isEmpty) -1L
     else df.agg(max("id")).head().getLong(0)
 
-  private[cypher] def nodeIdBase: Long = nextNodeId
-  private[cypher] def edgeIdBase: Long = nextEdgeId
+  private[cypher] def nodeIdBase: Long = nextNodeId.getOrElse {
+    val v = maxId(graph.nodes) + 1; nextNodeId = Some(v); v
+  }
+  private[cypher] def edgeIdBase: Long = nextEdgeId.getOrElse {
+    val v = maxId(graph.edges) + 1; nextEdgeId = Some(v); v
+  }
 
   /** Swap in a mutated graph; `localCheckpoint` materializes the new tables
     * (≡ the Delta table rewrite/commit at scale) and truncates lineage so
@@ -59,8 +65,8 @@ class CypherSession(val spark: SparkSession) {
   private[cypher] def commit(nodes: DataFrame, edges: DataFrame): Unit = {
     graph = PropertyGraph(
       nodes.localCheckpoint(true), edges.localCheckpoint(true))
-    nextNodeId = maxId(graph.nodes) + 1
-    nextEdgeId = maxId(graph.edges) + 1
+    nextNodeId = None
+    nextEdgeId = None
     graphVersion += 1
   }
 

@@ -314,8 +314,11 @@ object Translator {
       // frame-dependent props filter after the join
       val (constProps, dynProps) = np.props.partition { case (_, e) => isConst(e) }
       val scan = nodeScan(ctx, np.copy(props = constProps), name)
+      // pristine unit frame → the scan IS the frame (no cross join wart)
       val df =
-        if (frame.vars.isEmpty) scan.crossJoin(frame.df).drop("__unit")
+        if (frame.vars.isEmpty &&
+            frame.df.columns.sameElements(Array("__unit"))) scan
+        else if (frame.vars.isEmpty) scan.crossJoin(frame.df).drop("__unit")
         else frame.df.crossJoin(scan)
       var f = Frame(df, frame.vars + (name -> KNode))
       dynProps.foreach { case (k, e) =>

@@ -150,4 +150,47 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select("a", "b", "dist")
   }
+
+  /** Embedding-cosine near-duplicate pairs, exact: all (a < b) pairs with
+    * cosine ≥ threshold. Correctness anchor — O(n²), bound the input
+    * (the scale path is [[embeddingNearDups]]).
+    */
+  def embeddingNearDupsExact(vectors: DataFrame,
+      threshold: Double): DataFrame = {
+    import graft.similarity.Similarity._
+    val va = vectors.select(col("vec_id").as("a"),
+      col("embedding").as("emb_a"), norm(col("embedding")).as("norm_a"))
+    val vb = vectors.select(col("vec_id").as("b"),
+      col("embedding").as("emb_b"), norm(col("embedding")).as("norm_b"))
+    va.join(vb, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(dot(col("emb_a"), col("emb_b")) /
+          (col("norm_a") * col("norm_b")), 5).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup, scale path: LSH-bucket candidate pairs
+    * (never the n² cross product) verified by exact cosine ≥ threshold.
+    * Recall vs the exact variant is measured in DedupSpec.
+    */
+  def embeddingNearDups(vectors: DataFrame, threshold: Double,
+      bits: Int = 8, tables: Int = 8): DataFrame = {
+    import graft.similarity.Similarity._
+    val buckets = lshBuckets(vectors, bits, tables)
+    val cands = buckets.select(col("table"), col("bucket"),
+        col("vec_id").as("a"))
+      .join(buckets.select(col("table"), col("bucket"),
+        col("vec_id").as("b")), Seq("table", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val va = vectors.select(col("vec_id").as("a"),
+      col("embedding").as("emb_a"), norm(col("embedding")).as("norm_a"))
+    val vb = vectors.select(col("vec_id").as("b"),
+      col("embedding").as("emb_b"), norm(col("embedding")).as("norm_b"))
+    cands.join(va, "a").join(vb, "b")
+      .select(col("a"), col("b"),
+        round(dot(col("emb_a"), col("emb_b")) /
+          (col("norm_a") * col("norm_b")), 5).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
 }

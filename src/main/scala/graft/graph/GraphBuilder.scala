@@ -16,6 +16,29 @@ import org.apache.spark.sql.functions._
   */
 object GraphBuilder {
 
+  /** Stored-graph cache: materialize the built graph as parquet node/edge
+    * tables once per source dir and read those back. This is the production
+    * shape — a property graph lives as stored (bucketed) tables, not as a
+    * union-of-sources view recomputed per query — and it collapses Catalyst
+    * analysis from a deep union plan to two parquet scans.
+    */
+  private val stored = scala.collection.concurrent.TrieMap[String, PropertyGraph]()
+
+  def tpchStored(spark: SparkSession, dir: String): PropertyGraph =
+    stored.getOrElseUpdate(dir, {
+      val cacheDir = "/tmp/graft_graph_cache/" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val nodesPath = s"$cacheDir/nodes"
+      val edgesPath = s"$cacheDir/edges"
+      if (!new java.io.File(s"$nodesPath/_SUCCESS").exists()) {
+        val g = tpch(spark, dir)
+        g.nodes.write.mode("overwrite").parquet(nodesPath)
+        g.edges.write.mode("overwrite").parquet(edgesPath)
+      }
+      PropertyGraph(
+        spark.read.parquet(nodesPath), spark.read.parquet(edgesPath))
+    })
+
   val CUST_BASE = 0L
   val ORDER_BASE = 100000000L
   val NATION_BASE = 200000000L

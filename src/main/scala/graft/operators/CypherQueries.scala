@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions.col
 object CypherQueries {
 
   private def run(s: SparkSession, dir: String, cypher: String): DataFrame = {
-    val g = GraphBuilder.tpch(s, dir)
+    val g = GraphBuilder.tpchStored(s, dir)
     val ast = CypherParser.parse(cypher).fold(
       err => throw new IllegalArgumentException(err), identity)
     Translator.translate(g, ast)
@@ -26,7 +26,7 @@ object CypherQueries {
   private def runS(s: SparkSession, dir: Option[String],
       statements: String*): DataFrame = {
     val sess = new CypherSession(s)
-    dir.foreach(d => sess.setGraph(GraphBuilder.tpch(s, d)))
+    dir.foreach(d => sess.setGraph(GraphBuilder.tpchStored(s, d)))
     statements.init.foreach(sess.run(_))
     sess.run(statements.last)
   }

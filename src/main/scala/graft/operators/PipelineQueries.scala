@@ -145,6 +145,27 @@ object PipelineQueries {
       Dedup.simHashPairs(Tables.documents(s, dir), 16, 16)
     },
 
+    QueryDef(
+      "q_dedup_embed",
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 5) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 300 AND b.vec_id < 300
+        |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                   CAST(b.embedding AS DOUBLE[])), 5) >= 0.2""".stripMargin) { (s, dir) =>
+      // embedding-cosine near-dup, exact pairs (bounded window); the LSH
+      // candidate path is q_dedup_embed_lsh below.
+      Dedup.embeddingNearDupsExact(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 300), 0.2)
+    },
+
+    QueryDef.noOracle("q_dedup_embed_lsh") { (s, dir) =>
+      // scale path: LSH-bucket candidates + exact cosine verify; recall vs
+      // exact measured in PipelineSpec.
+      Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.9, 8, 8)
+    },
+
     // ── similarity search ───────────────────────────────────────────────────
     QueryDef(
       "q_knn_cosine",

@@ -60,6 +60,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding near-dup: LSH candidates recall vs exact pairs") {
+    // high-cosine pairs are exactly where random-hyperplane LSH is strong
+    val exact = Dedup.embeddingNearDupsExact(emb, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDups(emb, 0.5, 4, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // verify step guarantees precision 1.0
+    if (exact.nonEmpty) {
+      val recall = exact.count(lsh.contains).toDouble / exact.size
+      assert(recall >= 0.7, s"embed near-dup recall $recall of ${exact.size}")
+    }
+  }
+
   test("ann lsh topk recall vs brute force") {
     val bf = Similarity.bruteForceTopK(emb, emb, 3)
       .filter(col("rank") === 1)
