@@ -424,24 +424,45 @@ object Translator {
     val sources = frame.df
       .select(frame.col(prev).getField("id").as("__vstart"))
       .distinct().localCheckpoint(true)
-    var frontier = sources.select(col("__vstart"),
-      col("__vstart").as("__vcur"),
-      array().cast(ArrayType(edgeStructType)).as("__vrels"),
-      array().cast(ArrayType(nodeStructType)).as("__vnodes"))
-      .localCheckpoint(true)
+    // When no path/rel variable is bound (keepAcc=false), the frontier
+    // carries only edge IDs for path-uniqueness — arrays of longs, not
+    // full entity structs. The per-hop checkpoints then hold a few bytes
+    // per path instead of every property of every visited entity (memory
+    // stays flat across a Bench/Verify session of many traversals).
+    var frontier =
+      if (keepAcc)
+        sources.select(col("__vstart"),
+          col("__vstart").as("__vcur"),
+          array().cast(ArrayType(LongType)).as("__vrelids"),
+          array().cast(ArrayType(edgeStructType)).as("__vrels"),
+          array().cast(ArrayType(nodeStructType)).as("__vnodes"))
+          .localCheckpoint(true)
+      else
+        sources.select(col("__vstart"),
+          col("__vstart").as("__vcur"),
+          array().cast(ArrayType(LongType)).as("__vrelids"))
+          .localCheckpoint(true)
     val results = scala.collection.mutable.ArrayBuffer[DataFrame]()
     if (minH == 0) results += frontier
     var h = 0
     while (h < maxH && !frontier.isEmpty) {
       h += 1
-      val step = frontier.join(ev, col("__vcur") === ev("__from"))
-        .filter(!exists(col("__vrels"),
-          r => r.getField("id") === ev("__edge").getField("id")))
-        .join(nodesTbl, ev("__to") === col("__vnid"))
-        .select(col("__vstart"), col("__vnid").as("__vcur"),
-          concat(col("__vrels"), array(ev("__edge"))).as("__vrels"),
-          concat(col("__vnodes"), array(col("__vn"))).as("__vnodes"))
-        .localCheckpoint(true)
+      val joined = frontier.join(ev, col("__vcur") === ev("__from"))
+        .filter(!array_contains(col("__vrelids"),
+          ev("__edge").getField("id")))
+      val step0 =
+        if (keepAcc)
+          joined.join(nodesTbl, ev("__to") === col("__vnid"))
+            .select(col("__vstart"), col("__vnid").as("__vcur"),
+              concat(col("__vrelids"),
+                array(ev("__edge").getField("id"))).as("__vrelids"),
+              concat(col("__vrels"), array(ev("__edge"))).as("__vrels"),
+              concat(col("__vnodes"), array(col("__vn"))).as("__vnodes"))
+        else
+          joined.select(col("__vstart"), ev("__to").as("__vcur"),
+            concat(col("__vrelids"),
+              array(ev("__edge").getField("id"))).as("__vrelids"))
+      val step = step0.localCheckpoint(true)
       if (h >= minH) results += step
       frontier = step
     }
@@ -467,16 +488,13 @@ object Translator {
         }
         f
       }
-    var df = result.df.drop("__vstart", "__vcur")
+    var df = result.df.drop("__vstart", "__vcur", "__vrelids")
     val acc =
       if (keepAcc || rel.variable.isDefined) {
         df = df.withColumnRenamed("__vrels", relsName)
           .withColumnRenamed("__vnodes", nodesName)
         Some((relsName, nodesName))
-      } else {
-        df = df.drop("__vrels", "__vnodes")
-        None
-      }
+      } else None
     val vars = result.vars ++ rel.variable.map(_ -> KValue)
     (Frame(df, vars), acc)
   }

@@ -162,8 +162,10 @@ object PipelineQueries {
 
     QueryDef.noOracle("q_dedup_embed_lsh") { (s, dir) =>
       // scale path: LSH-bucket candidates + exact cosine verify; recall vs
-      // exact measured in PipelineSpec.
-      Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.9, 8, 8)
+      // exact measured in DedupSpec. Threshold 0.3 (testdata cosines top out
+      // ~0.5, so 0.9 would be a vacuous 0-row check); 6 bits × 8 tables keeps
+      // candidate recall non-trivial at that similarity.
+      Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.3, 6, 8)
     },
 
     // ── similarity search ───────────────────────────────────────────────────

@@ -249,13 +249,17 @@ object RelationalQueries {
 
     QueryDef(
       "q_collect",
-      """SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS order_keys
+      """SELECT o_custkey,
+        |       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+        |         AS order_keys
         |FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey""".stripMargin) { (s, dir) =>
-      // collect(x) (`agg_funcs.c:483`) → collect_list; sorted for a
-      // deterministic oracle compare.
+      // collect(x) (`agg_funcs.c:483`) → collect_list; sorted + serialized to
+      // a string for a deterministic oracle compare (the driver's row hash
+      // can't handle array cells).
       t(s, dir, "orders").filter(col("o_totalprice") > 300000)
         .groupBy("o_custkey")
-        .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"))
+        .agg(array_join(sort_array(collect_list(col("o_orderkey"))), ",")
+          .as("order_keys"))
     },
 
     QueryDef(
@@ -514,13 +518,13 @@ object RelationalQueries {
       """SELECT o_orderkey,
         |  CAST(len(ks) AS INT) AS n,
         |  ks[1] AS head_k,
-        |  list_slice(ks, 2, len(ks)) AS tail_k,
+        |  array_to_string(list_slice(ks, 2, len(ks)), ',') AS tail_k,
         |  list_contains(ks, o_orderkey) AS has_self
         |FROM (SELECT o_orderkey,
         |        [o_orderkey, o_orderkey + 1, o_orderkey + 2] AS ks
         |      FROM orders WHERE o_orderkey < 30)""".stripMargin) { (s, dir) =>
       // List funcs (`list_funcs.c`): size/head/tail/subscript/contains over a
-      // constructed array column.
+      // constructed array column; tail serialized (driver hash ∌ arrays).
       t(s, dir, "orders").filter(col("o_orderkey") < 30)
         .select(col("o_orderkey"),
           array(col("o_orderkey"), col("o_orderkey") + 1,
@@ -529,30 +533,31 @@ object RelationalQueries {
           col("o_orderkey"),
           size(col("ks")).as("n"),
           element_at(col("ks"), 1).as("head_k"),
-          slice(col("ks"), 2, 2).as("tail_k"),
+          array_join(slice(col("ks"), 2, 2), ",").as("tail_k"),
           array_contains(col("ks"), col("o_orderkey")).as("has_self"))
     },
 
     QueryDef(
       "q_higher_order",
       """SELECT o_orderkey,
-        |  list_transform(ks, x -> x * 2) AS doubled,
-        |  list_filter(ks, x -> x % 2 = 0) AS evens,
+        |  array_to_string(list_transform(ks, x -> x * 2), ',') AS doubled,
+        |  array_to_string(list_filter(ks, x -> x % 2 = 0), ',') AS evens,
         |  CAST(list_sum(ks) AS BIGINT) AS total
         |FROM (SELECT o_orderkey,
         |        [o_orderkey, o_orderkey + 1, o_orderkey + 2] AS ks
         |      FROM orders WHERE o_orderkey < 30)""".stripMargin) { (s, dir) =>
       // Comprehensions (`comprehension_funcs.c:193-213`):
       // [x IN list | e] → transform; [x IN list WHERE p] → filter;
-      // reduce for aggregation over the list.
+      // reduce for aggregation over the list. List results serialized for the
+      // driver's row hash.
       t(s, dir, "orders").filter(col("o_orderkey") < 30)
         .select(col("o_orderkey"),
           array(col("o_orderkey"), col("o_orderkey") + 1,
             col("o_orderkey") + 2).as("ks"))
         .select(
           col("o_orderkey"),
-          transform(col("ks"), x => x * 2).as("doubled"),
-          filter(col("ks"), x => x % 2 === 0).as("evens"),
+          array_join(transform(col("ks"), x => x * 2), ",").as("doubled"),
+          array_join(filter(col("ks"), x => x % 2 === 0), ",").as("evens"),
           aggregate(col("ks"), lit(0L), (acc, x) => acc + x).as("total"))
     })
 }

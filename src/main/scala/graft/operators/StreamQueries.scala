@@ -58,7 +58,11 @@ object StreamQueries {
     QueryDef.noOracle("q_multimodal_decode") { (s, dir) =>
       // full feature extraction incl. stubbed decode (deterministic fake
       // dims) + 16-bin byte histogram; MultimodalSpec checks invariants.
+      // Histogram serialized — the driver's rows-only check still reads the
+      // parquet with pandas and can't hash array cells.
       Multimodal.extractFeatures(
-        Multimodal.mediaFromDocs(Tables.documents(s, dir))).toDF()
+          Multimodal.mediaFromDocs(Tables.documents(s, dir))).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_bytes"),
+          array_join(col("histogram"), ",").as("histogram"))
     })
 }

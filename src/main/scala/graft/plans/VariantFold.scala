@@ -1,0 +1,204 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.BooleanType
+
+/** Catalyst optimizer rules that dissolve the Cypher variant/property-map
+  * layer into native column expressions.
+  *
+  * The property graph is exposed as *views* over typed relational tables:
+  * `props` is a `CreateMap` with literal keys whose values are variant
+  * structs built from native columns (GraphBuilder). The translator accesses
+  * properties as `element_at(props, 'key')` and fields via `.getField` over
+  * conditional variant constructors (`when(c.isNull, null).otherwise(
+  * struct(...))`). Local rewrites make the whole stack constant-fold:
+  *
+  *   1. `ElementAt(CreateMap(literal keys), literal key)` → the matching
+  *      value expression (or typed null when absent ≡ PROPERTY_NOTFOUND,
+  *      reference `src/graph/entities/graph_entity.h:24,76`).
+  *   2. `GetStructField(CaseWhen/If)` → pushed into the branches, where the
+  *      built-in SimplifyExtractValueOps collapses
+  *      `GetStructField(CreateNamedStruct)` to the underlying column.
+  *   3. CASE fact propagation: inside a branch value its condition is known
+  *      TRUE; in later branches a *null-free* earlier condition is known
+  *      FALSE (a null condition also skips the branch, hence the null-free
+  *      restriction). Known facts substitute matching subexpressions with
+  *      literals — `isnull(x)` checks collapse branch by branch.
+  *   4. Predicate context (Filter conditions, where NULL ≡ FALSE):
+  *      `coalesce(c, false)` unwraps, null-literal boolean values become
+  *      false, `CASE WHEN isnull(x) THEN false ELSE p END` becomes
+  *      `isnotnull(x) AND p`, and the left conjunct of `AND` is assumed true
+  *      on the right.
+  *
+  * Net effect: a Cypher filter like `o.totalprice > 300000` compiles to
+  * `isnotnull(o_totalprice) AND 300000.0 < o_totalprice` — pruned, pushed
+  * into the parquet scan, codegen'd — the Spark-native analogue of the
+  * reference compiling property accesses to direct attribute lookups. Runs
+  * inside the operator-optimization fixed-point batch (injected via
+  * [[GraftExtensions]]), interleaving with constant folding, filter pushdown
+  * and column pruning until fixed point.
+  */
+object VariantFoldRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val folded = plan.transformAllExpressions {
+      case e: ElementAt => foldMapLookup(e).getOrElse(e)
+      case GetStructField(cw: CaseWhen, ordinal, name) =>
+        CaseWhen(
+          cw.branches.map { case (c, v) =>
+            (c, GetStructField(v, ordinal, name))
+          },
+          cw.elseValue.map(GetStructField(_, ordinal, name)))
+      case GetStructField(If(p, t, f), ordinal, name) =>
+        If(p, GetStructField(t, ordinal, name),
+          GetStructField(f, ordinal, name))
+      case cw: CaseWhen => cleanupCase(propagateFacts(cw))
+    }
+    folded.transform {
+      case f @ Filter(cond, child) =>
+        val simplified = predicate(cond)
+        if (simplified.fastEquals(cond)) f else Filter(simplified, child)
+    }
+  }
+
+  private def foldMapLookup(e: ElementAt): Option[Expression] =
+    (e.left, e.right) match {
+      case (CreateMap(kvs, _), key: Literal) =>
+        val pairs = kvs.grouped(2).collect { case Seq(k, v) => (k, v) }.toSeq
+        if (pairs.forall(_._1.isInstanceOf[Literal])) {
+          Some(pairs
+            .find { case (k, _) =>
+              val kl = k.asInstanceOf[Literal]
+              kl.dataType == key.dataType && kl.value == key.value
+            }
+            .map(_._2)
+            .getOrElse(Literal.create(null, e.dataType)))
+        } else None
+      case _ => None
+    }
+
+  // ── runtime-fact engine (rewrite 3/4) ─────────────────────────────────────
+  /** (expr, value): `expr` is known to evaluate to `value` in this scope. */
+  private type Facts = Seq[(Expression, Boolean)]
+
+  /** Close a fact over boolean/null-check structure. */
+  private def expand(f: Expression, v: Boolean): Facts = f match {
+    case Not(g) => expand(g, !v)
+    case And(a, b) if v => ((f, v)) +: (expand(a, true) ++ expand(b, true))
+    case Or(a, b) if !v => ((f, v)) +: (expand(a, false) ++ expand(b, false))
+    case IsNull(x) => Seq((f, v), (IsNotNull(x), !v))
+    case IsNotNull(x) => Seq((f, v), (IsNull(x), !v))
+    case _ => Seq((f, v))
+  }
+
+  /** Boolean expressions that can never evaluate to NULL. */
+  private def nullFree(e: Expression): Boolean = e match {
+    case IsNull(_) | IsNotNull(_) => true
+    case Literal(v, BooleanType) => v != null
+    case And(a, b) => nullFree(a) && nullFree(b)
+    case Or(a, b) => nullFree(a) && nullFree(b)
+    case Not(a) => nullFree(a)
+    case _ => false
+  }
+
+  private def subst(e: Expression, facts0: Facts): Expression = {
+    val facts = facts0.filter(_._1.deterministic)
+    if (facts.isEmpty) e
+    else e.transformUp {
+      case x if x.dataType == BooleanType =>
+        facts.find(_._1.semanticEquals(x))
+          .map(f => Literal(f._2)).getOrElse(x)
+    }
+  }
+
+  /** Rewrite 3: substitute facts established by CASE evaluation order. */
+  private def propagateFacts(cw: CaseWhen): CaseWhen = {
+    var accFalse: Facts = Nil
+    val newBranches = cw.branches.map { case (c, v) =>
+      val c2 = subst(c, accFalse)
+      val v2 = subst(v, accFalse ++ expand(c2, true))
+      if (nullFree(c2)) accFalse = accFalse ++ expand(c2, false)
+      (c2, v2)
+    }
+    CaseWhen(newBranches, cw.elseValue.map(subst(_, accFalse)))
+  }
+
+  /** Always-sound CASE cleanup (value context): drop false-condition
+    * branches, truncate at the first true condition, and collapse the
+    * null-guard identity `CASE WHEN isnull(x) THEN null ELSE x END → x`.
+    */
+  private def cleanupCase(cw: CaseWhen): Expression = {
+    var bs = cw.branches.filterNot(_._1 == Literal.FalseLiteral)
+    var els = cw.elseValue
+    val i = bs.indexWhere(_._1 == Literal.TrueLiteral)
+    if (i >= 0) { els = Some(bs(i)._2); bs = bs.take(i) }
+    (bs, els) match {
+      case (Seq(), Some(e)) => e
+      case (Seq(), None) => Literal.create(null, cw.dataType)
+      case (Seq((IsNull(x), Literal(null, _))), Some(e))
+          if e.semanticEquals(x) => e
+      case _ => CaseWhen(bs, els)
+    }
+  }
+
+  /** Rewrite 4: boolean simplification valid only where NULL ≡ FALSE
+    * (filter conditions and the conditions of conditionals within them).
+    */
+  private def predicate(e: Expression): Expression = e match {
+    case Coalesce(Seq(c, Literal(false, BooleanType))) => predicate(c)
+    case Literal(null, BooleanType) => Literal.FalseLiteral
+    case And(l, r) =>
+      val l2 = predicate(l)
+      // left conjunct assumed true on the right: sound in predicate context
+      // (if l is not TRUE the AND can never be TRUE regardless of r)
+      And(l2, predicate(subst(r, expand(l2, true))))
+    case Or(l, r) => Or(predicate(l), predicate(r))
+    case Not(c) => Not(c) // NOT(null)=null≡false but NOT(false)=true — keep
+    case If(p, t, f) => If(predicate(p), predicate(t), predicate(f))
+    case cw: CaseWhen if cw.dataType == BooleanType =>
+      var bs = cw.branches.map { case (c, v) => (predicate(c), predicate(v)) }
+      var els = cw.elseValue.map(predicate).getOrElse(Literal.FalseLiteral)
+      bs = bs.filterNot(_._1 == Literal.FalseLiteral)
+      val i = bs.indexWhere(_._1 == Literal.TrueLiteral)
+      if (i >= 0) { els = bs(i)._2; bs = bs.take(i) }
+      // peel leading `WHEN <null-check> THEN false` into IsNotNull conjuncts:
+      // CASE WHEN isnull(x) THEN false ELSE p ≡ isnotnull(x) AND p
+      val conjuncts = scala.collection.mutable.ArrayBuffer[Expression]()
+      while (bs.nonEmpty && bs.head._2 == Literal.FalseLiteral &&
+          notNullOperands(bs.head._1).nonEmpty) {
+        conjuncts ++= notNullOperands(bs.head._1).map(IsNotNull(_))
+        bs = bs.tail
+      }
+      val core: Expression =
+        if (bs.isEmpty) els else CaseWhen(bs, Some(els))
+      if (conjuncts.isEmpty) core
+      else And(conjuncts.reduce(And), predicate(subst(core,
+        conjuncts.toSeq.flatMap(expand(_, true)))))
+    case other => other
+  }
+
+  /** Operands known non-null when `cond` (a pure null-check tree) is false:
+    * NOT(IsNull(e)) ⇒ e; NOT(a OR b) ⇒ both sides.
+    */
+  private def notNullOperands(cond: Expression): Seq[Expression] = cond match {
+    case IsNull(e) => Seq(e)
+    case Or(l, r) =>
+      val ls = notNullOperands(l); val rs = notNullOperands(r)
+      if (ls.nonEmpty && rs.nonEmpty) ls ++ rs else Nil
+    case _ => Nil
+  }
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`): registers the engine's
+  * Catalyst rules.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => VariantFoldRule)
+    ext.injectOptimizerRule(_ => ProjectCseRule)
+  }
+}
