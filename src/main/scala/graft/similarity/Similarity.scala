@@ -47,11 +47,25 @@ object Similarity {
       .select(col("a"), col("b"), col("sim"), col("rank").cast("int").as("rank"))
   }
 
+  /** splitmix64-derived uniform in [-1, 1] — deterministic hyperplane
+    * component (t, p, j), computed driver-side (a literal per plane; nothing
+    * random ships to executors, reproducible cluster-wide).
+    */
+  private def planeCoef(t: Int, p: Int, j: Int): Double = {
+    var z = (t.toLong << 42) + (p.toLong << 21) + j + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= z >>> 31
+    z.toDouble / Long.MaxValue.toDouble
+  }
+
   /** Random-hyperplane LSH: for each of `tables` hash tables, a `bits`-bit
     * signature (sign bits of projections onto deterministic pseudo-random
-    * hyperplanes). Hyperplane component j of plane (t,p) derives from
-    * xxhash64(t, p, j) → uniform in [-1, 1): fully deterministic, nothing
-    * random to ship to executors. Multiple tables are the recall knob:
+    * hyperplanes). Each plane is a *literal* coefficient array and the
+    * projection is `aggregate(zip_with(plane, embedding, *), +)` — a loop in
+    * the generated code, not dim unrolled terms (an unrolled variant blows
+    * the JVM method-size limit at dim≥64 and falls back to interpreted
+    * eval). Multiple tables are the recall knob:
     * P(candidate) = 1-(1-p^bits)^tables.
     *
     * Returns (vec_id, table, bucket) — one row per table.
@@ -61,11 +75,10 @@ object Similarity {
     val dim = vectors.select(size(col("embedding"))).head().getInt(0)
     val tableCols = (0 until tables).map { t =>
       val planeBits = (0 until bits).map { p =>
-        val proj = (0 until dim).map { j =>
-          val h = xxhash64(lit(t), lit(p), lit(j))
-          (h.cast("double") / lit(Long.MaxValue.toDouble)) *
-            element_at(col("embedding"), j + 1).cast("double")
-        }.reduce(_ + _)
+        val plane = typedlit((0 until dim).map(j => planeCoef(t, p, j)))
+        val proj = aggregate(
+          zip_with(plane, col("embedding"), (c, x) => c * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x)
         when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
       }
       struct(lit(t).as("table"),
