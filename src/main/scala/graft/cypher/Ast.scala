@@ -72,6 +72,58 @@ object Ast {
   case class CallProc(name: String, args: List[Expr],
       yields: List[(String, Option[String])]) extends Clause
 
+  /** Top-down expression rewrite: where `pf` applies, its result replaces
+    * the node (no recursion into the replacement); otherwise children are
+    * rewritten structurally.
+    */
+  def transformExpr(e: Expr)(pf: PartialFunction[Expr, Expr]): Expr =
+    if (pf.isDefinedAt(e)) pf(e)
+    else {
+      def t(x: Expr): Expr = transformExpr(x)(pf)
+      e match {
+        case ListLit(items) => ListLit(items.map(t))
+        case MapLit(entries) => MapLit(entries.map { case (k, v) => (k, t(v)) })
+        case Prop(target, key) => Prop(t(target), key)
+        case Bin(op, l, r) => Bin(op, t(l), t(r))
+        case Not(x) => Not(t(x))
+        case Neg(x) => Neg(t(x))
+        case IsNull(x, n) => IsNull(t(x), n)
+        case Fn(n, args, d) => Fn(n, args.map(t), d)
+        case CaseExpr(s, w, o) => CaseExpr(s.map(t),
+          w.map { case (a, b) => (t(a), t(b)) }, o.map(t))
+        case Subscript(target, i) => Subscript(t(target), t(i))
+        case SliceExpr(target, f, to) =>
+          SliceExpr(t(target), f.map(t), to.map(t))
+        case ListComprehension(v, l, w, p) =>
+          ListComprehension(v, t(l), w.map(t), p.map(t))
+        case Quantifier(k, v, l, p) => Quantifier(k, v, t(l), t(p))
+        case other => other
+      }
+    }
+
+  /** Collect over an expression tree (pre-order). */
+  def foreachExpr(e: Expr)(f: Expr => Unit): Unit = {
+    f(e)
+    val kids: Seq[Expr] = e match {
+      case ListLit(items) => items
+      case MapLit(entries) => entries.map(_._2)
+      case Prop(target, _) => Seq(target)
+      case Bin(_, l, r) => Seq(l, r)
+      case Not(x) => Seq(x)
+      case Neg(x) => Seq(x)
+      case IsNull(x, _) => Seq(x)
+      case Fn(_, args, _) => args
+      case CaseExpr(s, w, o) =>
+        s.toSeq ++ w.flatMap { case (a, b) => Seq(a, b) } ++ o.toSeq
+      case Subscript(target, i) => Seq(target, i)
+      case SliceExpr(target, f0, to) => Seq(target) ++ f0.toSeq ++ to.toSeq
+      case ListComprehension(_, l, w, p) => Seq(l) ++ w.toSeq ++ p.toSeq
+      case Quantifier(_, _, l, p) => Seq(l, p)
+      case _ => Nil
+    }
+    kids.foreach(foreachExpr(_)(f))
+  }
+
   case class SingleQuery(clauses: List[Clause])
   /** union chain: parts(i) UNION [ALL] parts(i+1); unionAll(i) applies
     * between parts i and i+1.

@@ -499,6 +499,47 @@ object Translator {
     (Frame(df, vars), acc)
   }
 
+  /** indegree/outdegree (`entity_funcs.c:186-230`): a per-node degree needs
+    * the edge table, so the scalar call resolves to a left join against a
+    * degree view (`groupBy(src/dst).count`, map-side combined) and the call
+    * site becomes a plain column reference (0 when unmatched — a node with
+    * no edges). The join shuffles only the degree side at scale; the frame
+    * keeps its partitioning.
+    */
+  private def resolveDegrees(ctx: Ctx, frame: Frame,
+      exprs: Seq[Ast.Expr]): (Frame, Ast.Expr => Ast.Expr) = {
+    val found =
+      scala.collection.mutable.LinkedHashMap[(String, String), String]()
+    exprs.foreach(Ast.foreachExpr(_) {
+      case Ast.Fn(d @ ("indegree" | "outdegree"),
+          List(Ast.Variable(v)), _) if frame.has(v) =>
+        found.getOrElseUpdate((v, d), freshName("deg")); ()
+      case _ => ()
+    })
+    if (found.isEmpty) (frame, identity)
+    else {
+      var df = frame.df
+      found.foreach { case ((v, dir), tmp) =>
+        val idCol = freshName("degid")
+        val deg = (if (dir == "outdegree") ctx.graph.outDegrees
+          else ctx.graph.inDegrees)
+          .toDF(idCol, s"${tmp}_n")
+        df = df.join(deg, frame.col(v).getField("id") === col(idCol),
+            "left_outer")
+          .withColumn(tmp,
+            Values.vInt(coalesce(col(s"${tmp}_n"), lit(0L))))
+          .drop(idCol, s"${tmp}_n")
+      }
+      val f2 = Frame(df, frame.vars ++ found.values.map(_ -> KValue))
+      val rewrite = (e: Ast.Expr) => Ast.transformExpr(e) {
+        case Ast.Fn(d @ ("indegree" | "outdegree"),
+            List(Ast.Variable(v)), _) if found.contains((v, d)) =>
+          Ast.Variable(found((v, d)))
+      }
+      (f2, rewrite)
+    }
+  }
+
   // ═══════════════════════════ WHERE / predicates ══════════════════════════
   /** Split top-level conjunction; pattern predicates become semi/anti joins
     * (`reduce_to_apply.c` ≡ RewritePredicateSubquery, done at translation).
@@ -517,7 +558,9 @@ object Translator {
       case Ast.Not(Ast.Fn("exists", List(Ast.PatternPred(p)), _)) =>
         f = patternFilter(ctx, f, p, anti = true)
       case pred =>
-        f = f.copy(df = f.df.filter(Values.isTrue(trExpr(ctx, f, pred))))
+        val (f2, rw) = resolveDegrees(ctx, f, Seq(pred))
+        f = f2.copy(df = f2.df.filter(
+          Values.isTrue(trExpr(ctx, f2, rw(pred)))))
     }
     f
   }
@@ -575,8 +618,20 @@ object Translator {
     case _ => freshName("col")
   }
 
-  private[cypher] def translateProjection(ctx: Ctx, frame: Frame,
-      proj: Ast.Projection, where: Option[Ast.Expr]): Frame = {
+  private[cypher] def translateProjection(ctx: Ctx, frame0: Frame,
+      proj0: Ast.Projection, where: Option[Ast.Expr]): Frame = {
+    // degree calls resolve to joined columns before any projection math
+    val (frame, degRw) = resolveDegrees(ctx, frame0,
+      proj0.items.map(_._1) ++ proj0.orderBy.map(_.expr))
+    val proj = proj0.copy(
+      // pin default aliases pre-rewrite (outdegree(n) stays named outdegree)
+      items = proj0.items.map { case (e, a) =>
+        (degRw(e), e match {
+          case Ast.Variable("*") => a
+          case _ => Some(a.getOrElse(defaultName(e)))
+        })
+      },
+      orderBy = proj0.orderBy.map(si => si.copy(expr = degRw(si.expr))))
     // expand RETURN *
     val items: List[(Ast.Expr, String)] = proj.items.flatMap {
       case (Ast.Variable("*"), _) =>
@@ -994,6 +1049,13 @@ object Translator {
         struct(e.getField("dst").as("id"),
           lit(null).cast(StringType).as("label"),
           lit(null).cast(Values.propsType).as("props"))
+      // dynamic property access (`entity_funcs.c` property): key evaluated
+      // at runtime, missing ≡ NULL (PROPERTY_NOTFOUND)
+      case "property" =>
+        val e = entity(fn.args.head)
+        val k = t(fn.args(1))
+        when(k.isNull, vNull)
+          .otherwise(element_at(e.getField("props"), k.getField("s")))
 
       // path funcs (`path_funcs.c:266-289`) — raw entity arrays
       case "nodes" => t(fn.args.head).getField("nodes")
@@ -1011,6 +1073,8 @@ object Translator {
           vPoint(lat, lon)
         case other => throw TranslateError(s"point needs a map literal: $other")
       }
+      case "latitude" => vFloat(pointLat(t(fn.args.head)))
+      case "longitude" => vFloat(pointLon(t(fn.args.head)))
       case "distance" =>
         val a = t(fn.args.head); val b = t(fn.args(1))
         val lat1 = radians(pointLat(a)); val lon1 = radians(pointLon(a))
@@ -1073,6 +1137,7 @@ object Translator {
       case "sqrt" => num1(sqrt)
       case "sign" => num1(signum, keepInt = true)
       case "rand" => vFloat(rand())
+      case "randomuuid" => vStr(uuid())
       case "tointeger" =>
         val v = t(fn.args.head)
         when(v.isNull, vNull)

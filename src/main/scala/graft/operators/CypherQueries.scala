@@ -219,6 +219,56 @@ object CypherQueries {
     },
 
     QueryDef(
+      "q_cypher_degree",
+      """SELECT n_name AS name,
+        |  (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey)
+        |  + (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey)
+        |  AS deg
+        |FROM nation""".stripMargin) { (s, dir) =>
+      // indegree/outdegree (`entity_funcs.c:186-230`) resolve to a
+      // left-joined degree view (groupBy src/dst + count)
+      run(s, dir,
+        """MATCH (n:Nation)
+          |RETURN n.name AS name, indegree(n) AS deg""".stripMargin)
+        .select(asString("name"), asLong("deg"))
+    },
+
+    QueryDef(
+      "q_cypher_case",
+      """SELECT o_orderkey AS ok,
+        |  CASE WHEN o_totalprice > 300000 THEN 'big'
+        |       WHEN o_totalprice > 150000 THEN 'mid'
+        |       ELSE 'small' END AS bucket
+        |FROM orders WHERE o_orderkey < 1000""".stripMargin) { (s, dir) =>
+      // searched CASE (`conditional_funcs.c:83-88`)
+      run(s, dir,
+        """MATCH (o:Order) WHERE o.orderkey < 1000
+          |RETURN o.orderkey AS ok,
+          |       CASE WHEN o.totalprice > 300000 THEN 'big'
+          |            WHEN o.totalprice > 150000 THEN 'mid'
+          |            ELSE 'small' END AS bucket""".stripMargin)
+        .select(asLong("ok"), asString("bucket"))
+    },
+
+    QueryDef(
+      "q_cypher_with_chain",
+      """SELECT n_name AS nation, cnt FROM (
+        |  SELECT n_name, count(*) AS cnt
+        |  FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |  WHERE c_acctbal > 0 GROUP BY 1)
+        |WHERE cnt > 50""".stripMargin) { (s, dir) =>
+      // WITH-segmented pipeline: aggregate → filter on the aggregate
+      // (plan segments at WITH, `execution_plan.c:50-103`)
+      run(s, dir,
+        """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+          |WHERE c.acctbal > 0
+          |WITH n.name AS nation, count(*) AS cnt
+          |WHERE cnt > 50
+          |RETURN nation, cnt""".stripMargin)
+        .select(asString("nation"), asLong("cnt"))
+    },
+
+    QueryDef(
       "q_cypher_edge_props",
       """SELECT o_orderkey AS ok, p_partkey AS pk,
         |       round(l_extendedprice, 2) AS price

@@ -248,4 +248,33 @@ class CypherSpec extends AnyFunSuite {
       "MATCH (l:L), (m:M) RETURN l.v AS v, m.w AS w ORDER BY v")
     assert(r == Seq(Map("v" -> 1L, "w" -> 10L), Map("v" -> 2L, "w" -> 10L)))
   }
+
+  test("indegree and outdegree") {
+    val s = freshSession(
+      "CREATE (a:D {n:'a'})-[:R]->(b:D {n:'b'})-[:R]->(c:D {n:'c'})",
+      "MATCH (a:D {n:'a'}), (c:D {n:'c'}) CREATE (a)-[:R]->(c)")
+    val r = rows(s,
+      """MATCH (d:D) RETURN d.n AS n, indegree(d) AS i, outdegree(d) AS o
+        |ORDER BY n""".stripMargin)
+    assert(r == Seq(
+      Map("n" -> "a", "i" -> 0L, "o" -> 2L),
+      Map("n" -> "b", "i" -> 1L, "o" -> 1L),
+      Map("n" -> "c", "i" -> 2L, "o" -> 0L)))
+    // degree in WHERE
+    assert(rows(s,
+      "MATCH (d:D) WHERE outdegree(d) = 0 RETURN d.n AS n")
+      == Seq(Map("n" -> "c")))
+  }
+
+  test("property(), latitude/longitude, randomUUID") {
+    val s = freshSession("CREATE (:G {name:'x', lat: 1.5, lon: 2.5})")
+    val r = rows(s,
+      """MATCH (g:G) RETURN property(g, 'name') AS p,
+        |property(g, 'missing') AS m,
+        |latitude(point({latitude: g.lat, longitude: g.lon})) AS la,
+        |longitude(point({latitude: g.lat, longitude: g.lon})) AS lo""".stripMargin)
+    assert(r == Seq(Map("p" -> "x", "m" -> null, "la" -> 1.5, "lo" -> 2.5)))
+    val u = rows(s, "RETURN randomUUID() AS u").head("u").asInstanceOf[String]
+    assert(u.length == 36 && u.count(_ == '-') == 4)
+  }
 }
