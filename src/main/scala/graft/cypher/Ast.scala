@@ -49,8 +49,11 @@ object Ast {
   case class RelPat(variable: Option[String], types: List[String],
       props: List[(String, Expr)], direction: Int,
       varLen: Option[(Int, Option[Int])])
+  /** shortest=true ⇔ wrapped in shortestPath(...) — keep only the minimal
+    * path per (start, end) pair (`path_funcs.c` shortestpath).
+    */
   case class PathPat(pathVar: Option[String], head: NodePat,
-      tail: List[(RelPat, NodePat)])
+      tail: List[(RelPat, NodePat)], shortest: Boolean = false)
 
   // ── clauses ──────────────────────────────────────────────────────────────
   sealed trait Clause

@@ -216,10 +216,17 @@ object CypherParser extends RegexParsers {
       "-" ~ "->" ^^^ RelPat(None, Nil, Nil, 1, None) |
       "--" ~ not(">") ^^^ RelPat(None, Nil, Nil, 0, None)
 
+  private def barePath: Parser[PathPat] =
+    nodePat ~ rep(relPat ~ nodePat) ^^ {
+      case h ~ t => PathPat(None, h, t.map { case r ~ n => (r, n) })
+    }
+
   def pathPattern: Parser[PathPat] =
-    opt(ident <~ "=") ~ nodePat ~ rep(relPat ~ nodePat) ^^ {
-      case pv ~ h ~ t =>
-        PathPat(pv, h, t.map { case r ~ n => (r, n) })
+    opt(ident <~ "=") ~ (
+      ("""(?i)shortestpath""".r ~ "(") ~> barePath <~ ")" ^^
+        (_.copy(shortest = true)) |
+        barePath) ^^ {
+      case pv ~ p => p.copy(pathVar = pv)
     }
 
   def patternList: Parser[List[PathPat]] = rep1sep(pathPattern, ",")

@@ -193,12 +193,16 @@ object Translator {
   /** Translate one path; returns frame + edge var names (for uniqueness). */
   private[cypher] def translatePath(ctx: Ctx, frame: Frame,
       p: Ast.PathPat): (Frame, List[String]) = {
+    if (p.shortest)
+      require(p.tail.size == 1 && p.tail.head._1.varLen.isDefined,
+        "shortestPath needs a single variable-length relationship pattern")
     var f = bindNode(ctx, frame, p.head)
-    var prev = p.head.variable.getOrElse(nameOf(p.head))
+    val startName = p.head.variable.getOrElse(nameOf(p.head))
+    var prev = startName
     val edgeVars = scala.collection.mutable.ArrayBuffer[String]()
     val segs = scala.collection.mutable.ArrayBuffer[PathSeg](NodeSeg(prev))
     val temps = scala.collection.mutable.ArrayBuffer[String]()
-    val needAcc = p.pathVar.isDefined
+    val needAcc = p.pathVar.isDefined || p.shortest
     p.tail.foreach { case (rel, node) =>
       rel.varLen match {
         case None =>
@@ -218,6 +222,20 @@ object Translator {
           }
       }
       prev = node.variable.getOrElse(nameOf(node))
+    }
+    if (p.shortest) {
+      // shortestPath (`path_funcs.c:108-190`: BFS, ONE minimal path per
+      // (start, end) pair): enumeration + rank — min hop count first,
+      // edge-id array as the deterministic tiebreak.
+      val relsCol = segs.collectFirst { case VarSeg(rc, _) => rc }.get
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(f.col(startName).getField("id"),
+          f.col(prev).getField("id"))
+        .orderBy(size(f.col(relsCol)),
+          transform(f.col(relsCol), r => r.getField("id")))
+      val rn = freshName("sprn")
+      f = f.copy(df = f.df.withColumn(rn, row_number().over(w))
+        .filter(col(s"`$rn`") === 1).drop(rn))
     }
     p.pathVar.foreach { pv =>
       // assemble struct(nodes, rels) from the segments (`topath`,

@@ -219,6 +219,21 @@ object CypherQueries {
     },
 
     QueryDef(
+      "q_cypher_shortest",
+      """SELECT c_custkey AS ck, CAST(2 AS BIGINT) AS len
+        |FROM customer WHERE c_custkey < 100""".stripMargin) { (s, dir) =>
+      // shortest route Customer→Region is always the 2-hop via Nation
+      // (enumeration would also emit nothing longer here, but the rank
+      // guarantees exactly one row per endpoint pair)
+      run(s, dir,
+        """MATCH p = shortestPath(
+          |  (c:Customer)-[:IN_NATION|IN_REGION*1..3]->(r:Region))
+          |WHERE c.custkey < 100
+          |RETURN c.custkey AS ck, length(p) AS len""".stripMargin)
+        .select(asLong("ck"), asLong("len"))
+    },
+
+    QueryDef(
       "q_cypher_degree",
       """SELECT n_name AS name,
         |  (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey)

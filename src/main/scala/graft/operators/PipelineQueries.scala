@@ -68,6 +68,23 @@ object PipelineQueries {
     },
 
     QueryDef(
+      "q_text_bpe_tokens",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+        |  )) AS INT) AS n_bpe,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_ws
+        |FROM documents""".stripMargin) { (s, dir) =>
+      // BPE-ish token counting: GPT-2 pre-tokenizer regex match count next
+      // to the whitespace count (both one codegen'd pass; the regex is
+      // portable Java<->RE2 so DuckDB oracles it exactly).
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe"),
+        TextOps.tokenCount(col("text")).as("n_ws"))
+    },
+
+    QueryDef(
       "q_json_extract",
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k

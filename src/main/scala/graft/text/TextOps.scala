@@ -24,6 +24,23 @@ object TextOps {
   def patternCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
+  /** GPT-2-style pre-tokenizer regex (contractions, letter runs, digit runs,
+    * punctuation runs, whitespace runs) — the standard BPE *pre*-split. Each
+    * match ≈ one-to-few BPE tokens, so the match count is the usual cheap
+    * proxy for LLM token counts over a corpus (single codegen'd regexp pass;
+    * no vocab shipped to executors).
+    */
+  val bpePretokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish token count (pre-tokenizer match count). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePretokenPattern), lit(0)))
+
+  /** The pre-token pieces themselves (inspection / downstream BPE). */
+  def bpePretokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePretokenPattern), lit(0))
+
   /** Stopword-marker language scores. Deliberately small marker sets — the
     * point is the scalable scoring shape (one regexp pass per language,
     * argmax), not lexical completeness.

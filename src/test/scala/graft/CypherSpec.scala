@@ -266,6 +266,23 @@ class CypherSpec extends AnyFunSuite {
       == Seq(Map("n" -> "c")))
   }
 
+  test("shortestPath keeps one minimal path per endpoint pair") {
+    // diamond + long way round: a->b->d (2 hops), a->c->d (2 hops), a->d (1)
+    val s = freshSession(
+      "CREATE (a:S {n:'a'})-[:R]->(b:S {n:'b'})-[:R]->(d:S {n:'d'})",
+      "MATCH (a:S {n:'a'}), (d:S {n:'d'}) CREATE (a)-[:R]->(:S {n:'c'})-[:R]->(d)",
+      "MATCH (a:S {n:'a'}), (d:S {n:'d'}) CREATE (a)-[:R]->(d)")
+    val r = rows(s,
+      """MATCH p = shortestPath((a:S {n:'a'})-[:R*1..4]->(d:S {n:'d'}))
+        |RETURN length(p) AS len""".stripMargin)
+    assert(r == Seq(Map("len" -> 1L)))
+    // without shortestPath: all three routes enumerate
+    val all = rows(s,
+      """MATCH p = (a:S {n:'a'})-[:R*1..4]->(d:S {n:'d'})
+        |RETURN count(*) AS c""".stripMargin)
+    assert(all == Seq(Map("c" -> 3L)))
+  }
+
   test("property(), latitude/longitude, randomUUID") {
     val s = freshSession("CREATE (:G {name:'x', lat: 1.5, lon: 2.5})")
     val r = rows(s,

@@ -1,0 +1,52 @@
+package graft
+
+import graft.cypher.{Graft, Translator}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GRAPH.* command-surface parity (`/root/reference/src/module.c:132-172`). */
+class GraftApiSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("query / list / delete lifecycle") {
+    val g = new Graft(spark)
+    g.query("social", "CREATE (:P {name:'ann'})-[:KNOWS]->(:P {name:'bob'})")
+    g.query("other", "CREATE (:X {v:1})")
+    assert(g.list == Seq("other", "social"))
+    val r = g.query("social",
+      "MATCH (a:P)-[:KNOWS]->(b:P) RETURN count(*) AS c")
+    assert(r.select(r("c").getField("i")).head().getLong(0) == 1L)
+    g.delete("other")
+    assert(g.list == Seq("social"))
+  }
+
+  test("roQuery rejects mutations") {
+    val g = new Graft(spark)
+    g.query("g1", "CREATE (:P {v:1})")
+    intercept[Translator.TranslateError] {
+      g.roQuery("g1", "CREATE (:P {v:2})")
+    }
+    assert(g.roQuery("g1", "MATCH (p:P) RETURN count(*) AS c").count() == 1)
+  }
+
+  test("explain shows the physical plan without executing") {
+    val g = new Graft(spark)
+    g.query("g2", "CREATE (:P {v:1})")
+    val plan = g.explain("g2", "MATCH (p:P) WHERE p.v > 0 RETURN p.v AS v")
+    assert(plan.contains("Physical Plan"))
+  }
+
+  test("profile executes and reports operator metrics; slowlog records") {
+    val g = new Graft(spark)
+    g.query("g3", "CREATE (:P {v:1})")
+    val prof = g.profile("g3", "MATCH (p:P) RETURN p.v AS v")
+    assert(prof.nonEmpty)
+    assert(g.slowlog().nonEmpty)
+  }
+
+  test("bulk installs external tables as a graph") {
+    val g = new Graft(spark)
+    g.bulk("tpch", graft.graph.GraphBuilder.tpchStored(spark, sfDir))
+    val r = g.roQuery("tpch", "MATCH (n:Nation) RETURN count(n) AS c")
+    assert(r.select(r("c").getField("i")).head().getLong(0) == 25L)
+  }
+}
