@@ -210,5 +210,14 @@ object PipelineQueries {
       // ANN: random-hyperplane LSH, 8 tables × 8 bits → in-bucket exact rank.
       // SimilaritySpec measures recall vs brute force.
       Similarity.annTopK(Tables.embeddings(s, dir), 3, 8, 8)
+    },
+
+    QueryDef.noOracle("q_ann_ivf") { (s, dir) =>
+      // ANN, IVF path: k-means cells (2 Lloyd steps, broadcast argmin
+      // assignment), queries probe 4/16 cells → exact rank in-cell.
+      // No SQL oracle (float-sum-order-dependent centroids); PipelineSpec
+      // measures recall vs brute force.
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 50), 3, 16, 4)
     })
 }

@@ -55,6 +55,22 @@ object StreamQueries {
         .toDF().select(col("doc_id"), col("n_bytes"))
     },
 
+    QueryDef(
+      "q_multimodal_frames",
+      """SELECT doc_id, CAST(k * 4 AS INT) AS frame_idx,
+        |  CAST(least(256, octet_length(encode(text)) - k * 4 * 256) AS INT)
+        |    AS n_bytes
+        |FROM documents,
+        |  unnest(generate_series(0, greatest(
+        |    CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) - 1, 0) // 4))
+        |  AS t(k)""".stripMargin) { (s, dir) =>
+      // frame sampling: payload as 256-byte chunks, every 4th emitted —
+      // 1 row in → many frame rows out (the video-decode plumbing shape)
+      Multimodal.sampleFrames(
+          Multimodal.mediaFromDocs(Tables.documents(s, dir)), 256, 4)
+        .select(col("doc_id"), col("frame_idx"), col("n_bytes"))
+    },
+
     QueryDef.noOracle("q_multimodal_decode") { (s, dir) =>
       // full feature extraction incl. stubbed decode (deterministic fake
       // dims) + 16-bin byte histogram; MultimodalSpec checks invariants.

@@ -89,6 +89,96 @@ object Similarity {
       .select(col("vec_id"), col("tb.table"), col("tb.bucket"))
   }
 
+  /** IVF (inverted-file) index: k-means cell assignment.
+    *
+    * Centroids: deterministic id-stride sample refined by `iters` Lloyd
+    * steps — each step is one broadcast-join (vectors ⋈ centroids, k rows
+    * broadcast) + one groupBy(cell) mean, both map-side combinable. At
+    * 100 TB: the sample fits the driver, assignment is a broadcast argmin
+    * over the full scan, the index is just a `cell` column (bucket/partition
+    * key on write — queries then prune cells at the source).
+    *
+    * Returns (centroids: cell|centroid, assignments: vec_id|cell).
+    */
+  def ivfIndex(vectors: DataFrame, nlist: Int = 16, iters: Int = 2):
+      (DataFrame, DataFrame) = {
+    val spark = vectors.sparkSession
+    val n = vectors.count()
+    val stride = math.max(n / nlist, 1L)
+    var centroids = vectors
+      .filter(col("vec_id") % stride === 0).limit(nlist)
+      .select((col("vec_id") / stride).cast("int").as("cell"),
+        col("embedding").cast("array<double>").as("centroid"))
+    def assign(cents: DataFrame): DataFrame = {
+      val dist2 = aggregate(
+        zip_with(col("embedding"), col("centroid"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, x) => acc + x)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("d2"), col("cell"))
+      vectors.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          dist2.as("d2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+    }
+    for (_ <- 0 until iters) {
+      val assigned = assign(centroids)
+      // per-dimension mean: explode(dim) → partial-aggregated avg per
+      // (cell, pos) → re-assemble ordered array (collect_list is tiny here:
+      // nlist × dim rows total)
+      val byDim = assigned
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("col").cast("double")).as("m"))
+      centroids = byDim.groupBy("cell")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+    }
+    val finalAssign = assign(centroids).select("vec_id", "cell")
+    (centroids, finalAssign)
+  }
+
+  /** IVF ANN top-k: each query probes its `nprobe` nearest cells; exact
+    * cosine rank within the probed cells' vectors only (candidates ∝
+    * nprobe/nlist of the corpus, never n²).
+    */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val (centroids, assign) = ivfIndex(vectors, nlist, iters)
+    val qdist2 = aggregate(
+      zip_with(col("embedding"), col("centroid"),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, x) => acc + x)
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("a").orderBy(col("d2"), col("cell"))
+    val probes = queries.select(col("vec_id").as("a"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .select(col("a"), col("cell"), qdist2.as("d2"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select("a", "cell")
+    val cands = probes
+      .join(assign.withColumnRenamed("vec_id", "b"), "cell")
+      .filter(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    val va = queries.select(col("vec_id").as("a"),
+      col("embedding").as("emb_a"), norm(col("embedding")).as("norm_a"))
+    val vb = vectors.select(col("vec_id").as("b"),
+      col("embedding").as("emb_b"), norm(col("embedding")).as("norm_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a").orderBy(col("sim").desc, col("b"))
+    cands.join(va, "a").join(vb, "b")
+      .select(col("a"), col("b"),
+        round(dot(col("emb_a"), col("emb_b")) /
+          (col("norm_a") * col("norm_b")), 5).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("a"), col("b"), col("sim"), col("rank").cast("int").as("rank"))
+  }
+
   /** ANN top-k: candidate pairs = docs sharing any (table, bucket), then
     * exact cosine rank within candidates. Recall measured against brute
     * force in PipelineSpec.

@@ -86,4 +86,32 @@ class PipelineSpec extends AnyFunSuite {
     val recall = bf.count(ann.contains).toDouble / bf.size
     assert(recall >= 0.5, s"ANN top-1 recall $recall")
   }
+
+  test("ann ivf topk recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 50)
+    val bf = Similarity.bruteForceTopK(emb, queries, 3)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 3, 8, 4)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing half the cells (4/8) bounds the miss rate; near-uniform
+    // vectors are again the worst case for any space partitioner
+    val recall = bf.count(ivf.contains).toDouble / bf.size
+    assert(recall >= 0.5, s"IVF top-1 recall $recall")
+  }
+
+  test("frame sampling: chunk math matches payload length") {
+    val frames = graft.multimodal.Multimodal.sampleFrames(
+      graft.multimodal.Multimodal.mediaFromDocs(docs), 256, 4)
+    val joined = frames.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"), max("frame_idx").as("max_idx"))
+      .join(docs.select(col("doc_id"), length(col("text")).as("len")), "doc_id")
+      .collect()
+    joined.foreach { r =>
+      val (n, len) = (r.getLong(1), r.getInt(3))
+      val chunks = math.max((len + 255) / 256, 1)
+      assert(n == (chunks - 1) / 4 + 1, s"doc ${r.getLong(0)}")
+    }
+  }
 }
