@@ -17,7 +17,11 @@ object Bench {
       "q1_agg", "q_expand_join", "q_count_distinct", "q_window_running",
       "q_topk", "q_apply_decorrelated", "q_optional_match", "q_rollup",
       // Cypher engine end-to-end (BASELINE entity_count / traversal shapes)
-      "q_cypher_count_stats", "q_cypher_agg", "q_cypher_varlen")
+      "q_cypher_count_stats", "q_cypher_agg", "q_cypher_varlen",
+      "q_cypher_expand", "q_cypher_edge_props",
+      // training-data pipeline at scale
+      "q_dedup_minhash", "q_knn_cosine", "q_text_bpe_tokens",
+      "q_graph_pagerank", "q_sessionize")
     val have = SparkEntry.queries.keySet
     prefer.filter(have)
   }

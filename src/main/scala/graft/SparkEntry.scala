@@ -36,9 +36,23 @@ object SparkEntry {
       .orderBy(col("revenue").desc)
   }
 
+  /** Plan cache: one translated/analyzed DataFrame per (session, query,
+    * dir) — re-invoking a query re-executes the same plan (no result
+    * caching) instead of rebuilding + re-analyzing it, and `cache()`d
+    * intermediates inside an operator (e.g. MinHash shingles) are reused
+    * rather than re-materialized per call. The Spark-side analogue of the
+    * reference's execution-plan cache (`src/commands/execution_ctx.c:79-87`).
+    */
+  private val planCache =
+    scala.collection.concurrent.TrieMap[(Int, String, String), DataFrame]()
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    allDefs.map(d => d.name -> d.fn).toMap
+    allDefs.map { d =>
+      d.name -> ((s: SparkSession, dir: String) =>
+        planCache.getOrElseUpdate(
+          (System.identityHashCode(s), d.name, dir), d.fn(s, dir)))
+    }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.

@@ -40,16 +40,35 @@ object Dedup {
     docs.select(col("doc_id"), explode(grams).as("shingle")).distinct()
   }
 
-  /** Exact n-gram Jaccard similarity for the given candidate pairs
-    * (columns a, b). |A∩B| via shingle join, then |A∪B| = |A|+|B|-|A∩B|.
+  /** Distinct 64-bit-hashed shingles per doc: (doc_id, sh). Strings hash
+    * once here; every downstream pass (signatures, jaccard joins) works on
+    * longs — smaller shuffles, no repeated string hashing. Collision odds
+    * ~|shingles|²/2⁶⁴ are negligible against any sampling error.
     */
-  def jaccard(docs: DataFrame, pairs: DataFrame, k: Int = 3): DataFrame = {
-    val sh = shingles(docs, k).cache()
+  def shingleHashes(docs: DataFrame, k: Int = 3): DataFrame =
+    shingles(docs, k).select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+
+  /** splitmix64 — deterministic per-hash-function affine constants. */
+  private def mix(i: Long): Long = {
+    var z = i + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Exact n-gram Jaccard similarity for the given candidate pairs
+    * (columns a, b). |A∩B| via hashed-shingle join, |A∪B| = |A|+|B|-|A∩B|.
+    * Pass a precomputed (cached) [[shingleHashes]] frame via `pre` to share
+    * the shingle pass with signature computation.
+    */
+  def jaccard(docs: DataFrame, pairs: DataFrame, k: Int = 3,
+      pre: Option[DataFrame] = None): DataFrame = {
+    val sh = pre.getOrElse(shingleHashes(docs, k).cache())
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("b"), col("shingle"))
+    val a = sh.select(col("doc_id").as("a"), col("sh"))
+    val b = sh.select(col("doc_id").as("b"), col("sh"))
     val common = pairs
-      .join(a, "a").join(b, Seq("b", "shingle"))
+      .join(a, "a").join(b, Seq("b", "sh"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
     pairs
       .join(common, Seq("a", "b"), "left_outer")
@@ -63,15 +82,21 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common")), 5).as("jaccard"))
   }
 
-  /** MinHash signatures: for each of `numHashes` seeded hash functions, the
-    * min over the doc's shingle set. One explode + one groupBy — no UDF, all
-    * codegen'd xxhash64.
+  /** MinHash signatures: h_i = min over the doc's shingle-hash set of the
+    * affine family `(a_i·x + b_i) mod p`, p = 2³¹−1, constants from
+    * splitmix64 — the string hashes once ([[shingleHashes]]); each of the
+    * 64 functions is a few long ops inside one map-side-combined groupBy
+    * (products < 2⁶², safe under ANSI arithmetic). No UDF, all codegen'd.
     */
   def minHashSignatures(docs: DataFrame, numHashes: Int = 64,
-      k: Int = 3): DataFrame = {
-    val sh = shingles(docs, k)
+      k: Int = 3, pre: Option[DataFrame] = None): DataFrame = {
+    val P = 2147483647L // 2^31 - 1 (prime)
+    val sh = pre.getOrElse(shingleHashes(docs, k))
+    val x = pmod(col("sh"), lit(P))
     val aggs = (0 until numHashes).map { i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i")
+      val a = (mix(2L * i) & 0x7FFFFFFFL) | 1L
+      val b = mix(2L * i + 1) & 0x7FFFFFFFL
+      min(pmod(x * lit(a) + lit(b), lit(P))).as(s"h$i")
     }
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
@@ -100,13 +125,15 @@ object Dedup {
   }
 
   /** End-to-end MinHash near-dup detection: LSH candidates filtered by exact
-    * Jaccard ≥ threshold.
+    * Jaccard ≥ threshold. The hashed-shingle pass is computed once and
+    * shared between signatures and the Jaccard verify.
     */
   def minHashDedup(docs: DataFrame, threshold: Double = 0.5,
       numHashes: Int = 64, bands: Int = 16, k: Int = 3): DataFrame = {
-    val cands = lshCandidates(minHashSignatures(docs, numHashes, k),
-      numHashes, bands)
-    jaccard(docs, cands, k).filter(col("jaccard") >= threshold)
+    val sh = shingleHashes(docs, k).cache()
+    val cands = lshCandidates(
+      minHashSignatures(docs, numHashes, k, Some(sh)), numHashes, bands)
+    jaccard(docs, cands, k, Some(sh)).filter(col("jaccard") >= threshold)
   }
 
   /** SimHash: 64-bit signature — per token-hash bit, sum +1/-1 across the
