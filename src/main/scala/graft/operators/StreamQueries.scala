@@ -45,6 +45,27 @@ object StreamQueries {
     },
 
     QueryDef(
+      "q_sessionize_stateful",
+      """SELECT event_id, user_id, CAST(session_seq AS BIGINT) AS session_seq
+        |FROM (
+        |  SELECT event_id, user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM (
+        |    SELECT event_id, user_id, ts,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id)
+        |              > INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS new_session
+        |    FROM events))""".stripMargin) { (s, dir) =>
+      // flatMapGroupsWithState custom-state path, oracled by the same SQL
+      // as the window form — batch and streaming run the identical function
+      StreamOps.sessionizeStateful(Tables.events(s, dir), 30)
+    },
+
+    QueryDef(
       "q_multimodal_bytes",
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes
         |FROM documents""".stripMargin) { (s, dir) =>

@@ -64,6 +64,46 @@ object StreamOps {
       .select(col("event_id"), col("user_id"), col("session_seq"))
   }
 
+  /** Per-user session state carried across triggers. */
+  final case class SessionState(lastTs: Long, seq: Long)
+  /** minimal event projection for the stateful path (public: encoders
+    * codegen against it). */
+  final case class Ev(event_id: Long, ts: Long, user_id: Long)
+
+  /** Stateful sessionization via `flatMapGroupsWithState` — the custom-state
+    * streaming operator (KeyValueGroupedDataset). The SAME function runs in
+    * batch (each group sees all its rows, state unused across calls — the
+    * oracle path) and in streaming (state persists across micro-batches,
+    * sessions continue where the last trigger left off).
+    *
+    * Scale: state is one (lastTs, seq) pair per active user; the shuffle is
+    * on user_id, the stream's natural key.
+    */
+  def sessionizeStateful(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapNs = gapMinutes.toLong * 60L * 1000000000L
+    events.select(col("event_id"), col("ts"), col("user_id")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          // within a trigger, process this user's events in time order
+          val sorted = it.toVector.sortBy(e => (e.ts, e.event_id))
+          var (lastTs, seq) = state.getOption
+            .map(s => (s.lastTs, s.seq)).getOrElse((Long.MinValue, 0L))
+          val out = sorted.map { e =>
+            if (lastTs == Long.MinValue || e.ts - lastTs > gapNs) seq += 1
+            lastTs = e.ts
+            (e.event_id, uid, seq)
+          }
+          state.update(SessionState(lastTs, seq))
+          out.iterator
+      }
+      .toDF("event_id", "user_id", "session_seq")
+  }
+
   /** Run `transform` over the events parquet as a real streaming query into
     * a named memory sink; returns the sink contents. Complete-mode (windowed
     * aggregation).

@@ -28,6 +28,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(perUser.filter(col("mx") =!= col("nd")).isEmpty)
   }
 
+  test("stateful sessionization (flatMapGroupsWithState) equals window form") {
+    val windowed = StreamOps.sessionize(Tables.events(spark, sfDir), 30)
+      .collect().map(_.toSeq).toSet
+    val stateful = StreamOps.sessionizeStateful(Tables.events(spark, sfDir), 30)
+      .collect().map(_.toSeq).toSet
+    assert(stateful == windowed)
+    assert(stateful.nonEmpty)
+  }
+
   test("multimodal features: deterministic stub decode, histogram sums to n_bytes") {
     val feats = Multimodal.extractFeatures(
       Multimodal.mediaFromDocs(Tables.documents(spark, sfDir)))
