@@ -33,7 +33,24 @@ object ProjectCseRule extends Rule[LogicalPlan] {
 
   private val MinSize = 4 // expression-tree node count worth hoisting
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  /** Runs ONCE per query (injected pre-CBO, not in the fixed-point batch —
+    * layer-per-iteration splitting there multiplied whole-batch passes);
+    * the local loop peels nested repeats until no candidates remain.
+    */
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    var cur = plan
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 40) {
+      val next = splitOnce(cur)
+      changed = !next.fastEquals(cur)
+      cur = next
+      rounds += 1
+    }
+    cur
+  }
+
+  private def splitOnce(plan: LogicalPlan): LogicalPlan = plan.transform {
     case p @ Project(projectList, child) =>
       val candidates = collectRepeats(projectList, child)
       if (candidates.isEmpty) p

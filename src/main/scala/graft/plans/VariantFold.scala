@@ -55,6 +55,13 @@ object VariantFoldRule extends Rule[LogicalPlan] {
       case GetStructField(If(p, t, f), ordinal, name) =>
         If(p, GetStructField(t, ordinal, name),
           GetStructField(f, ordinal, name))
+      // inline the two SimplifyExtractValueOps/ConstantFolding cases this
+      // rule's own rewrites expose, so a single top-down pass folds a whole
+      // construct-then-extract chain (fewer whole-batch iterations)
+      case g @ GetStructField(cns: CreateNamedStruct, ordinal, _) =>
+        cns.valExprs(ordinal)
+      case g @ GetStructField(Literal(null, _), _, _) =>
+        Literal.create(null, g.dataType)
       case cw: CaseWhen => cleanupCase(propagateFacts(cw))
     }
     folded.transform {
@@ -198,7 +205,9 @@ object VariantFoldRule extends Rule[LogicalPlan] {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // interleaves with constant folding / pushdown to fixed point
     ext.injectOptimizerRule(_ => VariantFoldRule)
-    ext.injectOptimizerRule(_ => ProjectCseRule)
+    // one-shot after operator optimization (its own internal fixed point)
+    ext.injectPreCBORule(_ => ProjectCseRule)
   }
 }
