@@ -1157,18 +1157,26 @@ object Translator {
       case "rand" => vFloat(rand())
       case "randomuuid" => vStr(uuid())
       case "tointeger" =>
+        // unparseable string → NULL (`numeric_funcs.c` toInteger; guard the
+        // cast — ANSI mode would throw), string floats truncate: '2.9' → 2
         val v = t(fn.args.head)
+        val s = v.getField("s")
+        val numericStr = s.rlike("^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)$")
         when(v.isNull, vNull)
           .when(tag(v) === T_INT, v)
           .when(tag(v) === T_FLOAT, vInt(v.getField("f").cast(LongType)))
-          .when(tag(v) === T_STRING, vInt(v.getField("s").cast(LongType)))
+          .when(tag(v) === T_STRING && numericStr,
+            vInt(s.cast(DoubleType).cast(LongType)))
           .otherwise(vNull)
       case "tofloat" =>
         val v = t(fn.args.head)
+        val s = v.getField("s")
+        val numericStr = s.rlike("^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?$")
         when(v.isNull, vNull)
           .when(tag(v) === T_FLOAT, v)
           .when(tag(v) === T_INT, vFloat(v.getField("i").cast(DoubleType)))
-          .when(tag(v) === T_STRING, vFloat(v.getField("s").cast(DoubleType)))
+          .when(tag(v) === T_STRING && numericStr,
+            vFloat(s.cast(DoubleType)))
           .otherwise(vNull)
 
       // list (`list_funcs.c:222-263`)

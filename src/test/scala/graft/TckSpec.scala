@@ -1,0 +1,170 @@
+package graft
+
+import graft.cypher.CypherSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Expression/clause semantics scenarios in the style of the openCypher TCK
+  * (`/root/reference/tests/tck/features/{clauses,expressions}`) — each test
+  * is a self-contained scenario graph + query + exact expected rows.
+  */
+class TckSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def freshSession(create: String*): CypherSession = {
+    val s = new CypherSession(spark)
+    create.foreach(s.run(_))
+    s
+  }
+
+  private def rows(s: CypherSession, q: String,
+      params: Map[String, Any] = Map.empty): Seq[Map[String, Any]] =
+    s.rows(s.run(q, params))
+
+  test("aggregates skip NULL values (count/sum/avg/collect)") {
+    val s = freshSession(
+      "CREATE (:N {v: 1})", "CREATE (:N {v: 3})", "CREATE (:N)")
+    val r = rows(s,
+      """MATCH (n:N) RETURN count(*) AS total, count(n.v) AS vs,
+        |sum(n.v) AS s, avg(n.v) AS a, collect(n.v) AS c""".stripMargin)
+    assert(r == Seq(Map("total" -> 3L, "vs" -> 2L, "s" -> 4.0, "a" -> 2.0,
+      "c" -> List(1L, 3L))))
+  }
+
+  test("DISTINCT aggregation") {
+    val s = freshSession(
+      "CREATE (:N {v: 1})", "CREATE (:N {v: 1})", "CREATE (:N {v: 2})")
+    val r = rows(s,
+      "MATCH (n:N) RETURN count(DISTINCT n.v) AS d, count(n.v) AS c")
+    assert(r == Seq(Map("d" -> 2L, "c" -> 3L)))
+  }
+
+  test("WITH DISTINCT then ORDER BY, SKIP, LIMIT") {
+    val s = freshSession(
+      "UNWIND [3, 1, 2, 3, 1] AS x CREATE (:M {v: x})")
+    val r = rows(s,
+      """MATCH (m:M) WITH DISTINCT m.v AS v
+        |RETURN v ORDER BY v SKIP 1 LIMIT 2""".stripMargin)
+    assert(r == Seq(Map("v" -> 2L), Map("v" -> 3L)))
+  }
+
+  test("ORDER BY global order: numbers before strings? strings < bool < numbers; NULL last") {
+    // reference enum order (value.h:19-41): STRING < BOOLEAN < numerics,
+    // NULL greatest — ascending puts strings first, null last
+    val s = freshSession(
+      "CREATE (:O {v: 5})", "CREATE (:O {v: 'a'})",
+      "CREATE (:O {v: true})", "CREATE (:O)")
+    val r = rows(s, "MATCH (o:O) RETURN o.v AS v ORDER BY v")
+    assert(r.map(_("v")) == Seq("a", true, 5L, null))
+  }
+
+  test("list semantics: subscript, negative index, slice, range step") {
+    val s = freshSession()
+    val r = rows(s,
+      """RETURN [10,20,30][0] AS a, [10,20,30][-1] AS b,
+        |[10,20,30][1..3] AS c, range(0, 6, 2) AS d,
+        |[10,20,30][5] AS e""".stripMargin)
+    assert(r == Seq(Map("a" -> 10L, "b" -> 30L, "c" -> List(20L, 30L),
+      "d" -> List(0L, 2L, 4L, 6L), "e" -> null)))
+  }
+
+  test("IN with NULLs: ternary membership") {
+    val s = freshSession()
+    val r = rows(s,
+      """RETURN 2 IN [1, 2] AS a, 3 IN [1, 2] AS b,
+        |3 IN [1, null] AS c, null IN [1] AS d""".stripMargin)
+    assert(r == Seq(Map("a" -> true, "b" -> false, "c" -> null, "d" -> null)))
+  }
+
+  test("list comprehension with WHERE and projection; quantifiers") {
+    val s = freshSession()
+    val r = rows(s,
+      """RETURN [x IN range(1,5) WHERE x % 2 = 0 | x * 10] AS evens,
+        |any(x IN [1,2] WHERE x > 1) AS anyv,
+        |all(x IN [1,2] WHERE x > 0) AS allv,
+        |none(x IN [1,2] WHERE x > 5) AS nonev,
+        |single(x IN [1,2] WHERE x = 2) AS singlev""".stripMargin)
+    assert(r == Seq(Map("evens" -> List(20L, 40L), "anyv" -> true,
+      "allv" -> true, "nonev" -> true, "singlev" -> true)))
+  }
+
+  test("CASE: simple (scrutinee) and searched forms") {
+    val s = freshSession("CREATE (:C {v: 2})")
+    val r = rows(s,
+      """MATCH (c:C) RETURN
+        |CASE c.v WHEN 1 THEN 'one' WHEN 2 THEN 'two' ELSE 'many' END AS w,
+        |CASE WHEN c.v > 1 THEN 'big' ELSE 'small' END AS z""".stripMargin)
+    assert(r == Seq(Map("w" -> "two", "z" -> "big")))
+  }
+
+  test("string functions: 0-based substring, left/right, replace, split") {
+    val s = freshSession()
+    val r = rows(s,
+      """RETURN substring('hello', 1, 3) AS sub, left('hello', 2) AS l,
+        |right('hello', 2) AS rr, replace('a.b.c', '.', '-') AS rep,
+        |split('a,b,c', ',') AS sp, toString(42) AS ts,
+        |'he' + 'llo' AS cat""".stripMargin)
+    assert(r == Seq(Map("sub" -> "ell", "l" -> "he", "rr" -> "lo",
+      "rep" -> "a-b-c", "sp" -> List("a", "b", "c"), "ts" -> "42",
+      "cat" -> "hello")))
+  }
+
+  test("arithmetic: int division, mod, power, list concat via +") {
+    val s = freshSession()
+    val r = rows(s,
+      """RETURN 7 / 2 AS idiv, 7.0 / 2 AS fdiv, 7 % 3 AS m,
+        |2 ^ 10 AS p, [1] + [2, 3] AS lcat, -(3) AS neg""".stripMargin)
+    assert(r == Seq(Map("idiv" -> 3L, "fdiv" -> 3.5, "m" -> 1L,
+      "p" -> 1024.0, "lcat" -> List(1L, 2L, 3L), "neg" -> -3L)))
+  }
+
+  test("UNWIND: literal list, range(), and re-UNWIND of collected values") {
+    val s = freshSession("UNWIND range(1, 3) AS x CREATE (:U {v: x})")
+    val r = rows(s,
+      """MATCH (u:U) WITH collect(u.v) AS vs
+        |UNWIND vs AS v RETURN v ORDER BY v""".stripMargin)
+    assert(r.map(_("v")) == Seq(1L, 2L, 3L))
+  }
+
+  test("OPTIONAL MATCH: count(var) skips non-matches, count(*) does not") {
+    val s = freshSession(
+      "CREATE (:P {name:'a'})-[:HAS]->(:D)", "CREATE (:P {name:'b'})")
+    val r = rows(s,
+      """MATCH (p:P) OPTIONAL MATCH (p)-[:HAS]->(d:D)
+        |RETURN count(*) AS rows, count(d) AS ds""".stripMargin)
+    assert(r == Seq(Map("rows" -> 2L, "ds" -> 1L)))
+  }
+
+  test("UNION dedups, UNION ALL keeps duplicates") {
+    val s = freshSession("CREATE (:V {v: 1})", "CREATE (:V {v: 1})")
+    assert(rows(s,
+      "MATCH (v:V) RETURN v.v AS x UNION MATCH (v:V) RETURN v.v AS x").size == 1)
+    assert(rows(s,
+      """MATCH (v:V) RETURN v.v AS x UNION ALL
+        |MATCH (v:V) RETURN v.v AS x""".stripMargin).size == 4)
+  }
+
+  test("toInteger / toFloat conversions incl. from string") {
+    val s = freshSession()
+    val r = rows(s,
+      """RETURN toInteger('42') AS i, toInteger(3.9) AS t,
+        |toFloat('2.5') AS f, toInteger('nope') AS n""".stripMargin)
+    assert(r == Seq(Map("i" -> 42L, "t" -> 3L, "f" -> 2.5, "n" -> null)))
+  }
+
+  test("list parameters and property parameters") {
+    val s = freshSession(
+      "CREATE (:Q {v: 1})", "CREATE (:Q {v: 2})", "CREATE (:Q {v: 5})")
+    val r = rows(s,
+      "MATCH (q:Q) WHERE q.v IN $ids RETURN count(*) AS c",
+      Map("ids" -> List(1, 5)))
+    assert(r == Seq(Map("c" -> 2L)))
+  }
+
+  test("chained comparison and exists() on property") {
+    val s = freshSession("CREATE (:W {v: 5})", "CREATE (:W)")
+    val r = rows(s,
+      """MATCH (w:W) WHERE exists(w.v) AND 1 < w.v <= 5
+        |RETURN count(*) AS c""".stripMargin)
+    assert(r == Seq(Map("c" -> 1L)))
+  }
+}
