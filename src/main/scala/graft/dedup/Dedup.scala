@@ -63,7 +63,15 @@ object Dedup {
     */
   def jaccard(docs: DataFrame, pairs: DataFrame, k: Int = 3,
       pre: Option[DataFrame] = None): DataFrame = {
-    val sh = pre.getOrElse(shingleHashes(docs, k).cache())
+    val shAll = pre.getOrElse(shingleHashes(docs, k).cache())
+    // candidates touch few docs (LSH keeps Σ bucket² small): broadcast
+    // semi-filter the shingle table to candidate docs before any shuffle —
+    // downstream joins move |candidate docs|·|shingles/doc| rows, not the
+    // whole corpus
+    val docsInPairs = broadcast(
+      pairs.select(col("a").as("doc_id"))
+        .unionByName(pairs.select(col("b").as("doc_id"))).distinct())
+    val sh = shAll.join(docsInPairs, Seq("doc_id"), "left_semi")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("a"), col("sh"))
     val b = sh.select(col("doc_id").as("b"), col("sh"))
@@ -131,8 +139,12 @@ object Dedup {
   def minHashDedup(docs: DataFrame, threshold: Double = 0.5,
       numHashes: Int = 64, bands: Int = 16, k: Int = 3): DataFrame = {
     val sh = shingleHashes(docs, k).cache()
+    // cache the candidate set: the verify step references it four times
+    // (doc semi-filter ×2, intersection join, final assembly) — without
+    // materialization each reference re-runs signatures + the LSH self-join
     val cands = lshCandidates(
       minHashSignatures(docs, numHashes, k, Some(sh)), numHashes, bands)
+      .cache()
     jaccard(docs, cands, k, Some(sh)).filter(col("jaccard") >= threshold)
   }
 
