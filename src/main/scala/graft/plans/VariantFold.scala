@@ -209,5 +209,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => VariantFoldRule)
     // one-shot after operator optimization (its own internal fixed point)
     ext.injectPreCBORule(_ => ProjectCseRule)
+    // native codegen'd dot product for the similarity operators
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(exprs(0), exprs(1))))
   }
 }

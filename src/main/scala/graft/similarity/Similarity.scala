@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double precision. */
+  /** Σ aᵢ·bᵢ in double precision — the codegen'd [[graft.plans.DotProduct]]
+    * expression (requires [[graft.plans.GraftExtensions]] on the session;
+    * same semantics and summation order as the HOF form
+    * `aggregate(zip_with(a, b, _*_), 0d, _+_)` it replaces).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("graft_dot", a.cast("array<double>"), b.cast("array<double>"))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
