@@ -196,6 +196,7 @@ object Dedup {
     */
   def embeddingNearDupsExact(vectors: DataFrame,
       threshold: Double): DataFrame = {
+    graft.plans.GraftExtensions.ensureFunctions(vectors.sparkSession)
     import graft.similarity.Similarity._
     val va = vectors.select(col("vec_id").as("a"),
       col("embedding").as("emb_a"), norm(col("embedding")).as("norm_a"))
@@ -214,6 +215,7 @@ object Dedup {
     */
   def embeddingNearDups(vectors: DataFrame, threshold: Double,
       bits: Int = 8, tables: Int = 8): DataFrame = {
+    graft.plans.GraftExtensions.ensureFunctions(vectors.sparkSession)
     import graft.similarity.Similarity._
     val buckets = lshBuckets(vectors, bits, tables)
     val cands = buckets.select(col("table"), col("bucket"),

@@ -203,6 +203,25 @@ object VariantFoldRule extends Rule[LogicalPlan] {
   * `builder.withExtensions(new GraftExtensions)`): registers the engine's
   * Catalyst rules.
   */
+object GraftExtensions {
+  /** Idempotently register the engine's functions on an existing session
+    * (fallback for sessions built without `withExtensions` — the optimizer
+    * rules are a performance layer, but `graft_dot` is load-bearing for the
+    * similarity operators).
+    */
+  def ensureFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")
+    if (!reg.functionExists(id)) {
+      reg.registerFunction(id,
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[DotProduct].getName, "graft_dot"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          DotProduct(exprs(0), exprs(1)))
+    }
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // interleaves with constant folding / pushdown to fixed point

@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`Array[Float]`):
   * brute-force cosine top-k as the exact baseline, random-hyperplane LSH
-  * bucketing as the scale path (candidates ∝ bucket sizes, not n²).
+  * bucketing and IVF cells as the scale paths (candidates ∝ bucket/cell
+  * sizes, not n²).
   *
-  * Dot products are pure Column expressions (`zip_with` + `aggregate`) in
-  * double precision — no UDFs, reproducible in the DuckDB oracle.
+  * Dot products compile to the native codegen'd
+  * [[graft.plans.DotProduct]] expression — no UDFs, deterministic
+  * summation order, reproducible in the DuckDB oracle.
   */
 object Similarity {
 
@@ -35,6 +37,7 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       k: Int): DataFrame = {
+    graft.plans.GraftExtensions.ensureFunctions(corpus.sparkSession)
     val c = corpus.select(col("vec_id").as("b"), col("embedding").as("emb_b"),
       norm(col("embedding")).as("norm_b"))
     val q = queries.select(col("vec_id").as("a"), col("embedding").as("emb_a"),
@@ -150,6 +153,7 @@ object Similarity {
     */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    graft.plans.GraftExtensions.ensureFunctions(vectors.sparkSession)
     val (centroids, assign) = ivfIndex(vectors, nlist, iters)
     val qdist2 = aggregate(
       zip_with(col("embedding"), col("centroid"),
@@ -188,6 +192,7 @@ object Similarity {
     */
   def annTopK(vectors: DataFrame, k: Int, bits: Int = 8,
       tables: Int = 8): DataFrame = {
+    graft.plans.GraftExtensions.ensureFunctions(vectors.sparkSession)
     val buckets = lshBuckets(vectors, bits, tables)
     val l = buckets.select(col("table"), col("bucket"), col("vec_id").as("a"))
     val r = buckets.select(col("table"), col("bucket"), col("vec_id").as("b"))
