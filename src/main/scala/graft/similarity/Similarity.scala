@@ -78,13 +78,12 @@ object Similarity {
     */
   def lshBuckets(vectors: DataFrame, bits: Int = 8,
       tables: Int = 8): DataFrame = {
+    graft.plans.GraftExtensions.ensureFunctions(vectors.sparkSession)
     val dim = vectors.select(size(col("embedding"))).head().getInt(0)
     val tableCols = (0 until tables).map { t =>
       val planeBits = (0 until bits).map { p =>
         val plane = typedlit((0 until dim).map(j => planeCoef(t, p, j)))
-        val proj = aggregate(
-          zip_with(plane, col("embedding"), (c, x) => c * x.cast("double")),
-          lit(0.0), (acc, x) => acc + x)
+        val proj = dot(plane, col("embedding"))
         when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
       }
       struct(lit(t).as("table"),
@@ -116,15 +115,15 @@ object Similarity {
       .select((col("vec_id") / stride).cast("int").as("cell"),
         col("embedding").cast("array<double>").as("centroid"))
     def assign(cents: DataFrame): DataFrame = {
-      val dist2 = aggregate(
-        zip_with(col("embedding"), col("centroid"),
-          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-        lit(0.0), (acc, x) => acc + x)
+      // argmin_c ‖x−c‖² ≡ argmin_c (‖c‖² − 2x·c): the per-row ‖x‖² term is
+      // rank-invariant, and both dots are codegen'd graft_dot loops
+      val scored = cents.withColumn("cn2",
+        dot(col("centroid"), col("centroid")))
+      val d2 = col("cn2") - lit(2.0) * dot(col("embedding"), col("centroid"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("d2"), col("cell"))
-      vectors.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cell"),
-          dist2.as("d2"))
+      vectors.crossJoin(broadcast(scored))
+        .select(col("vec_id"), col("embedding"), col("cell"), d2.as("d2"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("cell"))
@@ -155,14 +154,14 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
     graft.plans.GraftExtensions.ensureFunctions(vectors.sparkSession)
     val (centroids, assign) = ivfIndex(vectors, nlist, iters)
-    val qdist2 = aggregate(
-      zip_with(col("embedding"), col("centroid"),
-        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-      lit(0.0), (acc, x) => acc + x)
+    val scoredCents = centroids.withColumn("cn2",
+      dot(col("centroid"), col("centroid")))
+    val qdist2 =
+      col("cn2") - lit(2.0) * dot(col("embedding"), col("centroid"))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("a").orderBy(col("d2"), col("cell"))
     val probes = queries.select(col("vec_id").as("a"), col("embedding"))
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(scoredCents))
       .select(col("a"), col("cell"), qdist2.as("d2"))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nprobe)
