@@ -58,6 +58,13 @@ class CypherSession(val spark: SparkSession) {
     val v = maxId(graph.edges) + 1; nextEdgeId = Some(v); v
   }
 
+  /** Append externally built node/edge rows to the graph (streaming ingest
+    * / bulk increments; at scale: a Delta append per micro-batch). Schemas
+    * must match nodeSchema/edgeSchema.
+    */
+  def append(nodes: DataFrame, edges: DataFrame): Unit =
+    commit(graph.nodes.unionByName(nodes), graph.edges.unionByName(edges))
+
   /** Swap in a mutated graph; `localCheckpoint` materializes the new tables
     * (≡ the Delta table rewrite/commit at scale) and truncates lineage so
     * chained mutations don't stack plans.

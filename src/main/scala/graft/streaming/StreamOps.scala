@@ -104,6 +104,44 @@ object StreamOps {
       .toDF("event_id", "user_id", "session_seq")
   }
 
+  /** Streaming graph ingestion (SURVEY §2.7 extension): a readStream of
+    * events appended into a live [[graft.cypher.CypherSession]] graph via
+    * `foreachBatch` — each micro-batch becomes node rows (one per event)
+    * and next-event edges within the batch's users (window lead). At scale
+    * the append is a Delta transaction per micro-batch; queries against the
+    * session see each committed batch.
+    */
+  def graphIngest(spark: SparkSession, dir: String,
+      session: graft.cypher.CypherSession): Unit = {
+    import graft.cypher.Values
+    val stream = spark.readStream
+      .schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val nodes = batch.select(
+          col("event_id").as("id"),
+          col("event_type").as("label"),
+          map(lit("value"), Values.vFloat(col("value")),
+            lit("user"), Values.vInt(col("user_id"))).as("props"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val edges = batch
+          .withColumn("next", lead(col("event_id"), 1).over(w))
+          .filter(col("next").isNotNull)
+          .select(col("event_id").as("id"),
+            col("event_id").as("src"), col("next").as("dst"),
+            lit("NEXT").as("reltype"),
+            map().cast(Values.propsType).as("props"))
+        session.append(nodes, edges)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Run `transform` over the events parquet as a real streaming query into
     * a named memory sink; returns the sink contents. Complete-mode (windowed
     * aggregation).

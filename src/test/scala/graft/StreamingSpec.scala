@@ -28,6 +28,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(perUser.filter(col("mx") =!= col("nd")).isEmpty)
   }
 
+  test("streaming graph ingest: events become a queryable session graph") {
+    val sess = new graft.cypher.CypherSession(spark)
+    StreamOps.graphIngest(spark, sfDir, sess)
+    val nEvents = Tables.events(spark, sfDir).count()
+    val nNodes = sess.graph.nodes.count()
+    assert(nNodes == nEvents)
+    // Cypher over the ingested graph: NEXT chains exist and traverse
+    val r = sess.rows(sess.run(
+      "MATCH (a)-[:NEXT]->(b) RETURN count(*) AS c")).head("c")
+      .asInstanceOf[Long]
+    assert(r > 0 && r < nEvents)
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) equals window form") {
     val windowed = StreamOps.sessionize(Tables.events(spark, sfDir), 30)
       .collect().map(_.toSeq).toSet
