@@ -97,6 +97,29 @@ class ValueLawsSpec extends AnyFunSuite {
       coalesce(Values.lt(a, b), lit(false)) && !(ka < kb)) == 0)
   }
 
+  test("arithmetic: NULL propagation, int/float promotion, commutativity") {
+    import Values._
+    // + * commutative (as values)
+    assert(violations(df, a.isNotNull && b.isNotNull &&
+      isNum(a) && isNum(b) &&
+      !Values.eq(add(a, b), add(b, a))) == 0)
+    assert(violations(df, a.isNotNull && b.isNotNull &&
+      isNum(a) && isNum(b) &&
+      !Values.eq(mul(a, b), mul(b, a))) == 0)
+    // NULL operand → NULL result
+    assert(violations(df, (a.isNull || b.isNull) &&
+      add(a, b).isNotNull) == 0)
+    // int+int stays int; any float operand promotes to float
+    assert(violations(df, tag(a) === T_INT && tag(b) === T_INT &&
+      tag(add(a, b)) =!= T_INT) == 0)
+    assert(violations(df, isNum(a) && isNum(b) &&
+      (tag(a) === T_FLOAT || tag(b) === T_FLOAT) &&
+      tag(add(a, b)) =!= T_FLOAT) == 0)
+    // non-numeric (non-string-concat, non-list) arithmetic → NULL
+    assert(violations(df, a.isNotNull && b.isNotNull &&
+      !(isNum(a) && isNum(b)) && sub(a, b).isNotNull) == 0)
+  }
+
   test("scalacheck: driver-side generator sanity (non-degenerate kinds)") {
     val prop = Prop.forAll(genCell)(c => c.kind >= 0 && c.kind <= 4)
     val res = SCTest.check(SCTest.Parameters.default, prop)
