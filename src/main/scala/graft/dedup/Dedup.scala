@@ -40,13 +40,18 @@ object Dedup {
     docs.select(col("doc_id"), explode(grams).as("shingle")).distinct()
   }
 
-  /** Distinct 64-bit-hashed shingles per doc: (doc_id, sh). Strings hash
-    * once here; every downstream pass (signatures, jaccard joins) works on
-    * longs — smaller shuffles, no repeated string hashing. Collision odds
-    * ~|shingles|²/2⁶⁴ are negligible against any sampling error.
+  /** Distinct 62-bit-hashed shingles per doc: (doc_id, sh). Strings hash
+    * once here via the engine-portable [[graft.plans.PolyHash]]
+    * (`graft_polyhash`); every downstream pass (signatures, jaccard joins)
+    * works on longs — smaller shuffles, no repeated string hashing, and the
+    * DuckDB oracle reproduces the identical values. Collision odds
+    * ~|shingles|²/2⁶² are negligible against any sampling error.
     */
-  def shingleHashes(docs: DataFrame, k: Int = 3): DataFrame =
-    shingles(docs, k).select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+  def shingleHashes(docs: DataFrame, k: Int = 3): DataFrame = {
+    graft.plans.GraftExtensions.ensureFunctions(docs.sparkSession)
+    shingles(docs, k).select(col("doc_id"),
+      call_function("graft_polyhash", col("shingle")).as("sh"))
+  }
 
   /** splitmix64 — deterministic per-hash-function affine constants. */
   private def mix(i: Long): Long = {
@@ -55,6 +60,15 @@ object Dedup {
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z ^ (z >>> 31)
   }
+
+  /** MinHash modulus and the (a_i, b_i) affine constants — shared with the
+    * SQL oracle generator so both engines compute identical signatures.
+    */
+  val MinHashP: Long = 2147483647L // 2^31 - 1 (prime)
+  def minHashConstants(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      ((mix(2L * i) & 0x7FFFFFFFL) | 1L, mix(2L * i + 1) & 0x7FFFFFFFL)
+    }
 
   /** Exact n-gram Jaccard similarity for the given candidate pairs
     * (columns a, b). |A∩B| via hashed-shingle join, |A∪B| = |A|+|B|-|A∩B|.
@@ -98,13 +112,11 @@ object Dedup {
     */
   def minHashSignatures(docs: DataFrame, numHashes: Int = 64,
       k: Int = 3, pre: Option[DataFrame] = None): DataFrame = {
-    val P = 2147483647L // 2^31 - 1 (prime)
     val sh = pre.getOrElse(shingleHashes(docs, k))
-    val x = pmod(col("sh"), lit(P))
-    val aggs = (0 until numHashes).map { i =>
-      val a = (mix(2L * i) & 0x7FFFFFFFL) | 1L
-      val b = mix(2L * i + 1) & 0x7FFFFFFFL
-      min(pmod(x * lit(a) + lit(b), lit(P))).as(s"h$i")
+    val x = pmod(col("sh"), lit(MinHashP))
+    val aggs = minHashConstants(numHashes).zipWithIndex.map {
+      case ((a, b), i) =>
+        min(pmod(x * lit(a) + lit(b), lit(MinHashP))).as(s"h$i")
     }
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
@@ -118,16 +130,23 @@ object Dedup {
   def lshCandidates(signatures: DataFrame, numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // bucket key = the band's raw signature tuple (portable — no extra hash
+    // layer to reproduce in the oracle; equality is what banding needs)
+    val keyNames = (0 until rowsPerBand).map(r => s"k$r")
     val bandCols = (0 until bands).map { b =>
-      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(hs: _*).as("bucket"))
+      val hs = (0 until rowsPerBand).map { r =>
+        col(s"h${b * rowsPerBand + r}").as(s"k$r")
+      }
+      struct(lit(b).as("band") +: hs: _*)
     }
     val buckets = signatures
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-    val l = buckets.select(col("band"), col("bucket"), col("doc_id").as("a"))
-    val r = buckets.select(col("band"), col("bucket"), col("doc_id").as("b"))
-    l.join(r, Seq("band", "bucket"))
+      .select(col("doc_id") +: (col("bb.band") +:
+        keyNames.map(n => col(s"bb.$n"))): _*)
+    val joinKeys = "band" +: keyNames
+    val l = buckets.withColumnRenamed("doc_id", "a")
+    val r = buckets.withColumnRenamed("doc_id", "b")
+    l.join(r, joinKeys)
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
   }

@@ -150,10 +150,70 @@ object PipelineQueries {
       Dedup.jaccard(docs, pairs, 3)
     },
 
-    QueryDef.noOracle("q_dedup_minhash") { (s, dir) =>
-      // MinHash(64) + LSH(16 bands × 4) candidates → exact-Jaccard ≥ 0.3.
-      // No SQL oracle (xxhash64 seeds); DedupSpec checks candidate recall
-      // against brute-force Jaccard on sf0.001.
+    QueryDef(
+      "q_dedup_minhash",
+      // Full SQL replication of the MinHash+LSH pipeline: same portable
+      // shingle hash (graft_polyhash ≡ the double polynomial fold), same
+      // affine signature constants (Dedup.minHashConstants), band buckets
+      // keyed by the raw signature tuple, exact-Jaccard verify ≥ 0.3.
+      {
+        val polyFold = (base: Int) =>
+          s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |  list_transform(regexp_split_to_array(shingle, ''),
+             |                 c -> unicode(c))),
+             |  (acc, c) -> (acc * $base + c) % 1000000007)""".stripMargin
+        val sigCols = Dedup.minHashConstants(64).zipWithIndex.map {
+          case ((a, b), i) =>
+            s"min(($a * (sh % ${Dedup.MinHashP}) + $b) % ${Dedup.MinHashP}) AS h$i"
+        }.mkString(",\n    ")
+        val bandSelects = (0 until 16).map { bnd =>
+          val ks = (0 until 4).map(r => s"h${bnd * 4 + r} AS k$r").mkString(", ")
+          s"SELECT doc_id, $bnd AS band, $ks FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+           |  FROM documents),
+           |sh0 AS (
+           |  SELECT DISTINCT doc_id,
+           |         array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+           |  FROM (SELECT doc_id, t,
+           |          unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+           |        FROM toks)),
+           |shh AS (
+           |  SELECT doc_id,
+           |         ${polyFold(31)} * 2147483648 + ${polyFold(131)} AS sh
+           |  FROM sh0),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY 1),
+           |sig AS (
+           |  SELECT doc_id,
+           |    $sigCols
+           |  FROM shh GROUP BY doc_id),
+           |bands AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           |  FROM bands l JOIN bands r
+           |    ON l.band = r.band AND l.k0 = r.k0 AND l.k1 = r.k1
+           |   AND l.k2 = r.k2 AND l.k3 = r.k3 AND l.doc_id < r.doc_id),
+           |common AS (
+           |  SELECT c.a, c.b, count(*) AS n
+           |  FROM cand c
+           |  JOIN shh x ON x.doc_id = c.a
+           |  JOIN shh y ON y.doc_id = c.b AND y.sh = x.sh
+           |  GROUP BY 1, 2)
+           |SELECT a, b, jaccard FROM (
+           |  SELECT c.a, c.b,
+           |    round(CAST(coalesce(cm.n, 0) AS DOUBLE)
+           |          / (na.n_sh + nb.n_sh - coalesce(cm.n, 0)), 5) AS jaccard
+           |  FROM cand c
+           |  LEFT JOIN common cm ON cm.a = c.a AND cm.b = c.b
+           |  JOIN sizes na ON na.doc_id = c.a
+           |  JOIN sizes nb ON nb.doc_id = c.b)
+           |WHERE jaccard >= 0.3""".stripMargin
+      }) { (s, dir) =>
+      // MinHash(64) + LSH(16 bands × 4) candidates → exact-Jaccard ≥ 0.3,
+      // hash-checked against the SQL replication above; DedupSpec
+      // additionally checks candidate recall vs brute-force Jaccard.
       Dedup.minHashDedup(Tables.documents(s, dir), 0.3)
     },
 

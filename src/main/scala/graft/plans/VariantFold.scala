@@ -211,13 +211,23 @@ object GraftExtensions {
     */
   def ensureFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    val id = new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")
-    if (!reg.functionExists(id)) {
-      reg.registerFunction(id,
+    val dotId =
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")
+    if (!reg.functionExists(dotId)) {
+      reg.registerFunction(dotId,
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[DotProduct].getName, "graft_dot"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           DotProduct(exprs(0), exprs(1)))
+    }
+    val phId =
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_polyhash")
+    if (!reg.functionExists(phId)) {
+      reg.registerFunction(phId,
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[PolyHash].getName, "graft_polyhash"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          PolyHash(exprs.head))
     }
   }
 }
@@ -228,12 +238,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => VariantFoldRule)
     // one-shot after operator optimization (its own internal fixed point)
     ext.injectPreCBORule(_ => ProjectCseRule)
-    // native codegen'd dot product for the similarity operators
+    // native codegen'd expressions for the pipeline operators
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_polyhash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[PolyHash].getName, "graft_polyhash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PolyHash(exprs.head)))
   }
 }
