@@ -167,20 +167,27 @@ object Dedup {
     jaccard(docs, cands, k, Some(sh)).filter(col("jaccard") >= threshold)
   }
 
-  /** SimHash: 64-bit signature — per token-hash bit, sum +1/-1 across the
+  /** SimHash signature bit width: [[graft.plans.PolyHash]] yields 62
+    * usable bits (two 31-bit polynomial halves).
+    */
+  val SimHashBits: Int = 62
+
+  /** SimHash: 62-bit signature — per token-hash bit, sum +1/-1 across the
     * doc's tokens; bit set iff the sum is positive. Near-dups = signatures
-    * within small hamming distance.
+    * within small hamming distance. Token hash is the engine-portable
+    * `graft_polyhash`, so the signature is reproducible in the SQL oracle.
     */
   def simHash(docs: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.ensureFunctions(docs.sparkSession)
     val tok = docs.select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("token"))
-      .withColumn("th", xxhash64(col("token")))
-    val bitSums = (0 until 64).map { b =>
+      .withColumn("th", call_function("graft_polyhash", col("token")))
+    val bitSums = (0 until SimHashBits).map { b =>
       sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"s$b")
     }
     val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { b =>
+    val sig = (0 until SimHashBits).map { b =>
       when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
     sums.select(col("doc_id"), sig.as("simhash"))
@@ -197,7 +204,7 @@ object Dedup {
   def simHashPairs(docs: DataFrame, maxDist: Int = 8,
       prefixBits: Int = 16): DataFrame = {
     val sig = simHash(docs)
-      .withColumn("prefix", shiftright(col("simhash"), 64 - prefixBits))
+      .withColumn("prefix", shiftright(col("simhash"), SimHashBits - prefixBits))
     val l = sig.select(col("prefix"), col("doc_id").as("a"),
       col("simhash").as("sig_a"))
     val r = sig.select(col("prefix"), col("doc_id").as("b"),

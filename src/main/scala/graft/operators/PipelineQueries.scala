@@ -12,6 +12,24 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
+  /** SQL replication of [[Similarity.lshBuckets]]: per table, the bucket is
+    * the packed sign bits of projections onto the SAME deterministic
+    * hyperplanes (coefficients inlined as literals; `list_inner_product`
+    * sums in ascending index order like `graft_dot`). Assumes the testdata
+    * embedding dim (64).
+    */
+  private def lshBucketsSql(bits: Int, tables: Int, dim: Int = 64): String =
+    (0 until tables).map { t =>
+      val bitTerms = (0 until bits).map { p =>
+        val plane = (0 until dim)
+          .map(j => Similarity.planeCoef(t, p, j)).mkString("[", ", ", "]")
+        s"""(CASE WHEN list_inner_product($plane,
+           |  CAST(embedding AS DOUBLE[])) >= 0
+           |  THEN ${1L << p} ELSE 0 END)""".stripMargin
+      }.mkString("\n + ")
+      s"SELECT vec_id, $t AS tbl,\n $bitTerms AS bucket FROM embeddings"
+    }.mkString("\nUNION ALL\n")
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── text analysis ───────────────────────────────────────────────────────
@@ -217,8 +235,47 @@ object PipelineQueries {
       Dedup.minHashDedup(Tables.documents(s, dir), 0.3)
     },
 
-    QueryDef.noOracle("q_dedup_simhash") { (s, dir) =>
-      // SimHash-64 near-dup pairs, 16-bit-prefix blocking, hamming ≤ 16.
+    QueryDef(
+      "q_dedup_simhash",
+      // SQL replication of the SimHash pipeline: same portable token hash
+      // (double polynomial fold ≡ graft_polyhash), 62 per-bit +1/−1 sums,
+      // 16-bit-prefix blocking, hamming ≤ 16 via bit_count(xor).
+      {
+        val fold = (base: Int) =>
+          s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |  list_transform(regexp_split_to_array(token, ''),
+             |                 c -> unicode(c))),
+             |  (acc, c) -> (acc * $base + c) % 1000000007)""".stripMargin
+        val bitSums = (0 until Dedup.SimHashBits).map { b =>
+          s"sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+        }.mkString(",\n    ")
+        val sigExpr = (0 until Dedup.SimHashBits).map { b =>
+          s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH tok AS (
+           |  SELECT doc_id,
+           |         unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+           |           AS token
+           |  FROM documents),
+           |th AS (
+           |  SELECT doc_id, ${fold(31)} * 2147483648 + ${fold(131)} AS th
+           |  FROM tok),
+           |sums AS (
+           |  SELECT doc_id,
+           |    $bitSums
+           |  FROM th GROUP BY doc_id),
+           |sig AS (
+           |  SELECT doc_id, $sigExpr AS simhash,
+           |         ($sigExpr) >> ${Dedup.SimHashBits - 16} AS prefix
+           |  FROM sums)
+           |SELECT l.doc_id AS a, r.doc_id AS b,
+           |       CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS dist
+           |FROM sig l JOIN sig r
+           |  ON l.prefix = r.prefix AND l.doc_id < r.doc_id
+           |WHERE bit_count(xor(l.simhash, r.simhash)) <= 16""".stripMargin
+      }) { (s, dir) =>
+      // SimHash-62 near-dup pairs, 16-bit-prefix blocking, hamming ≤ 16,
+      // hash-checked against the SQL replication above.
       Dedup.simHashPairs(Tables.documents(s, dir), 16, 16)
     },
 
@@ -237,11 +294,29 @@ object PipelineQueries {
         Tables.embeddings(s, dir).filter(col("vec_id") < 300), 0.2)
     },
 
-    QueryDef.noOracle("q_dedup_embed_lsh") { (s, dir) =>
-      // scale path: LSH-bucket candidates + exact cosine verify; recall vs
-      // exact measured in DedupSpec. Threshold 0.3 (testdata cosines top out
-      // ~0.5, so 0.9 would be a vacuous 0-row check); 6 bits × 8 tables keeps
-      // candidate recall non-trivial at that similarity.
+    QueryDef(
+      "q_dedup_embed_lsh",
+      s"""WITH buckets AS (
+         |${lshBucketsSql(6, 8)}),
+         |cand AS (
+         |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+         |  FROM buckets l JOIN buckets r
+         |    ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |      FROM embeddings)
+         |SELECT a, b, sim FROM (
+         |  SELECT c.a, c.b,
+         |    round(list_inner_product(x.emb, y.emb)
+         |          / (sqrt(list_inner_product(x.emb, x.emb))
+         |             * sqrt(list_inner_product(y.emb, y.emb))), 5) AS sim
+         |  FROM cand c
+         |  JOIN v x ON x.vec_id = c.a
+         |  JOIN v y ON y.vec_id = c.b)
+         |WHERE sim >= 0.3""".stripMargin) { (s, dir) =>
+      // scale path: LSH-bucket candidates + exact cosine verify — the SQL
+      // oracle replicates the identical deterministic hyperplanes; recall
+      // vs exact also measured in DedupSpec. Threshold 0.3 (testdata
+      // cosines top out ~0.5); 6 bits × 8 tables.
       Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.3, 6, 8)
     },
 
@@ -266,9 +341,34 @@ object PipelineQueries {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 50), 3)
     },
 
-    QueryDef.noOracle("q_ann_lsh") { (s, dir) =>
-      // ANN: random-hyperplane LSH, 8 tables × 8 bits → in-bucket exact rank.
-      // SimilaritySpec measures recall vs brute force.
+    QueryDef(
+      "q_ann_lsh",
+      s"""WITH buckets AS (
+         |${lshBucketsSql(8, 8)}),
+         |cand0 AS (
+         |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+         |  FROM buckets l JOIN buckets r
+         |    ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+         |cand AS (SELECT a, b FROM cand0
+         |         UNION ALL SELECT b AS a, a AS b FROM cand0),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |      FROM embeddings),
+         |scored AS (
+         |  SELECT c.a, c.b,
+         |    round(list_inner_product(x.emb, y.emb)
+         |          / (sqrt(list_inner_product(x.emb, x.emb))
+         |             * sqrt(list_inner_product(y.emb, y.emb))), 5) AS sim
+         |  FROM cand c
+         |  JOIN v x ON x.vec_id = c.a
+         |  JOIN v y ON y.vec_id = c.b)
+         |SELECT a, b, sim, CAST(rank AS INT) AS rank FROM (
+         |  SELECT a, b, sim,
+         |    row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3""".stripMargin) { (s, dir) =>
+      // ANN: random-hyperplane LSH, 8 tables × 8 bits → in-bucket exact
+      // rank, hash-checked against the SQL hyperplane replication;
+      // PipelineSpec measures recall vs brute force.
       Similarity.annTopK(Tables.embeddings(s, dir), 3, 8, 8)
     },
 

@@ -55,9 +55,11 @@ object Similarity {
 
   /** splitmix64-derived uniform in [-1, 1] — deterministic hyperplane
     * component (t, p, j), computed driver-side (a literal per plane; nothing
-    * random ships to executors, reproducible cluster-wide).
+    * random ships to executors, reproducible cluster-wide — and inlineable
+    * into the DuckDB oracle, which is what makes the LSH operators
+    * hash-checkable end-to-end).
     */
-  private def planeCoef(t: Int, p: Int, j: Int): Double = {
+  def planeCoef(t: Int, p: Int, j: Int): Double = {
     var z = (t.toLong << 42) + (p.toLong << 21) + j + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
