@@ -372,12 +372,65 @@ object PipelineQueries {
       Similarity.annTopK(Tables.embeddings(s, dir), 3, 8, 8)
     },
 
-    QueryDef.noOracle("q_ann_ivf") { (s, dir) =>
-      // ANN, IVF path: k-means cells (2 Lloyd steps, broadcast argmin
-      // assignment), queries probe 4/16 cells → exact rank in-cell.
-      // No SQL oracle (float-sum-order-dependent centroids); PipelineSpec
-      // measures recall vs brute force.
+    QueryDef(
+      "q_ann_ivf",
+      // SQL replication of the IVF path with sampled (iters=0) centroids:
+      // deterministic id-stride seed cells, argmin by (‖c‖² − 2x·c, cell),
+      // queries probe their 4 nearest of 16 cells, exact cosine rank ≤ 3
+      // in-cell. (The Lloyd-refined variant stays spec-tested — iterative
+      // float means aren't bit-portable across engines.)
+      """WITH cents AS (
+        |  SELECT CAST(vec_id / (SELECT greatest(count(*) // 16, 1)
+        |                        FROM embeddings) AS INT) AS cell,
+        |         CAST(embedding AS DOUBLE[]) AS centroid
+        |  FROM embeddings
+        |  WHERE vec_id % (SELECT greatest(count(*) // 16, 1)
+        |                  FROM embeddings) = 0
+        |  ORDER BY vec_id LIMIT 16),
+        |scored_cents AS (
+        |  SELECT cell, centroid,
+        |         list_inner_product(centroid, centroid) AS cn2
+        |  FROM cents),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |      FROM embeddings),
+        |assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        c.cn2 - 2.0 * list_inner_product(v.emb, c.centroid), c.cell)
+        |        AS rn
+        |    FROM v CROSS JOIN scored_cents c)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT a, cell FROM (
+        |    SELECT v.vec_id AS a, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        c.cn2 - 2.0 * list_inner_product(v.emb, c.centroid), c.cell)
+        |        AS rn
+        |    FROM v CROSS JOIN scored_cents c
+        |    WHERE v.vec_id < 50)
+        |  WHERE rn <= 4),
+        |cand AS (
+        |  SELECT DISTINCT p.a, s.vec_id AS b
+        |  FROM probes p JOIN assign s ON s.cell = p.cell
+        |  WHERE p.a <> s.vec_id),
+        |scored AS (
+        |  SELECT c.a, c.b,
+        |    round(list_inner_product(x.emb, y.emb)
+        |          / (sqrt(list_inner_product(x.emb, x.emb))
+        |             * sqrt(list_inner_product(y.emb, y.emb))), 5) AS sim
+        |  FROM cand c
+        |  JOIN v x ON x.vec_id = c.a
+        |  JOIN v y ON y.vec_id = c.b)
+        |SELECT a, b, sim, CAST(rank AS INT) AS rank FROM (
+        |  SELECT a, b, sim,
+        |    row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3""".stripMargin) { (s, dir) =>
+      // ANN, IVF path with sampled centroids (iters=0 — bit-portable,
+      // hash-checked above); PipelineSpec measures the k-means-refined
+      // variant's recall vs brute force.
       val emb = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 50), 3, 16, 4)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 50), 3, 16, 4, 0)
     })
 }

@@ -113,7 +113,8 @@ object Similarity {
     val n = vectors.count()
     val stride = math.max(n / nlist, 1L)
     var centroids = vectors
-      .filter(col("vec_id") % stride === 0).limit(nlist)
+      .filter(col("vec_id") % stride === 0)
+      .orderBy("vec_id").limit(nlist) // deterministic seed subset
       .select((col("vec_id") / stride).cast("int").as("cell"),
         col("embedding").cast("array<double>").as("centroid"))
     def assign(cents: DataFrame): DataFrame = {
