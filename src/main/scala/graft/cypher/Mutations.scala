@@ -42,7 +42,8 @@ private[cypher] final class MutationRunner(session: CypherSession) {
       case m: Ast.Match => frame = translateMatch(ctx(params), frame, m)
       case u: Ast.Unwind => frame = translateUnwind(ctx(params), frame, u)
       case w: Ast.With =>
-        frame = translateProjection(ctx(params), frame, w.proj, w.where)
+        frame = translateProjection(ctx(params), frame, w.proj, w.where,
+          carryFlats = true)
       case c: Ast.CallProc => frame = translateCall(ctx(params), frame, c)
       case c: Ast.Create => frame = execCreate(frame, c.paths, params)
       case s: Ast.SetClause => frame = execSet(frame, s.items, params)

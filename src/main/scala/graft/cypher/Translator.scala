@@ -35,6 +35,13 @@ object Translator {
   case class Frame(df: DataFrame, vars: Map[String, Kind]) {
     def col(name: String): Column = df(s"`$name`")
     def has(name: String): Boolean = vars.contains(name)
+    /** Flat pre-resolved property column (see [[propColName]]), if the scan
+      * projected one for this (variable, key).
+      */
+    def propCol(v: String, k: String): Option[Column] = {
+      val n = propColName(v, k)
+      if (df.columns.contains(n)) Some(df(s"`$n`")) else None
+    }
   }
 
   case class TranslateError(msg: String) extends RuntimeException(msg)
@@ -86,11 +93,13 @@ object Translator {
     val spark = graph.nodes.sparkSession
     val unit = spark.range(1).select(lit(1).as("__unit"))
     var frame = Frame(unit, Map.empty)
-    val ctx = Ctx(graph, params, session)
+    val ctx = Ctx(graph, params, session, collectPropUse(clauses),
+      collectFullVars(clauses))
     clauses.foreach {
       case m: Ast.Match => frame = translateMatch(ctx, frame, m)
       case u: Ast.Unwind => frame = translateUnwind(ctx, frame, u)
-      case w: Ast.With => frame = translateProjection(ctx, frame, w.proj, w.where)
+      case w: Ast.With => frame = translateProjection(ctx, frame, w.proj,
+        w.where, carryFlats = true)
       case c: Ast.CallProc => frame = translateCall(ctx, frame, c)
       case r: Ast.Return =>
         frame = translateProjection(ctx, frame, r.proj, None)
@@ -101,7 +110,179 @@ object Translator {
   }
 
   case class Ctx(graph: PropertyGraph, params: Map[String, Any],
-      session: Option[CypherSession] = None)
+      session: Option[CypherSession] = None,
+      propUse: Map[String, Set[String]] = Map.empty,
+      fullVars: Option[Set[String]] = None) {
+    /** Does variable `v`'s struct need the full props map? (None ⇒ yes.) */
+    def needsProps(v: String): Boolean = fullVars.forall(_.contains(v))
+  }
+
+  /** Name of the flat column a scan projects for property `k` of variable
+    * `v` — `element_at(props, k)` resolved AT THE SCAN, before any join, so
+    * [[graft.plans.VariantFoldRule]] collapses it to the underlying native
+    * column (parquet-pruned, filter-pushable) and the props map is never
+    * materialized unless the full entity is returned. The reference's
+    * analogue is compiling property reads to attribute-id lookups at plan
+    * build (`src/arithmetic/arithmetic_expression_construct.c`).
+    */
+  def propColName(v: String, k: String): String = s"__p:$v:$k"
+
+  /** Pass 0 over a statement: which property keys does each variable ever
+    * get asked for? Drives scan-time property projection (the graph-layer
+    * twin of Catalyst column pruning — prune the *property bag* down to the
+    * accessed keys before it crosses a join).
+    */
+  private[cypher] def collectPropUse(
+      clauses: List[Ast.Clause]): Map[String, Set[String]] = {
+    val acc = scala.collection.mutable.Map[String, Set[String]]()
+    def expr(e: Ast.Expr): Unit = Ast.foreachExpr(e) {
+      case Ast.Prop(Ast.Variable(n), k) =>
+        acc(n) = acc.getOrElse(n, Set.empty) + k
+      case Ast.PatternPred(p) => pathPat(p)
+      case _ => ()
+    }
+    def pathPat(p: Ast.PathPat): Unit = {
+      def nodeP(np: Ast.NodePat): Unit = {
+        np.props.foreach { case (k, e) =>
+          expr(e)
+          // a pattern prop {k: v} reads this variable's property k
+          np.variable.foreach(v => acc(v) = acc.getOrElse(v, Set.empty) + k)
+        }
+      }
+      def relP(rp: Ast.RelPat): Unit =
+        rp.props.foreach { case (k, e) =>
+          expr(e)
+          rp.variable.foreach(v => acc(v) = acc.getOrElse(v, Set.empty) + k)
+        }
+      nodeP(p.head)
+      p.tail.foreach { case (rp, np) => relP(rp); nodeP(np) }
+    }
+    def proj(pr: Ast.Projection): Unit = {
+      pr.items.foreach(i => expr(i._1))
+      pr.orderBy.foreach(si => expr(si.expr))
+      pr.skip.foreach(expr); pr.limit.foreach(expr)
+    }
+    clauses.foreach {
+      case m: Ast.Match => m.paths.foreach(pathPat); m.where.foreach(expr)
+      case u: Ast.Unwind => expr(u.list)
+      case w: Ast.With => proj(w.proj); w.where.foreach(expr)
+      case r: Ast.Return => proj(r.proj)
+      case c: Ast.CallProc => c.args.foreach(expr)
+      case c: Ast.Create => c.paths.foreach(pathPat)
+      case mg: Ast.Merge =>
+        pathPat(mg.path)
+        (mg.onMatch ++ mg.onCreate).foreach(si => expr(si.value))
+      case s: Ast.SetClause => s.items.foreach(si => expr(si.value))
+      case d: Ast.Delete => d.exprs.foreach(expr)
+    }
+    acc.toMap
+  }
+
+  /** Pass 0b: which variables are ever needed as FULL entities (props map
+    * included)? Everything else gets a props-less struct from the scan —
+    * the scan then reads only id/label plus the accessed property columns.
+    * Returns None ("assume everything full") when `RETURN *` defeats the
+    * analysis.
+    */
+  private[cypher] def collectFullVars(
+      clauses: List[Ast.Clause]): Option[Set[String]] = {
+    val full = scala.collection.mutable.Set[String]()
+    var sawStar = false
+    // functions whose entity argument reads no properties
+    val idOnlyFns = Set("id", "count")
+    def expr(e: Ast.Expr): Unit = e match {
+      case Ast.Variable("*") => sawStar = true
+      case Ast.Variable(n) => full += n
+      case Ast.Prop(Ast.Variable(_), _) => () // property read only
+      case Ast.Prop(t, _) => expr(t)
+      case Ast.Fn(f, args, _) if idOnlyFns.contains(f.toLowerCase) =>
+        args.foreach { case Ast.Variable(_) => (); case a => expr(a) }
+      case Ast.PatternPred(p) =>
+        p.head.props.foreach(kv => expr(kv._2))
+        p.tail.foreach { case (rp, np) =>
+          rp.props.foreach(kv => expr(kv._2))
+          np.props.foreach(kv => expr(kv._2))
+        }
+      case Ast.ListLit(items) => items.foreach(expr)
+      case Ast.MapLit(entries) => entries.foreach(kv => expr(kv._2))
+      case Ast.Bin(_, l, r) => expr(l); expr(r)
+      case Ast.Not(x) => expr(x)
+      case Ast.Neg(x) => expr(x)
+      case Ast.IsNull(x, _) => expr(x)
+      case Ast.Fn(_, args, _) => args.foreach(expr)
+      case Ast.CaseExpr(s, w, o) =>
+        s.foreach(expr)
+        w.foreach { case (a, b) => expr(a); expr(b) }
+        o.foreach(expr)
+      case Ast.Subscript(t, i) => expr(t); expr(i)
+      case Ast.SliceExpr(t, f, to) => expr(t); f.foreach(expr); to.foreach(expr)
+      case Ast.ListComprehension(_, l, w, p) =>
+        expr(l); w.foreach(expr); p.foreach(expr)
+      case Ast.Quantifier(_, _, l, p) => expr(l); expr(p)
+      case _ => ()
+    }
+    def markPath(p: Ast.PathPat): Unit = {
+      // named/shortest paths materialize their entities into path arrays —
+      // anonymous members resolve through nameOf (identity-stable on the
+      // cached AST), so they are pinned full too
+      full += nameOf(p.head)
+      p.tail.foreach { case (rp, np) => full += nameOf(rp); full += nameOf(np) }
+    }
+    def proj(pr: Ast.Projection): Unit = {
+      pr.items.foreach(i => expr(i._1))
+      pr.orderBy.foreach(si => expr(si.expr))
+      pr.skip.foreach(expr); pr.limit.foreach(expr)
+    }
+    val projections = scala.collection.mutable.ArrayBuffer[Ast.Projection]()
+    clauses.foreach {
+      case m: Ast.Match =>
+        m.paths.foreach { p =>
+          if (p.pathVar.isDefined || p.shortest) markPath(p)
+          p.head.props.foreach(kv => expr(kv._2))
+          p.tail.foreach { case (rp, np) =>
+            rp.props.foreach(kv => expr(kv._2))
+            np.props.foreach(kv => expr(kv._2))
+          }
+        }
+        m.where.foreach(expr)
+      case u: Ast.Unwind => expr(u.list)
+      case w: Ast.With => proj(w.proj); projections += w.proj; w.where.foreach(expr)
+      case r: Ast.Return => proj(r.proj); projections += r.proj
+      case c: Ast.CallProc => c.args.foreach(expr)
+      case c: Ast.Create => c.paths.foreach { p =>
+        markPath(p) // created entities carry their prop maps
+        p.head.props.foreach(kv => expr(kv._2))
+        p.tail.foreach { case (rp, np) =>
+          rp.props.foreach(kv => expr(kv._2))
+          np.props.foreach(kv => expr(kv._2))
+        }
+      }
+      case mg: Ast.Merge =>
+        markPath(mg.path)
+        (mg.onMatch ++ mg.onCreate).foreach { si =>
+          expr(si.target); expr(si.value)
+        }
+      case s: Ast.SetClause =>
+        s.items.foreach { si => expr(si.target); expr(si.value) }
+      case d: Ast.Delete => d.exprs.foreach(expr)
+    }
+    if (sawStar) return None
+    // propagate fullness backwards through projection aliases
+    // (WITH c AS x … RETURN x ⇒ c is full)
+    var changed = true
+    while (changed) {
+      changed = false
+      projections.foreach(_.items.foreach {
+        case (Ast.Variable(v), alias) =>
+          val n = alias.getOrElse(v)
+          if (full.contains(n) && !full.contains(v)) {
+            full += v; changed = true
+          }
+        case _ => ()
+      })
+    }
+    Some(full.toSet)
+  }
 
   // ═══════════════════════════════ CALL ════════════════════════════════════
   /** ProcedureCall (`op_procedure_call.c`): invoke a registered procedure
@@ -177,8 +358,11 @@ object Translator {
     val seed = Frame(tagged, frame.vars)
     val inner = translateMatch(ctx, seed, m.copy(optional = false))
     val newVars = inner.vars.keySet -- frame.vars.keySet
+    val newFlats = inner.df.columns.toSeq.filter(c =>
+      c.startsWith("__p:") && !tagged.columns.contains(c))
     val right = inner.df.select(
-      (Seq(inner.col(rid)) ++ newVars.toSeq.map(inner.col)): _*)
+      (Seq(inner.col(rid)) ++ newVars.toSeq.map(inner.col) ++
+        newFlats.map(c => inner.df(s"`$c`"))): _*)
     val joined = tagged.join(right, Seq(rid), "left_outer").drop(rid)
     Frame(joined, frame.vars ++ newVars.map(n => n -> inner.vars(n)))
   }
@@ -291,7 +475,8 @@ object Translator {
   /** Scan for a node pattern (label/props pushed into the scan —
     * NodeByLabelScan, `op_node_by_label_scan.c`).
     */
-  private def nodeScan(ctx: Ctx, np: Ast.NodePat, as: String): DataFrame = {
+  private def nodeScan(ctx: Ctx, np: Ast.NodePat, as: String,
+      keepProps: Boolean = false): DataFrame = {
     var df = ctx.graph.nodes
     np.label.foreach(l => df = df.filter(col("label") === l))
     np.props.foreach { case (k, e) =>
@@ -299,7 +484,16 @@ object Translator {
       df = df.filter(coalesce(Values.eq(
         element_at(col("props"), k), v), lit(false)))
     }
-    df.select(struct(col("id"), col("label"), col("props")).as(as))
+    // project accessed properties flat at the scan (folds to native columns)
+    val flats = ctx.propUse.getOrElse(as, Set.empty).toSeq.sorted.map(k =>
+      element_at(col("props"), k).as(propColName(as, k)))
+    // props-bag pruning: a var never used as a full entity gets a null
+    // props field — the scan then reads only id/label + accessed props
+    val propsCol =
+      if (keepProps || ctx.needsProps(as)) col("props")
+      else lit(null).cast(Values.propsType)
+    df.select(struct(col("id"), col("label"),
+      propsCol.as("props")).as(as) +: flats: _*)
   }
 
   /** true iff the expression references no frame state (literals/params
@@ -323,7 +517,8 @@ object Translator {
         frame.col(name).getField("label") === l))
       np.props.foreach { case (k, e) =>
         df = df.filter(coalesce(Values.eq(
-          element_at(frame.col(name).getField("props"), k),
+          frame.propCol(name, k).getOrElse(
+            element_at(frame.col(name).getField("props"), k)),
           trExpr(ctx, frame, e)), lit(false)))
       }
       Frame(df, frame.vars)
@@ -331,7 +526,8 @@ object Translator {
       // const props push into the scan (filter reaches the parquet read);
       // frame-dependent props filter after the join
       val (constProps, dynProps) = np.props.partition { case (_, e) => isConst(e) }
-      val scan = nodeScan(ctx, np.copy(props = constProps), name)
+      val scan = nodeScan(ctx, np.copy(props = constProps), name,
+        keepProps = dynProps.nonEmpty && np.variable.isEmpty)
       // pristine unit frame → the scan IS the frame (no cross join wart)
       val df =
         if (frame.vars.isEmpty &&
@@ -341,7 +537,8 @@ object Translator {
       var f = Frame(df, frame.vars + (name -> KNode))
       dynProps.foreach { case (k, e) =>
         f = f.copy(df = f.df.filter(coalesce(Values.eq(
-          element_at(f.col(name).getField("props"), k),
+          f.propCol(name, k).getOrElse(
+            element_at(f.col(name).getField("props"), k)),
           trExpr(ctx, f, e)), lit(false))))
       }
       f
@@ -351,7 +548,8 @@ object Translator {
   /** Directed traversal view over the edge table: (__from,__to) per
     * direction; undirected = union of both orientations (transpose ≡ swap).
     */
-  private def edgeView(ctx: Ctx, rel: Ast.RelPat): DataFrame = {
+  private def edgeView(ctx: Ctx, rel: Ast.RelPat,
+      keepProps: Boolean = false): DataFrame = {
     var e = ctx.graph.edges
     if (rel.types.nonEmpty)
       e = e.filter(col("reltype").isin(rel.types: _*))
@@ -359,18 +557,29 @@ object Translator {
       e = e.filter(coalesce(Values.eq(
         element_at(col("props"), k), constantValue(ctx, expr)), lit(false)))
     }
-    val base = e.select(struct(col("id"), col("src"), col("dst"),
-      col("reltype"), col("props")).as("__edge"),
-      col("src").as("__from"), col("dst").as("__to"))
+    // flat accessed-property columns at the scan (same as nodeScan)
+    val flatNames = rel.variable.toSeq.flatMap { rn =>
+      ctx.propUse.getOrElse(rn, Set.empty).toSeq.sorted.map(k =>
+        (k, propColName(rn, k)))
+    }
+    val flats = flatNames.map { case (k, n) =>
+      element_at(col("props"), k).as(n)
+    }
+    val flatCols = flatNames.map { case (_, n) => col(s"`$n`") }
+    val propsCol =
+      if (keepProps || rel.variable.exists(ctx.needsProps)) col("props")
+      else lit(null).cast(Values.propsType)
+    val base = e.select(Seq(struct(col("id"), col("src"), col("dst"),
+      col("reltype"), propsCol.as("props")).as("__edge"),
+      col("src").as("__from"), col("dst").as("__to")) ++ flats: _*)
+    def swapped = base.select(Seq(col("__edge"),
+      col("__to").as("__from"), col("__from").as("__to")) ++ flatCols: _*)
+      .select(Seq(col("__edge"), col("__from"),
+        col("__to")) ++ flatCols: _*)
     rel.direction match {
       case 1 => base
-      case -1 => base.select(col("__edge"), col("__to").as("__from"),
-        col("__from").as("__to"))
-        .select(col("__edge"), col("__from"), col("__to"))
-      case 0 => base.unionByName(
-        base.select(col("__edge"), col("__to").as("__from"),
-          col("__from").as("__to"))
-          .select(col("__edge"), col("__from"), col("__to")))
+      case -1 => swapped
+      case 0 => base.unionByName(swapped)
     }
   }
 
@@ -383,14 +592,17 @@ object Translator {
     val nname = nameOf(node)
     val (constRelProps, dynRelProps) =
       rel.props.partition { case (_, e) => isConst(e) }
-    val ev = edgeView(ctx, rel.copy(props = constRelProps))
+    val ev = edgeView(ctx, rel.copy(props = constRelProps),
+      keepProps = dynRelProps.nonEmpty && rel.variable.isEmpty)
       .withColumnRenamed("__edge", rname)
     var joined = frame.df.join(ev,
       frame.col(prev).getField("id") === ev("__from"))
     dynRelProps.foreach { case (k, e) =>
+      val f0 = Frame(joined, frame.vars)
       joined = joined.filter(coalesce(Values.eq(
-        element_at(col(s"`$rname`").getField("props"), k),
-        trExpr(ctx, Frame(joined, frame.vars), e)), lit(false)))
+        f0.propCol(rname, k).getOrElse(
+          element_at(col(s"`$rname`").getField("props"), k)),
+        trExpr(ctx, f0, e)), lit(false)))
     }
     val f1 = Frame(joined, frame.vars + (rname -> KEdge))
     val result =
@@ -402,13 +614,15 @@ object Translator {
       } else {
         val (constProps, dynProps) =
           node.props.partition { case (_, e) => isConst(e) }
-        val scan = nodeScan(ctx, node.copy(props = constProps), nname)
+        val scan = nodeScan(ctx, node.copy(props = constProps), nname,
+          keepProps = dynProps.nonEmpty && node.variable.isEmpty)
         val df = joined.join(scan,
           col("__to") === scan(nname).getField("id"))
         var f = Frame(df, f1.vars + (nname -> KNode))
         dynProps.foreach { case (k, e) =>
           f = f.copy(df = f.df.filter(coalesce(Values.eq(
-            element_at(f.col(nname).getField("props"), k),
+            f.propCol(nname, k).getOrElse(
+              element_at(f.col(nname).getField("props"), k)),
             trExpr(ctx, f, e)), lit(false))))
         }
         f
@@ -435,7 +649,8 @@ object Translator {
     val nname = nameOf(node)
     val relsName = rel.variable.getOrElse(freshName("vrels"))
     val nodesName = freshName("vnodes")
-    val ev = edgeView(ctx, rel)
+    // accumulated path arrays materialize full edge structs
+    val ev = edgeView(ctx, rel, keepProps = keepAcc || rel.variable.isDefined)
     val nodesTbl = ctx.graph.nodes.select(col("id").as("__vnid"),
       struct(col("id"), col("label"), col("props")).as("__vn"))
 
@@ -495,13 +710,15 @@ object Translator {
       } else {
         val (constProps, dynProps) =
           node.props.partition { case (_, e) => isConst(e) }
-        val scan = nodeScan(ctx, node.copy(props = constProps), nname)
+        val scan = nodeScan(ctx, node.copy(props = constProps), nname,
+          keepProps = dynProps.nonEmpty && node.variable.isEmpty)
         var f = Frame(joined.join(scan,
           col("__vcur") === scan(nname).getField("id")),
           frame.vars + (nname -> KNode))
         dynProps.foreach { case (k, e) =>
           f = f.copy(df = f.df.filter(coalesce(Values.eq(
-            element_at(f.col(nname).getField("props"), k),
+            f.propCol(nname, k).getOrElse(
+              element_at(f.col(nname).getField("props"), k)),
             trExpr(ctx, f, e)), lit(false))))
         }
         f
@@ -637,7 +854,8 @@ object Translator {
   }
 
   private[cypher] def translateProjection(ctx: Ctx, frame0: Frame,
-      proj0: Ast.Projection, where: Option[Ast.Expr]): Frame = {
+      proj0: Ast.Projection, where: Option[Ast.Expr],
+      carryFlats: Boolean = false): Frame = {
     // degree calls resolve to joined columns before any projection math
     val (frame, degRw) = resolveDegrees(ctx, frame0,
       proj0.items.map(_._1) ++ proj0.orderBy.map(_.expr))
@@ -744,9 +962,22 @@ object Translator {
         case Ast.LitInt(n) => sorted = sorted.limit(n.toInt)
         case other => throw TranslateError(s"LIMIT must be a literal: $other")
       }
+      // bare entity variables keep their scan-level flat property columns
+      // across the projection (renamed to the new alias) — row-preserving
+      // here, so carrying extra columns is safe (not so for DISTINCT/agg)
+      val carry = if (!carryFlats) Nil else items.flatMap { case (e, n) =>
+        e match {
+          case Ast.Variable(v) if frame.vars.get(v)
+              .exists(k => k == KNode || k == KEdge) =>
+            sorted.columns.filter(_.startsWith(s"__p:$v:")).toSeq.map { pc =>
+              sorted(s"`$pc`").as(s"__p:$n:" + pc.stripPrefix(s"__p:$v:"))
+            }
+          case _ => Nil
+        }
+      }
       val named = sorted.select(items.zipWithIndex.map { case ((_, n), i) =>
         col(s"__item_$i").as(n)
-      }: _*)
+      } ++ carry: _*)
       return Frame(named, items.map { case (e, n) =>
         n -> kindOf(ctx, frame, e)
       }.toMap)
@@ -866,12 +1097,14 @@ object Translator {
         }
 
       case Ast.Prop(target, key) =>
-        val tv = target match {
+        target match {
           case Ast.Variable(n) if frame.has(n) && frame.vars(n) != KValue =>
-            frame.col(n).getField("props")
-          case other => t(other).getField("arr") // maps unsupported on values
+            // prefer the scan-level flat column (native, pruned, pushable)
+            frame.propCol(n, key).getOrElse(
+              element_at(frame.col(n).getField("props"), key))
+          case other => // maps unsupported on values
+            element_at(t(other).getField("arr"), key)
         }
-        element_at(tv, key)
 
       case Ast.Bin(op, l, r) =>
         val isEntity = (x: Ast.Expr) => x match {
