@@ -38,20 +38,39 @@ object SparkEntry {
 
   /** Plan cache: one translated/analyzed DataFrame per (session, query,
     * dir) — re-invoking a query re-executes the same plan (no result
-    * caching) instead of rebuilding + re-analyzing it, and `cache()`d
-    * intermediates inside an operator (e.g. MinHash shingles) are reused
-    * rather than re-materialized per call. The Spark-side analogue of the
-    * reference's execution-plan cache (`src/commands/execution_ctx.c:79-87`).
+    * caching) instead of rebuilding + re-analyzing it. The Spark-side
+    * analogue of the reference's execution-plan cache
+    * (`src/commands/execution_ctx.c:79-87`). Scoped per live session via a
+    * weak map: a stopped session's entries (and any persisted RDDs they pin)
+    * become collectable instead of being retained for the process lifetime.
     */
-  private val planCache =
-    scala.collection.concurrent.TrieMap[(Int, String, String), DataFrame]()
+  private val planCaches = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+
+  private def cacheFor(s: SparkSession) = planCaches.synchronized {
+    var m = planCaches.get(s)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap.empty
+      planCaches.put(s, m)
+    }
+    m
+  }
+
+  /** Drop every cached plan for the session (both this registry's and the
+    * Cypher pipeline's) — used by Bench between warm-up and timed runs so
+    * timed executions rebuild plans and re-materialize operator-internal
+    * caches from scratch.
+    */
+  def clearPlanCache(s: SparkSession): Unit = {
+    planCaches.synchronized { planCaches.remove(s) }
+    operators.CypherQueries.clearPlanCache(s)
+  }
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allDefs.map { d =>
       d.name -> ((s: SparkSession, dir: String) =>
-        planCache.getOrElseUpdate(
-          (System.identityHashCode(s), d.name, dir), d.fn(s, dir)))
+        cacheFor(s).getOrElseUpdate((d.name, dir), d.fn(s, dir)))
     }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

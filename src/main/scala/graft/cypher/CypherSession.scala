@@ -103,11 +103,7 @@ class CypherSession(val spark: SparkSession) {
     */
   def run(query: String, params: Map[String, Any] = Map.empty): DataFrame = {
     val ast = parse(query)
-    val isMutation = ast.parts.exists(_.clauses.exists {
-      case _: Ast.Create | _: Ast.Merge | _: Ast.SetClause | _: Ast.Delete => true
-      case _ => false
-    })
-    if (isMutation) {
+    if (Graft.isMutation(ast)) {
       require(ast.parts.size == 1, "mutations cannot be UNIONed")
       new MutationRunner(this).run(ast.parts.head.clauses, params)
     } else countFastPath(ast).getOrElse(

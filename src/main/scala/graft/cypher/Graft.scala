@@ -47,25 +47,31 @@ class Graft(val spark: SparkSession) {
     */
   def roQuery(graph: String, cypher: String,
       params: Map[String, Any] = Map.empty): DataFrame = {
-    val ast = CypherParser.parse(cypher).fold(
-      e => throw Translator.TranslateError(e), identity)
-    val mutates = ast.parts.exists(_.clauses.exists {
-      case _: Ast.Create | _: Ast.Merge | _: Ast.SetClause | _: Ast.Delete =>
-        true
-      case _ => false
-    })
-    if (mutates)
+    if (Graft.isMutation(parse(cypher)))
       throw Translator.TranslateError("graph.RO_QUERY cannot mutate")
     query(graph, cypher, params)
   }
 
-  /** GRAPH.EXPLAIN — the Catalyst plan (formatted) without executing. */
-  def explain(graph: String, cypher: String): String =
-    session(graph).run(cypher).queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  private def parse(cypher: String): Ast.Query =
+    CypherParser.parse(cypher).fold(
+      e => throw Translator.TranslateError(e), identity)
 
-  /** GRAPH.PROFILE — execute and return the plan annotated with runtime
-    * metrics (rows, time) per operator.
+  /** GRAPH.EXPLAIN — compile only, never execute
+    * (`src/commands/cmd_explain.c` prints the op tree without running it).
+    * Read queries show the Catalyst plan the translator produced; mutating
+    * queries render the compile-time operator tree from the AST — the
+    * mutation runner (which commits eagerly) is never invoked.
+    */
+  def explain(graph: String, cypher: String): String = {
+    val ast = parse(cypher)
+    if (Graft.isMutation(ast)) Graft.mutationPlan(ast)
+    else session(graph).run(cypher).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  /** GRAPH.PROFILE — EXECUTES the query (reference parity:
+    * `execution_plan.c:435-463` wraps ops with timers and runs the plan,
+    * mutations included) and returns the physical plan with runtime metrics.
     */
   def profile(graph: String, cypher: String): String = {
     val df = query(graph, cypher)
@@ -93,5 +99,59 @@ class Graft(val spark: SparkSession) {
   def slowlog(n: Int = 10): Seq[(String, String, Double)] = {
     import scala.jdk.CollectionConverters._
     log.asScala.toSeq.sortBy(-_._3).take(n)
+  }
+}
+
+object Graft {
+
+  /** True iff any statement part contains a write clause. */
+  def isMutation(ast: Ast.Query): Boolean =
+    ast.parts.exists(_.clauses.exists {
+      case _: Ast.Create | _: Ast.Merge | _: Ast.SetClause | _: Ast.Delete =>
+        true
+      case _ => false
+    })
+
+  /** Compile-time operator tree for a mutating statement, rendered without
+    * executing anything — op names follow the reference
+    * (`src/execution_plan/ops/op.h:19-54`; tree shape as
+    * `cmd_explain.c` prints it: root first, source ops indented below).
+    */
+  def mutationPlan(ast: Ast.Query): String = {
+    def pat(p: Ast.PathPat): String = {
+      val head = p.head.label.fold("()")(l => s"(:$l)")
+      p.tail.map { case (r, n) =>
+        val t = r.types.mkString("|")
+        val star = r.varLen.fold("")(_ => "*")
+        s"-[:$t$star]-${if (r.direction >= 0) ">" else ""}" +
+          n.label.fold("()")(l => s"(:$l)")
+      }.mkString(head, "", "")
+    }
+    def opOf(c: Ast.Clause): List[String] = c match {
+      case m: Ast.Match =>
+        val scan = m.paths.map(pat).mkString(", ")
+        val filter = m.where.map(_ => List("Filter")).getOrElse(Nil)
+        val traverse =
+          if (m.optional) List(s"Optional", s"ConditionalTraverse [$scan]")
+          else if (m.paths.exists(_.tail.nonEmpty))
+            List(s"ConditionalTraverse [$scan]")
+          else Nil
+        filter ++ traverse :+ s"NodeByLabelScan | AllNodeScan [$scan]"
+      case u: Ast.Unwind => List(s"Unwind [${u.alias}]")
+      case _: Ast.With => List("Project")
+      case c: Ast.Create => List(s"Create [${c.paths.map(pat).mkString(", ")}]")
+      case m: Ast.Merge =>
+        List(s"Merge [${pat(m.path)}]", "MergeCreate", "Argument")
+      case _: Ast.SetClause => List("Update")
+      case d: Ast.Delete => List(if (d.detach) "Delete [detach]" else "Delete")
+      case p: Ast.CallProc => List(s"ProcedureCall [${p.name}]")
+      case _: Ast.Return => List("Results", "Project")
+    }
+    val clauses = ast.parts.head.clauses
+    val ops = clauses.reverse.flatMap(opOf)
+    val withRoot = if (clauses.exists(_.isInstanceOf[Ast.Return])) ops
+      else "Results" :: ops
+    withRoot.zipWithIndex
+      .map { case (op, i) => "    " * i + op }.mkString("\n")
   }
 }

@@ -382,6 +382,15 @@ object Translator {
         "shortestPath needs a single variable-length relationship pattern")
     var f = bindNode(ctx, frame, p.head)
     val startName = p.head.variable.getOrElse(nameOf(p.head))
+    // shortestPath keeps ONE path per (input row, endpoint pair) — stamp a
+    // per-row key BEFORE expansion multiplies rows, so other bound variables
+    // (earlier MATCHes, UNWIND fan-out) keep their own shortest path instead
+    // of one global winner per endpoint pair
+    val spRowKey = if (p.shortest) {
+      val k = freshName("sprk")
+      f = f.copy(df = f.df.withColumn(k, monotonically_increasing_id()))
+      Some(k)
+    } else None
     var prev = startName
     val edgeVars = scala.collection.mutable.ArrayBuffer[String]()
     val segs = scala.collection.mutable.ArrayBuffer[PathSeg](NodeSeg(prev))
@@ -413,13 +422,14 @@ object Translator {
       // edge-id array as the deterministic tiebreak.
       val relsCol = segs.collectFirst { case VarSeg(rc, _) => rc }.get
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(f.col(startName).getField("id"),
+        .partitionBy(col(s"`${spRowKey.get}`"),
+          f.col(startName).getField("id"),
           f.col(prev).getField("id"))
         .orderBy(size(f.col(relsCol)),
           transform(f.col(relsCol), r => r.getField("id")))
       val rn = freshName("sprn")
       f = f.copy(df = f.df.withColumn(rn, row_number().over(w))
-        .filter(col(s"`$rn`") === 1).drop(rn))
+        .filter(col(s"`$rn`") === 1).drop(rn, spRowKey.get))
     }
     p.pathVar.foreach { pv =>
       // assemble struct(nodes, rels) from the segments (`topath`,

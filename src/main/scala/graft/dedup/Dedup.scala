@@ -164,7 +164,15 @@ object Dedup {
     val cands = lshCandidates(
       minHashSignatures(docs, numHashes, k, Some(sh)), numHashes, bands)
       .cache()
-    jaccard(docs, cands, k, Some(sh)).filter(col("jaccard") >= threshold)
+    // materialize the (small) verified-pair result while the intermediates
+    // are live, then release them — executor storage stays flat across many
+    // invocations instead of accumulating cached shingle/candidate blocks
+    val result = jaccard(docs, cands, k, Some(sh))
+      .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+    sh.unpersist()
+    cands.unpersist()
+    result
   }
 
   /** SimHash signature bit width: [[graft.plans.PolyHash]] yields 62

@@ -18,17 +18,30 @@ object CypherQueries {
     * of a Cypher query is driver-side constant cost — cache the resulting
     * DataFrame per (graph dir, query). Re-executing a cached DataFrame
     * re-runs the job (no result caching), skipping re-translate/re-optimize.
+    * Weak-keyed per session so stopped sessions drop their entries.
     */
-  private val planCache =
-    scala.collection.concurrent.TrieMap[(Int, String, String), DataFrame]()
+  private val planCaches = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
-  private def run(s: SparkSession, dir: String, cypher: String): DataFrame =
-    planCache.getOrElseUpdate((System.identityHashCode(s), dir, cypher), {
+  private[graft] def clearPlanCache(s: SparkSession): Unit =
+    planCaches.synchronized { planCaches.remove(s) }
+
+  private def run(s: SparkSession, dir: String, cypher: String): DataFrame = {
+    val cache = planCaches.synchronized {
+      var m = planCaches.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        planCaches.put(s, m)
+      }
+      m
+    }
+    cache.getOrElseUpdate((dir, cypher), {
       val g = GraphBuilder.tpchStored(s, dir)
       val ast = CypherParser.parse(cypher).fold(
         err => throw new IllegalArgumentException(err), identity)
       Translator.translate(g, ast)
     })
+  }
 
   /** Session-based runner (CALL procedures, mutations, count fast path):
     * executes statements in order, returns the last result.

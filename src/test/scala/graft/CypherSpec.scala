@@ -283,6 +283,24 @@ class CypherSpec extends AnyFunSuite {
     assert(all == Seq(Map("c" -> 3L)))
   }
 
+  test("shortestPath ranks per input row, not globally per endpoint pair") {
+    // same diamond graph; UNWIND multiplies the input stream ×3 — every
+    // input row must keep its own shortest path (3 result rows), not one
+    // global winner per (a, d) pair
+    val s = freshSession(
+      "CREATE (a:S {n:'a'})-[:R]->(b:S {n:'b'})-[:R]->(d:S {n:'d'})",
+      "MATCH (a:S {n:'a'}), (d:S {n:'d'}) CREATE (a)-[:R]->(:S {n:'c'})-[:R]->(d)",
+      "MATCH (a:S {n:'a'}), (d:S {n:'d'}) CREATE (a)-[:R]->(d)")
+    val r = rows(s,
+      """UNWIND [1, 2, 3] AS x
+        |MATCH p = shortestPath((a:S {n:'a'})-[:R*1..4]->(d:S {n:'d'}))
+        |RETURN x, length(p) AS len ORDER BY x""".stripMargin)
+    assert(r == Seq(
+      Map("x" -> 1L, "len" -> 1L),
+      Map("x" -> 2L, "len" -> 1L),
+      Map("x" -> 3L, "len" -> 1L)))
+  }
+
   test("property(), latitude/longitude, randomUUID") {
     val s = freshSession("CREATE (:G {name:'x', lat: 1.5, lon: 2.5})")
     val r = rows(s,

@@ -35,6 +35,21 @@ class GraftApiSpec extends AnyFunSuite {
     assert(plan.contains("Physical Plan"))
   }
 
+  test("explain of a mutating query compiles the op tree without mutating") {
+    val g = new Graft(spark)
+    g.query("g5", "CREATE (:P {v:1})")
+    val plan = g.explain("g5",
+      "MATCH (p:P) CREATE (p)-[:MADE]->(:Q {w: 2})")
+    assert(plan.contains("Create"))
+    // the graph is untouched: no Q node, no MADE edge
+    val r = g.roQuery("g5", "MATCH (q:Q) RETURN count(q) AS c")
+    assert(r.select(r("c").getField("i")).head().getLong(0) == 0L)
+    val merge = g.explain("g5", "MERGE (:P {v: 99})")
+    assert(merge.contains("Merge"))
+    assert(g.roQuery("g5", "MATCH (p:P) RETURN count(p) AS c")
+      .select(org.apache.spark.sql.functions.col("c.i")).head().getLong(0) == 1L)
+  }
+
   test("profile executes and reports operator metrics; slowlog records") {
     val g = new Graft(spark)
     g.query("g3", "CREATE (:P {v:1})")
