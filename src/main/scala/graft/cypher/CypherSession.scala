@@ -122,7 +122,7 @@ class CypherSession(val spark: SparkSession) {
 
   private[cypher] def buildFulltextIndex(label: String,
       props: List[String]): Unit = {
-    val toks = graph.nodes.filter(col("label") === label)
+    val toks = graph.nodesByLabel(label)
       .select(col("id"), explode(array(props.map(p =>
         element_at(col("props"), p).getField("s")): _*)).as("text"))
       .filter(col("text").isNotNull)

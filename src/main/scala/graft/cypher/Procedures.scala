@@ -62,8 +62,8 @@ object Procedures {
           case other => throw TranslateError(s"algo.pageRank args: $other")
         }
         val sub = PropertyGraph(
-          label.map(l => g.nodes.filter(col("label") === l)).getOrElse(g.nodes),
-          reltype.map(r => g.edges.filter(col("reltype") === r))
+          label.map(g.nodesByLabel).getOrElse(g.nodes),
+          reltype.map(g.edgesByType)
             .getOrElse(g.edges))
         val pr = GraphOps.pageRank(sub)
         val joined = sub.nodes.join(pr, Seq("id"))
@@ -80,7 +80,7 @@ object Procedures {
           case List(s: Long, m: Long, r: String) => (s, m.toInt, Some(r))
           case other => throw TranslateError(s"algo.BFS args: $other")
         }
-        val edges = reltype.map(r => g.edges.filter(col("reltype") === r))
+        val edges = reltype.map(g.edgesByType)
           .getOrElse(g.edges)
         val sources = g.nodes.filter(col("id") === srcId).select(col("id"))
         val reach = GraphOps.varLenExpand(sources, edges, 1,

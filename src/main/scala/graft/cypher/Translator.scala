@@ -49,6 +49,20 @@ object Translator {
   private val AggFns = Set("count", "sum", "avg", "min", "max", "collect",
     "stdev", "stdevp", "percentiledisc", "percentilecont")
 
+  /** Functions returning raw structs/arrays (not variants) — see
+    * layerNested.noSpill.
+    */
+  private val StructFns =
+    Set("startnode", "endnode", "nodes", "relationships")
+
+  /** Functions whose arguments are shape-checked syntactically (entity
+    * variables, map literals, path values) — layerNested leaves these calls
+    * intact.
+    */
+  private val ShapeArgFns = Set("id", "labels", "type", "startnode",
+    "endnode", "property", "point", "nodes", "relationships", "length",
+    "indegree", "outdegree")
+
   def nodeStruct(df: DataFrame): Column =
     struct(df("id").as("id"), df("label").as("label"), df("props").as("props"))
 
@@ -487,8 +501,7 @@ object Translator {
     */
   private def nodeScan(ctx: Ctx, np: Ast.NodePat, as: String,
       keepProps: Boolean = false): DataFrame = {
-    var df = ctx.graph.nodes
-    np.label.foreach(l => df = df.filter(col("label") === l))
+    var df = np.label.fold(ctx.graph.nodes)(ctx.graph.nodesByLabel)
     np.props.foreach { case (k, e) =>
       val v = constantValue(ctx, e)
       df = df.filter(coalesce(Values.eq(
@@ -560,9 +573,7 @@ object Translator {
     */
   private def edgeView(ctx: Ctx, rel: Ast.RelPat,
       keepProps: Boolean = false): DataFrame = {
-    var e = ctx.graph.edges
-    if (rel.types.nonEmpty)
-      e = e.filter(col("reltype").isin(rel.types: _*))
+    var e = ctx.graph.edgesByTypes(rel.types)
     rel.props.foreach { case (k, expr) =>
       e = e.filter(coalesce(Values.eq(
         element_at(col("props"), k), constantValue(ctx, expr)), lit(false)))
@@ -887,18 +898,22 @@ object Translator {
     }
 
     val hasAgg = items.exists { case (e, _) => containsAgg(e) }
+    // layered evaluation of nested item expressions (see layerNested) —
+    // keeps every Catalyst tree one operator deep. Top-level Variables are
+    // never rewritten, so kinds/carry logic below behave identically.
+    val (lframe, litems) = layerNested(ctx, frame, items)
     var f: Frame = null
 
     if (hasAgg) {
       // Aggregate (`op_aggregate.c`): keys = non-aggregate items. Aggregate
       // calls nested in expressions (round(sum(x))/2) are extracted into
       // temp columns, the outer expression runs post-aggregation.
-      val keys = items.filter { case (e, _) => !containsAgg(e) }
+      val keys = litems.filter { case (e, _) => !containsAgg(e) }
       val aggTemps = scala.collection.mutable.ArrayBuffer[(String, Column)]()
       def extract(e: Ast.Expr): Ast.Expr = e match {
         case a if isAggCall(a) =>
           val n = freshName("agg")
-          aggTemps += n -> trAgg(ctx, frame, a).as(n)
+          aggTemps += n -> trAgg(ctx, lframe, a).as(n)
           Ast.Variable(n)
         case Ast.Bin(op, l, r) => Ast.Bin(op, extract(l), extract(r))
         case Ast.Not(x) => Ast.Not(extract(x))
@@ -909,41 +924,43 @@ object Translator {
           w.map { case (a, b) => (extract(a), extract(b)) }, o.map(extract))
         case other => other
       }
-      val rewritten = items.map { case (e, n) =>
+      val rewritten = litems.map { case (e, n) =>
         // key items are already materialized as named groupBy columns
         if (containsAgg(e)) (extract(e), n) else (Ast.Variable(n), n)
       }
-      val keyCols = keys.map { case (e, n) => trAny(ctx, frame, e).as(n) }
+      val keyCols = keys.map { case (e, n) => trAny(ctx, lframe, e).as(n) }
       val aggCols = aggTemps.toSeq.map(_._2)
       val grouped =
-        if (keys.isEmpty) frame.df.agg(aggCols.head, aggCols.tail: _*)
-        else frame.df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+        if (keys.isEmpty) lframe.df.agg(aggCols.head, aggCols.tail: _*)
+        else lframe.df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
       val postVars: Map[String, Kind] =
-        keys.map { case (e, n) => n -> kindOf(ctx, frame, e) }.toMap ++
+        keys.map { case (e, n) => n -> kindOf(ctx, lframe, e) }.toMap ++
           aggTemps.map(_._1 -> KValue)
-      val postFrame = Frame(grouped, postVars)
-      val finalCols = rewritten.map { case (e, n) =>
+      // post-aggregation arithmetic gets its own layering pass
+      val (postFrame, ritems) =
+        layerNested(ctx, Frame(grouped, postVars), rewritten)
+      val finalCols = ritems.map { case (e, n) =>
         trAny(ctx, postFrame, e).as(n)
       }
-      f = Frame(grouped.select(finalCols: _*),
-        items.map { case (e, n) => n -> kindOf(ctx, frame, e) }.toMap)
+      f = Frame(postFrame.df.select(finalCols: _*),
+        litems.map { case (e, n) => n -> kindOf(ctx, lframe, e) }.toMap)
 
     } else if (proj.distinct) {
       // DISTINCT projects first; ORDER BY sees only projected values
-      val df = frame.df.select(items.map { case (e, n) =>
-        trAny(ctx, frame, e).as(n)
+      val df = lframe.df.select(litems.map { case (e, n) =>
+        trAny(ctx, lframe, e).as(n)
       }: _*).dropDuplicates()
-      f = Frame(df, items.map { case (e, n) =>
-        n -> kindOf(ctx, frame, e)
+      f = Frame(df, litems.map { case (e, n) =>
+        n -> kindOf(ctx, lframe, e)
       }.toMap)
 
     } else {
       // keep pre-projection columns alongside items so ORDER BY can
       // reference underlying variables (Cypher scoping); dropped after sort
-      val itemCols = items.zipWithIndex.map { case ((e, _), i) =>
-        trAny(ctx, frame, e).as(s"__item_$i")
+      val itemCols = litems.zipWithIndex.map { case ((e, _), i) =>
+        trAny(ctx, lframe, e).as(s"__item_$i")
       }
-      val wide = frame.df.select(frame.df.col("*") +: itemCols: _*)
+      val wide = lframe.df.select(lframe.df.col("*") +: itemCols: _*)
       val aliasMap = items.zipWithIndex.map { case ((_, n), i) =>
         n -> s"__item_$i"
       }.toMap
@@ -1011,6 +1028,125 @@ object Translator {
       case other => throw TranslateError(s"LIMIT must be a literal: $other")
     }
     f
+  }
+
+  /** Evaluation layering for nested projection expressions.
+    *
+    * The variant combinators ([[Values]].arith/eq/…) reference each operand
+    * several times (type dispatch), so a NESTED expression like
+    * `round(x*100)/100` multiplies its operand tree per level — Catalyst
+    * analysis/optimization cost grows ~8^depth. This rewrites every inner
+    * non-leaf sub-expression into a temp column in its own projection layer
+    * (identical subtrees share one temp — structural CSE), so each Catalyst
+    * expression stays one operator deep and plan cost stays linear in AST
+    * size. The runtime plan keeps the same work: CollapseProject will not
+    * re-inline multi-referenced non-cheap expressions. This is the
+    * translation-time equivalent of the reference evaluating its AR_ExpNode
+    * tree node-by-node (`src/arithmetic/arithmetic_expression.c`).
+    *
+    * Lambda bodies (comprehensions/quantifiers) are left intact — their
+    * sub-expressions reference the lambda variable, not frame columns; the
+    * list operand is still layered. Aggregate calls are kept in place (their
+    * args evaluate pre-aggregation and ARE layered); expressions containing
+    * an aggregate or a pattern predicate are never hoisted themselves.
+    */
+  private def layerNested(ctx: Ctx, frame: Frame,
+      items: List[(Ast.Expr, String)]): (Frame, List[(Ast.Expr, String)]) = {
+    import scala.collection.mutable
+    val layers = mutable.ArrayBuffer[mutable.LinkedHashMap[Ast.Expr, String]]()
+
+    def isLeaf(e: Ast.Expr): Boolean = e match {
+      case _: Ast.Variable | _: Ast.Param | Ast.LitNull => true
+      case _: Ast.LitInt | _: Ast.LitFloat | _: Ast.LitString |
+           _: Ast.LitBool => true
+      case Ast.Prop(Ast.Variable(_), _) => true
+      case Ast.Neg(x) => isLeaf(x)
+      case _ => false
+    }
+    def blocked(e: Ast.Expr): Boolean = {
+      var b = false
+      Ast.foreachExpr(e) {
+        case _: Ast.PatternPred => b = true
+        case a if isAggCall(a) => b = true
+        case _ => ()
+      }
+      b
+    }
+    // expressions whose OUTPUT is not a variant (entity/path structs, map
+    // literals) must stay inline — a hoisted temp would lose its shape for
+    // the consuming function
+    def noSpill(e: Ast.Expr): Boolean = e match {
+      case _: Ast.MapLit => true
+      case Ast.Fn(n, _, _) =>
+        StructFns.contains(n.toLowerCase)
+      case _ => false
+    }
+    def spill(child: Ast.Expr): (Ast.Expr, Int) = {
+      val (c2, d) = rw(child)
+      if (isLeaf(c2) || noSpill(c2) || blocked(child)) (c2, d)
+      else {
+        while (layers.size <= d)
+          layers += mutable.LinkedHashMap[Ast.Expr, String]()
+        val name = layers(d).getOrElseUpdate(c2, freshName("lyr"))
+        (Ast.Variable(name), d + 1)
+      }
+    }
+    def rw(e: Ast.Expr): (Ast.Expr, Int) = e match {
+      case l if isLeaf(l) => (l, 0)
+      case Ast.Bin(op, a, b) =>
+        val (a2, da) = spill(a); val (b2, db) = spill(b)
+        (Ast.Bin(op, a2, b2), math.max(da, db))
+      case Ast.Not(x) => val (x2, d) = spill(x); (Ast.Not(x2), d)
+      case Ast.Neg(x) => val (x2, d) = spill(x); (Ast.Neg(x2), d)
+      case Ast.IsNull(x, n) => val (x2, d) = spill(x); (Ast.IsNull(x2, n), d)
+      case Ast.Fn(n, _, _) if ShapeArgFns.contains(n.toLowerCase) =>
+        // arg must keep its syntactic shape (entity variable / map literal /
+        // path value) — leave the whole call intact
+        (e, 0)
+      case Ast.Fn(n, args, dist) =>
+        val rs = args.map(spill)
+        (Ast.Fn(n, rs.map(_._1), dist), (0 +: rs.map(_._2)).max)
+      case Ast.CaseExpr(s, whens, o) =>
+        val s2 = s.map(spill)
+        val w2 = whens.map { case (c, v) => (spill(c), spill(v)) }
+        val o2 = o.map(spill)
+        val d = (Seq(0) ++ s2.map(_._2) ++
+          w2.flatMap { case (a, b) => Seq(a._2, b._2) } ++
+          o2.map(_._2)).max
+        (Ast.CaseExpr(s2.map(_._1),
+          w2.map { case (a, b) => (a._1, b._1) }, o2.map(_._1)), d)
+      case Ast.Subscript(tg, i) =>
+        val (t2, dt) = spill(tg); val (i2, di) = spill(i)
+        (Ast.Subscript(t2, i2), math.max(dt, di))
+      case Ast.SliceExpr(tg, f0, to) =>
+        val (t2, dt) = spill(tg)
+        val f2 = f0.map(spill); val to2 = to.map(spill)
+        (Ast.SliceExpr(t2, f2.map(_._1), to2.map(_._1)),
+          (Seq(dt) ++ f2.map(_._2) ++ to2.map(_._2)).max)
+      case Ast.ListLit(xs) =>
+        val rs = xs.map(spill)
+        (Ast.ListLit(rs.map(_._1)), (0 +: rs.map(_._2)).max)
+      case Ast.MapLit(es) =>
+        val rs = es.map { case (k, v) => k -> spill(v) }
+        (Ast.MapLit(rs.map { case (k, r) => (k, r._1) }),
+          (0 +: rs.map(_._2._2)).max)
+      case Ast.ListComprehension(v, list, w, p) =>
+        val (l2, d) = spill(list)
+        (Ast.ListComprehension(v, l2, w, p), d)
+      case Ast.Quantifier(k, v, list, p) =>
+        val (l2, d) = spill(list)
+        (Ast.Quantifier(k, v, l2, p), d)
+      case other => (other, 0)
+    }
+
+    val newItems = items.map { case (e, n) => (rw(e)._1, n) }
+    var f = frame
+    layers.foreach { layer =>
+      val cols = layer.toSeq.map { case (ex, n) => trExpr(ctx, f, ex).as(n) }
+      f = Frame(f.df.select(f.df.col("*") +: cols: _*),
+        f.vars ++ layer.valuesIterator.map(_ -> (KValue: Kind)))
+    }
+    (f, newItems)
   }
 
   private def isAggCall(e: Ast.Expr): Boolean = e match {

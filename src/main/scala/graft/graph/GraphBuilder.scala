@@ -151,6 +151,17 @@ object GraphBuilder {
     val edges = placed.unionByName(custNation).unionByName(suppNation)
       .unionByName(nationRegion).unionByName(contains)
 
-    PropertyGraph(nodes, edges)
+    // per-label / per-reltype views = the pre-union source tables (≡ the
+    // reference's per-label and per-relation matrices): a label scan in a
+    // query plan is one parquet source, never the whole-catalog union
+    PropertyGraph(nodes, edges,
+      byLabel = Map(
+        "Customer" -> customer, "Order" -> order, "Nation" -> nation,
+        "Region" -> region, "Supplier" -> supplier, "Part" -> part),
+      byReltype = Map(
+        "PLACED" -> placed,
+        "IN_NATION" -> custNation.unionByName(suppNation),
+        "IN_REGION" -> nationRegion,
+        "CONTAINS" -> contains))
   }
 }

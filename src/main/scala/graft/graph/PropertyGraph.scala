@@ -27,13 +27,31 @@ import org.apache.spark.sql.functions._
   * the same trade the reference makes storing explicit transposes,
   * `graph.h:72-73`).
   */
-final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
+final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
+    byLabel: Map[String, DataFrame] = Map.empty,
+    byReltype: Map[String, DataFrame] = Map.empty) {
 
+  /** Per-label scan. When the graph carries a prebuilt per-label view
+    * (GraphBuilder supplies the pre-union source tables — the analogue of
+    * the reference's per-label matrices, `graph.h:74`), a label scan is
+    * that single table: the analyzed plan never contains the all-labels
+    * union, which keeps Catalyst analysis/optimization cost proportional
+    * to the labels a query touches, not the whole catalog.
+    */
   def nodesByLabel(label: String): DataFrame =
-    nodes.filter(col("label") === label)
+    byLabel.getOrElse(label, nodes.filter(col("label") === label))
 
   def edgesByType(reltype: String): DataFrame =
-    edges.filter(col("reltype") === reltype)
+    byReltype.getOrElse(reltype, edges.filter(col("reltype") === reltype))
+
+  /** Multi-type scan ([:R|S]): union of per-type views when all are
+    * prebuilt, else one isin filter over the edge table.
+    */
+  def edgesByTypes(reltypes: Seq[String]): DataFrame =
+    if (reltypes.isEmpty) edges
+    else if (reltypes.forall(byReltype.contains))
+      reltypes.map(byReltype).reduce(_ unionByName _)
+    else edges.filter(col("reltype").isin(reltypes: _*))
 
   /** Out-degree per node (reference `entity_funcs.c:186-230` outdegree). */
   def outDegrees: DataFrame =
