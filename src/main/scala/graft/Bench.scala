@@ -23,7 +23,10 @@ object Bench {
       "q_dedup_minhash", "q_knn_cosine", "q_text_bpe_tokens",
       "q_graph_pagerank", "q_sessionize")
     val have = SparkEntry.queries.keySet
-    prefer.filter(have)
+    // diagnostic: SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the set
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
+    prefer.filter(have).filter(n => only.forall(_.contains(n)))
   }
 
   def main(args: Array[String]): Unit = {
@@ -53,14 +56,6 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // Drop everything the warm-up materialized — cached plans AND every
-    // operator-internal cache()d intermediate (MinHash shingles/candidates,
-    // …) — so the timed runs below pay the FULL per-query cost: translate,
-    // optimize, and recompute all intermediates. Headline numbers are
-    // first-run (cold) times; `warm` reports steady-state re-invocation.
-    SparkEntry.clearPlanCache(spark)
-    spark.catalog.clearCache()
-
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
@@ -70,8 +65,23 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val cold = headline.map(n => n -> timed(n))
-    val warm = headline.map(n => n -> timed(n))
+    // Per-query measurement isolation: before each query, drop cached plans,
+    // SQL-cached data and leftover checkpoint blocks from EARLIER queries,
+    // and settle the heap — so the cold number is the query's own full cost
+    // (translate + optimize + recompute every intermediate), not a tax from
+    // a neighbour's leftovers. `warm` is the immediate re-invocation with
+    // the engine's plan cache populated (steady-state serving shape).
+    val results = headline.map { n =>
+      SparkEntry.clearPlanCache(spark)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
+      val cold = timed(n)
+      val warm = timed(n)
+      (n, cold, warm)
+    }
+    val cold = results.map { case (n, c, _) => n -> c }
+    val warm = results.map { case (n, _, w) => n -> w }
 
     def js(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }

@@ -16,6 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Spread a compute-heavy expansion input across the cluster when the
+    * source layout under-supplies partitions (a single small parquet file
+    * reads as ONE partition — tokenize/shingle/hash would run on one core).
+    * The input shuffle moves raw doc bytes, trivial next to the expansion
+    * work it parallelizes; already-well-partitioned inputs (the 100 TB
+    * case: thousands of files) pass through untouched.
+    */
+  private def parallelized(docs: DataFrame): DataFrame = {
+    val want = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions >= math.max(want / 2, 2)) docs
+    else docs.repartition(want)
+  }
+
   /** Exact duplicate groups by content hash (md5 — portable to the oracle;
     * at scale use xxhash64 for speed, same shape).
     */
@@ -49,8 +62,17 @@ object Dedup {
     */
   def shingleHashes(docs: DataFrame, k: Int = 3): DataFrame = {
     graft.plans.GraftExtensions.ensureFunctions(docs.sparkSession)
-    shingles(docs, k).select(col("doc_id"),
-      call_function("graft_polyhash", col("shingle")).as("sh"))
+    val toks = TextOps.tokens(col("text"))
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(k))))
+    // hash BEFORE the distinct: the dedup shuffle then moves 8-byte longs
+    // instead of shingle strings (same result modulo the 2^-62 collision
+    // odds already accepted for the hash domain)
+    parallelized(docs).select(col("doc_id"), explode(grams).as("shingle"))
+      .select(col("doc_id"),
+        call_function("graft_polyhash", col("shingle")).as("sh"))
+      .distinct()
   }
 
   /** splitmix64 — deterministic per-hash-function affine constants. */
@@ -77,6 +99,7 @@ object Dedup {
     */
   def jaccard(docs: DataFrame, pairs: DataFrame, k: Int = 3,
       pre: Option[DataFrame] = None): DataFrame = {
+    val owned = pre.isEmpty
     val shAll = pre.getOrElse(shingleHashes(docs, k).cache())
     // candidates touch few docs (LSH keeps Σ bucket² small): broadcast
     // semi-filter the shingle table to candidate docs before any shuffle —
@@ -92,7 +115,7 @@ object Dedup {
     val common = pairs
       .join(a, "a").join(b, Seq("b", "sh"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
-    pairs
+    val result = pairs
       .join(common, Seq("a", "b"), "left_outer")
       .na.fill(0L, Seq("n_common"))
       .join(sizes.withColumnRenamed("doc_id", "a")
@@ -102,6 +125,12 @@ object Dedup {
       .select(col("a"), col("b"),
         round(col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")), 5).as("jaccard"))
+    // cache owned here → materialize the (pair-sized) result and release it
+    if (owned) {
+      val r = result.localCheckpoint(true)
+      shAll.unpersist()
+      r
+    } else result
   }
 
   /** MinHash signatures: h_i = min over the doc's shingle-hash set of the
@@ -157,13 +186,19 @@ object Dedup {
     */
   def minHashDedup(docs: DataFrame, threshold: Double = 0.5,
       numHashes: Int = 64, bands: Int = 16, k: Int = 3): DataFrame = {
+    // Stage the pipeline eagerly: shingle hashes and the LSH candidate set
+    // are each referenced by several subtrees of the final job (doc
+    // semi-filter ×2, intersection join, final assembly). Materializing
+    // them up front means every consumer reads warm cache blocks — one
+    // lazy action over the whole DAG hits the caches cold from concurrent
+    // subtrees and roughly triples wall-clock — and AQE plans each stage
+    // with real input statistics.
     val sh = shingleHashes(docs, k).cache()
-    // cache the candidate set: the verify step references it four times
-    // (doc semi-filter ×2, intersection join, final assembly) — without
-    // materialization each reference re-runs signatures + the LSH self-join
+    sh.count()
     val cands = lshCandidates(
       minHashSignatures(docs, numHashes, k, Some(sh)), numHashes, bands)
       .cache()
+    cands.count()
     // materialize the (small) verified-pair result while the intermediates
     // are live, then release them — executor storage stays flat across many
     // invocations instead of accumulating cached shingle/candidate blocks
@@ -187,7 +222,7 @@ object Dedup {
     */
   def simHash(docs: DataFrame): DataFrame = {
     graft.plans.GraftExtensions.ensureFunctions(docs.sparkSession)
-    val tok = docs.select(col("doc_id"),
+    val tok = parallelized(docs).select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("token"))
       .withColumn("th", call_function("graft_polyhash", col("token")))
     val bitSums = (0 until SimHashBits).map { b =>
