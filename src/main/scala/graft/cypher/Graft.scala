@@ -16,6 +16,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * | GRAPH.DELETE      | `delete(g)`                  |
   * | GRAPH.LIST        | `list`                       |
   * | GRAPH.SLOWLOG     | `slowlog`                    |
+  * | GRAPH.CONFIG      | `configGet` / `configSet`    |
   *
   * Graphs are created on first reference (as in the reference, where
   * GRAPH.QUERY against a missing key creates the graph). Each graph is a
@@ -33,13 +34,67 @@ class Graft(val spark: SparkSession) {
   private def session(graph: String): CypherSession =
     graphs.getOrElseUpdate(graph, new CypherSession(spark))
 
+  /** GRAPH.CONFIG — the reference's runtime-settable options
+    * (`src/configuration/config.c:20-47`, `RUNTIME_CONFIGS` in `config.h`).
+    * `RESULTSET_SIZE` caps read-query result frames (−1 ≡ unlimited,
+    * `RESULTSET_SIZE_UNLIMITED`); `TIMEOUT` (ms, 0 ≡ none) cancels eager
+    * executions (mutations, PROFILE) via Spark job-group cancellation —
+    * the Spark analogue of the reference's cron-armed query timeout
+    * (`cmd_query.c:97-118`). Read-only fields report session facts.
+    */
+  private val conf = scala.collection.concurrent.TrieMap[String, Long](
+    "RESULTSET_SIZE" -> -1L,
+    "TIMEOUT" -> 0L,
+    "MAX_QUEUED_QUERIES" -> -1L,
+    "QUERY_MEM_CAPACITY" -> 0L)
+
+  def configGet(key: String): Long = key.toUpperCase match {
+    case "THREAD_COUNT" | "OMP_THREAD_COUNT" =>
+      spark.sparkContext.defaultParallelism.toLong
+    case "CACHE_SIZE" => 256L // AST LRU capacity, CypherSession.astCache
+    case k => conf.getOrElse(k, throw new IllegalArgumentException(
+      s"Unknown configuration field: $key"))
+  }
+
+  def configSet(key: String, value: Long): Unit = {
+    val k = key.toUpperCase
+    if (!conf.contains(k)) throw new IllegalArgumentException(
+      s"Field '$key' is not a runtime-settable configuration")
+    conf(k) = value
+  }
+
+  /** Run `f` under a job group that a timer cancels after the configured
+    * TIMEOUT; no-op wrapper when TIMEOUT=0.
+    */
+  private def withTimeout[A](f: => A): A = {
+    val ms = conf("TIMEOUT")
+    if (ms <= 0) f
+    else {
+      val group = s"graft-timeout-${System.nanoTime()}"
+      val sc = spark.sparkContext
+      sc.setJobGroup(group, "graft query under TIMEOUT", true)
+      val timer = new java.util.Timer(true)
+      timer.schedule(new java.util.TimerTask {
+        def run(): Unit = sc.cancelJobGroup(group)
+      }, ms)
+      try f
+      catch {
+        case e: org.apache.spark.SparkException =>
+          throw Translator.TranslateError(
+            s"Query timed out after ${ms}ms: ${e.getMessage.take(120)}")
+      } finally { timer.cancel(); sc.clearJobGroup() }
+    }
+  }
+
   /** GRAPH.QUERY — run a Cypher statement (reads and writes). */
   def query(graph: String, cypher: String,
       params: Map[String, Any] = Map.empty): DataFrame = {
     val t0 = System.nanoTime()
-    val out = session(graph).run(cypher, params)
+    val out = withTimeout(session(graph).run(cypher, params))
     log.add((graph, cypher, (System.nanoTime() - t0) / 1e9))
-    out
+    val cap = conf("RESULTSET_SIZE")
+    if (cap >= 0 && !Graft.isMutation(parse(cypher))) out.limit(cap.toInt)
+    else out
   }
 
   /** GRAPH.RO_QUERY — rejects mutating statements

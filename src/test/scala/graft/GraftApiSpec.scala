@@ -58,6 +58,19 @@ class GraftApiSpec extends AnyFunSuite {
     assert(g.slowlog().nonEmpty)
   }
 
+  test("config get/set: RESULTSET_SIZE caps read results, unknown key rejected") {
+    val g = new Graft(spark)
+    g.query("g6", "UNWIND range(1, 10) AS i CREATE (:P {v: i})")
+    assert(g.configGet("RESULTSET_SIZE") == -1L)
+    assert(g.configGet("THREAD_COUNT") > 0L)
+    g.configSet("RESULTSET_SIZE", 3L)
+    assert(g.query("g6", "MATCH (p:P) RETURN p.v AS v").count() == 3)
+    g.configSet("RESULTSET_SIZE", -1L)
+    assert(g.query("g6", "MATCH (p:P) RETURN p.v AS v").count() == 10)
+    intercept[IllegalArgumentException] { g.configGet("NO_SUCH_FIELD") }
+    intercept[IllegalArgumentException] { g.configSet("THREAD_COUNT", 1L) }
+  }
+
   test("bulk installs external tables as a graph") {
     val g = new Graft(spark)
     g.bulk("tpch", graft.graph.GraphBuilder.tpchStored(spark, sfDir))
