@@ -60,19 +60,28 @@ object Dedup {
     * DuckDB oracle reproduces the identical values. Collision odds
     * ~|shingles|²/2⁶² are negligible against any sampling error.
     */
-  def shingleHashes(docs: DataFrame, k: Int = 3): DataFrame = {
+  def shingleHashes(docs: DataFrame, k: Int = 3): DataFrame =
+    // hash BEFORE the distinct: the dedup shuffle then moves 8-byte longs
+    // instead of shingle strings (same result modulo the 2^-62 collision
+    // odds already accepted for the hash domain)
+    shingleHashesRaw(docs, k).distinct()
+
+  /** [[shingleHashes]] WITHOUT the per-doc dedup — (doc_id, sh) with
+    * repeats. Feeding idempotent consumers (min-aggregation in
+    * [[minHashSignatures]]) from here skips the distinct's full shuffle of
+    * the exploded shingle table: the groupBy's map-side partial min folds
+    * duplicates in place, so the only shuffle moves one 65-long row per
+    * (doc × map partition).
+    */
+  def shingleHashesRaw(docs: DataFrame, k: Int = 3): DataFrame = {
     graft.plans.GraftExtensions.ensureFunctions(docs.sparkSession)
     val toks = TextOps.tokens(col("text"))
     val grams = transform(
       sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(k))))
-    // hash BEFORE the distinct: the dedup shuffle then moves 8-byte longs
-    // instead of shingle strings (same result modulo the 2^-62 collision
-    // odds already accepted for the hash domain)
     parallelized(docs).select(col("doc_id"), explode(grams).as("shingle"))
       .select(col("doc_id"),
         call_function("graft_polyhash", col("shingle")).as("sh"))
-      .distinct()
   }
 
   /** splitmix64 — deterministic per-hash-function affine constants. */
@@ -99,38 +108,28 @@ object Dedup {
     */
   def jaccard(docs: DataFrame, pairs: DataFrame, k: Int = 3,
       pre: Option[DataFrame] = None): DataFrame = {
-    val owned = pre.isEmpty
-    val shAll = pre.getOrElse(shingleHashes(docs, k).cache())
     // candidates touch few docs (LSH keeps Σ bucket² small): broadcast
-    // semi-filter the shingle table to candidate docs before any shuffle —
-    // downstream joins move |candidate docs|·|shingles/doc| rows, not the
-    // whole corpus
+    // semi-filter to candidate docs before any shingle work — the
+    // tokenize/explode/collect pipeline processes
+    // |candidate docs|·|shingles/doc| rows, not the whole corpus
     val docsInPairs = broadcast(
       pairs.select(col("a").as("doc_id"))
         .unionByName(pairs.select(col("b").as("doc_id"))).distinct())
-    val sh = shAll.join(docsInPairs, Seq("doc_id"), "left_semi")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("a"), col("sh"))
-    val b = sh.select(col("doc_id").as("b"), col("sh"))
-    val common = pairs
-      .join(a, "a").join(b, Seq("b", "sh"))
-      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
-    val result = pairs
-      .join(common, Seq("a", "b"), "left_outer")
-      .na.fill(0L, Seq("n_common"))
-      .join(sizes.withColumnRenamed("doc_id", "a")
-        .withColumnRenamed("n_sh", "n_a"), "a")
-      .join(sizes.withColumnRenamed("doc_id", "b")
-        .withColumnRenamed("n_sh", "n_b"), "b")
+    val sh = pre.map(_.join(docsInPairs, Seq("doc_id"), "left_semi"))
+      .getOrElse(shingleHashesRaw(
+        docs.join(docsInPairs, Seq("doc_id"), "left_semi"), k))
+    // one shuffle: each candidate doc's distinct shingle-hash set as an
+    // array (collect_set dedups in the partial aggregate); |A∩B| is then a
+    // per-pair array_intersect — no intersection join, no sizes join, and
+    // arrays stay small because shingles/doc is bounded by doc length
+    val sets = sh.groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    pairs
+      .join(sets.select(col("doc_id").as("a"), col("shs").as("sh_a")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("shs").as("sh_b")), "b")
       .select(col("a"), col("b"),
-        round(col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")), 5).as("jaccard"))
-    // cache owned here → materialize the (pair-sized) result and release it
-    if (owned) {
-      val r = result.localCheckpoint(true)
-      shAll.unpersist()
-      r
-    } else result
+        round(inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter), 5).as("jaccard"))
   }
 
   /** MinHash signatures: h_i = min over the doc's shingle-hash set of the
@@ -141,7 +140,11 @@ object Dedup {
     */
   def minHashSignatures(docs: DataFrame, numHashes: Int = 64,
       k: Int = 3, pre: Option[DataFrame] = None): DataFrame = {
-    val sh = pre.getOrElse(shingleHashes(docs, k))
+    // min is idempotent: duplicate shingles can't change any h_i, so the
+    // raw (non-distinct) shingle stream gives bit-identical signatures
+    // while the distinct's full shuffle of the exploded table collapses
+    // into the groupBy's map-side partial-min combine
+    val sh = pre.getOrElse(shingleHashesRaw(docs, k))
     val x = pmod(col("sh"), lit(MinHashP))
     val aggs = minHashConstants(numHashes).zipWithIndex.map {
       case ((a, b), i) =>
@@ -186,26 +189,23 @@ object Dedup {
     */
   def minHashDedup(docs: DataFrame, threshold: Double = 0.5,
       numHashes: Int = 64, bands: Int = 16, k: Int = 3): DataFrame = {
-    // Stage the pipeline eagerly: shingle hashes and the LSH candidate set
-    // are each referenced by several subtrees of the final job (doc
-    // semi-filter ×2, intersection join, final assembly). Materializing
-    // them up front means every consumer reads warm cache blocks — one
-    // lazy action over the whole DAG hits the caches cold from concurrent
-    // subtrees and roughly triples wall-clock — and AQE plans each stage
-    // with real input statistics.
-    val sh = shingleHashes(docs, k).cache()
-    sh.count()
+    // Two independent shingle passes beat one shared distinct table:
+    // the signature pass feeds min-aggregation straight off the explode
+    // (no distinct shuffle — duplicates fold in the map-side partial min),
+    // and the verify pass re-shingles only the candidate docs (LSH keeps
+    // that set small). The candidate set is materialized eagerly — it's
+    // referenced by several subtrees of the verify job (doc semi-filter,
+    // intersection join, final assembly) — and released after the (small)
+    // verified-pair result is checkpointed, keeping executor storage flat
+    // across many invocations.
     val cands = lshCandidates(
-      minHashSignatures(docs, numHashes, k, Some(sh)), numHashes, bands)
-      .cache()
+      minHashSignatures(docs, numHashes, k), numHashes, bands).cache()
     cands.count()
-    // materialize the (small) verified-pair result while the intermediates
-    // are live, then release them — executor storage stays flat across many
-    // invocations instead of accumulating cached shingle/candidate blocks
-    val result = jaccard(docs, cands, k, Some(sh))
+    // materialize the (small) verified-pair result while the candidate
+    // cache is live, then release it
+    val result = jaccard(docs, cands, k)
       .filter(col("jaccard") >= threshold)
       .localCheckpoint(true)
-    sh.unpersist()
     cands.unpersist()
     result
   }
