@@ -74,6 +74,12 @@ object Ast {
   /** CALL proc.name(args) YIELD col AS alias, … (`op_procedure_call.c`) */
   case class CallProc(name: String, args: List[Expr],
       yields: List[(String, Option[String])]) extends Clause
+  /** CREATE INDEX ON :Label(prop) — single-property node index DDL
+    * (`src/index/index.c`, commands.md "Indexing").
+    */
+  case class CreateIndex(label: String, prop: String) extends Clause
+  /** DROP INDEX ON :Label(prop). */
+  case class DropIndex(label: String, prop: String) extends Clause
 
   /** Top-down expression rewrite: where `pf` applies, its result replaces
     * the node (no recursion into the replacement); otherwise children are

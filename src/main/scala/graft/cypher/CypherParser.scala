@@ -304,8 +304,18 @@ object CypherParser extends RegexParsers {
           y.getOrElse(Nil).map { case c ~ a => (c, a) })
     }
 
+  /** CREATE INDEX ON :Label(prop) / DROP INDEX ON :Label(prop)
+    * (reference commands.md "Indexing"; single-property node indexes).
+    */
+  def indexClause: Parser[Clause] =
+    (kw("CREATE") | kw("DROP")) ~ (kw("INDEX") ~> kw("ON") ~> ":" ~>
+      anyIdent) ~ ("(" ~> anyIdent <~ ")") ^^ {
+      case "CREATE" ~ label ~ prop => CreateIndex(label, prop)
+      case _ ~ label ~ prop => DropIndex(label, prop)
+    }
+
   def clause: Parser[Clause] =
-    matchClause | unwindClause | withClause | returnClause |
+    indexClause | matchClause | unwindClause | withClause | returnClause |
       createClause | mergeClause | setClause | deleteClause | callClause
 
   def singleQuery: Parser[SingleQuery] = rep1(clause) ^^ (SingleQuery(_))

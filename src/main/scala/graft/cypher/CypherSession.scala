@@ -103,11 +103,88 @@ class CypherSession(val spark: SparkSession) {
     */
   def run(query: String, params: Map[String, Any] = Map.empty): DataFrame = {
     val ast = parse(query)
-    if (Graft.isMutation(ast)) {
-      require(ast.parts.size == 1, "mutations cannot be UNIONed")
-      new MutationRunner(this).run(ast.parts.head.clauses, params)
-    } else countFastPath(ast).getOrElse(
-      Translator.translate(graph, ast, params, Some(this)))
+    ast.parts.head.clauses match {
+      case List(Ast.CreateIndex(label, prop)) =>
+        indicesFrame(if (createIndex(label, prop)) 1 else 0)
+      case List(Ast.DropIndex(label, prop)) =>
+        indicesFrame(if (dropIndex(label, prop)) -1 else 0)
+      case _ if Graft.isMutation(ast) =>
+        require(ast.parts.size == 1, "mutations cannot be UNIONed")
+        new MutationRunner(this).run(ast.parts.head.clauses, params)
+      case _ => countFastPath(ast).getOrElse(
+        Translator.translate(indexedGraph, ast, params, Some(this)))
+    }
+  }
+
+  // ═══════════════════════ property indexes ════════════════════════════════
+  /** Single-property node indexes (reference `src/index/index.c`; created
+    * with `CREATE INDEX ON :Label(prop)`). Spark-first mapping: an index on
+    * (label, prop) materializes the per-label scan as a CACHED view sorted
+    * by the indexed property — Spark's in-memory columnar cache keeps
+    * min/max stats per batch and prunes batches against pushed filters, so
+    * an indexed equality/range filter becomes a batch-skipping scan (the
+    * cached analogue of a B-tree range seek; at rest the same sort order
+    * gives parquet row-group pruning / Z-order). Views install into the
+    * graph's `byLabel` map, so every label scan the translator emits uses
+    * them with no planner changes, and rebuild lazily when the graph
+    * version moves (the reference reindexes on write).
+    */
+  private val propIndexes =
+    scala.collection.mutable.LinkedHashSet[(String, String)]()
+  private var indexedVersion = -1L
+  private var indexViews: Map[String, DataFrame] = Map.empty
+
+  private[cypher] def createIndex(label: String, prop: String): Boolean = {
+    val added = propIndexes.add((label, prop))
+    if (added) indexedVersion = -1L // force rebuild on next read
+    added
+  }
+
+  private[cypher] def dropIndex(label: String, prop: String): Boolean = {
+    val removed = propIndexes.remove((label, prop))
+    if (removed) indexedVersion = -1L
+    removed
+  }
+
+  /** (label, prop) pairs, creation order — for db.indexes. */
+  def propIndexList: Seq[(String, String)] = propIndexes.toSeq
+
+  /** The session graph with index-backed per-label views installed,
+    * (re)built if stale. Sort key: the native column when the label view
+    * carries one, else the decoded variant from the props map (struct
+    * ordering groups by type tag then value — exactly the typed ordering
+    * batch pruning needs).
+    */
+  private[cypher] def indexedGraph: PropertyGraph = {
+    if (propIndexes.nonEmpty && indexedVersion != graphVersion) {
+      indexViews.values.foreach(_.unpersist())
+      indexViews = propIndexes.toSeq.groupBy(_._1).map { case (label, lps) =>
+        val base = graph.nodesByLabel(label)
+        val sortCols = lps.map(_._2).distinct.flatMap { p =>
+          if (base.columns.contains(p)) Some(col(p))
+          else if (base.columns.contains("props"))
+            Some(element_at(col("props"), p))
+          else None
+        }
+        val view =
+          if (sortCols.isEmpty) base
+          else base.sortWithinPartitions(sortCols: _*)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        label -> view
+      }
+      indexedVersion = graphVersion
+    }
+    if (indexViews.isEmpty) graph
+    else graph.copy(byLabel = graph.byLabel ++ indexViews)
+  }
+
+  private def indicesFrame(n: Long): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      List(Row(math.max(n, 0L), math.max(-n, 0L))).asJava,
+      StructType(Seq(
+        StructField("indices_created", LongType),
+        StructField("indices_deleted", LongType))))
   }
 
   // ═══════════════════════ fulltext indexes ════════════════════════════════

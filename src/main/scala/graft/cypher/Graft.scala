@@ -162,7 +162,8 @@ object Graft {
   /** True iff any statement part contains a write clause. */
   def isMutation(ast: Ast.Query): Boolean =
     ast.parts.exists(_.clauses.exists {
-      case _: Ast.Create | _: Ast.Merge | _: Ast.SetClause | _: Ast.Delete =>
+      case _: Ast.Create | _: Ast.Merge | _: Ast.SetClause | _: Ast.Delete |
+           _: Ast.CreateIndex | _: Ast.DropIndex =>
         true
       case _ => false
     })
@@ -199,6 +200,8 @@ object Graft {
         List(s"Merge [${pat(m.path)}]", "MergeCreate", "Argument")
       case _: Ast.SetClause => List("Update")
       case d: Ast.Delete => List(if (d.detach) "Delete [detach]" else "Delete")
+      case i: Ast.CreateIndex => List(s"Create Index [:${i.label}(${i.prop})]")
+      case i: Ast.DropIndex => List(s"Drop Index [:${i.label}(${i.prop})]")
       case p: Ast.CallProc => List(s"ProcedureCall [${p.name}]")
       case _: Ast.Return => List("Results", "Project")
     }

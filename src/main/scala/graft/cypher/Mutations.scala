@@ -52,6 +52,9 @@ private[cypher] final class MutationRunner(session: CypherSession) {
       case r: Ast.Return =>
         returned = Some(
           translateProjection(ctx(params), frame, r.proj, None).df)
+      case _: Ast.CreateIndex | _: Ast.DropIndex =>
+        throw Translator.TranslateError(
+          "index DDL cannot be combined with other clauses")
     }
     returned.getOrElse(statsDf)
   }

@@ -44,7 +44,9 @@ object Procedures {
       case "db.indexes" =>
         val spark = session.spark
         import scala.jdk.CollectionConverters._
-        val rows = session.fulltextLabels.toList.map { l =>
+        val rows = session.propIndexList.toList.map { case (l, p) =>
+          org.apache.spark.sql.Row("exact-match", s"$l($p)")
+        } ++ session.fulltextLabels.toList.map { l =>
           org.apache.spark.sql.Row("full-text", l)
         }
         (spark.createDataFrame(rows.asJava, StructType(Seq(

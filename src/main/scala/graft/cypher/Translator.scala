@@ -188,6 +188,7 @@ object Translator {
         (mg.onMatch ++ mg.onCreate).foreach(si => expr(si.value))
       case s: Ast.SetClause => s.items.foreach(si => expr(si.value))
       case d: Ast.Delete => d.exprs.foreach(expr)
+      case _: Ast.CreateIndex | _: Ast.DropIndex => () // DDL carries no exprs
     }
     acc.toMap
   }

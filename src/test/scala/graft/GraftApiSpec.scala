@@ -71,6 +71,34 @@ class GraftApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { g.configSet("THREAD_COUNT", 1L) }
   }
 
+  test("CREATE/DROP INDEX lifecycle: DDL stats, db.indexes, staleness") {
+    val g = new Graft(spark)
+    g.query("gi", "UNWIND range(1, 50) AS i CREATE (:P {v: i})")
+    val created = g.query("gi", "CREATE INDEX ON :P(v)")
+    assert(created.select("indices_created").head().getLong(0) == 1L)
+    // duplicate create is a no-op
+    assert(g.query("gi", "CREATE INDEX ON :P(v)")
+      .select("indices_created").head().getLong(0) == 0L)
+    // the indexed view serves filtered label scans with identical results
+    val r = g.roQuery("gi", "MATCH (p:P) WHERE p.v > 40 RETURN count(*) AS c")
+    assert(r.select(r("c").getField("i")).head().getLong(0) == 10L)
+    // db.indexes lists it
+    val idx = g.roQuery("gi", "CALL db.indexes() YIELD type, label")
+    assert(idx.count() == 1)
+    // writes invalidate and rebuild: new rows are visible through the index
+    g.query("gi", "UNWIND range(51, 60) AS i CREATE (:P {v: i})")
+    val r2 = g.roQuery("gi", "MATCH (p:P) WHERE p.v > 40 RETURN count(*) AS c")
+    assert(r2.select(r2("c").getField("i")).head().getLong(0) == 20L)
+    // explain renders without executing; RO_QUERY rejects the DDL
+    assert(g.explain("gi", "DROP INDEX ON :P(v)").contains("Drop Index"))
+    intercept[Translator.TranslateError] {
+      g.roQuery("gi", "CREATE INDEX ON :P(w)")
+    }
+    assert(g.query("gi", "DROP INDEX ON :P(v)")
+      .select("indices_deleted").head().getLong(0) == 1L)
+    assert(g.roQuery("gi", "CALL db.indexes() YIELD type, label").count() == 0)
+  }
+
   test("bulk installs external tables as a graph") {
     val g = new Graft(spark)
     g.bulk("tpch", graft.graph.GraphBuilder.tpchStored(spark, sfDir))
