@@ -327,6 +327,33 @@ object CypherParser extends RegexParsers {
           t.map { case a ~ _ => a.isDefined })
     }
 
+  /** `CYPHER name=value …` query prefix: the reference's wire-level
+    * parameter syntax (commands.md "Query parameters" — clients prepend
+    * `CYPHER k=v` pairs, optionally `;`-separated from the query body).
+    */
+  private def paramValue: Parser[Any] =
+    floatLit ^^ (x => x: Any) |
+      intLit ^^ (x => x: Any) |
+      stringLit ^^ (x => x: Any) |
+      kw("TRUE") ^^^ (true: Any) |
+      kw("FALSE") ^^^ (false: Any) |
+      kw("NULL") ^^^ (null: Any) |
+      "[" ~> repsep(paramValue, ",") <~ "]" ^^ (xs => xs: Any)
+
+  private def cypherPrefix: Parser[Map[String, Any]] =
+    kw("CYPHER") ~> rep1(anyIdent ~ ("=" ~> paramValue)) <~ opt(";") ^^ {
+      pairs => pairs.map { case k ~ v => k -> v }.toMap
+    }
+
+  /** Split a leading `CYPHER k=v …` prefix off `input`: (params, body).
+    * Inputs without the prefix pass through with empty params.
+    */
+  def splitParams(input: String): (Map[String, Any], String) =
+    parse(cypherPrefix, input) match {
+      case Success(m, next) => (m, input.substring(next.offset))
+      case _ => (Map.empty, input)
+    }
+
   /** Parse a full query; Left(error) on failure. */
   def parse(input: String): Either[String, Query] =
     parseAll(query, input) match {

@@ -102,7 +102,11 @@ class CypherSession(val spark: SparkSession) {
     * a statistics-bearing schema; reads return the result frame.
     */
   def run(query: String, params: Map[String, Any] = Map.empty): DataFrame = {
-    val ast = parse(query)
+    // `CYPHER k=v …` wire-prefix parameters; an explicit params map wins
+    // on conflict (client API over wire syntax)
+    val (prefix, body) = CypherParser.splitParams(query)
+    val allParams = if (prefix.isEmpty) params else prefix ++ params
+    val ast = parse(body)
     ast.parts.head.clauses match {
       case List(Ast.CreateIndex(label, prop)) =>
         indicesFrame(if (createIndex(label, prop)) 1 else 0)
@@ -110,9 +114,9 @@ class CypherSession(val spark: SparkSession) {
         indicesFrame(if (dropIndex(label, prop)) -1 else 0)
       case _ if Graft.isMutation(ast) =>
         require(ast.parts.size == 1, "mutations cannot be UNIONed")
-        new MutationRunner(this).run(ast.parts.head.clauses, params)
+        new MutationRunner(this).run(ast.parts.head.clauses, allParams)
       case _ => countFastPath(ast).getOrElse(
-        Translator.translate(indexedGraph, ast, params, Some(this)))
+        Translator.translate(indexedGraph, ast, allParams, Some(this)))
     }
   }
 

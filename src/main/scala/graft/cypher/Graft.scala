@@ -108,7 +108,7 @@ class Graft(val spark: SparkSession) {
   }
 
   private def parse(cypher: String): Ast.Query =
-    CypherParser.parse(cypher).fold(
+    CypherParser.parse(CypherParser.splitParams(cypher)._2).fold(
       e => throw Translator.TranslateError(e), identity)
 
   /** GRAPH.EXPLAIN — compile only, never execute

@@ -233,6 +233,20 @@ class CypherSpec extends AnyFunSuite {
     assert(r == Seq(Map("c" -> 1L)))
   }
 
+  test("CYPHER k=v wire-prefix parameters") {
+    val s = freshSession("CREATE (:P {name:'ann', age: 30})")
+    val r = rows(s,
+      """CYPHER who = 'ann' min_age = 21;
+        |MATCH (p:P) WHERE p.name = $who AND p.age > $min_age
+        |RETURN count(*) AS c""".stripMargin)
+    assert(r == Seq(Map("c" -> 1L)))
+    // no semicolon, multiple types, explicit map wins on conflict
+    val r2 = rows(s,
+      "CYPHER who = 'bob' flag = true MATCH (p:P) WHERE p.name = $who " +
+        "RETURN count(*) AS c", Map("who" -> "ann"))
+    assert(r2 == Seq(Map("c" -> 1L)))
+  }
+
   test("id() and labels() and type()") {
     val s = freshSession("CREATE (:A {x:1})-[:T]->(:B {x:2})")
     val r = rows(s,
