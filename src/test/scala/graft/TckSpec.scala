@@ -160,6 +160,51 @@ class TckSpec extends AnyFunSuite {
     assert(r == Seq(Map("c" -> 2L)))
   }
 
+  test("undirected relationship pattern matches both directions") {
+    val s = freshSession("CREATE (:A {n:'a'})-[:T]->(:B {n:'b'})")
+    val r = rows(s,
+      "MATCH (x:A)-[:T]-(y) RETURN y.n AS n")
+    assert(r == Seq(Map("n" -> "b")))
+    val r2 = rows(s,
+      "MATCH (x:B)-[:T]-(y) RETURN y.n AS n")
+    assert(r2 == Seq(Map("n" -> "a")))
+  }
+
+  test("unbounded and single-bound var-len: *, *2, *0..1") {
+    val s = freshSession(
+      "CREATE (:N {v:1})-[:T]->(:N {v:2})-[:T]->(:N {v:3})")
+    // * ≡ 1..∞
+    val r = rows(s,
+      "MATCH (a:N {v:1})-[:T*]->(b) RETURN b.v AS v ORDER BY v")
+    assert(r == Seq(Map("v" -> 2L), Map("v" -> 3L)))
+    // *2 ≡ exactly two hops
+    val r2 = rows(s, "MATCH (a:N {v:1})-[:T*2]->(b) RETURN b.v AS v")
+    assert(r2 == Seq(Map("v" -> 3L)))
+    // *0..1 includes the start node itself at zero hops
+    val r3 = rows(s,
+      "MATCH (a:N {v:1})-[:T*0..1]->(b) RETURN b.v AS v ORDER BY v")
+    assert(r3 == Seq(Map("v" -> 1L), Map("v" -> 2L)))
+  }
+
+  test("multiple relationship types [:A|B]") {
+    val s = freshSession(
+      "CREATE (:X {n:'x'})-[:A]->(:Y {n:'p'})",
+      "MATCH (x:X) CREATE (x)-[:B]->(:Y {n:'q'})",
+      "MATCH (x:X) CREATE (x)-[:C]->(:Y {n:'r'})")
+    val r = rows(s,
+      "MATCH (:X)-[:A|B]->(y) RETURN y.n AS n ORDER BY n")
+    assert(r == Seq(Map("n" -> "p"), Map("n" -> "q")))
+  }
+
+  test("inline property map on a relationship pattern") {
+    val s = freshSession(
+      "CREATE (:U {n:'u'})-[:R {w: 1}]->(:V {n:'v1'})",
+      "MATCH (u:U) CREATE (u)-[:R {w: 2}]->(:V {n:'v2'})")
+    val r = rows(s,
+      "MATCH (:U)-[:R {w: 2}]->(v) RETURN v.n AS n")
+    assert(r == Seq(Map("n" -> "v2")))
+  }
+
   test("chained comparison and exists() on property") {
     val s = freshSession("CREATE (:W {v: 5})", "CREATE (:W)")
     val r = rows(s,
