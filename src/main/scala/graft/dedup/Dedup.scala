@@ -160,7 +160,7 @@ object Dedup {
     * Band-bucket join is the scale win: cost ∝ Σ bucket².
     */
   def lshCandidates(signatures: DataFrame, numHashes: Int = 64,
-      bands: Int = 16): DataFrame = {
+      bands: Int = 16, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val rowsPerBand = numHashes / bands
     // bucket key = the band's raw signature tuple (portable — no extra hash
     // layer to reproduce in the oracle; equality is what banding needs)
@@ -171,11 +171,25 @@ object Dedup {
       }
       struct(lit(b).as("band") +: hs: _*)
     }
-    val buckets = signatures
+    val exploded = signatures
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id") +: (col("bb.band") +:
         keyNames.map(n => col(s"bb.$n"))): _*)
     val joinKeys = "band" +: keyNames
+    // Σ bucket² skew guard for the self-join: a degenerate bucket (mass
+    // boilerplate duplication collapsing thousands of docs onto one band
+    // key) turns the join quadratic in that bucket. Capped buckets are
+    // dropped whole — their members are overwhelmingly exact/boilerplate
+    // duplicates that exactDedup should collapse upstream, and every doc
+    // pair still has (bands − 1) other chances to collide.
+    val buckets =
+      if (maxBucketSize == Int.MaxValue) exploded
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(joinKeys.map(col): _*)
+        exploded.withColumn("__bn", count(lit(1)).over(w))
+          .filter(col("__bn") <= maxBucketSize).drop("__bn")
+      }
     val l = buckets.withColumnRenamed("doc_id", "a")
     val r = buckets.withColumnRenamed("doc_id", "b")
     l.join(r, joinKeys)
@@ -283,10 +297,21 @@ object Dedup {
     * Recall vs the exact variant is measured in DedupSpec.
     */
   def embeddingNearDups(vectors: DataFrame, threshold: Double,
-      bits: Int = 8, tables: Int = 8): DataFrame = {
+      bits: Int = 8, tables: Int = 8,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     graft.plans.GraftExtensions.ensureFunctions(vectors.sparkSession)
     import graft.similarity.Similarity._
-    val buckets = lshBuckets(vectors, bits, tables)
+    val all = lshBuckets(vectors, bits, tables)
+    // same Σ bucket² guard as lshCandidates: drop degenerate buckets
+    // (e.g. zero vectors hashing identically across tables)
+    val buckets =
+      if (maxBucketSize == Int.MaxValue) all
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("table"), col("bucket"))
+        all.withColumn("__bn", count(lit(1)).over(w))
+          .filter(col("__bn") <= maxBucketSize).drop("__bn")
+      }
     val cands = buckets.select(col("table"), col("bucket"),
         col("vec_id").as("a"))
       .join(buckets.select(col("table"), col("bucket"),

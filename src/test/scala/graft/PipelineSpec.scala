@@ -33,6 +33,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(cands.size < 125000 / 10)
   }
 
+  test("lsh bucket cap drops degenerate buckets, keeps ordinary pairs") {
+    import spark.implicits._
+    // 40 copies of one boilerplate doc (a degenerate bucket in every band)
+    // plus one ordinary near-dup pair
+    val boiler = (1L to 40L).map(i => (i, "the same boilerplate text " * 10))
+    val pair = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu"))
+    val d = (boiler ++ pair).toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(d, 64, 3)
+    val uncapped = Dedup.lshCandidates(sigs, 64, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.lshCandidates(sigs, 64, 16, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((100L, 101L)) && uncapped.size > 780)
+    // cap kills the 40-doc cluster's ~780 pairs, keeps the ordinary pair
+    assert(capped == Set((100L, 101L)))
+  }
+
   test("exact dedup keeps one doc per distinct text") {
     val kept = Dedup.exactDedup(docs)
     assert(kept.count() == docs.select(md5(col("text"))).distinct().count())
