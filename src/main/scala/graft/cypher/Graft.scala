@@ -126,12 +126,38 @@ class Graft(val spark: SparkSession) {
 
   /** GRAPH.PROFILE — EXECUTES the query (reference parity:
     * `execution_plan.c:435-463` wraps ops with timers and runs the plan,
-    * mutations included) and returns the physical plan with runtime metrics.
+    * mutations included) and returns the physical operator tree annotated
+    * with per-op runtime metrics, in the reference's
+    * `Op | Records produced: n, Execution time: t ms` shape. AQE is
+    * disabled for the profiled run so the executed tree is the final one
+    * and its SQLMetrics are directly readable.
     */
   def profile(graph: String, cypher: String): String = {
-    val df = query(graph, cypher)
-    df.write.format("noop").mode("overwrite").save()
-    df.queryExecution.executedPlan.toString
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try {
+      val df = query(graph, cypher)
+      df.write.format("noop").mode("overwrite").save()
+      val sb = new StringBuilder
+      def fmt(p: org.apache.spark.sql.execution.SparkPlan, d: Int): Unit = {
+        val rows = p.metrics.get("numOutputRows").map(_.value)
+        val timeNs = p.metrics.collectFirst {
+          case (k, m) if k.toLowerCase.contains("time") && m.value > 0 =>
+            // SQLMetric timing unit is ns or ms depending on metric type;
+            // treat metricType "timing" as ms, "nsTiming" as ns
+            if (m.metricType == "nsTiming") m.value / 1e6 else m.value.toDouble
+        }
+        val notes = rows.map(r => s"Records produced: $r").toSeq ++
+          timeNs.map(t => f"Execution time: $t%.3f ms").toSeq
+        sb.append("    " * d).append(p.nodeName)
+        if (notes.nonEmpty) sb.append(" | ").append(notes.mkString(", "))
+        sb.append("\n")
+        p.children.foreach(fmt(_, d + 1))
+      }
+      fmt(df.queryExecution.executedPlan, 0)
+      sb.toString
+    } finally spark.conf.set(key, prev)
   }
 
   /** GRAPH.BULK — install externally built node/edge tables (schema:
@@ -155,6 +181,9 @@ class Graft(val spark: SparkSession) {
     import scala.jdk.CollectionConverters._
     log.asScala.toSeq.sortBy(-_._3).take(n)
   }
+
+  /** GRAPH.SLOWLOG g RESET. */
+  def slowlogReset(): Unit = log.clear()
 }
 
 object Graft {

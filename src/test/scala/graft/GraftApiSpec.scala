@@ -54,8 +54,10 @@ class GraftApiSpec extends AnyFunSuite {
     val g = new Graft(spark)
     g.query("g3", "CREATE (:P {v:1})")
     val prof = g.profile("g3", "MATCH (p:P) RETURN p.v AS v")
-    assert(prof.nonEmpty)
+    assert(prof.contains("Records produced:"))
     assert(g.slowlog().nonEmpty)
+    g.slowlogReset()
+    assert(g.slowlog().isEmpty)
   }
 
   test("config get/set: RESULTSET_SIZE caps read results, unknown key rejected") {
