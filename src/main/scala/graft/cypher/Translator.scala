@@ -676,9 +676,18 @@ object Translator {
     val nodesTbl = ctx.graph.nodes.select(col("id").as("__vnid"),
       struct(col("id"), col("label"), col("props")).as("__vn"))
 
-    val sources = frame.df
+    // Shallow bounded expansions (the common `*1..3` shape) stay fully
+    // lazy: per-hop checkpoints are LAZY lineage cuts (fresh attribute ids
+    // for the self-joined edge view, materialized inside the one final
+    // job), and the per-hop isEmpty early-exit probe is skipped — empty
+    // tails join to empty frames for free. Deep/unbounded traversals keep
+    // eager per-hop checkpoints + early exit: there the frontier usually
+    // dies long before maxH and each hop's shuffle is worth cutting.
+    val eagerHops = maxH > 4
+    def cut(df: DataFrame): DataFrame = df.localCheckpoint(eagerHops)
+    val sources = cut(frame.df
       .select(frame.col(prev).getField("id").as("__vstart"))
-      .distinct().localCheckpoint(true)
+      .distinct())
     // When no path/rel variable is bound (keepAcc=false), the frontier
     // carries only edge IDs for path-uniqueness — arrays of longs, not
     // full entity structs. The per-hop checkpoints then hold a few bytes
@@ -686,21 +695,19 @@ object Translator {
     // stays flat across a Bench/Verify session of many traversals).
     var frontier =
       if (keepAcc)
-        sources.select(col("__vstart"),
+        cut(sources.select(col("__vstart"),
           col("__vstart").as("__vcur"),
           array().cast(ArrayType(LongType)).as("__vrelids"),
           array().cast(ArrayType(edgeStructType)).as("__vrels"),
-          array().cast(ArrayType(nodeStructType)).as("__vnodes"))
-          .localCheckpoint(true)
+          array().cast(ArrayType(nodeStructType)).as("__vnodes")))
       else
-        sources.select(col("__vstart"),
+        cut(sources.select(col("__vstart"),
           col("__vstart").as("__vcur"),
-          array().cast(ArrayType(LongType)).as("__vrelids"))
-          .localCheckpoint(true)
+          array().cast(ArrayType(LongType)).as("__vrelids")))
     val results = scala.collection.mutable.ArrayBuffer[DataFrame]()
     if (minH == 0) results += frontier
     var h = 0
-    while (h < maxH && !frontier.isEmpty) {
+    while (h < maxH && (!eagerHops || !frontier.isEmpty)) {
       h += 1
       val joined = frontier.join(ev, col("__vcur") === ev("__from"))
         .filter(!array_contains(col("__vrelids"),
@@ -717,7 +724,7 @@ object Translator {
           joined.select(col("__vstart"), ev("__to").as("__vcur"),
             concat(col("__vrelids"),
               array(ev("__edge").getField("id"))).as("__vrelids"))
-      val step = step0.localCheckpoint(true)
+      val step = cut(step0)
       if (h >= minH) results += step
       frontier = step
     }
