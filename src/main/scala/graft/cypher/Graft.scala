@@ -170,6 +170,17 @@ class Graft(val spark: SparkSession) {
   def bulk(graph: String, g: PropertyGraph): Unit =
     session(graph).setGraph(g)
 
+  /** Persist a graph's tables as bucketed parquet (the RDB-persistence
+    * analogue, `src/serializers/encoder/v9` → [[graft.graph.GraphStore]]).
+    */
+  def save(graph: String, buckets: Int = 64): Unit =
+    graft.graph.GraphStore.save(session(graph).graph, s"graft_$graph", buckets)
+
+  /** Restore a previously saved graph (co-bucketed expand joins at rest). */
+  def restore(graph: String): Unit =
+    session(graph).setGraph(
+      graft.graph.GraphStore.load(spark, s"graft_$graph"))
+
   /** GRAPH.DELETE. */
   def delete(graph: String): Unit = graphs.remove(graph)
 

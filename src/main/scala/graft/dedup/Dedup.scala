@@ -202,7 +202,8 @@ object Dedup {
     * shared between signatures and the Jaccard verify.
     */
   def minHashDedup(docs: DataFrame, threshold: Double = 0.5,
-      numHashes: Int = 64, bands: Int = 16, k: Int = 3): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16, k: Int = 3,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     // Two independent shingle passes beat one shared distinct table:
     // the signature pass feeds min-aggregation straight off the explode
     // (no distinct shuffle — duplicates fold in the map-side partial min),
@@ -213,7 +214,8 @@ object Dedup {
     // verified-pair result is checkpointed, keeping executor storage flat
     // across many invocations.
     val cands = lshCandidates(
-      minHashSignatures(docs, numHashes, k), numHashes, bands).cache()
+      minHashSignatures(docs, numHashes, k), numHashes, bands,
+      maxBucketSize).cache()
     cands.count()
     // materialize the (small) verified-pair result while the candidate
     // cache is live, then release it

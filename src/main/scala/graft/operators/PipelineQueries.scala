@@ -30,6 +30,73 @@ object PipelineQueries {
       s"SELECT vec_id, $t AS tbl,\n $bitTerms AS bucket FROM embeddings"
     }.mkString("\nUNION ALL\n")
 
+  /** SQL replication of [[Dedup.minHashDedup]] (shingle → graft_polyhash →
+    * 64 affine min-hashes → 16×4 band buckets → exact-Jaccard ≥ 0.3), with
+    * an optional bucket-size cap mirroring `lshCandidates(maxBucketSize)`.
+    */
+  private def minhashSql(cap: Option[Int]): String = {
+    val polyFold = (base: Int) =>
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(regexp_split_to_array(shingle, ''),
+         |                 c -> unicode(c))),
+         |  (acc, c) -> (acc * $base + c) % 1000000007)""".stripMargin
+    val sigCols = Dedup.minHashConstants(64).zipWithIndex.map {
+      case ((a, b), i) =>
+        s"min(($a * (sh % ${Dedup.MinHashP}) + $b) % ${Dedup.MinHashP}) AS h$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until 16).map { bnd =>
+      val ks = (0 until 4).map(r => s"h${bnd * 4 + r} AS k$r").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, $ks FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val bucketSrc = cap.map { c =>
+      s"""bandsf AS (
+         |  SELECT * FROM bands
+         |  QUALIFY count(*) OVER (PARTITION BY band, k0, k1, k2, k3) <= $c),
+         |""".stripMargin
+    }.getOrElse("")
+    val candFrom = if (cap.isDefined) "bandsf" else "bands"
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+       |  FROM documents),
+       |sh0 AS (
+       |  SELECT DISTINCT doc_id,
+       |         array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+       |  FROM (SELECT doc_id, t,
+       |          unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+       |        FROM toks)),
+       |shh AS (
+       |  SELECT doc_id,
+       |         ${polyFold(31)} * 2147483648 + ${polyFold(131)} AS sh
+       |  FROM sh0),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY 1),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM shh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |${bucketSrc}cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM $candFrom l JOIN $candFrom r
+       |    ON l.band = r.band AND l.k0 = r.k0 AND l.k1 = r.k1
+       |   AND l.k2 = r.k2 AND l.k3 = r.k3 AND l.doc_id < r.doc_id),
+       |common AS (
+       |  SELECT c.a, c.b, count(*) AS n
+       |  FROM cand c
+       |  JOIN shh x ON x.doc_id = c.a
+       |  JOIN shh y ON y.doc_id = c.b AND y.sh = x.sh
+       |  GROUP BY 1, 2)
+       |SELECT a, b, jaccard FROM (
+       |  SELECT c.a, c.b,
+       |    round(CAST(coalesce(cm.n, 0) AS DOUBLE)
+       |          / (na.n_sh + nb.n_sh - coalesce(cm.n, 0)), 5) AS jaccard
+       |  FROM cand c
+       |  LEFT JOIN common cm ON cm.a = c.a AND cm.b = c.b
+       |  JOIN sizes na ON na.doc_id = c.a
+       |  JOIN sizes nb ON nb.doc_id = c.b)
+       |WHERE jaccard >= 0.3""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── text analysis ───────────────────────────────────────────────────────
@@ -174,65 +241,20 @@ object PipelineQueries {
       // shingle hash (graft_polyhash ≡ the double polynomial fold), same
       // affine signature constants (Dedup.minHashConstants), band buckets
       // keyed by the raw signature tuple, exact-Jaccard verify ≥ 0.3.
-      {
-        val polyFold = (base: Int) =>
-          s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |  list_transform(regexp_split_to_array(shingle, ''),
-             |                 c -> unicode(c))),
-             |  (acc, c) -> (acc * $base + c) % 1000000007)""".stripMargin
-        val sigCols = Dedup.minHashConstants(64).zipWithIndex.map {
-          case ((a, b), i) =>
-            s"min(($a * (sh % ${Dedup.MinHashP}) + $b) % ${Dedup.MinHashP}) AS h$i"
-        }.mkString(",\n    ")
-        val bandSelects = (0 until 16).map { bnd =>
-          val ks = (0 until 4).map(r => s"h${bnd * 4 + r} AS k$r").mkString(", ")
-          s"SELECT doc_id, $bnd AS band, $ks FROM sig"
-        }.mkString("\n  UNION ALL ")
-        s"""WITH toks AS (
-           |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
-           |  FROM documents),
-           |sh0 AS (
-           |  SELECT DISTINCT doc_id,
-           |         array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
-           |  FROM (SELECT doc_id, t,
-           |          unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
-           |        FROM toks)),
-           |shh AS (
-           |  SELECT doc_id,
-           |         ${polyFold(31)} * 2147483648 + ${polyFold(131)} AS sh
-           |  FROM sh0),
-           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY 1),
-           |sig AS (
-           |  SELECT doc_id,
-           |    $sigCols
-           |  FROM shh GROUP BY doc_id),
-           |bands AS (
-           |  $bandSelects),
-           |cand AS (
-           |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-           |  FROM bands l JOIN bands r
-           |    ON l.band = r.band AND l.k0 = r.k0 AND l.k1 = r.k1
-           |   AND l.k2 = r.k2 AND l.k3 = r.k3 AND l.doc_id < r.doc_id),
-           |common AS (
-           |  SELECT c.a, c.b, count(*) AS n
-           |  FROM cand c
-           |  JOIN shh x ON x.doc_id = c.a
-           |  JOIN shh y ON y.doc_id = c.b AND y.sh = x.sh
-           |  GROUP BY 1, 2)
-           |SELECT a, b, jaccard FROM (
-           |  SELECT c.a, c.b,
-           |    round(CAST(coalesce(cm.n, 0) AS DOUBLE)
-           |          / (na.n_sh + nb.n_sh - coalesce(cm.n, 0)), 5) AS jaccard
-           |  FROM cand c
-           |  LEFT JOIN common cm ON cm.a = c.a AND cm.b = c.b
-           |  JOIN sizes na ON na.doc_id = c.a
-           |  JOIN sizes nb ON nb.doc_id = c.b)
-           |WHERE jaccard >= 0.3""".stripMargin
-      }) { (s, dir) =>
+      minhashSql(cap = None)) { (s, dir) =>
       // MinHash(64) + LSH(16 bands × 4) candidates → exact-Jaccard ≥ 0.3,
       // hash-checked against the SQL replication above; DedupSpec
       // additionally checks candidate recall vs brute-force Jaccard.
       Dedup.minHashDedup(Tables.documents(s, dir), 0.3)
+    },
+
+    QueryDef(
+      "q_dedup_minhash_capped",
+      // Same pipeline under the Σ bucket² skew guard (maxBucketSize=5):
+      // degenerate band buckets are dropped before the candidate self-join
+      // (oracle: QUALIFY on the bucket's window count).
+      minhashSql(cap = Some(5))) { (s, dir) =>
+      Dedup.minHashDedup(Tables.documents(s, dir), 0.3, maxBucketSize = 5)
     },
 
     QueryDef(

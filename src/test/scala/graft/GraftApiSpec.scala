@@ -101,6 +101,18 @@ class GraftApiSpec extends AnyFunSuite {
     assert(g.roQuery("gi", "CALL db.indexes() YIELD type, label").count() == 0)
   }
 
+  test("save/restore persists a graph through bucketed storage") {
+    val g = new Graft(spark)
+    g.query("gp", "UNWIND range(1, 5) AS i CREATE (:P {v: i})-[:T]->(:Q {w: i})")
+    g.save("gp", buckets = 2)
+    try {
+      val g2 = new Graft(spark)
+      g2.restore("gp")
+      val r = g2.roQuery("gp", "MATCH (:P)-[:T]->(q:Q) RETURN count(q) AS c")
+      assert(r.select(r("c").getField("i")).head().getLong(0) == 5L)
+    } finally graft.graph.GraphStore.drop(spark, "graft_gp")
+  }
+
   test("bulk installs external tables as a graph") {
     val g = new Graft(spark)
     g.bulk("tpch", graft.graph.GraphBuilder.tpchStored(spark, sfDir))
