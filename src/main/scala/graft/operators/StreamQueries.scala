@@ -24,6 +24,28 @@ object StreamQueries {
     },
 
     QueryDef(
+      "q_asof_join",
+      // DuckDB's native ASOF JOIN is the oracle for our union+window as-of
+      // (AsOfJoin.leftAsOf): each event picks the user's most recent
+      // purchase at-or-before its timestamp.
+      """WITH pur AS (
+        |  SELECT user_id, ts, max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id,
+        |  round(p.purchase_value, 5) AS last_purchase_value
+        |FROM events e ASOF LEFT JOIN pur p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin) {
+      (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+      AsOfJoin.leftAsOf(ev.select("event_id", "user_id", "ts"),
+          purchases, "user_id", "ts", Seq("purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          round(col("asof_purchase_value"), 5).as("last_purchase_value"))
+    },
+
+    QueryDef(
       "q_sessionize",
       """SELECT event_id, user_id, CAST(session_seq AS BIGINT) AS session_seq
         |FROM (

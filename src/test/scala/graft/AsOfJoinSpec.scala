@@ -1,0 +1,28 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.scalatest.funsuite.AnyFunSuite
+
+/** AsOfJoin semantics: most-recent-at-or-before pick, >= tie handling,
+  * null for rows with no prior right row, key isolation.
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("picks latest right row at-or-before each left ts, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "u1", 10L), (2L, "u1", 20L), (3L, "u1", 5L),
+      (4L, "u2", 10L)).toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", 10L, 1.0), ("u1", 15L, 2.0),
+      ("u2", 99L, 9.0)).toDF("k", "t", "v")
+    val out = AsOfJoin.leftAsOf(left, right, "k", "t", Seq("v"))
+      .select("id", "asof_v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) == Some(1.0)) // tie: left t=10 sees right t=10 (>=)
+    assert(out(2L) == Some(2.0)) // latest of {10, 15} before 20
+    assert(out(3L) == None)      // no right row at or before t=5
+    assert(out(4L) == None)      // u2's only right row is later
+  }
+}
