@@ -46,6 +46,30 @@ object StreamQueries {
     },
 
     QueryDef(
+      "q_range_join",
+      // Interval correlation: per click event, how many of the same user's
+      // error events fall within ±5 minutes. Oracle: direct inequality
+      // join (fine at oracle scale); engine side: RangeJoin.bandJoin's
+      // bucketed equi-join (scale path).
+      """SELECT c.event_id, c.user_id, count(e.ts) AS n_nearby_errors
+        |FROM events c LEFT JOIN events e
+        |  ON e.user_id = c.user_id AND e.event_type = 'error'
+        | AND e.ts BETWEEN c.ts - INTERVAL 5 MINUTE
+        |               AND c.ts + INTERVAL 5 MINUTE
+        |WHERE c.event_type = 'click'
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val errors = ev.filter(col("event_type") === "error")
+        .select("user_id", "ts")
+      val fiveMinNanos = 5L * 60 * 1000 * 1000 * 1000 // ts is TIMESTAMP(NANOS)
+      RangeJoin.bandJoin(clicks, errors, "user_id", "ts", fiveMinNanos)
+        .groupBy("event_id", "user_id")
+        .agg(count(col("range_ts")).as("n_nearby_errors"))
+    },
+
+    QueryDef(
       "q_sessionize",
       """SELECT event_id, user_id, CAST(session_seq AS BIGINT) AS session_seq
         |FROM (

@@ -9,6 +9,21 @@ import org.scalatest.funsuite.AnyFunSuite
 class AsOfJoinSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("bandJoin matches exactly the rows within ±band, once each") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    val left = Seq((1L, "u", 100L), (2L, "u", 500L), (3L, "v", 100L))
+      .toDF("id", "k", "t")
+    // right rows at 95 (in band of l1), 210 (out), 410/499/600 around l2
+    val right = Seq(("u", 95L), ("u", 210L), ("u", 410L), ("u", 499L),
+      ("u", 600L), ("w", 100L)).toDF("k", "t")
+    val out = RangeJoin.bandJoin(left, right, "k", "t", band = 100L)
+      .groupBy("id").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.col("range_ts")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 3L, 3L -> 0L))
+  }
+
   test("picks latest right row at-or-before each left ts, per key") {
     import spark.implicits._
     val left = Seq(
