@@ -142,6 +142,20 @@ private[cypher] final class MutationRunner(session: CypherSession) {
       .localCheckpoint(true)
     val rows = tagged.count()
 
+    // a relationship endpoint bound earlier in the query must resolve for
+    // every record: creating from a null (an unmatched OPTIONAL MATCH
+    // variable) is an error and NOTHING commits (reference commands.md:
+    // "attempting to create a relation with a null endpoint will cause an
+    // error … no changes to the graph are committed")
+    val boundEntities = frame.vars.filter(_._2 != KValue).keySet
+    val endpointVars = pe.flatMap(e => Seq(e.srcVar, e.dstVar))
+      .distinct.filter(boundEntities)
+    if (endpointVars.nonEmpty && tagged
+        .filter(endpointVars.map(v => col(v).isNull).reduce(_ || _))
+        .limit(1).count() > 0)
+      throw TranslateError(
+        "cannot create a relationship with a null endpoint")
+
     val nodeBase = session.nodeIdBase
     val edgeBase = session.edgeIdBase
     def nodeId(slot: Int): Column =

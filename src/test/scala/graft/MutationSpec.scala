@@ -112,6 +112,18 @@ class MutationSpec extends AnyFunSuite {
       == Seq(Map("n" -> "oslo"), Map("n" -> "paris"), Map("n" -> "rome")))
   }
 
+  test("CREATE with a null endpoint errors and commits nothing") {
+    // reference commands.md: "attempting to create a relation with a null
+    // endpoint will cause an error … no changes committed"
+    val s = freshSession("CREATE (:P {v:1})")
+    intercept[graft.cypher.Translator.TranslateError] {
+      s.run("MATCH (p:P) OPTIONAL MATCH (p)-[:W]->(c:C) " +
+        "CREATE (c)-[:NEW]->(:X)")
+    }
+    assert(rows(s, "MATCH (x:X) RETURN count(*) AS c") ==
+      Seq(Map("c" -> 0L)))
+  }
+
   test("MERGE relationship between bound nodes") {
     val s = freshSession(
       "CREATE (:P {name:'a'})", "CREATE (:P {name:'b'})")
