@@ -124,6 +124,13 @@ class MutationSpec extends AnyFunSuite {
       Seq(Map("c" -> 0L)))
   }
 
+  test("SET and DELETE ignore null inputs (unmatched OPTIONAL vars)") {
+    val s = freshSession("CREATE (:P {v:1})")
+    s.run("MATCH (p:P) OPTIONAL MATCH (p)-[:W]->(c:C) SET c.v = 9")
+    s.run("MATCH (p:P) OPTIONAL MATCH (p)-[:W]->(c:C) DELETE c")
+    assert(rows(s, "MATCH (n) RETURN count(*) AS c") == Seq(Map("c" -> 1L)))
+  }
+
   test("MERGE relationship between bound nodes") {
     val s = freshSession(
       "CREATE (:P {name:'a'})", "CREATE (:P {name:'b'})")
