@@ -45,6 +45,24 @@ object StreamOps {
         col("event_type"), col("n_events"), col("sum_value"))
   }
 
+  /** Streaming exact dedup: keep the first document per content hash.
+    * In streaming mode `dropDuplicates` holds one state row per distinct
+    * hash, bounded by the event-time watermark (late duplicates beyond
+    * `watermarkHours` may re-emit — the standard at-scale trade; exact
+    * global dedup stays a batch job, [[graft.dedup.Dedup.exactDedup]]).
+    * Batch mode: dropDuplicates directly ≡ one row per distinct text.
+    */
+  def streamingDedup(docs: DataFrame, tsField: String = "event_ts",
+      watermarkHours: Int = 24): DataFrame = {
+    val hashed = docs.withColumn("__h", md5(col("text")))
+    val out =
+      if (hashed.isStreaming)
+        hashed.withWatermark(tsField, s"$watermarkHours hours")
+          .dropDuplicates("__h")
+      else hashed.dropDuplicates("__h")
+    out.drop("__h")
+  }
+
   /** Sessionization: gap-based session ids per user (new session when the
     * gap to the previous event exceeds `gapMinutes`). Batch form uses a
     * window; the streaming analogue is flatMapGroupsWithState — the batch

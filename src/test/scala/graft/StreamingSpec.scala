@@ -50,6 +50,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateful.nonEmpty)
   }
 
+  test("streaming dedup: one doc per distinct text through the stream") {
+    import org.apache.spark.sql.types._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .withColumn("event_ts", to_timestamp(lit("2026-01-01 00:00:00")))
+    val q = StreamOps.streamingDedup(stream).writeStream
+      .outputMode("append").format("memory").queryName("dedup_sink").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("dedup_sink")
+    val expected = Tables.documents(spark, sfDir)
+      .select(md5(col("text"))).distinct().count()
+    assert(streamed.count() == expected)
+    assert(streamed.select("text").distinct().count() == expected)
+  }
+
   test("multimodal features: deterministic stub decode, histogram sums to n_bytes") {
     val feats = Multimodal.extractFeatures(
       Multimodal.mediaFromDocs(Tables.documents(spark, sfDir)))
