@@ -379,6 +379,29 @@ object RelationalQueries {
     },
 
     QueryDef(
+      "q_window_ntile",
+      // ranking-family window functions over one shuffle/sort: ntile,
+      // percent_rank, cume_dist, first/last value frames
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(percent_rank() OVER w, 5) AS pr,
+        |  round(cume_dist() OVER w, 5) AS cd,
+        |  round(first_value(o_totalprice) OVER w, 2) AS top_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin) {
+      (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 5).as("pr"),
+        round(cume_dist().over(w), 5).as("cd"),
+        round(first(col("o_totalprice")).over(w), 2).as("top_price"))
+    },
+
+    QueryDef(
       "q_window_running",
       """SELECT o_custkey, o_orderkey,
         |  round(sum(o_totalprice) OVER (
