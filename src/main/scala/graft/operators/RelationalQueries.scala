@@ -327,6 +327,20 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"))
     },
 
+    QueryDef(
+      "q_cube",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin) {
+      (s, dir) =>
+      // CUBE grouping sets (also beyond the reference's surface).
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    },
+
     // ── Sort / limit / skip / top-k ─────────────────────────────────────────
     QueryDef(
       "q_topk",
