@@ -223,10 +223,10 @@ object CypherQueries {
     QueryDef(
       "q_cypher_fulltext",
       """SELECT CAST(p_partkey AS BIGINT) AS pk FROM part
-        |WHERE ' ' || p_name || ' ' LIKE '% goldenrod %'""".stripMargin) { (s, dir) =>
+        |WHERE ' ' || p_name || ' ' LIKE '% red %'""".stripMargin) { (s, dir) =>
       runS(s, Some(dir),
         "CALL db.idx.fulltext.createNodeIndex('Part', 'name')",
-        """CALL db.idx.fulltext.queryNodes('Part', 'goldenrod')
+        """CALL db.idx.fulltext.queryNodes('Part', 'red')
           |YIELD node RETURN node.partkey AS pk""".stripMargin)
         .select(asLong("pk"))
     },
