@@ -226,6 +226,23 @@ object Dedup {
     result
   }
 
+  /** Near-duplicate CLUSTERS: transitive closure of the MinHash near-dup
+    * pair relation, each clustered doc mapped to its cluster's canonical
+    * (smallest) doc id. Near-duplication isn't transitive — A≈B and B≈C
+    * don't imply A≈C — but dedup policy usually keeps one doc per chain,
+    * which is exactly connected components over the verified pair graph
+    * (GraphX; the pair graph is tiny next to the corpus, so the iterative
+    * part touches only near-dup docs). Docs with no near-dup partner don't
+    * appear (they are their own canonical).
+    */
+  def nearDupClusters(docs: DataFrame, threshold: Double = 0.5,
+      numHashes: Int = 64, bands: Int = 16, k: Int = 3): DataFrame = {
+    val pairs = minHashDedup(docs, threshold, numHashes, bands, k)
+    graft.graph.GraphOps.componentsOfPairs(
+        pairs.select(col("a").as("src"), col("b").as("dst")))
+      .select(col("id").as("doc_id"), col("component").as("canonical_id"))
+  }
+
   /** SimHash signature bit width: [[graft.plans.PolyHash]] yields 62
     * usable bits (two 31-bit polynomial halves).
     */

@@ -108,6 +108,20 @@ object GraphOps {
       .toDF("id", "pagerank")
   }
 
+  /** Connected components over a bare (src, dst) pair list; vertices are
+    * the ids appearing in the pairs. Component label = the smallest vertex
+    * id in the component (GraphX's convention).
+    */
+  def componentsOfPairs(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val eRdd = pairs.select(col("src"), col("dst"))
+      .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
+    XGraph.fromEdges(eRdd, (), StorageLevel.MEMORY_AND_DISK,
+        StorageLevel.MEMORY_AND_DISK)
+      .connectedComponents().vertices.toDF("id", "component")
+  }
+
   /** Connected components (undirected) via GraphX. */
   def connectedComponents(graph: PropertyGraph): DataFrame = {
     val spark = graph.nodes.sparkSession

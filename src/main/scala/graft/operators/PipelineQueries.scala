@@ -2,8 +2,9 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.dedup.Dedup
+import graft.sampling.Sampling
 import graft.similarity.Similarity
-import graft.text.TextOps
+import graft.text.{Ranking, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over `documents`/`embeddings`/`events`:
@@ -454,5 +455,75 @@ object PipelineQueries {
       // variant's recall vs brute force.
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 50), 3, 16, 4, 0)
+    },
+
+    // ── splits / sampling / ranking / clustering ────────────────────────────
+    QueryDef(
+      "q_split_hash",
+      s"""SELECT doc_id, CAST(bucket AS INT) AS bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |        ${Sampling.hashBucketSql("text")} AS bucket
+         |      FROM documents)""".stripMargin) { (s, dir) =>
+      // Deterministic content-keyed train/valid/test split (80/10/10):
+      // pure projection inside the scan — reproducible, shuffle-free, and
+      // exact duplicates land in the same split (no train/test leakage).
+      graft.plans.GraftExtensions.ensureFunctions(s)
+      val bucket = Sampling.hashBucket(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        bucket.cast("int").as("bucket"),
+        Sampling.split(bucket, 80, 10).as("split"))
+    },
+
+    QueryDef(
+      "q_sample_stratified",
+      s"""SELECT doc_id, lang
+         |FROM (SELECT doc_id, lang,
+         |        ${Sampling.hashBucketSql("text")} AS bucket
+         |      FROM documents)
+         |WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 50 END""".stripMargin) { (s, dir) =>
+      // Stratified deterministic sampling: per-stratum rates (10% of the
+      // dominant language, 50% of the rest — the usual rebalancing shape)
+      // via the same content-keyed bucket; no shuffle, no rand() (which
+      // would resample per run and per partition layout).
+      graft.plans.GraftExtensions.ensureFunctions(s)
+      val bucket = Sampling.hashBucket(col("text"))
+      Tables.documents(s, dir)
+        .filter(bucket < when(col("lang") === "en", 10).otherwise(50))
+        .select("doc_id", "lang")
+    },
+
+    QueryDef(
+      "q_bm25",
+      Ranking.bm25Sql(Seq("spark", "merge", "filter"))) { (s, dir) =>
+      // BM25 relevance over the fulltext surface (reference's queryNodes
+      // score column, `src/procedures/proc_fulltext_query.c`): corpus stats
+      // broadcast against per-doc term frequencies.
+      Ranking.bm25(Tables.documents(s, dir), Seq("spark", "merge", "filter"))
+    },
+
+    QueryDef(
+      "q_dedup_cluster",
+      // Transitive closure of the MinHash near-dup pairs (recursive CTE) →
+      // canonical (smallest) doc id per cluster; mirrors GraphX connected
+      // components over the verified pair graph.
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a, b FROM (
+         |${minhashSql(cap = None)})),
+         |und AS (SELECT a AS x, b AS y FROM pairs
+         |        UNION SELECT b, a FROM pairs),
+         |reach AS (
+         |  SELECT x, y FROM und
+         |  UNION
+         |  SELECT r.x, u.y FROM reach r JOIN und u ON u.x = r.y)
+         |SELECT CAST(x AS BIGINT) AS doc_id,
+         |       CAST(least(x, min(y)) AS BIGINT) AS canonical_id
+         |FROM reach GROUP BY x""".stripMargin) { (s, dir) =>
+      // Near-dup clusters: connected components (GraphX) over the verified
+      // MinHash pair graph — dedup policy "keep one doc per near-dup chain".
+      Dedup.nearDupClusters(Tables.documents(s, dir), 0.3)
     })
 }

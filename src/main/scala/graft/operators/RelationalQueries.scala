@@ -596,5 +596,50 @@ object RelationalQueries {
           array_join(transform(col("ks"), x => x * 2), ",").as("doubled"),
           array_join(filter(col("ks"), x => x % 2 === 0), ",").as("evens"),
           aggregate(col("ks"), lit(0L), (acc, x) => acc + x).as("total"))
+    },
+
+    QueryDef(
+      "q_pivot",
+      """SELECT o_orderpriority,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+        |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      // PIVOT (beyond the reference's surface, standard OLAP reshaping):
+      // Spark's relational pivot with an explicit value list — one shuffle,
+      // conditional partial aggregates, no per-value scan.
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+    },
+
+    QueryDef(
+      "q_salted_join",
+      """WITH dim AS (
+        |  SELECT event_type, count(*) AS type_total FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, d.type_total
+        |FROM events e JOIN dim d USING (event_type)""".stripMargin) { (s, dir) =>
+      // Skew-salted equi-join: event_type has ~5 distinct values over the
+      // whole fact table — the canonical hot-key join. Salting spreads each
+      // hot key over 8 shuffle partitions; result ≡ the plain join (oracle).
+      val events = t(s, dir, "events")
+      val dim = events.groupBy("event_type")
+        .agg(count(lit(1)).as("type_total"))
+      Skew.saltedJoin(events.select("event_id", "event_type"), dim,
+        "event_type", 8)
+    },
+
+    QueryDef(
+      "q_skew_agg",
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      // Skew-safe count-distinct: two-level aggregation spreads a hot key's
+      // values over the (key, value) hash space before the per-key count.
+      Skew.twoPhaseCountDistinct(t(s, dir, "events"), "event_type", "user_id")
     })
 }

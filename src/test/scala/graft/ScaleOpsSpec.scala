@@ -1,0 +1,90 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.operators.Skew
+import graft.sampling.Sampling
+import graft.text.Ranking
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Skew rewrites, deterministic sampling/splits, BM25 ranking, near-dup
+  * clustering — the round-3 scale/pipeline additions.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("salted join is result-identical to the plain join under a hot key") {
+    import spark.implicits._
+    // 'hot' carries 90% of the fact rows — the shape salting exists for
+    val fact = ((1 to 900).map(i => (i.toLong, "hot")) ++
+      (901 to 1000).map(i => (i.toLong, s"k${i % 7}"))).toDF("row_id", "key")
+    val dim = fact.groupBy("key").agg(count(lit(1)).as("total"))
+    val salted = Skew.saltedJoin(fact, dim, "key", 8)
+      .select("row_id", "key", "total")
+    val plain = fact.join(dim, "key").select("row_id", "key", "total")
+    assert(salted.count() === 1000)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("two-phase count distinct matches countDistinct") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (s"g${i % 3}", (i % 40).toLong))
+      .toDF("key", "value")
+    val two = Skew.twoPhaseCountDistinct(df, "key", "value")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ref = df.groupBy("key").agg(countDistinct("value").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(two === ref)
+  }
+
+  test("hash split: duplicates co-assigned, stable under repartition, ~80/10/10") {
+    val docs = Tables.documents(spark, sfDir)
+    val assign = docs.select(col("doc_id"), col("text"),
+      Sampling.hashBucket(col("text")).as("bucket"),
+      Sampling.split(Sampling.hashBucket(col("text")), 80, 10).as("split"))
+    // identical content ⇒ identical split (no leakage across splits)
+    val leaks = assign.groupBy("text")
+      .agg(countDistinct("split").as("n")).filter(col("n") > 1).count()
+    assert(leaks === 0)
+    // partitioning must not change assignment
+    val a = assign.select("doc_id", "split")
+    val b = docs.repartition(13).select(col("doc_id"),
+      Sampling.split(Sampling.hashBucket(col("text")), 80, 10).as("split"))
+    assert(a.exceptAll(b).isEmpty)
+    // proportions roughly 80/10/10 (content-hash uniformity)
+    val n = assign.count().toDouble
+    val train = assign.filter(col("split") === "train").count() / n
+    assert(train > 0.7 && train < 0.9, s"train fraction $train")
+  }
+
+  test("bm25: more matching terms => higher score; non-matching docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark merge filter spark"), // all three terms, spark twice
+      (2L, "spark something else here"), // one term
+      (3L, "nothing relevant at all")   // no terms
+    ).toDF("doc_id", "text")
+    val scores = Ranking.bm25(docs, Seq("spark", "merge", "filter"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!scores.contains(3L))
+    assert(scores(1L) > scores(2L) && scores(2L) > 0.0)
+  }
+
+  test("near-dup clusters: transitive chain collapses to one canonical id") {
+    import spark.implicits._
+    // A≈B, B≈C by shingle overlap (A vs C weaker) — cluster {10,11,12},
+    // plus an unrelated doc that must not appear
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (10L, base),
+      (11L, base + " phi"),
+      (12L, base + " phi chi psi"),
+      (99L, "completely different words nowhere near the others at all ok")
+    ).toDF("doc_id", "text")
+    val clusters = Dedup.nearDupClusters(docs, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.keySet === Set(10L, 11L, 12L))
+    assert(clusters.values.toSet === Set(10L))
+  }
+}
