@@ -70,6 +70,25 @@ object StreamQueries {
     },
 
     QueryDef(
+      "q_stream_join",
+      // Stream-stream interval join (batch-run here for the oracle; the
+      // streaming path with two-sided watermark state is StreamingSpec's
+      // batch≡stream check): click × same-user errors within ±5 min.
+      """SELECT c.event_id, c.user_id, epoch_ms(e.ts) AS right_ts_ms
+        |FROM events c JOIN events e
+        |  ON e.user_id = c.user_id AND e.event_type = 'error'
+        | AND e.ts BETWEEN c.ts - INTERVAL 5 MINUTE
+        |               AND c.ts + INTERVAL 5 MINUTE
+        |WHERE c.event_type = 'click'""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      StreamOps.intervalJoin(
+        ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts"),
+        ev.filter(col("event_type") === "error").select("user_id", "ts"),
+        "user_id", 5)
+    },
+
+    QueryDef(
       "q_sessionize",
       """SELECT event_id, user_id, CAST(session_seq AS BIGINT) AS session_seq
         |FROM (

@@ -122,6 +122,36 @@ object StreamOps {
       .toDF("event_id", "user_id", "session_seq")
   }
 
+  /** Stream-stream interval join: each left row pairs with right rows of
+    * the same `key` whose event time lies within ±`windowMinutes` of the
+    * left row's. In streaming mode both sides carry watermarks and the
+    * time-range join condition lets Spark bound BOTH sides' join state
+    * (state older than watermark + range is evicted — the canonical
+    * stream-stream join shape). Batch mode: the identical join condition,
+    * which is the oracle for the streaming path.
+    *
+    * Inputs carry (`event_id`, key, `ts` epoch-ns). Output:
+    * (event_id, key, right_ts_ms).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      windowMinutes: Int): DataFrame = {
+    val l = left.select(col("event_id"), col(key), tsCol.as("l_ts"))
+    val r = right.select(col(key).as("__rk"), tsCol.as("r_ts"))
+    // watermark delay ≥ the join range so no in-range row is dropped
+    val wm = s"${2 * windowMinutes} minutes"
+    val (lw, rw) =
+      if (l.isStreaming) (l.withWatermark("l_ts", wm),
+        r.withWatermark("r_ts", wm))
+      else (l, r)
+    val range = expr(s"INTERVAL $windowMinutes MINUTES")
+    lw.join(rw,
+        col(key) === col("__rk") &&
+          col("r_ts") >= col("l_ts") - range &&
+          col("r_ts") <= col("l_ts") + range)
+      .select(col("event_id"), col(key),
+        unix_millis(col("r_ts")).as("right_ts_ms"))
+  }
+
   /** Streaming graph ingestion (SURVEY §2.7 extension): a readStream of
     * events appended into a live [[graft.cypher.CypherSession]] graph via
     * `foreachBatch` — each micro-batch becomes node rows (one per event)
@@ -165,14 +195,15 @@ object StreamOps {
     * aggregation).
     */
   def runStreamOnce(spark: SparkSession, dir: String,
-      transform: DataFrame => DataFrame, sinkName: String): DataFrame = {
+      transform: DataFrame => DataFrame, sinkName: String,
+      outputMode: String = "complete"): DataFrame = {
     // FileStreamSource needs a directory; select the single file via glob
     val stream = spark.readStream
       .schema(eventSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
     val q = transform(stream).writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory")
       .queryName(sinkName)
       .start()

@@ -69,6 +69,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.select("text").distinct().count() == expected)
   }
 
+  test("stream-stream interval join equals the batch join") {
+    def joinIt(ev: org.apache.spark.sql.DataFrame) =
+      StreamOps.intervalJoin(
+        ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts"),
+        ev.filter(col("event_type") === "error").select("user_id", "ts"),
+        "user_id", 5)
+    val batch = joinIt(Tables.events(spark, sfDir))
+      .collect().map(_.toSeq).toSet
+    val streamed = StreamOps.runStreamOnce(spark, sfDir, joinIt,
+        "ssj_sink", outputMode = "append")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("multimodal features: deterministic stub decode, histogram sums to n_bytes") {
     val feats = Multimodal.extractFeatures(
       Multimodal.mediaFromDocs(Tables.documents(spark, sfDir)))
