@@ -21,7 +21,9 @@ object Bench {
       "q_cypher_expand", "q_cypher_edge_props",
       // training-data pipeline at scale
       "q_dedup_minhash", "q_knn_cosine", "q_text_bpe_tokens",
-      "q_graph_pagerank", "q_sessionize")
+      "q_graph_pagerank", "q_sessionize",
+      // round-3 scale ops: skew join, content splits, BM25, stream join
+      "q_salted_join", "q_split_hash", "q_bm25", "q_stream_join")
     val have = SparkEntry.queries.keySet
     // diagnostic: SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the set
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

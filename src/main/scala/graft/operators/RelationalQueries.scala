@@ -247,6 +247,28 @@ object RelationalQueries {
         count(lit(1)).as("n_rows"))
     },
 
+    QueryDef.noOracle("q_approx_distinct") { (s, dir) =>
+      // HLL++ approximate count-distinct: the sketch path for the 100 TB
+      // case where exact distinct's shuffle is the bottleneck — partial
+      // sketches merge map-side, constant memory per group. Values are
+      // engine-specific (driver does the rows-only check); ScaleOpsSpec
+      // bounds the relative error against the exact counts.
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("n_parts_approx"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("n_supps_approx"))
+    },
+
+    QueryDef.noOracle("q_approx_quantile") { (s, dir) =>
+      // Approximate percentiles (Greenwald-Khanna): mergeable quantile
+      // sketch vs q_percentile's exact path. Engine-specific values —
+      // rows-only check + spec-bounded error vs exact.
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("p50_approx"),
+        approx_percentile(col("l_extendedprice"), lit(0.99), lit(1000))
+          .as("p99_approx"))
+    },
+
     QueryDef(
       "q_collect",
       """SELECT o_custkey,

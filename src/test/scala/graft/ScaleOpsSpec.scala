@@ -70,6 +70,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(scores(1L) > scores(2L) && scores(2L) > 0.0)
   }
 
+  test("approx sketches stay within error bounds of exact aggregates") {
+    val li = Tables.lineitem(spark, sfDir)
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("n"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("p50"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val approxD = SparkEntry.queries("q_approx_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approxQ = SparkEntry.queries("q_approx_quantile")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (flag, (n, p50)) =>
+      val relD = math.abs(approxD(flag) - n).toDouble / n
+      assert(relD < 0.05, s"$flag HLL error $relD")
+      // GK sketch with 1000 buckets: generous envelope on the median
+      val relQ = math.abs(approxQ(flag) - p50) / p50
+      assert(relQ < 0.05, s"$flag quantile error $relQ")
+    }
+  }
+
   test("near-dup clusters: transitive chain collapses to one canonical id") {
     import spark.implicits._
     // A≈B, B≈C by shingle overlap (A vs C weaker) — cluster {10,11,12},

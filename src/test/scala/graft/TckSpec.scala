@@ -205,6 +205,56 @@ class TckSpec extends AnyFunSuite {
     assert(r == Seq(Map("n" -> "v2")))
   }
 
+  test("MERGE: ON CREATE SET vs ON MATCH SET fire on the right branch") {
+    val s = freshSession()
+    s.run("MERGE (p:MM {k: 1}) ON CREATE SET p.made = true ON MATCH SET p.seen = true")
+    s.run("MERGE (p:MM {k: 1}) ON CREATE SET p.made = false ON MATCH SET p.seen = true")
+    val r = rows(s,
+      "MATCH (p:MM) RETURN p.k AS k, p.made AS made, p.seen AS seen")
+    assert(r == Seq(Map("k" -> 1L, "made" -> true, "seen" -> true)))
+  }
+
+  test("DETACH DELETE removes the node and its relationships") {
+    val s = freshSession(
+      "CREATE (:DD {n:'a'})-[:R]->(:DD {n:'b'})")
+    s.run("MATCH (x:DD {n:'a'}) DETACH DELETE x")
+    assert(rows(s, "MATCH (x:DD) RETURN count(*) AS c") ==
+      Seq(Map("c" -> 1L)))
+    assert(rows(s, "MATCH (:DD)-[r:R]->() RETURN count(r) AS c") ==
+      Seq(Map("c" -> 0L)))
+  }
+
+  test("NOT pattern predicate filters to anti-matches") {
+    val s = freshSession(
+      "CREATE (:AP {n:'has'})-[:R]->(:AQ)", "CREATE (:AP {n:'not'})")
+    val r = rows(s,
+      """MATCH (p:AP) WHERE NOT (p)-[:R]->(:AQ)
+        |RETURN p.n AS n""".stripMargin)
+    assert(r == Seq(Map("n" -> "not")))
+  }
+
+  test("STARTS WITH / ENDS WITH / CONTAINS, and NULL propagation") {
+    val s = freshSession()
+    val r = rows(s,
+      """RETURN 'hello' STARTS WITH 'he' AS a, 'hello' ENDS WITH 'lo' AS b,
+        |'hello' CONTAINS 'ell' AS c, 'hello' STARTS WITH null AS d""".stripMargin)
+    assert(r == Seq(Map("a" -> true, "b" -> true, "c" -> true, "d" -> null)))
+  }
+
+  test("WITH aggregate feeds a further MATCH in the next segment") {
+    val s = freshSession(
+      "CREATE (:G {g: 1})-[:E]->(:H {v: 10})",
+      "MATCH (g:G {g:1}) CREATE (g)-[:E]->(:H {v: 20})",
+      "CREATE (:G {g: 2})-[:E]->(:H {v: 30})")
+    // segment 1: per-group count; segment 2: re-match on the aggregate
+    val r = rows(s,
+      """MATCH (g:G)-[:E]->(h:H)
+        |WITH g.g AS grp, count(h) AS n WHERE n > 1
+        |MATCH (g2:G {g: grp})-[:E]->(h2:H)
+        |RETURN grp, sum(h2.v) AS tot""".stripMargin)
+    assert(r == Seq(Map("grp" -> 1L, "tot" -> 30L)))
+  }
+
   test("chained comparison and exists() on property") {
     val s = freshSession("CREATE (:W {v: 5})", "CREATE (:W)")
     val r = rows(s,
