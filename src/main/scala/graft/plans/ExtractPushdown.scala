@@ -1,0 +1,111 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Pushes struct-field extraction down through Project/Filter/Join
+  * boundaries to meet the expression that CONSTRUCTS the struct.
+  *
+  * The translator's join plans build variant structs in per-label view
+  * projections (below the pattern joins) and extract fields in the RETURN
+  * projection (above them). Locally each side is optimal, but the
+  * construct-then-extract pair sits on opposite sides of a Join, where
+  * neither Catalyst's `SimplifyExtractValueOps` nor [[VariantFoldRule]]'s
+  * local rewrites can see both ends: the intermediate rows carry whole
+  * 6-field variant structs (inflating shuffle/broadcast payloads) only for
+  * one field to be read out at the top.
+  *
+  * This rule finds `GetStructField(attr, ord)` where `attr` is produced by
+  * a descendant Project as a non-trivial expression E, adds
+  * `GetStructField(E, ord) AS f` to that Project (VariantFoldRule +
+  * constant folding then collapse it to the native column in the same
+  * fixed-point batch), and rewrites the use to `f`. The original struct
+  * column stays; column pruning removes it when nothing else reads it.
+  */
+object ExtractPushdownRule extends Rule[LogicalPlan] {
+
+  /** Extraction chains over a single attribute this rule relocates:
+    * `attr.field`, `element_at(attr, key)`, `element_at(attr, key).field`.
+    */
+  private def extractionOf(e: Expression): Option[(AttributeReference, Expression)] =
+    e match {
+      case GetStructField(a: AttributeReference, _, _) => Some((a, e))
+      case GetStructField(ElementAt(a: AttributeReference, _: Literal, _, _), _, _) =>
+        Some((a, e))
+      case ElementAt(a: AttributeReference, _: Literal, _, _) => Some((a, e))
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(exprs, child) =>
+      val uses = exprs
+        .flatMap(_.collect(Function.unlift(extractionOf)))
+        .distinct
+      if (uses.isEmpty) p
+      else {
+        var cur = child
+        val repl = scala.collection.mutable.Map[Expression, Attribute]()
+        uses.foreach { case (a, g) =>
+          if (!repl.contains(g)) {
+            pushInto(cur, a, g) match {
+              case Some((newChild, attr)) =>
+                cur = newChild
+                repl(g) = attr
+              case None => ()
+            }
+          }
+        }
+        if (repl.isEmpty) p
+        else {
+          val newExprs = exprs.map(_.transform {
+            case g: GetStructField if repl.contains(g) => repl(g)
+          }.asInstanceOf[NamedExpression])
+          Project(newExprs, cur)
+        }
+      }
+  }
+
+  /** Rewrite `plan` so that it additionally outputs the extraction chain
+    * `g` applied to the expression producing attribute `a` in a descendant
+    * Project; returns the rewritten plan and the new output attribute.
+    * Only descends through nodes that pass `a` through unchanged. The
+    * relocated extraction lands directly over its constructor, where
+    * VariantFoldRule + SimplifyExtractValueOps collapse it to the native
+    * column in the same fixed-point batch.
+    */
+  private def pushInto(plan: LogicalPlan, a: AttributeReference,
+      g: Expression): Option[(LogicalPlan, Attribute)] = plan match {
+    case pr @ Project(list, _) =>
+      list.find(_.exprId == a.exprId) match {
+        case Some(Alias(e, _)) if !e.isInstanceOf[AttributeReference] =>
+          // found the constructor — emit the pre-extracted value next to it
+          val newAlias = Alias(
+            g.transform { case x: AttributeReference if x.exprId == a.exprId => e },
+            s"${a.name}#x")()
+          Some((pr.copy(projectList = list :+ newAlias),
+            newAlias.toAttribute))
+        case Some(Alias(e: AttributeReference, _)) =>
+          // pass-through alias: chase the underlying attribute
+          pushInto(pr.child, e,
+              g.transform { case x: AttributeReference if x.exprId == a.exprId => e })
+            .map { case (c2, attr) =>
+              (pr.copy(projectList = list :+ attr, child = c2), attr)
+            }
+        case Some(_: AttributeReference) =>
+          pushInto(pr.child, a, g).map { case (c2, attr) =>
+            (pr.copy(projectList = list :+ attr, child = c2), attr)
+          }
+        case _ => None
+      }
+    case f @ Filter(_, c) =>
+      pushInto(c, a, g).map { case (c2, attr) => (f.copy(child = c2), attr) }
+    case j @ Join(l, r, _, _, _) =>
+      if (l.outputSet.contains(a))
+        pushInto(l, a, g).map { case (l2, attr) => (j.copy(left = l2), attr) }
+      else if (r.outputSet.contains(a))
+        pushInto(r, a, g).map { case (r2, attr) => (j.copy(right = r2), attr) }
+      else None
+    case _ => None
+  }
+}

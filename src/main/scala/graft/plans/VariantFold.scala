@@ -236,6 +236,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // interleaves with constant folding / pushdown to fixed point
     ext.injectOptimizerRule(_ => VariantFoldRule)
+    // cross-operator construct-then-extract elimination (same batch: its
+    // pushed-down extractions fold via VariantFoldRule + constant folding)
+    ext.injectOptimizerRule(_ => ExtractPushdownRule)
     // one-shot after operator optimization (its own internal fixed point)
     ext.injectPreCBORule(_ => ProjectCseRule)
     // native codegen'd expressions for the pipeline operators
