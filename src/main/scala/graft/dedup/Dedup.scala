@@ -226,6 +226,42 @@ object Dedup {
     result
   }
 
+  /** Benchmark-contamination check: for each corpus doc, the number of
+    * distinct word-k-gram shingles it shares with a (small) probe set —
+    * the standard eval-set decontamination pass before training. Shingles
+    * hash once via `graft_polyhash` (longs, not strings, through the
+    * shuffle); the probe side is tiny and broadcasts, so the whole check
+    * is one scan of the corpus shingle stream.
+    */
+  def contamination(docs: DataFrame, probe: DataFrame,
+      k: Int = 3): DataFrame = {
+    val probeShingles = broadcast(
+      shingleHashes(probe, k).select(col("sh")).distinct())
+    shingleHashes(docs, k)
+      .join(probeShingles, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Per-doc repetition signals (Gopher/C4-style quality filters): the
+    * fraction of word-2-gram occurrences belonging to grams repeated within
+    * the doc, and the share of the single most frequent gram. One explode +
+    * two aggregations, all codegen'd — the shape that runs inside a corpus
+    * scan at 100 TB.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(2))))
+    val perGram = parallelized(docs)
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+    perGram.groupBy("doc_id").agg(
+      round(sum(when(col("cnt") > 1, col("cnt")).otherwise(0L))
+        .cast("double") / sum("cnt"), 5).as("dup_2gram_frac"),
+      round(max("cnt").cast("double") / sum("cnt"), 5).as("top_2gram_frac"))
+  }
+
   /** Near-duplicate CLUSTERS: transitive closure of the MinHash near-dup
     * pair relation, each clustered doc mapped to its cluster's canonical
     * (smallest) doc id. Near-duplication isn't transitive — A≈B and B≈C

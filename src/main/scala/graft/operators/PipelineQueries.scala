@@ -497,6 +497,61 @@ object PipelineQueries {
     },
 
     QueryDef(
+      "q_doc_repetition",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS gram
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, greatest(len(t) - 1, 1))) AS i
+        |        FROM toks)),
+        |pg AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  round(CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+        |        / sum(cnt), 5) AS dup_2gram_frac,
+        |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 5) AS top_2gram_frac
+        |FROM pg GROUP BY 1""".stripMargin) { (s, dir) =>
+      // Gopher/C4-style repetition quality signals: duplicate-2-gram mass
+      // and the most-frequent-2-gram share, per document.
+      Dedup.repetitionSignals(Tables.documents(s, dir))
+    },
+
+    QueryDef(
+      "q_contamination",
+      // Eval-set decontamination: corpus docs (id ≥ 5) sharing ≥1 hashed
+      // word-3-gram with the probe docs (id < 5). Same portable polyhash
+      // fold as the MinHash oracle.
+      {
+        val fold = (base: Int) =>
+          s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |  list_transform(regexp_split_to_array(shingle, ''),
+             |                 c -> unicode(c))),
+             |  (acc, c) -> (acc * $base + c) % 1000000007)""".stripMargin
+        s"""WITH toks AS (
+           |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+           |  FROM documents),
+           |sh0 AS (
+           |  SELECT DISTINCT doc_id,
+           |         array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+           |  FROM (SELECT doc_id, t,
+           |          unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+           |        FROM toks)),
+           |shh AS (
+           |  SELECT doc_id, ${fold(31)} * 2147483648 + ${fold(131)} AS sh
+           |  FROM sh0),
+           |probe AS (SELECT DISTINCT sh FROM shh WHERE doc_id < 5)
+           |SELECT s.doc_id, count(*) AS n_shared
+           |FROM shh s JOIN probe USING (sh)
+           |WHERE s.doc_id >= 5
+           |GROUP BY 1""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.contamination(
+        docs.filter(col("doc_id") >= 5), docs.filter(col("doc_id") < 5))
+    },
+
+    QueryDef(
       "q_bm25",
       Ranking.bm25Sql(Seq("spark", "merge", "filter"))) { (s, dir) =>
       // BM25 relevance over the fulltext surface (reference's queryNodes
