@@ -152,6 +152,81 @@ object StreamOps {
         unix_millis(col("r_ts")).as("right_ts_ms"))
   }
 
+  /** Incremental near-dup detection over a document stream: per
+    * micro-batch, MinHash signatures are computed for the batch's docs and
+    * LSH band buckets are joined against the accumulated bucket store —
+    * each arriving doc is checked against everything ingested before it
+    * (and its own batch), then its buckets are appended to the store.
+    *
+    * This is the streaming shape of [[graft.dedup.Dedup.minHashDedup]]: the
+    * expensive per-doc work (tokenize → shingle → hash → signature)
+    * happens once per doc at ingest; the candidate check is a bucket
+    * equi-join against the store, cost ∝ colliding buckets, never a
+    * corpus-wide rescan. At scale the store is a bucketed Delta table; here
+    * an in-memory accumulator keyed the same way.
+    *
+    * Returns the verified near-dup pairs (a = earlier doc id, b = newer)
+    * discovered across all processed batches, with exact Jaccard ≥
+    * `threshold` verified on the docs' shingle sets.
+    */
+  final class IncrementalDedup(threshold: Double = 0.5,
+      numHashes: Int = 64, bands: Int = 16, k: Int = 3) {
+    import graft.dedup.Dedup
+    private var bucketStore: Option[DataFrame] = None
+    private var shingleStore: Option[DataFrame] = None
+    private var pairs: Vector[(Long, Long, Double)] = Vector.empty
+
+    /** Process one micro-batch of (doc_id, text) rows. */
+    def ingest(batch: DataFrame): Unit = {
+      val spark = batch.sparkSession
+      val sh = Dedup.shingleHashes(batch, k).localCheckpoint(true)
+      val sigs = Dedup.minHashSignatures(batch, numHashes, k, pre = Some(sh))
+      val rowsPerBand = numHashes / bands
+      val keyNames = (0 until rowsPerBand).map(r => s"k$r")
+      val bandCols = (0 until bands).map { b =>
+        val hs = (0 until rowsPerBand).map { r =>
+          col(s"h${b * rowsPerBand + r}").as(s"k$r")
+        }
+        struct(lit(b).as("band") +: hs: _*)
+      }
+      val newBuckets = sigs
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id") +: (col("bb.band") +:
+          keyNames.map(n => col(s"bb.$n"))): _*)
+        .localCheckpoint(true)
+      val joinKeys = "band" +: keyNames
+      // candidates: new docs vs the store (cross-batch) ∪ within-batch
+      val store = bucketStore.map(_.unionByName(newBuckets))
+        .getOrElse(newBuckets)
+      // canonicalize (a=min, b=max): a stored doc may carry the LARGER id
+      val cands = store.withColumnRenamed("doc_id", "a")
+        .join(newBuckets.withColumnRenamed("doc_id", "b"), joinKeys)
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .distinct()
+      val allShingles = shingleStore.map(_.unionByName(sh)).getOrElse(sh)
+      val sets = allShingles.groupBy("doc_id")
+        .agg(collect_set(col("sh")).as("shs"))
+      val verified = cands
+        .join(sets.select(col("doc_id").as("a"), col("shs").as("sh_a")), "a")
+        .join(sets.select(col("doc_id").as("b"), col("shs").as("sh_b")), "b")
+        .select(col("a"), col("b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) -
+              size(array_intersect(col("sh_a"), col("sh_b")))))
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+      pairs = pairs ++ verified.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      bucketStore = Some(store.localCheckpoint(true))
+      shingleStore = Some(allShingles.localCheckpoint(true))
+    }
+
+    /** All near-dup pairs discovered so far. */
+    def nearDups: Seq[(Long, Long, Double)] = pairs
+  }
+
   /** Streaming graph ingestion (SURVEY §2.7 extension): a readStream of
     * events appended into a live [[graft.cypher.CypherSession]] graph via
     * `foreachBatch` — each micro-batch becomes node rows (one per event)

@@ -85,6 +85,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("incremental minhash dedup over batches finds the same pairs as batch mode") {
+    val docs = Tables.documents(spark, sfDir)
+    val batchPairs = graft.dedup.Dedup.minHashDedup(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = new StreamOps.IncrementalDedup(0.5)
+    (0 to 2).foreach { i =>
+      inc.ingest(docs.filter(col("doc_id") % 3 === i))
+    }
+    val incPairs = inc.nearDups.map(p => (p._1, p._2)).toSet
+    assert(incPairs == batchPairs)
+    assert(batchPairs.nonEmpty)
+  }
+
   test("multimodal features: deterministic stub decode, histogram sums to n_bytes") {
     val feats = Multimodal.extractFeatures(
       Multimodal.mediaFromDocs(Tables.documents(spark, sfDir)))
