@@ -176,6 +176,15 @@ object StreamOps {
     private var shingleStore: Option[DataFrame] = None
     private var pairs: Vector[(Long, Long, Double)] = Vector.empty
 
+    /** Release the RDD blocks behind a superseded localCheckpoint so
+      * executor storage stays flat across batches (each batch's new store
+      * re-checkpoints the union; the old checkpoint is then dead weight).
+      */
+    private def release(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(false))
+
     /** Process one micro-batch of (doc_id, text) rows. */
     def ingest(batch: DataFrame): Unit = {
       val spark = batch.sparkSession
@@ -219,8 +228,10 @@ object StreamOps {
         .filter(col("jaccard") >= threshold)
       pairs = pairs ++ verified.collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val (oldB, oldS) = (bucketStore, shingleStore)
       bucketStore = Some(store.localCheckpoint(true))
       shingleStore = Some(allShingles.localCheckpoint(true))
+      oldB.foreach(release); oldS.foreach(release)
     }
 
     /** All near-dup pairs discovered so far. */
