@@ -87,7 +87,7 @@ class CypherSession(val spark: SparkSession) {
           e: java.util.Map.Entry[String, Ast.Query]): Boolean = size > 256
     }
 
-  private def parse(query: String): Ast.Query = astCache.synchronized {
+  private[cypher] def parse(query: String): Ast.Query = astCache.synchronized {
     Option(astCache.get(query)).getOrElse {
       val ast = CypherParser.parse(query) match {
         case Right(q) => q
@@ -109,8 +109,10 @@ class CypherSession(val spark: SparkSession) {
     val ast = parse(body)
     ast.parts.head.clauses match {
       case List(Ast.CreateIndex(label, prop)) =>
+        require(ast.parts.size == 1, "index DDL cannot be UNIONed")
         indicesFrame(if (createIndex(label, prop)) 1 else 0)
       case List(Ast.DropIndex(label, prop)) =>
+        require(ast.parts.size == 1, "index DDL cannot be UNIONed")
         indicesFrame(if (dropIndex(label, prop)) -1 else 0)
       case _ if Graft.isMutation(ast) =>
         require(ast.parts.size == 1, "mutations cannot be UNIONed")
@@ -160,7 +162,16 @@ class CypherSession(val spark: SparkSession) {
     * batch pruning needs).
     */
   private[cypher] def indexedGraph: PropertyGraph = {
-    if (propIndexes.nonEmpty && indexedVersion != graphVersion) {
+    if (propIndexes.isEmpty) {
+      // last index dropped: release the persisted views and stop overlaying
+      // them (a stale overlay would hide post-drop mutations from scans)
+      if (indexViews.nonEmpty) {
+        indexViews.values.foreach(_.unpersist())
+        indexViews = Map.empty
+      }
+      return graph
+    }
+    if (indexedVersion != graphVersion) {
       indexViews.values.foreach(_.unpersist())
       indexViews = propIndexes.toSeq.groupBy(_._1).map { case (label, lps) =>
         val base = graph.nodesByLabel(label)

@@ -90,10 +90,13 @@ class Graft(val spark: SparkSession) {
   def query(graph: String, cypher: String,
       params: Map[String, Any] = Map.empty): DataFrame = {
     val t0 = System.nanoTime()
-    val out = withTimeout(session(graph).run(cypher, params))
+    val s = session(graph)
+    val isMut = Graft.isMutation(parse(s, cypher)) // one cached parse
+    val out = withTimeout(s.run(cypher, params))
     log.add((graph, cypher, (System.nanoTime() - t0) / 1e9))
     val cap = conf("RESULTSET_SIZE")
-    if (cap >= 0 && !Graft.isMutation(parse(cypher))) out.limit(cap.toInt)
+    if (cap >= 0 && !isMut)
+      out.limit(math.min(cap, Int.MaxValue.toLong).toInt)
     else out
   }
 
@@ -102,14 +105,16 @@ class Graft(val spark: SparkSession) {
     */
   def roQuery(graph: String, cypher: String,
       params: Map[String, Any] = Map.empty): DataFrame = {
-    if (Graft.isMutation(parse(cypher)))
+    if (Graft.isMutation(parse(session(graph), cypher)))
       throw Translator.TranslateError("graph.RO_QUERY cannot mutate")
     query(graph, cypher, params)
   }
 
-  private def parse(cypher: String): Ast.Query =
-    CypherParser.parse(CypherParser.splitParams(cypher)._2).fold(
-      e => throw Translator.TranslateError(e), identity)
+  /** Parse through the session's AST LRU cache (run() re-uses the entry, so
+    * the mutation check costs no extra parse).
+    */
+  private def parse(s: CypherSession, cypher: String): Ast.Query =
+    s.parse(CypherParser.splitParams(cypher)._2)
 
   /** GRAPH.EXPLAIN — compile only, never execute
     * (`src/commands/cmd_explain.c` prints the op tree without running it).
@@ -118,9 +123,10 @@ class Graft(val spark: SparkSession) {
     * mutation runner (which commits eagerly) is never invoked.
     */
   def explain(graph: String, cypher: String): String = {
-    val ast = parse(cypher)
+    val s = session(graph)
+    val ast = parse(s, cypher)
     if (Graft.isMutation(ast)) Graft.mutationPlan(ast)
-    else session(graph).run(cypher).queryExecution.explainString(
+    else s.run(cypher).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
@@ -138,7 +144,9 @@ class Graft(val spark: SparkSession) {
     spark.conf.set(key, "false")
     try {
       val df = query(graph, cypher)
-      df.write.format("noop").mode("overwrite").save()
+      // the eager (profiled) execution runs under TIMEOUT too — query()
+      // only covers plan construction for reads
+      withTimeout(df.write.format("noop").mode("overwrite").save())
       val sb = new StringBuilder
       def fmt(p: org.apache.spark.sql.execution.SparkPlan, d: Int): Unit = {
         val rows = p.metrics.get("numOutputRows").map(_.value)

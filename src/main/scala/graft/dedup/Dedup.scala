@@ -159,11 +159,15 @@ object Dedup {
     *
     * Band-bucket join is the scale win: cost ∝ Σ bucket².
     */
-  def lshCandidates(signatures: DataFrame, numHashes: Int = 64,
-      bands: Int = 16, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+  /** Band-bucket rows for a signature frame: (doc_id, band, k0..k_{r-1})
+    * with bucket key = the band's raw signature tuple (portable — no extra
+    * hash layer to reproduce in the oracle; equality is what banding
+    * needs). Shared by the batch and incremental paths so their candidate
+    * sets stay bit-identical. Returns (rows, joinKeys).
+    */
+  def bandBuckets(signatures: DataFrame, numHashes: Int = 64,
+      bands: Int = 16): (DataFrame, Seq[String]) = {
     val rowsPerBand = numHashes / bands
-    // bucket key = the band's raw signature tuple (portable — no extra hash
-    // layer to reproduce in the oracle; equality is what banding needs)
     val keyNames = (0 until rowsPerBand).map(r => s"k$r")
     val bandCols = (0 until bands).map { b =>
       val hs = (0 until rowsPerBand).map { r =>
@@ -175,7 +179,12 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id") +: (col("bb.band") +:
         keyNames.map(n => col(s"bb.$n"))): _*)
-    val joinKeys = "band" +: keyNames
+    (exploded, "band" +: keyNames)
+  }
+
+  def lshCandidates(signatures: DataFrame, numHashes: Int = 64,
+      bands: Int = 16, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val (exploded, joinKeys) = bandBuckets(signatures, numHashes, bands)
     // Σ bucket² skew guard for the self-join: a degenerate bucket (mass
     // boilerplate duplication collapsing thousands of docs onto one band
     // key) turns the join quadratic in that bucket. Capped buckets are

@@ -30,21 +30,22 @@ object AsOfJoin {
     val leftCols = left.columns
     // tag sides; right sorts before left at equal ts (>= semantics)
     val l = left.withColumn("__side", lit(1))
-    val r = payload.foldLeft(
-      right.select((key +: ts +: payload).map(col): _*)
-        .withColumn("__side", lit(0))) { (df, p) =>
-      df.withColumnRenamed(p, s"__asof_$p")
-    }
+    // carry the payload as ONE struct per right row (non-null even when
+    // every payload field is NULL): per-column ignoreNulls carry-forward
+    // would leak an OLDER row's value whenever the most recent right row
+    // holds a NULL field — and could even mix fields from different rows
+    val r = right.select((key +: ts +: payload).map(col): _*)
+      .withColumn("__side", lit(0))
+      .withColumn("__asof_row", struct(payload.map(col): _*))
+      .drop(payload: _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(s"__asof_$p",
-        last(col(s"__asof_$p"), ignoreNulls = true).over(w))
-    }
+    val filled = unioned.withColumn("__asof_row",
+      last(col("__asof_row"), ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        payload.map(p => col(s"__asof_$p").as(s"asof_$p")): _*)
+        payload.map(p => col("__asof_row").getField(p).as(s"asof_$p")): _*)
   }
 }

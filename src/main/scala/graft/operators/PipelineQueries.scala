@@ -36,11 +36,6 @@ object PipelineQueries {
     * an optional bucket-size cap mirroring `lshCandidates(maxBucketSize)`.
     */
   private def minhashSql(cap: Option[Int]): String = {
-    val polyFold = (base: Int) =>
-      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |  list_transform(regexp_split_to_array(shingle, ''),
-         |                 c -> unicode(c))),
-         |  (acc, c) -> (acc * $base + c) % 1000000007)""".stripMargin
     val sigCols = Dedup.minHashConstants(64).zipWithIndex.map {
       case ((a, b), i) =>
         s"min(($a * (sh % ${Dedup.MinHashP}) + $b) % ${Dedup.MinHashP}) AS h$i"
@@ -66,8 +61,7 @@ object PipelineQueries {
        |          unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
        |        FROM toks)),
        |shh AS (
-       |  SELECT doc_id,
-       |         ${polyFold(31)} * 2147483648 + ${polyFold(131)} AS sh
+       |  SELECT doc_id, ${graft.plans.PolyHash.sql("shingle")} AS sh
        |  FROM sh0),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY 1),
        |sig AS (
@@ -264,11 +258,6 @@ object PipelineQueries {
       // (double polynomial fold ≡ graft_polyhash), 62 per-bit +1/−1 sums,
       // 16-bit-prefix blocking, hamming ≤ 16 via bit_count(xor).
       {
-        val fold = (base: Int) =>
-          s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |  list_transform(regexp_split_to_array(token, ''),
-             |                 c -> unicode(c))),
-             |  (acc, c) -> (acc * $base + c) % 1000000007)""".stripMargin
         val bitSums = (0 until Dedup.SimHashBits).map { b =>
           s"sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
         }.mkString(",\n    ")
@@ -281,7 +270,7 @@ object PipelineQueries {
            |           AS token
            |  FROM documents),
            |th AS (
-           |  SELECT doc_id, ${fold(31)} * 2147483648 + ${fold(131)} AS th
+           |  SELECT doc_id, ${graft.plans.PolyHash.sql("token")} AS th
            |  FROM tok),
            |sums AS (
            |  SELECT doc_id,
@@ -523,11 +512,6 @@ object PipelineQueries {
       // word-3-gram with the probe docs (id < 5). Same portable polyhash
       // fold as the MinHash oracle.
       {
-        val fold = (base: Int) =>
-          s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |  list_transform(regexp_split_to_array(shingle, ''),
-             |                 c -> unicode(c))),
-             |  (acc, c) -> (acc * $base + c) % 1000000007)""".stripMargin
         s"""WITH toks AS (
            |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
            |  FROM documents),
@@ -538,7 +522,7 @@ object PipelineQueries {
            |          unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
            |        FROM toks)),
            |shh AS (
-           |  SELECT doc_id, ${fold(31)} * 2147483648 + ${fold(131)} AS sh
+           |  SELECT doc_id, ${graft.plans.PolyHash.sql("shingle")} AS sh
            |  FROM sh0),
            |probe AS (SELECT DISTINCT sh FROM shh WHERE doc_id < 5)
            |SELECT s.doc_id, count(*) AS n_shared

@@ -45,7 +45,14 @@ object Skew {
     * `df.groupBy(key).agg(countDistinct(value))`.
     */
   def twoPhaseCountDistinct(df: DataFrame, key: String,
-      value: String): DataFrame =
-    df.select(key, value).distinct()
-      .groupBy(key).agg(count(lit(1)).as("n_distinct"))
+      value: String): DataFrame = {
+    // count(DISTINCT x) semantics: NULL is not a distinct value, but a key
+    // whose values are all NULL still appears (with count 0)
+    val counts = df.select(key, value).filter(col(value).isNotNull)
+      .distinct()
+      .groupBy(key).agg(count(lit(1)).as("__n"))
+    df.select(key).distinct()
+      .join(counts, Seq(key), "left_outer")
+      .select(col(key), coalesce(col("__n"), lit(0L)).as("n_distinct"))
+  }
 }

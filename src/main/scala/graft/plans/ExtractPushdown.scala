@@ -58,8 +58,12 @@ object ExtractPushdownRule extends Rule[LogicalPlan] {
         }
         if (repl.isEmpty) p
         else {
+          // substitute EVERY collected use shape (GetStructField chains AND
+          // bare ElementAt) — leaving one unsubstituted would re-collect it
+          // next fixed-point iteration and append duplicate aliases below,
+          // preventing batch convergence
           val newExprs = exprs.map(_.transform {
-            case g: GetStructField if repl.contains(g) => repl(g)
+            case e if repl.contains(e) => repl(e)
           }.asInstanceOf[NamedExpression])
           Project(newExprs, cur)
         }

@@ -69,3 +69,19 @@ case class PolyHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+object PolyHash {
+  /** The DuckDB-SQL replication of `graft_polyhash(e)` — THE single source
+    * for every oracle that reproduces the engine hash (MinHash, SimHash,
+    * contamination, sampling splits). Lives next to the expression so the
+    * two implementations can only change in lockstep.
+    */
+  def sql(e: String): String = {
+    def fold(base: Int) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(regexp_split_to_array($e, ''),
+         |                 c -> unicode(c))),
+         |  (acc, c) -> (acc * $base + c) % 1000000007)""".stripMargin
+    s"(${fold(31)} * 2147483648 + ${fold(131)})"
+  }
+}

@@ -32,12 +32,6 @@ object Sampling {
     * graft_polyhash ≡ two polynomial folds (base 31 / 131, mod 1e9+7) over
     * the characters, packed as `hi * 2^31 + lo`.
     */
-  def hashBucketSql(e: String, buckets: Int = 100): String = {
-    def fold(base: Int) =
-      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |  list_transform(regexp_split_to_array(md5($e), ''),
-         |                 c -> unicode(c))),
-         |  (acc, c) -> (acc * $base + c) % 1000000007)""".stripMargin
-    s"(${fold(31)} * 2147483648 + ${fold(131)}) % $buckets"
-  }
+  def hashBucketSql(e: String, buckets: Int = 100): String =
+    s"${graft.plans.PolyHash.sql(s"md5($e)")} % $buckets"
 }

@@ -190,20 +190,10 @@ object StreamOps {
       val spark = batch.sparkSession
       val sh = Dedup.shingleHashes(batch, k).localCheckpoint(true)
       val sigs = Dedup.minHashSignatures(batch, numHashes, k, pre = Some(sh))
-      val rowsPerBand = numHashes / bands
-      val keyNames = (0 until rowsPerBand).map(r => s"k$r")
-      val bandCols = (0 until bands).map { b =>
-        val hs = (0 until rowsPerBand).map { r =>
-          col(s"h${b * rowsPerBand + r}").as(s"k$r")
-        }
-        struct(lit(b).as("band") +: hs: _*)
-      }
-      val newBuckets = sigs
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-        .select(col("doc_id") +: (col("bb.band") +:
-          keyNames.map(n => col(s"bb.$n"))): _*)
-        .localCheckpoint(true)
-      val joinKeys = "band" +: keyNames
+      // same banding as the batch path (shared helper keeps the incremental
+      // candidate set bit-identical to Dedup.lshCandidates)
+      val (bucketRows, joinKeys) = Dedup.bandBuckets(sigs, numHashes, bands)
+      val newBuckets = bucketRows.localCheckpoint(true)
       // candidates: new docs vs the store (cross-batch) ∪ within-batch
       val store = bucketStore.map(_.unionByName(newBuckets))
         .getOrElse(newBuckets)

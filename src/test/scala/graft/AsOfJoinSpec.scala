@@ -40,4 +40,16 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(3L) == None)      // no right row at or before t=5
     assert(out(4L) == None)      // u2's only right row is later
   }
+
+  test("a matched right row with NULL payload yields NULL, not an older value") {
+    import spark.implicits._
+    val left = Seq((1L, "u", 12L)).toDF("id", "k", "t")
+    val right = Seq(
+      ("u", 5L, Some(7.0)), ("u", 10L, None)).toDF("k", "t", "v")
+    // ASOF picks the t=10 row whose v IS NULL — per-column carry-forward
+    // would leak 7.0 from t=5 (DuckDB ASOF JOIN divergence)
+    val out = AsOfJoin.leftAsOf(left, right, "k", "t", Seq("v"))
+      .select("asof_v").head()
+    assert(out.isNullAt(0))
+  }
 }

@@ -99,6 +99,19 @@ class GraftApiSpec extends AnyFunSuite {
     assert(g.query("gi", "DROP INDEX ON :P(v)")
       .select("indices_deleted").head().getLong(0) == 1L)
     assert(g.roQuery("gi", "CALL db.indexes() YIELD type, label").count() == 0)
+    // post-drop mutations must be visible (a stale cached index view would
+    // hide them — regression for the dropped-last-index overlay bug)
+    g.query("gi", "UNWIND range(61, 70) AS i CREATE (:P {v: i})")
+    val r3 = g.roQuery("gi", "MATCH (p:P) WHERE p.v > 40 RETURN count(*) AS c")
+    assert(r3.select(r3("c").getField("i")).head().getLong(0) == 30L)
+  }
+
+  test("index DDL cannot be UNIONed with a read part") {
+    val g = new Graft(spark)
+    g.query("gu", "CREATE (:U {v: 1})")
+    intercept[IllegalArgumentException] {
+      g.query("gu", "CREATE INDEX ON :U(v) UNION MATCH (n:U) RETURN n.v AS v")
+    }
   }
 
   test("save/restore persists a graph through bucketed storage") {
