@@ -52,11 +52,19 @@ object Bench {
       val g = graft.graph.GraphBuilder.tpchStored(spark, sfDir)
       g.labelCounts; g.reltypeCounts
     } catch { case _: Throwable => () }
-    // Warm-up at the bench SF: pays class-load/JIT/codegen compilation once.
-    headline.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+    // Warm-up at the bench SF: pays class-load/JIT/codegen compilation.
+    // Two passes — the first triggers janino compilation and C1, the
+    // second gets C2-compiled hot loops, so the timed cold runs measure
+    // plan + data costs (what a long-lived cluster pays per query), not
+    // first-invocation JIT artifacts. Plan caches are cleared between
+    // passes so the second pass re-executes real plans.
+    (1 to 2).foreach { _ =>
+      SparkEntry.clearPlanCache(spark)
+      headline.foreach { name =>
+        try SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     }
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
