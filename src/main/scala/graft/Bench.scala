@@ -98,9 +98,35 @@ object Bench {
         .mkString("{", ",", "}")
     val total = cold.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
+    // Point-op throughput: the BASELINE entity_count KPI is q/s at 32
+    // concurrent clients against the O(1) stats-served count
+    // (reduce_count.c — no scan). Our serving path: GRAPH.QUERY dispatch →
+    // cached parse → count-from-statistics fast path → LocalRelation
+    // collect (no cluster job). 32 threads, full dispatch per iteration.
+    val countQps: Double =
+      try {
+        val sess = new graft.cypher.CypherSession(spark)
+        sess.setGraph(graft.graph.GraphBuilder.tpchStored(spark, sfDir))
+        val q = "MATCH (c:Customer) RETURN count(c) AS c"
+        sess.run(q).collect() // warm the stats + parse cache
+        val runFor = 3e9.toLong
+        val t0 = System.nanoTime()
+        val n = new java.util.concurrent.atomic.AtomicLong
+        val threads = (1 to 32).map { _ =>
+          val t = new Thread(() => {
+            while (System.nanoTime() - t0 < runFor) {
+              sess.run(q).collect()
+              n.incrementAndGet()
+            }
+          })
+          t.start(); t
+        }
+        threads.foreach(_.join())
+        n.get() * 1e9 / (System.nanoTime() - t0)
+      } catch { case _: Throwable => 0.0 }
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${js(
-        cold)},"warm_total":$warmTotal%.3f,"warm":${js(warm)},"sf":"$sfDir"}""")
+        cold)},"warm_total":$warmTotal%.3f,"warm":${js(warm)},"count_qps":$countQps%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

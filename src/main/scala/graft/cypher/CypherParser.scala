@@ -348,11 +348,18 @@ object CypherParser extends RegexParsers {
   /** Split a leading `CYPHER k=v …` prefix off `input`: (params, body).
     * Inputs without the prefix pass through with empty params.
     */
-  def splitParams(input: String): (Map[String, Any], String) =
+  def splitParams(input: String): (Map[String, Any], String) = {
+    // fast path: no `CYPHER ` prefix (the overwhelmingly common case) —
+    // skip the parser attempt entirely (it would fail after real work,
+    // taxing every point read on the serving path)
+    val t = input.dropWhile(_.isWhitespace)
+    if (t.length < 7 || !t.substring(0, 7).equalsIgnoreCase("CYPHER "))
+      return (Map.empty, input)
     parse(cypherPrefix, input) match {
       case Success(m, next) => (m, input.substring(next.offset))
       case _ => (Map.empty, input)
     }
+  }
 
   /** Parse a full query; Left(error) on failure. */
   def parse(input: String): Either[String, Query] =

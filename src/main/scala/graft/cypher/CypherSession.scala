@@ -243,6 +243,25 @@ class CypherSession(val spark: SparkSession) {
     * `MATCH (n:L) RETURN count(n)` competitive with the reference's 2ms
     * point reads (BASELINE entity_count.yml).
     */
+  /** One-row variant frame over a LocalRelation: `ConvertToLocalRelation`
+    * folds the projection, and collect() takes the driver-local
+    * `executeCollect` fast path — NO Spark job per point read (a
+    * `spark.range(1)` base would schedule a 1-task cluster job each call,
+    * capping point-op throughput at the scheduler rate).
+    */
+  private val statFrameCache =
+    scala.collection.concurrent.TrieMap[(Long, String), DataFrame]()
+
+  private def statRow(c: Long, name: String): DataFrame =
+    // memoized per (count, alias): a DataFrame's QueryExecution analyzes
+    // once and is reused, so repeated point reads are pure executeCollect —
+    // the Spark-side analogue of the reference's cached execution plan
+    statFrameCache.getOrElseUpdate((c, name),
+      spark.createDataFrame(
+          java.util.Collections.singletonList(Row(1)),
+          StructType(Seq(StructField("__one", IntegerType))))
+        .select(Values.vInt(lit(c)).as(name)))
+
   private def countFastPath(ast: Ast.Query): Option[DataFrame] = {
     def projCount(proj: Ast.Projection, countee: Option[String]):
         Option[String] = proj match {
@@ -263,7 +282,7 @@ class CypherSession(val spark: SparkSession) {
           projCount(proj, v).map { name =>
             val c = label.map(l => graph.labelCounts.getOrElse(l, 0L))
               .getOrElse(graph.nodeCount)
-            spark.range(1).select(Values.vInt(lit(c)).as(name))
+            statRow(c, name)
           }
         // MATCH ()-[r[:T]]->() RETURN count(r)
         case Ast.PathPat(None, Ast.NodePat(None, None, Nil),
@@ -273,7 +292,7 @@ class CypherSession(val spark: SparkSession) {
             val c = types.headOption
               .map(t => graph.reltypeCounts.getOrElse(t, 0L))
               .getOrElse(graph.edgeCount)
-            spark.range(1).select(Values.vInt(lit(c)).as(name))
+            statRow(c, name)
           }
         case _ => None
       }
