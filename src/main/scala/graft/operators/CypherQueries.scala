@@ -207,6 +207,36 @@ object CypherQueries {
     },
 
     QueryDef(
+      "q_cypher_bfs",
+      // algo.BFS from customer 1, 3 levels, over every relationship class —
+      // oracle: recursive CTE over the same id-spaced edge union
+      // (GraphBuilder id bases: order +1e8, nation +2e8, region +3e8,
+      // supplier +4e8, part +5e8).
+      """WITH RECURSIVE edges AS (
+        |  SELECT o_custkey AS src, o_orderkey + 100000000 AS dst FROM orders
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey + 200000000 FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey + 400000000, s_nationkey + 200000000 FROM supplier
+        |  UNION ALL
+        |  SELECT n_nationkey + 200000000, n_regionkey + 300000000 FROM nation
+        |  UNION ALL
+        |  SELECT l_orderkey + 100000000, l_partkey + 500000000 FROM lineitem),
+        |reach AS (
+        |  SELECT dst AS node, 1 AS level FROM edges WHERE src = 1
+        |  UNION
+        |  SELECT e.dst, r.level + 1
+        |  FROM reach r JOIN edges e ON e.src = r.node
+        |  WHERE r.level < 3)
+        |SELECT node AS nid, CAST(min(level) AS BIGINT) AS level
+        |FROM reach GROUP BY node""".stripMargin) { (s, dir) =>
+      runS(s, Some(dir),
+        """CALL algo.BFS(1, 3) YIELD node, level
+          |RETURN id(node) AS nid, level""".stripMargin)
+        .select(asLong("nid"), asLong("level"))
+    },
+
+    QueryDef(
       "q_cypher_mutation",
       "SELECT CAST(10 AS BIGINT) AS flagged, CAST(30 AS BIGINT) AS total") { (s, dir) =>
       // graph DML round-trip on a scratch graph: CREATE fan-out via UNWIND,
