@@ -62,6 +62,22 @@ object VariantFoldRule extends Rule[LogicalPlan] {
         cns.valExprs(ordinal)
       case g @ GetStructField(Literal(null, _), _, _) =>
         Literal.create(null, g.dataType)
+      // null-checks distribute over conditionals: the branches fold to
+      // literals (isnull(null)=true, isnull(struct(...))=false via child
+      // nullability), letting column pruning drop the variant struct that
+      // the null-guard was the last whole-value reference to
+      case IsNull(cw: CaseWhen) =>
+        CaseWhen(cw.branches.map { case (c, v) => (c, IsNull(v)) },
+          Some(IsNull(cw.elseValue.getOrElse(Literal.create(null,
+            cw.dataType)))))
+      case IsNotNull(cw: CaseWhen) =>
+        CaseWhen(cw.branches.map { case (c, v) => (c, IsNotNull(v)) },
+          Some(IsNotNull(cw.elseValue.getOrElse(Literal.create(null,
+            cw.dataType)))))
+      case IsNull(e) if !e.nullable => Literal.FalseLiteral
+      case IsNotNull(e) if !e.nullable => Literal.TrueLiteral
+      case IsNull(Literal(null, _)) => Literal.TrueLiteral
+      case IsNotNull(Literal(null, _)) => Literal.FalseLiteral
       case cw: CaseWhen => cleanupCase(propagateFacts(cw))
     }
     folded.transform {
@@ -147,6 +163,12 @@ object VariantFoldRule extends Rule[LogicalPlan] {
       case (Seq(), None) => Literal.create(null, cw.dataType)
       case (Seq((IsNull(x), Literal(null, _))), Some(e))
           if e.semanticEquals(x) => e
+      // boolean identity forms (null-free condition required: CASE skips a
+      // null condition to ELSE, a bare boolean would yield null instead)
+      case (Seq((c, Literal(true, BooleanType))),
+          Some(Literal(false, BooleanType))) if nullFree(c) => c
+      case (Seq((c, Literal(false, BooleanType))),
+          Some(Literal(true, BooleanType))) if nullFree(c) => Not(c)
       case _ => CaseWhen(bs, els)
     }
   }
