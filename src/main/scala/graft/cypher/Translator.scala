@@ -29,12 +29,25 @@ object Translator {
     */
   case object KPath extends Kind
 
+  /** A variable-length relationship variable: the LIST of traversed edge
+    * structs (Cypher binds `-[rs:T*1..3]->` to a relationship list).
+    */
+  case object KRelList extends Kind
+
   /** the Volcano Record analogue (`src/execution_plan/record.h:18-44`):
     * df columns ↔ alias→entry mapping.
     */
-  case class Frame(df: DataFrame, vars: Map[String, Kind]) {
-    def col(name: String): Column = df(s"`$name`")
-    def has(name: String): Boolean = vars.contains(name)
+  case class Frame(df: DataFrame, vars: Map[String, Kind],
+      bindings: Map[String, Column] = Map.empty) {
+    /** Lambda-variable bindings resolve first and COMPOSE — a nested
+      * comprehension's frame keeps every enclosing lambda's binding (an
+      * override-based chain would drop the outer variable and fail
+      * resolution, see lambdaExpr).
+      */
+    def col(name: String): Column =
+      bindings.getOrElse(name, df(s"`$name`"))
+    def has(name: String): Boolean =
+      vars.contains(name) || bindings.contains(name)
     /** Flat pre-resolved property column (see [[propColName]]), if the scan
       * projected one for this (variable, key).
       */
@@ -423,6 +436,12 @@ object Translator {
           val (f2, acc) = expandVarLen(ctx, f, prev, rel, node, mn,
             mx.getOrElse(15), keepAcc = needAcc || rel.variable.isDefined)
           f = f2
+          // the rel variable binds the traversed-edge LIST (Cypher var-len
+          // semantics) — register its kind so size()/projection see a raw
+          // edge-struct array, not a variant
+          rel.variable.foreach { rv =>
+            f = f.copy(vars = f.vars + (rv -> KRelList))
+          }
           acc.foreach { case (relsCol, nodesCol) =>
             segs += VarSeg(relsCol, nodesCol)
             if (rel.variable.isEmpty) temps += relsCol
@@ -1022,7 +1041,14 @@ object Translator {
     where.foreach { w => f = applyWhere(ctx, f, w) }
     if (proj.orderBy.nonEmpty) {
       val sorts = proj.orderBy.map { si =>
-        val k = Values.orderKey(trExpr(ctx, f, si.expr))
+        // ORDER BY may repeat a projected expression verbatim — most
+        // commonly an aggregate (ORDER BY count(*) DESC): resolve
+        // structural matches to the output alias instead of re-translating
+        // (an aggregate can't evaluate post-aggregation)
+        val resolved = litems.collectFirst {
+          case (e, n) if e == si.expr => Ast.Variable(n)
+        }.getOrElse(si.expr)
+        val k = Values.orderKey(trExpr(ctx, f, resolved))
         if (si.ascending) k.asc_nulls_last else k.desc_nulls_first
       }
       f = f.copy(df = f.df.orderBy(sorts: _*))
@@ -1330,6 +1356,16 @@ object Translator {
         vArr(slice(arr, lo + 1, greatest(hi - lo, lit(0))))
 
       case Ast.ListComprehension(v, list, where, projTo) =>
+        // the variant's list elements are SCALAR (a fixed Catalyst schema
+        // cannot recurse) — reject syntactically list-valued projections
+        // instead of silently nulling them (the reference's T_ARRAY nests
+        // arbitrarily; our depth limit mirrors its property-value rule,
+        // value.h:54 SI_VALID_PROPERTY_VALUE)
+        projTo.foreach { p =>
+          if (syntacticallyListValued(p)) throw TranslateError(
+            "nested list values inside a list are not supported " +
+              "(one nesting level); restructure with UNWIND")
+        }
         val arr = t(list).getField("arr")
         val filtered = where match {
           case Some(p) =>
@@ -1364,14 +1400,23 @@ object Translator {
     }
   }
 
+  /** Expressions that are list-valued by syntax alone (static check for
+    * the comprehension nesting limit).
+    */
+  private def syntacticallyListValued(e: Ast.Expr): Boolean = e match {
+    case _: Ast.ListLit | _: Ast.ListComprehension | _: Ast.SliceExpr => true
+    case Ast.Fn(f, _, _) => Set("range", "tolist", "split", "labels",
+      "nodes", "relationships", "tail", "collect").contains(f.toLowerCase)
+    case _ => false
+  }
+
   /** evaluate `body` with variable `v` bound to scalar-variant lambda arg. */
   private def lambdaExpr(ctx: Ctx, frame: Frame, v: String, x: Column,
       body: Ast.Expr): Column = {
-    // substitute by translating against a frame where v resolves to widen(x)
-    val f2 = new Frame(frame.df, frame.vars + (v -> KValue)) {
-      override def col(name: String): Column =
-        if (name == v) Values.widen(x) else super.col(name)
-    }
+    // bind v → widen(x) compositionally: enclosing lambdas' bindings stay
+    // visible, so nested comprehensions can reference outer variables
+    val f2 = frame.copy(vars = frame.vars + (v -> KValue),
+      bindings = frame.bindings + (v -> Values.widen(x)))
     trExpr(ctx, f2, body)
   }
 
@@ -1567,7 +1612,12 @@ object Translator {
           .otherwise(vNull)
 
       // list (`list_funcs.c:222-263`)
-      case "size" => sizeOf(t(fn.args.head))
+      case "size" => fn.args.head match {
+        // var-len relationship variable: raw edge-struct list, not variant
+        case Ast.Variable(v) if frame.vars.get(v).contains(KRelList) =>
+          vInt(size(frame.col(v)).cast(LongType))
+        case a => sizeOf(t(a))
+      }
       case "head" =>
         val v = t(fn.args.head)
         subscript(v, vInt(lit(0L)))

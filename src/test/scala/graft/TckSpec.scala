@@ -255,6 +255,39 @@ class TckSpec extends AnyFunSuite {
     assert(r == Seq(Map("grp" -> 1L, "tot" -> 30L)))
   }
 
+  test("var-len relationship variable binds the traversed edge list") {
+    val s = freshSession(
+      "CREATE (:VA {v:1})-[:T]->(:VB {v:2})-[:T]->(:VC {v:3})")
+    val r = rows(s,
+      "MATCH (a:VA)-[rs:T*1..2]->(x) RETURN size(rs) AS n, x.v AS v ORDER BY n")
+    assert(r == Seq(Map("n" -> 1L, "v" -> 2L), Map("n" -> 2L, "v" -> 3L)))
+  }
+
+  test("ORDER BY a repeated aggregate expression") {
+    val s = freshSession(
+      "UNWIND [1, 1, 2, 3, 3, 3] AS x CREATE (:OA {v: x})")
+    val r = rows(s,
+      """MATCH (n:OA) RETURN n.v AS v, count(*) AS c
+        |ORDER BY count(*) DESC, v""".stripMargin)
+    assert(r.map(m => (m("v"), m("c"))) ==
+      Seq((3L, 3L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("nested quantifier sees the outer comprehension variable") {
+    val s = freshSession()
+    val r = rows(s,
+      "RETURN [x IN [1,2,3] WHERE any(y IN [2,3] WHERE y = x) | x * 10] AS z")
+    assert(r == Seq(Map("z" -> List(20L, 30L))))
+  }
+
+  test("nested list values inside a list error loudly (depth limit)") {
+    val s = freshSession()
+    val e = intercept[graft.cypher.Translator.TranslateError] {
+      s.run("RETURN [x IN [1,2] | range(1, x)] AS z").collect()
+    }
+    assert(e.getMessage.contains("nested list"))
+  }
+
   test("chained comparison and exists() on property") {
     val s = freshSession("CREATE (:W {v: 5})", "CREATE (:W)")
     val r = rows(s,
