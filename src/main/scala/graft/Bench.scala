@@ -112,17 +112,26 @@ object Bench {
         val runFor = 3e9.toLong
         val t0 = System.nanoTime()
         val n = new java.util.concurrent.atomic.AtomicLong
+        val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
         val threads = (1 to 32).map { _ =>
           val t = new Thread(() => {
-            while (System.nanoTime() - t0 < runFor) {
-              sess.run(q).collect()
-              n.incrementAndGet()
+            try {
+              while (System.nanoTime() - t0 < runFor && !failed.get()) {
+                sess.run(q).collect()
+                n.incrementAndGet()
+              }
+            } catch { case e: Throwable =>
+              // a silently dead worker would deflate the reported rate
+              // into a plausible-looking wrong number — flag instead
+              failed.set(true)
+              System.err.println(s"[bench] qps worker failed: ${e.getMessage}")
             }
           })
           t.start(); t
         }
         threads.foreach(_.join())
-        n.get() * 1e9 / (System.nanoTime() - t0)
+        if (failed.get()) 0.0
+        else n.get() * 1e9 / (System.nanoTime() - t0)
       } catch { case _: Throwable => 0.0 }
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${js(

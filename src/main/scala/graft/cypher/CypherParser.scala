@@ -349,11 +349,13 @@ object CypherParser extends RegexParsers {
     * Inputs without the prefix pass through with empty params.
     */
   def splitParams(input: String): (Map[String, Any], String) = {
-    // fast path: no `CYPHER ` prefix (the overwhelmingly common case) —
-    // skip the parser attempt entirely (it would fail after real work,
-    // taxing every point read on the serving path)
+    // fast path: no `CYPHER` keyword prefix (the overwhelmingly common
+    // case) — skip the parser attempt entirely (it would fail after real
+    // work, taxing every point read on the serving path). Any whitespace
+    // may follow the keyword (the parser's whiteSpace), not just ' '.
     val t = input.dropWhile(_.isWhitespace)
-    if (t.length < 7 || !t.substring(0, 7).equalsIgnoreCase("CYPHER "))
+    if (t.length < 7 || !t.substring(0, 6).equalsIgnoreCase("CYPHER") ||
+        !t.charAt(6).isWhitespace)
       return (Map.empty, input)
     parse(cypherPrefix, input) match {
       case Success(m, next) => (m, input.substring(next.offset))

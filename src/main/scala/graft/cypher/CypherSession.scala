@@ -252,15 +252,19 @@ class CypherSession(val spark: SparkSession) {
   private val statFrameCache =
     scala.collection.concurrent.TrieMap[(Long, String), DataFrame]()
 
-  private def statRow(c: Long, name: String): DataFrame =
+  private def statRow(c: Long, name: String): DataFrame = {
     // memoized per (count, alias): a DataFrame's QueryExecution analyzes
     // once and is reused, so repeated point reads are pure executeCollect —
-    // the Spark-side analogue of the reference's cached execution plan
+    // the Spark-side analogue of the reference's cached execution plan.
+    // Bounded: a mutating session observes many distinct counts; clear
+    // rather than grow without bound (cf. astCache's LRU cap).
+    if (statFrameCache.size > 64) statFrameCache.clear()
     statFrameCache.getOrElseUpdate((c, name),
       spark.createDataFrame(
           java.util.Collections.singletonList(Row(1)),
           StructType(Seq(StructField("__one", IntegerType))))
         .select(Values.vInt(lit(c)).as(name)))
+  }
 
   private def countFastPath(ast: Ast.Query): Option[DataFrame] = {
     def projCount(proj: Ast.Projection, countee: Option[String]):

@@ -1,8 +1,7 @@
 package graft.graph
 
 import graft.cypher.Values
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -13,15 +12,16 @@ import org.apache.spark.sql.types._
   * endpoint labels). Ids are assigned per label in deterministic key order
   * within disjoint ranges (≡ the reference's sequential per-file ids).
   *
-  * Scale: everything is a join against the (label-ranged) key→id mapping;
-  * no driver-side id counter, no collect. At 100 TB the key→id frames are
-  * just columns on the node tables, and the endpoint resolution is the
-  * same broadcast/shuffle join Spark already plans.
+  * Scale: id assignment is sort + zipWithIndex (distributed, no global
+  * window funnel, no driver-side counter); endpoint resolution is a join
+  * against the key→id mapping. Load-time validation mirrors the reference
+  * loader: duplicate keys, dangling endpoint references, and id-range
+  * overflow are errors, not silent data loss.
   */
 object GraphCsv {
 
   /** One node CSV: every column becomes a property; `keyCol` is the
-    * external key edge CSVs reference.
+    * external key edge CSVs reference (must be unique per row).
     */
   final case class NodeCsv(path: String, label: String, keyCol: String)
 
@@ -42,6 +42,21 @@ object GraphCsv {
     case _ => Values.vStr(c.cast(StringType))
   }
 
+  /** Deterministic dense rank ids: sort by the (unique) key, then
+    * zipWithIndex — distributed, unlike an unpartitioned window (which
+    * funnels the whole file through one task).
+    */
+  private def withRankIds(df: DataFrame, sortCols: Seq[String],
+      base: Long): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.sort(sortCols.map(col): _*)
+    val schema = sorted.schema.add(StructField("__gid", LongType))
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ (base + i))
+      }, schema)
+  }
+
   /** Load the CSVs into a PropertyGraph (per-label views installed). */
   def fromCsv(spark: SparkSession, nodeCsvs: Seq[NodeCsv],
       edgeCsvs: Seq[EdgeCsv]): PropertyGraph = {
@@ -53,39 +68,48 @@ object GraphCsv {
         n.label -> i.toLong * LabelStride
       }.toMap
 
-    // nodes: id = label base + rank of the key within the file (key order —
-    // deterministic under any partitioning, unlike input order)
-    val byLabel: Map[String, DataFrame] = nodeCsvs.map { n =>
+    // raw node frames + key→id mappings (key canonicalized to STRING for
+    // endpoint joins: total, cast-safe in ANSI mode, type-leg-agnostic)
+    val rawNodes = nodeCsvs.map { n =>
       val raw = spark.read.option("header", "true")
         .option("inferSchema", "true").csv(n.path)
       require(raw.columns.contains(n.keyCol),
         s"${n.path}: missing key column ${n.keyCol}")
-      val w = Window.orderBy(col(n.keyCol))
-      val withId = raw.withColumn("__rk", row_number().over(w))
-      val props = map(raw.schema.fields.flatMap { f =>
+      val dups = raw.groupBy(col(n.keyCol)).count()
+        .filter(col("count") > 1).limit(5)
+        .collect().map(_.get(0)).toSeq
+      require(dups.isEmpty,
+        s"${n.path}: duplicate ${n.keyCol} values: ${dups.mkString(", ")}")
+      val withId = withRankIds(raw, Seq(n.keyCol), labelBase(n.label))
+      val nRows = withId.count()
+      require(nRows <= LabelStride,
+        s"${n.path}: $nRows rows exceed the per-label id range $LabelStride")
+      (n, raw.schema, withId)
+    }
+
+    val byLabel: Map[String, DataFrame] = rawNodes.map { case (n, sch, df) =>
+      val props = map(sch.fields.flatMap { f =>
         Seq(lit(f.name), variant(col(f.name), f.dataType))
       }.toSeq: _*)
-      n.label -> withId.select(
-        (col("__rk").cast(LongType) + (labelBase(n.label) - 1L)).as("id"),
+      n.label -> df.select(col("__gid").as("id"),
         lit(n.label).as("label"), props.as("props"))
     }.toMap
 
-    // key→id mapping per label, for endpoint resolution
-    def keyed(label: String, keyCol: String): DataFrame =
-      byLabel(label).select(
-        element_at(col("props"), keyCol).getField("s").as("__key_s"),
-        element_at(col("props"), keyCol).getField("i").as("__key_i"),
-        col("id"))
+    // per-label key(string) → id
+    val keyIds: Map[String, DataFrame] = rawNodes.map { case (n, _, df) =>
+      n.label -> df.select(
+        col(n.keyCol).cast(StringType).as("__key"),
+        col("__gid").as("__nid"))
+    }.toMap
 
     val edgeFrames = edgeCsvs.zipWithIndex.map { case (e, i) =>
       val raw = spark.read.option("header", "true")
         .option("inferSchema", "true").csv(e.path)
-      val srcKeyCol = nodeCsvs.find(_.label == e.srcLabel)
-        .getOrElse(throw new IllegalArgumentException(
-          s"unknown src label ${e.srcLabel}")).keyCol
-      val dstKeyCol = nodeCsvs.find(_.label == e.dstLabel)
-        .getOrElse(throw new IllegalArgumentException(
-          s"unknown dst label ${e.dstLabel}")).keyCol
+      Seq(e.srcCol, e.dstCol).foreach { c =>
+        require(raw.columns.contains(c), s"${e.path}: missing column $c")
+      }
+      require(keyIds.contains(e.srcLabel), s"unknown src label ${e.srcLabel}")
+      require(keyIds.contains(e.dstLabel), s"unknown dst label ${e.dstLabel}")
       val propCols = raw.schema.fields
         .filterNot(f => f.name == e.srcCol || f.name == e.dstCol)
       val props =
@@ -93,35 +117,42 @@ object GraphCsv {
         else map(propCols.flatMap { f =>
           Seq(lit(f.name), variant(col(f.name), f.dataType))
         }.toSeq: _*)
-      // resolve endpoints by joining the key column against the label's
-      // key→id mapping (string or integer key, matched on the variant leg)
-      def resolve(df: DataFrame, refCol: String, label: String,
-          keyCol: String, as: String): DataFrame = {
-        val k = keyed(label, keyCol)
-        // plain === (NOT null-safe <=>): for a string-keyed label every
-        // node's __key_i is NULL, and a null-safe match on the integer leg
-        // would pair every non-numeric ref with every node
-        df.join(k,
-            col(refCol).cast(StringType) === k("__key_s") ||
-              col(refCol).cast(LongType) === k("__key_i"))
-          .drop("__key_s", "__key_i")
-          .withColumnRenamed("id", as)
-      }
-      val w = Window.orderBy(col(e.srcCol), col(e.dstCol))
-      val withProps = raw.withColumn("__props", props)
-        .withColumn("__rk", row_number().over(w))
-      val resolved = resolve(
-        resolve(withProps, e.srcCol, e.srcLabel, srcKeyCol, "src"),
-        e.dstCol, e.dstLabel, dstKeyCol, "dst")
+      // keep ONLY (key refs, props) past this point: a property column
+      // named id/src/dst must not collide with the resolved columns
+      // sort on BOTH endpoint refs: ids must be stable across lazy
+      // recomputation, so the zipWithIndex order needs a (near-)total sort
+      val withId = withRankIds(
+        raw.select(col(e.srcCol).cast(StringType).as("__srcref"),
+          col(e.dstCol).cast(StringType).as("__dstref"),
+          props.as("__props")),
+        Seq("__srcref", "__dstref"), (i + nodeCsvs.size).toLong * LabelStride)
+      val nRaw = withId.count()
+      val resolved = withId
+        .join(keyIds(e.srcLabel).withColumnRenamed("__key", "__srcref")
+          .withColumnRenamed("__nid", "__srcid"), Seq("__srcref"))
+        .join(keyIds(e.dstLabel).withColumnRenamed("__key", "__dstref")
+          .withColumnRenamed("__nid", "__dstid"), Seq("__dstref"))
+      val nResolved = resolved.count()
+      // the reference loader reports unresolved endpoints; silent inner-join
+      // dropping would hide typo'd or missing keys
+      require(nResolved == nRaw,
+        s"${e.path}: ${nRaw - nResolved} edge(s) reference missing " +
+          s"${e.srcLabel}/${e.dstLabel} keys")
       e.reltype -> resolved.select(
-        (col("__rk").cast(LongType) +
-          ((i + nodeCsvs.size).toLong * LabelStride - 1L)).as("id"),
-        col("src"), col("dst"), lit(e.reltype).as("reltype"),
-        col("__props").as("props"))
+        col("__gid").as("id"), col("__srcid").as("src"),
+        col("__dstid").as("dst"),
+        lit(e.reltype).as("reltype"), col("__props").as("props"))
     }
 
     val nodes = byLabel.values.reduce(_.unionByName(_))
-    val edges = edgeFrames.map(_._2).reduce(_.unionByName(_))
+    val edges =
+      if (edgeFrames.nonEmpty) edgeFrames.map(_._2).reduce(_.unionByName(_))
+      else spark.createDataFrame(
+        java.util.Collections.emptyList[Row](),
+        StructType(Seq(
+          StructField("id", LongType), StructField("src", LongType),
+          StructField("dst", LongType), StructField("reltype", StringType),
+          StructField("props", Values.propsType))))
     val byType = edgeFrames.groupBy(_._1).map { case (t, fs) =>
       t -> fs.map(_._2).reduce(_.unionByName(_))
     }
