@@ -272,14 +272,23 @@ object CypherParser extends RegexParsers {
   def createClause: Parser[Clause] =
     kw("CREATE") ~> patternList ^^ (Create(_))
 
-  def setItem: Parser[SetItem] =
-    postfix ~ ("=" ~> expr) ^^ {
-      case Prop(t, k) ~ v => SetItem(t, Some(k), v)
-      case t ~ v => SetItem(t, None, v)
-    }
+  /** One SET item; `n += {map}` desugars to per-key items (merge
+    * semantics: only listed keys overwritten — reference
+    * `tests/flow/test_entity_update.py:67`); `n = {map}` stays whole
+    * (replacement semantics, handled by the mutation runner).
+    */
+  def setItem: Parser[List[SetItem]] =
+    postfix ~ ("+=" ~> expr) ^? ({
+      case t ~ MapLit(entries) =>
+        entries.map { case (k, v) => SetItem(t, Some(k), v) }
+    }, _ => "SET += requires a map literal") |
+      postfix ~ ("=" ~> expr) ^^ {
+        case Prop(t, k) ~ v => List(SetItem(t, Some(k), v))
+        case t ~ v => List(SetItem(t, None, v))
+      }
 
   def setClause: Parser[Clause] =
-    kw("SET") ~> rep1sep(setItem, ",") ^^ (SetClause(_))
+    kw("SET") ~> rep1sep(setItem, ",") ^^ (xs => SetClause(xs.flatten))
 
   def deleteClause: Parser[Clause] =
     opt(kw("DETACH")) ~ (kw("DELETE") ~> rep1sep(expr, ",")) ^^ {
@@ -290,8 +299,12 @@ object CypherParser extends RegexParsers {
     kw("MERGE") ~> pathPattern ~
       rep(kw("ON") ~ (kw("MATCH") | kw("CREATE")) ~ (kw("SET") ~> rep1sep(setItem, ","))) ^^ {
       case p ~ actions =>
-        val onMatch = actions.collect { case _ ~ "MATCH" ~ items => items }.flatten
-        val onCreate = actions.collect { case _ ~ "CREATE" ~ items => items }.flatten
+        val onMatch = actions.collect {
+          case _ ~ "MATCH" ~ items => items.flatten
+        }.flatten
+        val onCreate = actions.collect {
+          case _ ~ "CREATE" ~ items => items.flatten
+        }.flatten
         Merge(p, onMatch, onCreate)
     }
 

@@ -218,9 +218,48 @@ private[cypher] final class MutationRunner(session: CypherSession) {
   private def execSet(frame: Frame, items: List[Ast.SetItem],
       params: Map[String, Any]): Frame = {
     val c = ctx(params)
+    // whole-entity replacements (`SET n = {map}` — reference semantics:
+    // the property bag is REPLACED by the map, test_entity_update.py:75)
+    val repls = items.collect {
+      case Ast.SetItem(Ast.Variable(n), None, m: Ast.MapLit) => (n, m)
+      case Ast.SetItem(t, None, v) => throw TranslateError(
+        s"SET <entity> = requires a map literal, got: $v")
+    }
+    val replVars = repls.map(_._1).toSet
+    items.foreach {
+      case Ast.SetItem(Ast.Variable(n), Some(_), _) if replVars(n) =>
+        throw TranslateError(
+          s"mixing SET $n = {…} with per-key SET $n.k in one clause " +
+            "is unsupported (split into two SET clauses)")
+      case _ => ()
+    }
+    def replacementsFor(kind: Kind): Option[DataFrame] = {
+      val rs = repls.flatMap { case (n, m) =>
+        if (!frame.vars.get(n).contains(kind)) None
+        else Some(frame.df.select(
+          frame.col(n).getField("id").as("__id"),
+          map_filter(
+            if (m.entries.isEmpty) emptyProps
+            else map(m.entries.flatMap { case (k, v) =>
+              Seq(lit(k), trExpr(c, frame, v))
+            }: _*),
+            (_, v) => v.isNotNull).as("__np")))
+      }
+      rs.reduceOption(_ unionByName _)
+    }
+    def applyReplace(table: DataFrame, rs: DataFrame): DataFrame = {
+      val perId = rs.groupBy("__id").agg(last("__np").as("__np"))
+      val nset = perId.select(sum(size(col("__np")))).head()
+      propsSet += (if (nset.isNullAt(0)) 0L else nset.getLong(0))
+      table.join(perId, table("id") === perId("__id"), "left_outer")
+        .withColumn("props",
+          when(col("__np").isNull, col("props")).otherwise(col("__np")))
+        .drop("__id", "__np")
+    }
     def updatesFor(kind: Kind): Option[DataFrame] = {
       val ups = items.flatMap { it =>
         it.target match {
+          case Ast.Variable(n) if replVars(n) => None
           case Ast.Variable(n) if frame.vars.get(n).contains(kind) =>
             val key = it.key.getOrElse(throw TranslateError(
               "whole-entity SET unsupported; use SET x.key = value"))
@@ -254,12 +293,18 @@ private[cypher] final class MutationRunner(session: CypherSession) {
         .drop("__id", "__upd")
     }
 
+    val nodeRepls = replacementsFor(KNode)
+    val edgeRepls = replacementsFor(KEdge)
     val nodeUps = updatesFor(KNode)
     val edgeUps = updatesFor(KEdge)
-    val newNodes = nodeUps.map(applyUpdates(session.graph.nodes, _))
+    val nodesReplaced = nodeRepls.map(applyReplace(session.graph.nodes, _))
       .getOrElse(session.graph.nodes)
-    val newEdges = edgeUps.map(applyUpdates(session.graph.edges, _))
+    val edgesReplaced = edgeRepls.map(applyReplace(session.graph.edges, _))
       .getOrElse(session.graph.edges)
+    val newNodes = nodeUps.map(applyUpdates(nodesReplaced, _))
+      .getOrElse(nodesReplaced)
+    val newEdges = edgeUps.map(applyUpdates(edgesReplaced, _))
+      .getOrElse(edgesReplaced)
     session.commit(newNodes, newEdges)
 
     // rebind updated vars so a following RETURN sees the new props

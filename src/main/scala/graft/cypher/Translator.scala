@@ -1008,14 +1008,8 @@ object Translator {
         }
         sorted = sorted.orderBy(sorts: _*)
       }
-      proj.skip.foreach {
-        case Ast.LitInt(n) => sorted = sorted.offset(n.toInt)
-        case other => throw TranslateError(s"SKIP must be a literal: $other")
-      }
-      proj.limit.foreach {
-        case Ast.LitInt(n) => sorted = sorted.limit(n.toInt)
-        case other => throw TranslateError(s"LIMIT must be a literal: $other")
-      }
+      proj.skip.foreach(e => sorted = sorted.offset(constInt(e, "SKIP")))
+      proj.limit.foreach(e => sorted = sorted.limit(constInt(e, "LIMIT")))
       // bare entity variables keep their scan-level flat property columns
       // across the projection (renamed to the new alias) — row-preserving
       // here, so carrying extra columns is safe (not so for DISTINCT/agg)
@@ -1053,14 +1047,8 @@ object Translator {
       }
       f = f.copy(df = f.df.orderBy(sorts: _*))
     }
-    proj.skip.foreach {
-      case Ast.LitInt(n) => f = f.copy(df = f.df.offset(n.toInt))
-      case other => throw TranslateError(s"SKIP must be a literal: $other")
-    }
-    proj.limit.foreach {
-      case Ast.LitInt(n) => f = f.copy(df = f.df.limit(n.toInt))
-      case other => throw TranslateError(s"LIMIT must be a literal: $other")
-    }
+    proj.skip.foreach(e => f = f.copy(df = f.df.offset(constInt(e, "SKIP"))))
+    proj.limit.foreach(e => f = f.copy(df = f.df.limit(constInt(e, "LIMIT"))))
     f
   }
 
@@ -1398,6 +1386,32 @@ object Translator {
         throw TranslateError("count(*) outside aggregation context")
       case other => throw TranslateError(s"unsupported expression: $other")
     }
+  }
+
+
+  /** SKIP/LIMIT take runtime-evaluated expressions in the reference
+    * (`op_skip.c`/`op_limit.c`); we fold constant integer arithmetic.
+    */
+  private def constInt(e: Ast.Expr, what: String): Int = {
+    def eval(x: Ast.Expr): Option[Long] = x match {
+      case Ast.LitInt(n) => Some(n)
+      case Ast.Neg(a) => eval(a).map(-_)
+      case Ast.Bin(op, a, b) =>
+        for {
+          l <- eval(a); r <- eval(b)
+          v <- op match {
+            case "+" => Some(l + r)
+            case "-" => Some(l - r)
+            case "*" => Some(l * r)
+            case "/" if r != 0 => Some(l / r)
+            case "%" if r != 0 => Some(l % r)
+            case _ => None
+          }
+        } yield v
+      case _ => None
+    }
+    eval(e).map(_.toInt).getOrElse(throw TranslateError(
+      s"$what must be a constant integer expression: $e"))
   }
 
   /** Expressions that are list-valued by syntax alone (static check for

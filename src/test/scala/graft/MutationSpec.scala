@@ -131,6 +131,20 @@ class MutationSpec extends AnyFunSuite {
     assert(rows(s, "MATCH (n) RETURN count(*) AS c") == Seq(Map("c" -> 1L)))
   }
 
+  test("SET += merges only listed keys; SET = replaces the whole bag") {
+    val s = freshSession("CREATE (:M {a: 1, b: 2})")
+    // merge: b kept, c added (reference test_entity_update.py:67)
+    s.run("MATCH (m:M) SET m += {a: 10, c: 3}")
+    val r1 = s.rows(s.run(
+      "MATCH (m:M) RETURN m.a AS a, m.b AS b, m.c AS c"))
+    assert(r1 == Seq(Map("a" -> 10L, "b" -> 2L, "c" -> 3L)))
+    // replace: only the map's keys survive (test_entity_update.py:75)
+    s.run("MATCH (m:M) SET m = {z: 9}")
+    val r2 = s.rows(s.run(
+      "MATCH (m:M) RETURN m.a AS a, m.z AS z"))
+    assert(r2 == Seq(Map("a" -> null, "z" -> 9L)))
+  }
+
   test("MERGE relationship between bound nodes") {
     val s = freshSession(
       "CREATE (:P {name:'a'})", "CREATE (:P {name:'b'})")

@@ -273,6 +273,17 @@ class TckSpec extends AnyFunSuite {
       Seq((3L, 3L), (1L, 2L), (2L, 1L)))
   }
 
+  test("RETURN * / WITH * project all bound variables; LIMIT folds constants") {
+    val s = freshSession("CREATE (:RS {v:1})-[:T]->(:RT {v:2})",
+      "CREATE (:RS {v:3})-[:T]->(:RT {v:4})")
+    val r = rows(s,
+      "MATCH (a:RS)-[:T]->(b:RT) WITH * RETURN a.v + b.v AS s ORDER BY s")
+    assert(r.map(_("s")) == Seq(3L, 7L))
+    val r2 = rows(s,
+      "MATCH (b:RT) RETURN b.v AS v ORDER BY v LIMIT 1 + 1")
+    assert(r2.map(_("v")) == Seq(2L, 4L))
+  }
+
   test("nested quantifier sees the outer comprehension variable") {
     val s = freshSession()
     val r = rows(s,
