@@ -371,14 +371,23 @@ private[cypher] final class MutationRunner(session: CypherSession) {
     * pending patterns create once (`op_merge_create.c` dedup). ON MATCH /
     * ON CREATE SET run on the respective branches.
     */
-  private def execMerge(frame: Frame, m: Ast.Merge,
+  private def execMerge(frame: Frame, m0: Ast.Merge,
       params: Map[String, Any]): Frame = {
+    // an undirected edge in MERGE matches either direction but CREATES a
+    // single outgoing edge (reference `ast_validations.c:706-707`; CREATE
+    // proper still rejects undirected, `:815`) — the MATCH phase sees the
+    // original pattern, the create phase a direction-normalized one
+    val m = m0.copy(path = m0.path.copy(tail = m0.path.tail.map {
+      case (rel, node) if rel.direction == 0 =>
+        (rel.copy(direction = 1), node)
+      case other => other
+    }))
     val c = ctx(params)
     val rid = "__merge_rid"
     val tagged = frame.df.withColumn(rid, monotonically_increasing_id())
       .localCheckpoint(true)
     val seed = Frame(tagged, frame.vars)
-    val (matched, _) = translatePath(c, seed, m.path)
+    val (matched, _) = translatePath(c, seed, m0.path)
     val matchedRids = matched.df.select(matched.col(rid)).distinct()
     val misses = tagged.join(matchedRids, Seq(rid), "left_anti")
 

@@ -1211,10 +1211,18 @@ object Translator {
       max(when(v.isNotNull, struct(Values.orderKey(v).as("k"), v.as("v"))))
         .getField("v")
     case Ast.Fn("collect", List(arg), distinct) =>
-      val v = Values.narrow(trExpr(ctx, frame, arg))
-      val collected =
-        if (distinct) collect_set(v) else collect_list(v)
-      Values.vArr(collected)
+      arg match {
+        // collect(entity): a raw entity-struct array (the BASELINE
+        // index_node_lookup query shape, `RETURN a, collect(b)`) — entity
+        // structs don't fit the scalar-variant element type
+        case Ast.Variable(v) if frame.vars.get(v)
+            .exists(k => k == KNode || k == KEdge) =>
+          val c = frame.col(v)
+          if (distinct) collect_set(c) else collect_list(c)
+        case _ =>
+          val v = Values.narrow(trExpr(ctx, frame, arg))
+          Values.vArr(if (distinct) collect_set(v) else collect_list(v))
+      }
     case Ast.Fn("stdev", List(arg), _) =>
       Values.vFloat(stddev_samp(Values.num(trExpr(ctx, frame, arg))))
     case Ast.Fn("stdevp", List(arg), _) =>

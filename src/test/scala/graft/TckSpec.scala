@@ -299,6 +299,35 @@ class TckSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nested list"))
   }
 
+  test("collect(entity) yields entity structs; var-len edge property filter") {
+    val s = freshSession(
+      "CREATE (:CA {v:1})-[:T {w:1}]->(:CB {v:2})-[:T {w:2}]->(:CC {v:3})")
+    // the BASELINE index_node_lookup shape: RETURN a, collect(b)
+    val r = rows(s,
+      "MATCH (a:CA)-[:T]->(b) RETURN a.v AS av, collect(b) AS bs")
+    assert(r.size == 1 && r.head("av") == 1L)
+    assert(r.head("bs").asInstanceOf[Seq[_]].size == 1)
+    // per-edge property filter inside the var-len traversal
+    // (filterVariableLengthEdges, optimizer pass 5)
+    val r2 = rows(s,
+      "MATCH (a:CA)-[:T*1..2 {w:1}]->(x) RETURN x.v AS v")
+    assert(r2 == Seq(Map("v" -> 2L)))
+  }
+
+  test("undirected MERGE matches either direction, creates outgoing") {
+    val s = freshSession("CREATE (:UA {v:1})<-[:T]-(:UB {v:2})")
+    // pattern matches the existing reversed edge — nothing created
+    s.run("MATCH (a:UA), (b:UB) MERGE (a)-[:T]-(b)")
+    assert(rows(s, "MATCH ()-[r:T]->() RETURN count(r) AS c") ==
+      Seq(Map("c" -> 1L)))
+    // no match anywhere → creates a single OUTGOING edge
+    val s2 = freshSession("CREATE (:UA {v:1})", "CREATE (:UB {v:2})")
+    s2.run("MATCH (a:UA), (b:UB) MERGE (a)-[:T]-(b)")
+    assert(rows(s2,
+      "MATCH (a:UA)-[r:T]->(b:UB) RETURN count(r) AS c") ==
+      Seq(Map("c" -> 1L)))
+  }
+
   test("chained comparison and exists() on property") {
     val s = freshSession("CREATE (:W {v: 5})", "CREATE (:W)")
     val r = rows(s,
