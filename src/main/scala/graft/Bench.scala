@@ -18,7 +18,7 @@ object Bench {
       "q_topk", "q_apply_decorrelated", "q_optional_match", "q_rollup",
       // Cypher engine end-to-end (BASELINE entity_count / traversal shapes)
       "q_cypher_count_stats", "q_cypher_agg", "q_cypher_varlen",
-      "q_cypher_expand", "q_cypher_edge_props",
+      "q_cypher_expand", "q_cypher_edge_props", "q_cypher_self_join",
       // training-data pipeline at scale
       "q_dedup_minhash", "q_knn_cosine", "q_text_bpe_tokens",
       "q_graph_pagerank", "q_sessionize",

@@ -832,6 +832,12 @@ object Translator {
       case Ast.Bin("AND", l, r) => conjuncts(l) ++ conjuncts(r)
       case other => List(other)
     }
+    // value equality: true iff a variable of entity-ish kind is NOT involved
+    // (entity orderKeys rank-only — all nodes would compare equal)
+    def valueExpr(e: Ast.Expr): Boolean = e match {
+      case Ast.Variable(v) => frame.vars.get(v).forall(_ == KValue)
+      case _ => true
+    }
     var f = frame
     conjuncts(w).foreach {
       case Ast.PatternPred(p) => f = patternFilter(ctx, f, p, anti = false)
@@ -840,6 +846,22 @@ object Translator {
         f = patternFilter(ctx, f, p, anti = false)
       case Ast.Not(Ast.Fn("exists", List(Ast.PatternPred(p)), _)) =>
         f = patternFilter(ctx, f, p, anti = true)
+      case pred @ Ast.Bin("=", l0, r0) if valueExpr(l0) && valueExpr(r0) =>
+        // top-level equality conjunct → ONE struct-equality predicate on
+        // the global-order sort key (the same normalization DISTINCT and
+        // min/max already use). Catalyst extracts it as an equi-join key,
+        // so a value join between patterns (WHERE a.x = b.x over a cross
+        // pattern — ValueHashJoin, `op_value_hash_join.c`) plans as a hash
+        // join instead of a nested-loop filter. Ternary semantics hold:
+        // a null side yields a null key, null comparisons filter out.
+        val (f2, rw) = resolveDegrees(ctx, f, Seq(pred))
+        val (l, r) = rw(pred) match {
+          case Ast.Bin("=", a, b) => (a, b)
+          case _ => (l0, r0)
+        }
+        f = f2.copy(df = f2.df.filter(
+          Values.orderKey(trExpr(ctx, f2, l)) ===
+            Values.orderKey(trExpr(ctx, f2, r))))
       case pred =>
         val (f2, rw) = resolveDegrees(ctx, f, Seq(pred))
         f = f2.copy(df = f2.df.filter(

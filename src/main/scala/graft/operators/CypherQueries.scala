@@ -207,6 +207,23 @@ object CypherQueries {
     },
 
     QueryDef(
+      "q_cypher_self_join",
+      // BASELINE index_node_lookup query shape (`tests/benchmarks/
+      // index_node_lookup.yml`: MATCH (a) WITH a MATCH (b) WHERE a.age =
+      // b.age AND a <> b RETURN a, collect(b)) — value self-join + entity
+      // inequality; count form for the hash gate.
+      """SELECT a.c_custkey AS ck, count(*) AS n_peers
+        |FROM customer a JOIN customer b
+        |  ON b.c_acctbal = a.c_acctbal AND b.c_custkey <> a.c_custkey
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      run(s, dir,
+        """MATCH (a:Customer) WITH a MATCH (b:Customer)
+          |WHERE a.acctbal = b.acctbal AND a <> b
+          |RETURN a.custkey AS ck, count(b) AS n_peers""".stripMargin)
+        .select(asLong("ck"), asLong("n_peers"))
+    },
+
+    QueryDef(
       "q_cypher_bfs",
       // algo.BFS from customer 1, 3 levels, over every relationship class —
       // oracle: recursive CTE over the same id-spaced edge union

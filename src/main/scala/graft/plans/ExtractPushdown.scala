@@ -39,35 +39,69 @@ object ExtractPushdownRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case p @ Project(exprs, child) =>
-      val uses = exprs
-        .flatMap(_.collect(Function.unlift(extractionOf)))
-        .distinct
-      if (uses.isEmpty) p
-      else {
-        var cur = child
-        val repl = scala.collection.mutable.Map[Expression, Attribute]()
-        uses.foreach { case (a, g) =>
-          if (!repl.contains(g)) {
-            pushInto(cur, a, g) match {
-              case Some((newChild, attr)) =>
-                cur = newChild
-                repl(g) = attr
-              case None => ()
-            }
-          }
-        }
-        if (repl.isEmpty) p
-        else {
-          // substitute EVERY collected use shape (GetStructField chains AND
-          // bare ElementAt) — leaving one unsubstituted would re-collect it
-          // next fixed-point iteration and append duplicate aliases below,
-          // preventing batch convergence
-          val newExprs = exprs.map(_.transform {
-            case e if repl.contains(e) => repl(e)
-          }.asInstanceOf[NamedExpression])
-          Project(newExprs, cur)
+      relocate(exprs, child :: Nil) match {
+        case None => p
+        case Some((newExprs, newChildren)) =>
+          Project(newExprs.map(_.asInstanceOf[NamedExpression]),
+            newChildren.head)
+      }
+    // a JOIN CONDITION comparing variants (a value join between patterns,
+    // e.g. WHERE a.acctbal = b.acctbal across a cross pattern) references
+    // whole variant structs: relocating the field extractions lets the
+    // comparison fold to native columns, which in turn lets Catalyst
+    // extract equi-join keys — BroadcastNestedLoopJoin becomes a hash join
+    case j @ Join(l, r, _, Some(cond), _) =>
+      relocate(Seq(cond), Seq(l, r)) match {
+        case None => j
+        case Some((Seq(newCond), Seq(l2, r2))) =>
+          // re-project to the ORIGINAL output: the relocated columns grew
+          // the children, and a parent with shape requirements (Union)
+          // must still see the old schema
+          Project(j.output,
+            j.copy(left = l2, right = r2, condition = Some(newCond)))
+        case _ => j
+      }
+    case f @ Filter(cond, child) =>
+      relocate(Seq(cond), child :: Nil) match {
+        case None => f
+        case Some((Seq(newCond), Seq(c2))) =>
+          Project(f.output, Filter(newCond, c2))
+        case _ => f
+      }
+  }
+
+  /** Relocate every extraction chain in `exprs` into whichever of
+    * `children` produces its attribute; returns the rewritten expressions
+    * and children, or None if nothing moved.
+    */
+  private def relocate(exprs: Seq[Expression],
+      children: Seq[LogicalPlan]): Option[(Seq[Expression], Seq[LogicalPlan])] = {
+    val uses = exprs.flatMap(_.collect(Function.unlift(extractionOf))).distinct
+    if (uses.isEmpty) return None
+    val cur = children.toArray
+    val repl = scala.collection.mutable.Map[Expression, Attribute]()
+    uses.foreach { case (a, g) =>
+      if (!repl.contains(g)) {
+        val i = cur.indexWhere(_.outputSet.contains(a))
+        if (i >= 0) pushInto(cur(i), a, g) match {
+          case Some((newChild, attr)) =>
+            cur(i) = newChild
+            repl(g) = attr
+          case None => ()
         }
       }
+    }
+    if (repl.isEmpty) None
+    else {
+      // substitute EVERY collected use shape (GetStructField chains AND
+      // bare ElementAt) — leaving one unsubstituted would re-collect it
+      // next fixed-point iteration and append duplicate aliases below,
+      // preventing batch convergence
+      val newExprs = exprs.map(_.transform {
+        case e if repl.contains(e) => repl(e)
+      })
+      Some((newExprs, cur.toSeq))
+    }
   }
 
   /** Rewrite `plan` so that it additionally outputs the extraction chain
