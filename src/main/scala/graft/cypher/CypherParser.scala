@@ -281,7 +281,11 @@ object CypherParser extends RegexParsers {
     postfix ~ ("+=" ~> expr) ^? ({
       case t ~ MapLit(entries) =>
         entries.map { case (k, v) => SetItem(t, Some(k), v) }
-    }, _ => "SET += requires a map literal") |
+      case t ~ (p: Param) =>
+        // `SET n += $props`: desugars per-key at execution time, when the
+        // parameter map is known (internal marker function)
+        List(SetItem(t, None, Fn("__merge_param", List(p), false)))
+    }, _ => "SET += requires a map literal or map parameter") |
       postfix ~ ("=" ~> expr) ^^ {
         case Prop(t, k) ~ v => List(SetItem(t, Some(k), v))
         case t ~ v => List(SetItem(t, None, v))
@@ -351,7 +355,12 @@ object CypherParser extends RegexParsers {
       kw("TRUE") ^^^ (true: Any) |
       kw("FALSE") ^^^ (false: Any) |
       kw("NULL") ^^^ (null: Any) |
-      "[" ~> repsep(paramValue, ",") <~ "]" ^^ (xs => xs: Any)
+      "[" ~> repsep(paramValue, ",") <~ "]" ^^ (xs => xs: Any) |
+      // map values (reference test_entity_update.py:110 —
+      // `CYPHER props={v1: true} … SET n += $props`)
+      "{" ~> repsep(anyIdent ~ (":" ~> paramValue), ",") <~ "}" ^^ {
+        pairs => pairs.map { case k ~ v => k -> v }.toMap: Any
+      }
 
   private def cypherPrefix: Parser[Map[String, Any]] =
     kw("CYPHER") ~> rep1(anyIdent ~ ("=" ~> paramValue)) <~ opt(";") ^^ {

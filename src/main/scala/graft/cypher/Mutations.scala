@@ -215,8 +215,35 @@ private[cypher] final class MutationRunner(session: CypherSession) {
     * the props map with a left join — the Delta `UPDATE`/`MERGE` shape.
     * `SET x.k = null` removes the property (reference semantics).
     */
-  private def execSet(frame: Frame, items: List[Ast.SetItem],
+  /** Scala constant → AST literal (param-map desugaring). */
+  private def astOf(v: Any): Ast.Expr = v match {
+    case v: Long => Ast.LitInt(v)
+    case v: Int => Ast.LitInt(v.toLong)
+    case v: Double => Ast.LitFloat(v)
+    case v: String => Ast.LitString(v)
+    case v: Boolean => Ast.LitBool(v)
+    case null => Ast.LitNull
+    case other => throw TranslateError(s"bad parameter map value: $other")
+  }
+
+  private def execSet(frame: Frame, items0: List[Ast.SetItem],
       params: Map[String, Any]): Frame = {
+    // `SET n += $props` desugars per-key now that the map is known
+    // (reference wire map params, test_entity_update.py:110)
+    val items = items0.flatMap {
+      case Ast.SetItem(tgt, None,
+          Ast.Fn("__merge_param", List(Ast.Param(p)), _)) =>
+        params.get(p) match {
+          case Some(m: Map[_, _]) =>
+            m.asInstanceOf[Map[String, Any]].toList.map { case (k, v) =>
+              Ast.SetItem(tgt, Some(k), astOf(v))
+            }
+          case Some(other) => throw TranslateError(
+            s"SET += $$$p needs a map parameter, got: $other")
+          case None => throw TranslateError(s"missing parameter: $$$p")
+        }
+      case it => List(it)
+    }
     val c = ctx(params)
     // whole-entity replacements (`SET n = {map}` — reference semantics:
     // the property bag is REPLACED by the map, test_entity_update.py:75)

@@ -1208,6 +1208,13 @@ object Translator {
   private def trAny(ctx: Ctx, frame: Frame, e: Ast.Expr): Column = e match {
     case Ast.Variable(n) if frame.has(n) && frame.vars(n) != KValue =>
       frame.col(n)
+    case Ast.MapLit(entries) =>
+      // map VALUE in a projection (reference `tomap`, T_MAP): a string-keyed
+      // map of variants (decoded client-side like entity props)
+      if (entries.isEmpty) map().cast(Values.propsType)
+      else map(entries.flatMap { case (k, v) =>
+        Seq(lit(k), trExpr(ctx, frame, v))
+      }: _*)
     case other => trExpr(ctx, frame, other)
   }
 
@@ -1300,6 +1307,17 @@ object Translator {
             // prefer the scan-level flat column (native, pruned, pushable)
             frame.propCol(n, key).getOrElse(
               element_at(frame.col(n).getField("props"), key))
+          case Ast.Param(p) =>
+            // $props.key: parameters are driver-side constants — fold the
+            // map access at translation time (reference wire map params)
+            ctx.params.get(p) match {
+              case Some(m: Map[_, _]) =>
+                m.asInstanceOf[Map[String, Any]].get(key)
+                  .map(scalarParam).getOrElse(vNull)
+              case Some(other) => throw TranslateError(
+                s"$$$p.$key needs a map parameter, got: $other")
+              case None => throw TranslateError(s"missing parameter: $$$p")
+            }
           case other => // maps unsupported on values
             element_at(t(other).getField("arr"), key)
         }
@@ -1475,6 +1493,20 @@ object Translator {
     }
   }
 
+  /** A scalar (non-map, non-list) parameter value as a variant column. */
+  private[cypher] def scalarParam(v: Any): Column = {
+    import Values._
+    v match {
+      case v: Long => vInt(lit(v))
+      case v: Int => vInt(lit(v.toLong))
+      case v: Double => vFloat(lit(v))
+      case v: String => vStr(lit(v))
+      case v: Boolean => vBool(lit(v))
+      case null => vNull
+      case other => throw TranslateError(s"bad param value: $other")
+    }
+  }
+
   private def paramValue(ctx: Ctx, name: String): Column = {
     import Values._
     ctx.params.get(name) match {
@@ -1620,8 +1652,32 @@ object Translator {
         val v = t(fn.args.head)
         when(v.isNull, vNull).otherwise(vStr(render(v)))
       case "tojson" =>
-        val v = t(fn.args.head)
-        vStr(render(v))
+        // `src/util/json_encoder.c`: entities render as typed objects
+        // ("start"/"end" carry the endpoint ids; the reference inlines the
+        // full endpoint nodes, which here would need a join)
+        fn.args.head match {
+          case Ast.Variable(nv) if frame.vars.get(nv).contains(KNode) =>
+            val e = frame.col(nv)
+            vStr(concat(
+              lit("{\"type\": \"node\", \"id\": "),
+              e.getField("id").cast(StringType),
+              lit(", \"labels\": ["),
+              when(e.getField("label").isNull, lit(""))
+                .otherwise(concat(lit("\""), e.getField("label"), lit("\""))),
+              lit("], "), Values.propsJson(e.getField("props")), lit("}")))
+          case Ast.Variable(nv) if frame.vars.get(nv).contains(KEdge) =>
+            val e = frame.col(nv)
+            vStr(concat(
+              lit("{\"type\": \"relationship\", \"id\": "),
+              e.getField("id").cast(StringType),
+              lit(", \"relationship\": \""), e.getField("reltype"),
+              lit("\", "), Values.propsJson(e.getField("props")),
+              lit(", \"start\": {\"id\": "),
+              e.getField("src").cast(StringType),
+              lit("}, \"end\": {\"id\": "),
+              e.getField("dst").cast(StringType), lit("}}")))
+          case a => vStr(Values.jsonOf(t(a)))
+        }
 
       // numeric (`numeric_funcs.c:144-203`)
       case "abs" => num1(abs, keepInt = true)

@@ -282,4 +282,39 @@ object Values {
       .when(tag(v) === T_BOOL, v.getField("b").cast(StringType))
       .when(tag(v) === T_ARRAY, to_json(v.getField("arr")))
       .otherwise(lit("?"))
+
+  // ── JSON encoding (toJSON ≡ reference `src/util/json_encoder.c`) ─────────
+  private def jsonStr(s: Column): Column = concat(lit("\""),
+    regexp_replace(regexp_replace(s, "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+    lit("\""))
+
+  private def jsonScalar(e: Column): Column =
+    when(e.isNull, lit("null"))
+      .when(e.getField("t") === T_INT, e.getField("i").cast(StringType))
+      .when(e.getField("t") === T_FLOAT, e.getField("f").cast(StringType))
+      .when(e.getField("t") === T_STRING, jsonStr(e.getField("s")))
+      .when(e.getField("t") === T_BOOL, e.getField("b").cast(StringType))
+      .otherwise(lit("null"))
+
+  /** JSON text of a variant value (strings quoted+escaped, lists nested). */
+  def jsonOf(v: Column): Column =
+    when(v.isNull, lit("null"))
+      .when(tag(v) === T_ARRAY, concat(lit("["),
+        concat_ws(", ", transform(v.getField("arr"), e => jsonScalar(e))),
+        lit("]")))
+      .otherwise(jsonScalar(
+        struct(tag(v).as("t"), v.getField("i").as("i"),
+          v.getField("f").as("f"), v.getField("s").as("s"),
+          v.getField("b").as("b"))))
+
+  /** `"properties": {"k": v, …}` for a variant props map (entry order =
+    * map construction order, like the reference's property array order).
+    */
+  def propsJson(props: Column): Column = concat(
+    lit("\"properties\": {"),
+    concat_ws(", ", transform(map_entries(coalesce(props,
+        map().cast(propsType))),
+      kv => concat(lit("\""), kv.getField("key"), lit("\": "),
+        jsonOf(kv.getField("value"))))),
+    lit("}"))
 }

@@ -328,6 +328,37 @@ class TckSpec extends AnyFunSuite {
       Seq(Map("c" -> 1L)))
   }
 
+  test("map parameters: wire prefix, $p.key access, SET += $props") {
+    val s = freshSession("CREATE (:MP {v: 1})")
+    // wire-prefix map param + dotted access (test_entity_update.py:110)
+    val r = rows(s,
+      "CYPHER props={w: 5} MATCH (a:MP) RETURN a.v + $props.w AS s")
+    assert(r == Seq(Map("s" -> 6L)))
+    // client-API map param merged into properties
+    s.run("MATCH (a:MP) SET a += $props", Map("props" -> Map("q" -> 7)))
+    assert(rows(s, "MATCH (a:MP) RETURN a.q AS q") == Seq(Map("q" -> 7L)))
+  }
+
+  test("toJSON: entities render as typed JSON objects; strings quote") {
+    val s = freshSession("CREATE (:TJ {v: 1, name: 'x'})-[:R {w: 2}]->(:TK)")
+    val j = rows(s, "MATCH (a:TJ) RETURN toJSON(a) AS j").head("j").toString
+    assert(j.startsWith("{\"type\": \"node\", \"id\": "))
+    assert(j.contains("\"labels\": [\"TJ\"]"))
+    assert(j.contains("\"name\": \"x\"") && j.contains("\"v\": 1"))
+    val je = rows(s, "MATCH ()-[r:R]->() RETURN toJSON(r) AS j")
+      .head("j").toString
+    assert(je.startsWith("{\"type\": \"relationship\"") &&
+      je.contains("\"w\": 2"))
+    assert(rows(s, "RETURN toJSON('a\"b') AS j") ==
+      Seq(Map("j" -> "\"a\\\"b\"")))
+  }
+
+  test("map literal as a returned value") {
+    val s = freshSession()
+    val r = rows(s, "RETURN {a: 1, b: 'x'} AS m")
+    assert(r == Seq(Map("m" -> Map("a" -> 1L, "b" -> "x"))))
+  }
+
   test("chained comparison and exists() on property") {
     val s = freshSession("CREATE (:W {v: 5})", "CREATE (:W)")
     val r = rows(s,
