@@ -838,6 +838,17 @@ object Translator {
       case Ast.Variable(v) => frame.vars.get(v).forall(_ == KValue)
       case _ => true
     }
+    // does the expression read any frame column? A constant side keeps the
+    // old variant-eq path: it folds to a native comparison and reaches the
+    // parquet scan as a pushed filter, which the orderKey struct equality
+    // (needed only for JOIN-key extraction) would prevent
+    def refsVar(e: Ast.Expr): Boolean =
+      e.isInstanceOf[Ast.Variable] || e.isInstanceOf[Ast.Prop] || (e match {
+        case Ast.Bin(_, l, r) => refsVar(l) || refsVar(r)
+        case Ast.Fn(_, args, _) => args.exists(refsVar)
+        case Ast.Neg(x) => refsVar(x)
+        case _ => false
+      })
     var f = frame
     conjuncts(w).foreach {
       case Ast.PatternPred(p) => f = patternFilter(ctx, f, p, anti = false)
@@ -846,7 +857,8 @@ object Translator {
         f = patternFilter(ctx, f, p, anti = false)
       case Ast.Not(Ast.Fn("exists", List(Ast.PatternPred(p)), _)) =>
         f = patternFilter(ctx, f, p, anti = true)
-      case pred @ Ast.Bin("=", l0, r0) if valueExpr(l0) && valueExpr(r0) =>
+      case pred @ Ast.Bin("=", l0, r0) if valueExpr(l0) && valueExpr(r0) &&
+          refsVar(l0) && refsVar(r0) =>
         // top-level equality conjunct → ONE struct-equality predicate on
         // the global-order sort key (the same normalization DISTINCT and
         // min/max already use). Catalyst extracts it as an equi-join key,
