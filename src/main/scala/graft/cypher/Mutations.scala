@@ -215,33 +215,35 @@ private[cypher] final class MutationRunner(session: CypherSession) {
     * the props map with a left join — the Delta `UPDATE`/`MERGE` shape.
     * `SET x.k = null` removes the property (reference semantics).
     */
-  /** Scala constant → AST literal (param-map desugaring). */
-  private def astOf(v: Any): Ast.Expr = v match {
-    case v: Long => Ast.LitInt(v)
-    case v: Int => Ast.LitInt(v.toLong)
-    case v: Double => Ast.LitFloat(v)
-    case v: String => Ast.LitString(v)
-    case v: Boolean => Ast.LitBool(v)
-    case null => Ast.LitNull
-    case other => throw TranslateError(s"bad parameter map value: $other")
-  }
+  /** Scala constant → AST literal (param-map desugaring; lists are valid
+    * property values — Translator.constToAst is the single ladder).
+    */
+  private def astOf(v: Any): Ast.Expr = Translator.constToAst(v)
+
+  private def paramMap(params: Map[String, Any], p: String,
+      ctx: String): Map[String, Any] =
+    params.get(p) match {
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+      case Some(other) => throw TranslateError(
+        s"$ctx $$$p needs a map parameter, got: $other")
+      case None => throw TranslateError(s"missing parameter: $$$p")
+    }
 
   private def execSet(frame: Frame, items0: List[Ast.SetItem],
       params: Map[String, Any]): Frame = {
-    // `SET n += $props` desugars per-key now that the map is known
-    // (reference wire map params, test_entity_update.py:110)
+    // `SET n += $props` / `SET n = $props` desugar now that the map is
+    // known (reference wire map params, test_entity_update.py:110)
     val items = items0.flatMap {
       case Ast.SetItem(tgt, None,
           Ast.Fn("__merge_param", List(Ast.Param(p)), _)) =>
-        params.get(p) match {
-          case Some(m: Map[_, _]) =>
-            m.asInstanceOf[Map[String, Any]].toList.map { case (k, v) =>
-              Ast.SetItem(tgt, Some(k), astOf(v))
-            }
-          case Some(other) => throw TranslateError(
-            s"SET += $$$p needs a map parameter, got: $other")
-          case None => throw TranslateError(s"missing parameter: $$$p")
+        paramMap(params, p, "SET +=").toList.map { case (k, v) =>
+          Ast.SetItem(tgt, Some(k), astOf(v))
         }
+      case Ast.SetItem(tgt, None, Ast.Param(p)) =>
+        List(Ast.SetItem(tgt, None, Ast.MapLit(
+          paramMap(params, p, "SET =").toList.map { case (k, v) =>
+            k -> astOf(v)
+          })))
       case it => List(it)
     }
     val c = ctx(params)
@@ -430,6 +432,17 @@ private[cypher] final class MutationRunner(session: CypherSession) {
     val keyCols = scala.collection.mutable.LinkedHashMap[String, Column]()
     boundEndpoints.zipWithIndex.foreach { case (v, i) =>
       keyCols(s"__kb_$i") = missFrame.col(v).getField("id")
+    }
+    // undirected MERGE between two bound nodes: symmetric input rows
+    // (x,y)/(y,x) must dedup to ONE created edge — canonicalize the
+    // endpoint key pair (and hence the created edge's direction) to
+    // (min id, max id); ordered keys would create an edge per ordering
+    if (m0.path.tail.size == 1 && m0.path.tail.head._1.direction == 0 &&
+        boundEndpoints.size == 2) {
+      val a = missFrame.col(boundEndpoints(0)).getField("id")
+      val b = missFrame.col(boundEndpoints(1)).getField("id")
+      keyCols("__kb_0") = least(a, b)
+      keyCols("__kb_1") = greatest(a, b)
     }
     pn.foreach { n =>
       n.pat.props.zipWithIndex.foreach { case ((_, e), i) =>

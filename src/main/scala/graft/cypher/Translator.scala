@@ -1259,7 +1259,15 @@ object Translator {
         case Ast.Variable(v) if frame.vars.get(v)
             .exists(k => k == KNode || k == KEdge) =>
           val c = frame.col(v)
-          if (distinct) collect_set(c) else collect_list(c)
+          if (!distinct) collect_list(c)
+          else {
+            // collect_set rejects structs containing maps (props) — dedup
+            // by entity id post-collect (same-id entities are identical)
+            val arr = collect_list(c)
+            filter(arr, (e, i) =>
+              array_position(transform(arr, x => x.getField("id")),
+                e.getField("id")) === (i + 1).cast(LongType))
+          }
         case _ =>
           val v = Values.narrow(trExpr(ctx, frame, arg))
           Values.vArr(if (distinct) collect_set(v) else collect_list(v))
@@ -1470,8 +1478,12 @@ object Translator {
         } yield v
       case _ => None
     }
-    eval(e).map(_.toInt).getOrElse(throw TranslateError(
-      s"$what must be a constant integer expression: $e"))
+    eval(e) match {
+      case Some(v) if v.isValidInt => v.toInt
+      case Some(v) => throw TranslateError(s"$what out of range: $v")
+      case None => throw TranslateError(
+        s"$what must be a constant integer expression: $e")
+    }
   }
 
   /** Expressions that are list-valued by syntax alone (static check for
@@ -1505,7 +1517,22 @@ object Translator {
     }
   }
 
-  /** A scalar (non-map, non-list) parameter value as a variant column. */
+  /** THE driver-constant → AST-literal ladder (every param surface —
+    * wire prefix, client API, SET desugaring — routes through here so
+    * type coverage can't diverge between them).
+    */
+  private[cypher] def constToAst(v: Any): Ast.Expr = v match {
+    case v: Long => Ast.LitInt(v)
+    case v: Int => Ast.LitInt(v.toLong)
+    case v: Double => Ast.LitFloat(v)
+    case v: String => Ast.LitString(v)
+    case v: Boolean => Ast.LitBool(v)
+    case null => Ast.LitNull
+    case s: Seq[_] => Ast.ListLit(s.map(constToAst).toList)
+    case other => throw TranslateError(s"bad parameter value: $other")
+  }
+
+  /** A scalar-or-list parameter value as a variant column. */
   private[cypher] def scalarParam(v: Any): Column = {
     import Values._
     v match {
@@ -1515,30 +1542,16 @@ object Translator {
       case v: String => vStr(lit(v))
       case v: Boolean => vBool(lit(v))
       case null => vNull
+      case s: Seq[_] => vArr(array(s.map(e => narrow(scalarParam(e))): _*))
       case other => throw TranslateError(s"bad param value: $other")
     }
   }
 
-  private def paramValue(ctx: Ctx, name: String): Column = {
-    import Values._
+  private def paramValue(ctx: Ctx, name: String): Column =
     ctx.params.get(name) match {
-      case Some(v: Long) => vInt(lit(v))
-      case Some(v: Int) => vInt(lit(v.toLong))
-      case Some(v: Double) => vFloat(lit(v))
-      case Some(v: String) => vStr(lit(v))
-      case Some(v: Boolean) => vBool(lit(v))
-      case Some(v: Seq[_]) =>
-        vArr(array(v.map {
-          case i: Long => sInt(lit(i))
-          case i: Int => sInt(lit(i.toLong))
-          case d: Double => sFloat(lit(d))
-          case s: String => sStr(lit(s))
-          case other => throw TranslateError(s"bad param element: $other")
-        }: _*))
-      case Some(other) => throw TranslateError(s"bad param type: $other")
+      case Some(v) => scalarParam(v) // one ladder for every param surface
       case None => throw TranslateError(s"missing parameter: $$$name")
     }
-  }
 
   // ═══════════════════════ scalar function library ═════════════════════════
   /** SURVEY §2.6 function inventory (117 fns in
@@ -1675,15 +1688,16 @@ object Translator {
               e.getField("id").cast(StringType),
               lit(", \"labels\": ["),
               when(e.getField("label").isNull, lit(""))
-                .otherwise(concat(lit("\""), e.getField("label"), lit("\""))),
+                .otherwise(Values.jsonStr(e.getField("label"))),
               lit("], "), Values.propsJson(e.getField("props")), lit("}")))
           case Ast.Variable(nv) if frame.vars.get(nv).contains(KEdge) =>
             val e = frame.col(nv)
             vStr(concat(
               lit("{\"type\": \"relationship\", \"id\": "),
               e.getField("id").cast(StringType),
-              lit(", \"relationship\": \""), e.getField("reltype"),
-              lit("\", "), Values.propsJson(e.getField("props")),
+              lit(", \"relationship\": "),
+              Values.jsonStr(e.getField("reltype")),
+              lit(", "), Values.propsJson(e.getField("props")),
               lit(", \"start\": {\"id\": "),
               e.getField("src").cast(StringType),
               lit("}, \"end\": {\"id\": "),

@@ -284,9 +284,18 @@ object Values {
       .otherwise(lit("?"))
 
   // ── JSON encoding (toJSON ≡ reference `src/util/json_encoder.c`) ─────────
-  private def jsonStr(s: Column): Column = concat(lit("\""),
-    regexp_replace(regexp_replace(s, "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
-    lit("\""))
+  /** RFC 8259 string escaping: backslash, quote, and control characters. */
+  private[cypher] def jsonStr(s: Column): Column = {
+    var e = regexp_replace(s, "\\\\", "\\\\\\\\")
+    e = regexp_replace(e, "\"", "\\\\\"")
+    e = regexp_replace(e, "\n", "\\\\n")
+    e = regexp_replace(e, "\r", "\\\\r")
+    e = regexp_replace(e, "\t", "\\\\t")
+    // remaining control chars (rare) → space; emitting them raw would
+    // make the output unparseable
+    e = regexp_replace(e, "[\\x00-\\x1f]", " ")
+    concat(lit("\""), e, lit("\""))
+  }
 
   private def jsonScalar(e: Column): Column =
     when(e.isNull, lit("null"))
@@ -314,7 +323,7 @@ object Values {
     lit("\"properties\": {"),
     concat_ws(", ", transform(map_entries(coalesce(props,
         map().cast(propsType))),
-      kv => concat(lit("\""), kv.getField("key"), lit("\": "),
+      kv => concat(jsonStr(kv.getField("key")), lit(": "),
         jsonOf(kv.getField("value"))))),
     lit("}"))
 }

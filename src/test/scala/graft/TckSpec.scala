@@ -359,6 +359,54 @@ class TckSpec extends AnyFunSuite {
     assert(r == Seq(Map("m" -> Map("a" -> 1L, "b" -> "x"))))
   }
 
+  test("undirected MERGE from symmetric rows creates exactly one edge") {
+    val s = freshSession("CREATE (:SY {v:1})", "CREATE (:SY {v:2})")
+    s.run("MATCH (x:SY), (y:SY) WHERE x.v <> y.v MERGE (x)-[:T]-(y)")
+    assert(rows(s, "MATCH ()-[r:T]->() RETURN count(r) AS c") ==
+      Seq(Map("c" -> 1L)))
+    // idempotent: re-running merges against the now-existing edge
+    s.run("MATCH (x:SY), (y:SY) WHERE x.v <> y.v MERGE (x)-[:T]-(y)")
+    assert(rows(s, "MATCH ()-[r:T]->() RETURN count(r) AS c") ==
+      Seq(Map("c" -> 1L)))
+  }
+
+  test("collect(DISTINCT entity) dedups by id") {
+    val s = freshSession(
+      "CREATE (a:CD {v:1})-[:T]->(:CE)",
+      "MATCH (a:CD) CREATE (a)-[:T]->(:CE)")
+    val r = rows(s,
+      "MATCH (a:CD)-[:T]->() RETURN collect(DISTINCT a) AS cs")
+    assert(r.head("cs").asInstanceOf[Seq[_]].size == 1)
+    val r2 = rows(s,
+      "MATCH (a:CD)-[:T]->() RETURN collect(a) AS cs")
+    assert(r2.head("cs").asInstanceOf[Seq[_]].size == 2)
+  }
+
+  test("list values flow through map params and SET = replacement") {
+    val s = freshSession("CREATE (:LP {v: 1})")
+    s.run("MATCH (n:LP) SET n += $props",
+      Map("props" -> Map("xs" -> List(1L, 2L))))
+    assert(rows(s, "MATCH (n:LP) RETURN size(n.xs) AS k") ==
+      Seq(Map("k" -> 2L)))
+    s.run("MATCH (n:LP) SET n = $props", Map("props" -> Map("w" -> 9)))
+    assert(rows(s, "MATCH (n:LP) RETURN n.v AS v, n.w AS w") ==
+      Seq(Map("v" -> null, "w" -> 9L)))
+  }
+
+  test("toJSON escapes control characters (parseable output)") {
+    val s = freshSession()
+    assert(rows(s, "RETURN toJSON('a\nb') AS j") ==
+      Seq(Map("j" -> "\"a\\nb\"")))
+  }
+
+  test("out-of-int-range LIMIT errors instead of wrapping") {
+    val s = freshSession("CREATE (:LR {v: 1})")
+    val e = intercept[graft.cypher.Translator.TranslateError] {
+      s.run("MATCH (n:LR) RETURN n.v AS v SKIP 4294967296").collect()
+    }
+    assert(e.getMessage.contains("out of range"))
+  }
+
   test("chained comparison and exists() on property") {
     val s = freshSession("CREATE (:W {v: 5})", "CREATE (:W)")
     val r = rows(s,
