@@ -1007,13 +1007,31 @@ object Translator {
         litems.map { case (e, n) => n -> kindOf(ctx, lframe, e) }.toMap)
 
     } else if (proj.distinct) {
-      // DISTINCT projects first; ORDER BY sees only projected values
-      val df = lframe.df.select(litems.map { case (e, n) =>
+      // DISTINCT projects first; ORDER BY sees only projected values.
+      // Entities/paths carry props MAPs which Spark's set operations
+      // reject — dedup on map-free keys (entity identity = id)
+      val df0 = lframe.df.select(litems.map { case (e, n) =>
         trAny(ctx, lframe, e).as(n)
-      }: _*).dropDuplicates()
-      f = Frame(df, litems.map { case (e, n) =>
-        n -> kindOf(ctx, lframe, e)
-      }.toMap)
+      }: _*)
+      val kinds = litems.map { case (e, n) => n -> kindOf(ctx, lframe, e) }
+      var keyed = df0
+      val dedupCols = kinds.zipWithIndex.map {
+        case ((n, KValue), _) => n // variants are map-free, dedup directly
+        case ((n, k), i) =>
+          val keyCol = k match {
+            case KNode | KEdge => keyed(s"`$n`").getField("id").cast(StringType)
+            case KPath => concat_ws(",",
+              transform(keyed(s"`$n`").getField("nodes"),
+                x => x.getField("id").cast(StringType)))
+            case _ => concat_ws(",",
+              transform(keyed(s"`$n`"), x => x.getField("id").cast(StringType)))
+          }
+          keyed = keyed.withColumn(s"__dk_$i", keyCol)
+          s"__dk_$i"
+      }
+      val df = keyed.dropDuplicates(dedupCols.head, dedupCols.tail: _*)
+        .drop(dedupCols.filter(_.startsWith("__dk_")): _*)
+      f = Frame(df, kinds.toMap)
 
     } else {
       // keep pre-projection columns alongside items so ORDER BY can

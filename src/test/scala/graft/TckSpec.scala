@@ -407,6 +407,17 @@ class TckSpec extends AnyFunSuite {
     assert(e.getMessage.contains("out of range"))
   }
 
+  test("RETURN DISTINCT entities dedups by identity") {
+    val s = freshSession(
+      "CREATE (a:DE {v:1})-[:T]->(:DF)",
+      "MATCH (a:DE) CREATE (a)-[:T]->(:DF)",
+      "CREATE (:DE {v:2})-[:T]->(:DF)")
+    // node a has two outgoing edges → two match rows, one distinct entity
+    val r = rows(s,
+      "MATCH (a:DE)-[:T]->() RETURN DISTINCT a")
+    assert(r.size == 2)
+  }
+
   test("chained comparison and exists() on property") {
     val s = freshSession("CREATE (:W {v: 5})", "CREATE (:W)")
     val r = rows(s,
