@@ -418,6 +418,19 @@ class TckSpec extends AnyFunSuite {
     assert(r.size == 2)
   }
 
+  test("comma-joined patterns share variables; MATCH continues after OPTIONAL") {
+    val s = freshSession(
+      "CREATE (:CJ {v:1})-[:X]->(:CK {v:2})",
+      "MATCH (b:CK) CREATE (b)-[:Y]->(:CL {v:3})")
+    val r = rows(s,
+      "MATCH (a:CJ)-[:X]->(b), (b)-[:Y]->(c) RETURN a.v + b.v + c.v AS s")
+    assert(r == Seq(Map("s" -> 6L)))
+    val r2 = rows(s,
+      """MATCH (a:CJ) OPTIONAL MATCH (a)-[:NOPE]->(z)
+        |MATCH (c:CL) RETURN a.v + c.v AS s, z IS NULL AS zn""".stripMargin)
+    assert(r2 == Seq(Map("s" -> 4L, "zn" -> true)))
+  }
+
   test("chained comparison and exists() on property") {
     val s = freshSession("CREATE (:W {v: 5})", "CREATE (:W)")
     val r = rows(s,
