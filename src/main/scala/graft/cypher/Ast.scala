@@ -49,11 +49,15 @@ object Ast {
   case class RelPat(variable: Option[String], types: List[String],
       props: List[(String, Expr)], direction: Int,
       varLen: Option[(Int, Option[Int])])
-  /** shortest=true ⇔ wrapped in shortestPath(...) — keep only the minimal
-    * path per (start, end) pair (`path_funcs.c` shortestpath).
+  /** shortest=true ⇔ wrapped in shortestPath(...) — keep only ONE minimal
+    * path per (start, end) pair (`path_funcs.c` shortestpath);
+    * allShortest=true ⇔ allShortestPaths(...) — keep EVERY minimal path
+    * (beyond the reference, which rejects it:
+    * `arithmetic_expression_construct.c:485`).
     */
   case class PathPat(pathVar: Option[String], head: NodePat,
-      tail: List[(RelPat, NodePat)], shortest: Boolean = false)
+      tail: List[(RelPat, NodePat)], shortest: Boolean = false,
+      allShortest: Boolean = false)
 
   // ── clauses ──────────────────────────────────────────────────────────────
   sealed trait Clause

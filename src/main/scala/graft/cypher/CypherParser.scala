@@ -223,6 +223,8 @@ object CypherParser extends RegexParsers {
 
   def pathPattern: Parser[PathPat] =
     opt(ident <~ "=") ~ (
+      ("""(?i)allshortestpaths""".r ~ "(") ~> barePath <~ ")" ^^
+        (_.copy(shortest = true, allShortest = true)) |
       ("""(?i)shortestpath""".r ~ "(") ~> barePath <~ ")" ^^
         (_.copy(shortest = true)) |
         barePath) ^^ {

@@ -282,7 +282,7 @@ class CypherSession(val spark: SparkSession) {
       case List(Ast.SingleQuery(List(Ast.Match(false, List(p), None),
           Ast.Return(proj)))) => p match {
         // MATCH (n[:L]) RETURN count(n)
-        case Ast.PathPat(None, Ast.NodePat(v, label, Nil), Nil, false) =>
+        case Ast.PathPat(None, Ast.NodePat(v, label, Nil), Nil, false, _) =>
           projCount(proj, v).map { name =>
             val c = label.map(l => graph.labelCounts.getOrElse(l, 0L))
               .getOrElse(graph.nodeCount)
@@ -291,7 +291,7 @@ class CypherSession(val spark: SparkSession) {
         // MATCH ()-[r[:T]]->() RETURN count(r)
         case Ast.PathPat(None, Ast.NodePat(None, None, Nil),
             List((Ast.RelPat(rv, types, Nil, 1, None),
-              Ast.NodePat(None, None, Nil))), false) if types.size <= 1 =>
+              Ast.NodePat(None, None, Nil))), false, _) if types.size <= 1 =>
           projCount(proj, rv).map { name =>
             val c = types.headOption
               .map(t => graph.reltypeCounts.getOrElse(t, 0L))

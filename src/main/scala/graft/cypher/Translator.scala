@@ -462,7 +462,19 @@ object Translator {
         .orderBy(size(f.col(relsCol)),
           transform(f.col(relsCol), r => r.getField("id")))
       val rn = freshName("sprn")
-      f = f.copy(df = f.df.withColumn(rn, row_number().over(w))
+      // shortestPath keeps ONE minimal path (row_number);
+      // allShortestPaths keeps EVERY minimal path — rank() ties at 1 for
+      // all paths of the minimal hop count (tiebreak ordering only by
+      // length so equal-length paths tie)
+      val rankFn =
+        if (p.allShortest) rank().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(s"`${spRowKey.get}`"),
+              f.col(startName).getField("id"),
+              f.col(prev).getField("id"))
+            .orderBy(size(f.col(relsCol))))
+        else row_number().over(w)
+      f = f.copy(df = f.df.withColumn(rn, rankFn)
         .filter(col(s"`$rn`") === 1).drop(rn, spRowKey.get))
     }
     p.pathVar.foreach { pv =>

@@ -3,6 +3,34 @@ package graft
 import graft.cypher.CypherSession
 import org.scalatest.funsuite.AnyFunSuite
 
+/** allShortestPaths: every minimal path survives (the reference REJECTS
+  * allShortestPaths — `arithmetic_expression_construct.c:485` — so this is
+  * a strict extension; shortestPath keeps exactly one).
+  */
+class AllShortestSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("diamond graph: allShortestPaths keeps both 2-hop routes") {
+    val s = new CypherSession(spark)
+    // a→b1→z, a→b2→z (two minimal routes), plus a 3-hop detour a→c→d→z
+    s.run("CREATE (a:S {n:'a'})-[:T]->(:M {n:'b1'})-[:T]->(z:E {n:'z'})")
+    s.run("MATCH (a:S), (z:E) CREATE (a)-[:T]->(:M {n:'b2'})-[:T]->(z)")
+    s.run("MATCH (a:S), (z:E) " +
+      "CREATE (a)-[:T]->(:M {n:'c'})-[:T]->(:M {n:'d'})-[:T]->(z)")
+    val one = s.rows(s.run(
+      """MATCH p = shortestPath((a:S)-[:T*1..3]->(z:E))
+        |RETURN length(p) AS l""".stripMargin))
+    assert(one == Seq(Map("l" -> 2L)))
+    val all = s.rows(s.run(
+      """MATCH p = allShortestPaths((a:S)-[:T*1..3]->(z:E))
+        |RETURN length(p) AS l""".stripMargin))
+    assert(all == Seq(Map("l" -> 2L), Map("l" -> 2L)))
+  }
+}
+
+import graft.cypher.CypherSession
+import org.scalatest.funsuite.AnyFunSuite
+
 /** Named paths, var-length path-multiplicity semantics, path functions,
   * point/distance, and the reduceCount statistics fast path
   * (reference: tests/flow/test_path.py, test_variable_length_traversals.py,
