@@ -455,24 +455,18 @@ object Translator {
       // (start, end) pair): enumeration + rank — min hop count first,
       // edge-id array as the deterministic tiebreak.
       val relsCol = segs.collectFirst { case VarSeg(rc, _) => rc }.get
-      val w = org.apache.spark.sql.expressions.Window
+      val part = org.apache.spark.sql.expressions.Window
         .partitionBy(col(s"`${spRowKey.get}`"),
           f.col(startName).getField("id"),
           f.col(prev).getField("id"))
-        .orderBy(size(f.col(relsCol)),
-          transform(f.col(relsCol), r => r.getField("id")))
+      val w = part.orderBy(size(f.col(relsCol)),
+        transform(f.col(relsCol), r => r.getField("id")))
       val rn = freshName("sprn")
-      // shortestPath keeps ONE minimal path (row_number);
-      // allShortestPaths keeps EVERY minimal path — rank() ties at 1 for
-      // all paths of the minimal hop count (tiebreak ordering only by
-      // length so equal-length paths tie)
+      // shortestPath keeps ONE minimal path (row_number over length +
+      // deterministic tiebreak); allShortestPaths keeps EVERY minimal
+      // path — rank() over length alone ties at 1 for all minimal paths
       val rankFn =
-        if (p.allShortest) rank().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col(s"`${spRowKey.get}`"),
-              f.col(startName).getField("id"),
-              f.col(prev).getField("id"))
-            .orderBy(size(f.col(relsCol))))
+        if (p.allShortest) rank().over(part.orderBy(size(f.col(relsCol))))
         else row_number().over(w)
       f = f.copy(df = f.df.withColumn(rn, rankFn)
         .filter(col(s"`$rn`") === 1).drop(rn, spRowKey.get))
@@ -1026,23 +1020,53 @@ object Translator {
         trAny(ctx, lframe, e).as(n)
       }: _*)
       val kinds = litems.map { case (e, n) => n -> kindOf(ctx, lframe, e) }
-      var keyed = df0
-      val dedupCols = kinds.zipWithIndex.map {
-        case ((n, KValue), _) => n // variants are map-free, dedup directly
-        case ((n, k), i) =>
-          val keyCol = k match {
-            case KNode | KEdge => keyed(s"`$n`").getField("id").cast(StringType)
-            case KPath => concat_ws(",",
-              transform(keyed(s"`$n`").getField("nodes"),
-                x => x.getField("id").cast(StringType)))
-            case _ => concat_ws(",",
-              transform(keyed(s"`$n`"), x => x.getField("id").cast(StringType)))
-          }
-          keyed = keyed.withColumn(s"__dk_$i", keyCol)
-          s"__dk_$i"
+      def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+        case _: org.apache.spark.sql.types.MapType => true
+        case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+        case _ => false
       }
-      val df = keyed.dropDuplicates(dedupCols.head, dedupCols.tail: _*)
-        .drop(dedupCols.filter(_.startsWith("__dk_")): _*)
+      // NULL-preserving identity key (concat_ws would swallow a NULL array,
+      // merging NULL with the empty list under DISTINCT)
+      def nullSafe(c: Column, k: Column): Column =
+        when(c.isNull, lit(null).cast(StringType)).otherwise(k)
+      var keyed = df0
+      val tempKeys = scala.collection.mutable.ArrayBuffer[String]()
+      val dedupCols = kinds.zipWithIndex.map { case ((n, k), i) =>
+        val c = keyed(s"`$n`")
+        val keyOpt = k match {
+          case KNode | KEdge =>
+            Some(nullSafe(c, c.getField("id").cast(StringType)))
+          case KPath =>
+            // path identity includes RELATIONSHIP ids — parallel edges give
+            // distinct paths over identical node sequences
+            Some(nullSafe(c, concat_ws("|",
+              concat_ws(",", transform(c.getField("nodes"),
+                x => x.getField("id").cast(StringType))),
+              concat_ws(",", transform(c.getField("rels"),
+                x => x.getField("id").cast(StringType))))))
+          case KRelList =>
+            Some(nullSafe(c, concat_ws(",",
+              transform(c, x => x.getField("id").cast(StringType)))))
+          case _ if hasMap(df0.schema(n).dataType) =>
+            // map-bearing value columns (nodes(p), map literals) can't be
+            // set-operation keys directly
+            Some(nullSafe(c, to_json(c)))
+          case _ => None // map-free variant: dedup on the column itself
+        }
+        keyOpt match {
+          case Some(key) =>
+            val kn = freshName("dk")
+            keyed = keyed.withColumn(kn, key)
+            tempKeys += kn
+            kn
+          case None => n
+        }
+      }
+      val df =
+        if (dedupCols.isEmpty) df0.dropDuplicates()
+        else keyed.dropDuplicates(dedupCols.head, dedupCols.tail: _*)
+          .drop(tempKeys.toSeq: _*)
       f = Frame(df, kinds.toMap)
 
     } else {

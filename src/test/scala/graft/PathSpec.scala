@@ -28,9 +28,6 @@ class AllShortestSpec extends AnyFunSuite {
   }
 }
 
-import graft.cypher.CypherSession
-import org.scalatest.funsuite.AnyFunSuite
-
 /** Named paths, var-length path-multiplicity semantics, path functions,
   * point/distance, and the reduceCount statistics fast path
   * (reference: tests/flow/test_path.py, test_variable_length_traversals.py,

@@ -407,6 +407,19 @@ class TckSpec extends AnyFunSuite {
     assert(e.getMessage.contains("out of range"))
   }
 
+  test("RETURN DISTINCT paths: parallel edges stay distinct; map values dedup") {
+    val s = freshSession(
+      "CREATE (:PP {n:'a'})-[:T]->(:PQ {n:'b'})",
+      "MATCH (a:PP), (b:PQ) CREATE (a)-[:T]->(b)")
+    // two parallel edges → two distinct paths over identical node sequences
+    val r = rows(s, "MATCH p = (:PP)-[:T]->(:PQ) RETURN DISTINCT p")
+    assert(r.size == 2)
+    // map-bearing value projections (nodes(p)) dedup via a serialized key
+    val r2 = rows(s,
+      "MATCH p = (:PP)-[:T]->(:PQ) RETURN DISTINCT nodes(p) AS ns")
+    assert(r2.size == 1)
+  }
+
   test("RETURN DISTINCT entities dedups by identity") {
     val s = freshSession(
       "CREATE (a:DE {v:1})-[:T]->(:DF)",
