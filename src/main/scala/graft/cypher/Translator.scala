@@ -1637,10 +1637,23 @@ object Translator {
 
     fn.name match {
       // entity funcs (`entity_funcs.c:186-230`)
-      case "id" => vInt(entity(fn.args.head).getField("id"))
+      // entity fns null-propagate: an unmatched OPTIONAL MATCH variable is
+      // a NULL entity, and id(null)/labels(null)/type(null) are NULL
+      case "id" =>
+        val e = entity(fn.args.head)
+        when(e.isNull, vNull).otherwise(vInt(e.getField("id")))
       case "labels" =>
-        vArr(array(sStr(entity(fn.args.head).getField("label"))))
-      case "type" => vStr(entity(fn.args.head).getField("reltype"))
+        val e = entity(fn.args.head)
+        when(e.isNull, vNull)
+          .otherwise(vArr(array(sStr(e.getField("label")))))
+      case "type" =>
+        val e = entity(fn.args.head)
+        fn.args.head match {
+          case Ast.Variable(v) if frame.vars.get(v).contains(KNode) =>
+            throw TranslateError("type() expects a relationship, got a node")
+          case _ => ()
+        }
+        when(e.isNull, vNull).otherwise(vStr(e.getField("reltype")))
       case "exists" => vBool(t(fn.args.head).isNotNull)
       // id-only node stubs: enough for id(startNode(r)) composition; full
       // entity hydration would need a join, which callers do via patterns

@@ -444,6 +444,18 @@ class TckSpec extends AnyFunSuite {
     assert(r2 == Seq(Map("s" -> 4L, "zn" -> true)))
   }
 
+  test("entity functions null-propagate; type() on a node is a type error") {
+    val s = freshSession("CREATE (:EN {v:1})")
+    val r = rows(s,
+      """MATCH (a:EN) OPTIONAL MATCH (a)-[:NOPE]->(z)
+        |RETURN id(z) AS i, labels(z) AS l""".stripMargin)
+    assert(r == Seq(Map("i" -> null, "l" -> null)))
+    val e = intercept[graft.cypher.Translator.TranslateError] {
+      s.run("MATCH (a:EN) RETURN type(a) AS t").collect()
+    }
+    assert(e.getMessage.contains("expects a relationship"))
+  }
+
   test("chained comparison and exists() on property") {
     val s = freshSession("CREATE (:W {v: 5})", "CREATE (:W)")
     val r = rows(s,
