@@ -1291,10 +1291,13 @@ object Translator {
       val v = trAny(ctx, frame, arg)
       Values.vInt(if (distinct) countDistinct(v) else count(v))
     case Ast.Fn("sum", List(arg), _) =>
+      // reference semantics (agg_funcs.c AGG_SUM/AvgFinalize): processing
+      // >=1 rows whose values are all NULL yields 0, zero rows yields NULL
       val n = Values.num(trExpr(ctx, frame, arg))
-      Values.vFloat(sum(n))
+      Values.vFloat(when(count(lit(1)) > 0, coalesce(sum(n), lit(0.0))))
     case Ast.Fn("avg", List(arg), _) =>
-      Values.vFloat(avg(Values.num(trExpr(ctx, frame, arg))))
+      Values.vFloat(when(count(lit(1)) > 0,
+        coalesce(avg(Values.num(trExpr(ctx, frame, arg))), lit(0.0))))
     case Ast.Fn("min", List(arg), _) =>
       // global-order min via sortable struct (custom Aggregator equivalent,
       // SURVEY §2.4 min/max note); aggregates skip nulls natively
@@ -1659,14 +1662,16 @@ object Translator {
       // entity hydration would need a join, which callers do via patterns
       case "startnode" =>
         val e = entity(fn.args.head)
-        struct(e.getField("src").as("id"),
-          lit(null).cast(StringType).as("label"),
-          lit(null).cast(Values.propsType).as("props"))
+        when(e.isNull, lit(null).cast(nodeStructType))
+          .otherwise(struct(e.getField("src").as("id"),
+            lit(null).cast(StringType).as("label"),
+            lit(null).cast(Values.propsType).as("props")))
       case "endnode" =>
         val e = entity(fn.args.head)
-        struct(e.getField("dst").as("id"),
-          lit(null).cast(StringType).as("label"),
-          lit(null).cast(Values.propsType).as("props"))
+        when(e.isNull, lit(null).cast(nodeStructType))
+          .otherwise(struct(e.getField("dst").as("id"),
+            lit(null).cast(StringType).as("label"),
+            lit(null).cast(Values.propsType).as("props")))
       // dynamic property access (`entity_funcs.c` property): key evaluated
       // at runtime, missing ≡ NULL (PROPERTY_NOTFOUND)
       case "property" =>

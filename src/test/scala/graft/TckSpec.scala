@@ -444,6 +444,25 @@ class TckSpec extends AnyFunSuite {
     assert(r2 == Seq(Map("s" -> 4L, "zn" -> true)))
   }
 
+  test("sum/avg over all-NULL values yield 0 with rows, NULL with none") {
+    val s = freshSession("CREATE (:AG {v: 1})", "CREATE (:AG)")
+    // rows processed, but the aggregated property is NULL on every row
+    // that survives the skip → reference returns 0 (AGG_SUM/AvgFinalize)
+    val r = rows(s, "MATCH (a:AG) RETURN sum(a.nope) AS s, avg(a.nope) AS a")
+    assert(r == Seq(Map("s" -> 0.0, "a" -> 0.0)))
+    // zero rows → NULL
+    val r2 = rows(s, "MATCH (x:NOPE) RETURN sum(x.v) AS s")
+    assert(r2 == Seq(Map("s" -> null)))
+  }
+
+  test("startNode/endNode of a NULL relationship are NULL") {
+    val s = freshSession("CREATE (:SN {v:1})")
+    val r = rows(s,
+      """MATCH (a:SN) OPTIONAL MATCH (a)-[r:NOPE]->()
+        |RETURN id(startNode(r)) AS i, id(endNode(r)) AS j""".stripMargin)
+    assert(r == Seq(Map("i" -> null, "j" -> null)))
+  }
+
   test("entity functions null-propagate; type() on a node is a type error") {
     val s = freshSession("CREATE (:EN {v:1})")
     val r = rows(s,
