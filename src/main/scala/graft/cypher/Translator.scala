@@ -98,6 +98,10 @@ object Translator {
       // execution_plan.c:91-103 distinct for UNION)
       var acc = parts.head
       q.unionAll.zip(parts.tail).foreach { case (all, df) =>
+        if (df.columns.toSet != acc.columns.toSet)
+          throw TranslateError(
+            "All sub queries in a UNION must have the same return column " +
+              s"names (${acc.columns.mkString(",")} vs ${df.columns.mkString(",")})")
         acc = acc.unionByName(df)
         if (!all) acc = acc.dropDuplicates()
       }
