@@ -277,7 +277,11 @@ private[cypher] final class MutationRunner(session: CypherSession) {
       rs.reduceOption(_ unionByName _)
     }
     def applyReplace(table: DataFrame, rs: DataFrame): DataFrame = {
-      val perId = rs.groupBy("__id").agg(last("__np").as("__np"))
+      // deterministic winner when several matched rows replace the same
+      // entity with different maps (`last` over an unordered groupBy is
+      // partition-layout-dependent)
+      val perId = rs.groupBy("__id").agg(
+        max_by(col("__np"), xxhash64(to_json(col("__np")))).as("__np"))
       val nset = perId.select(sum(size(col("__np")))).head()
       propsSet += (if (nset.isNullAt(0)) 0L else nset.getLong(0))
       table.join(perId, table("id") === perId("__id"), "left_outer")
@@ -305,7 +309,10 @@ private[cypher] final class MutationRunner(session: CypherSession) {
     }
 
     def applyUpdates(table: DataFrame, ups: DataFrame): DataFrame = {
-      val entries = ups.groupBy("__id", "__k").agg(last("__v").as("__v"))
+      // same determinism discipline as applyReplace for conflicting
+      // per-key writes from different matched rows
+      val entries = ups.groupBy("__id", "__k").agg(
+        max_by(col("__v"), xxhash64(to_json(col("__v")))).as("__v"))
       propsSet += entries.count()
       val updMap = entries.groupBy("__id").agg(
         map_from_entries(collect_list(struct(col("__k"), col("__v"))))

@@ -1054,8 +1054,36 @@ object Translator {
               transform(c, x => x.getField("id").cast(StringType)))))
           case _ if hasMap(df0.schema(n).dataType) =>
             // map-bearing value columns (nodes(p), map literals) can't be
-            // set-operation keys directly
-            Some(nullSafe(c, to_json(c)))
+            // set-operation keys directly; Cypher map equality is
+            // entry-order-insensitive, so canonicalize maps to key-sorted
+            // entry arrays (recursively) before serializing
+            def canonType(dt: DataType): DataType = dt match {
+              case m: org.apache.spark.sql.types.MapType =>
+                ArrayType(StructType(Seq(StructField("key", m.keyType),
+                  StructField("value", canonType(m.valueType)))))
+              case a: org.apache.spark.sql.types.ArrayType =>
+                a.copy(elementType = canonType(a.elementType))
+              case s: StructType =>
+                StructType(s.fields.map(f => f.copy(dataType = canonType(f.dataType))))
+              case other => other
+            }
+            def canon(cc: Column, dt: DataType): Column = dt match {
+              case m: org.apache.spark.sql.types.MapType =>
+                // canon(value) first: a map-free value makes the entry
+                // struct orderable for array_sort
+                array_sort(transform(map_entries(cc), e =>
+                  struct(e.getField("key").as("key"),
+                    canon(e.getField("value"), m.valueType).as("value"))))
+              case a: org.apache.spark.sql.types.ArrayType if hasMap(a.elementType) =>
+                transform(cc, x => canon(x, a.elementType))
+              case s: StructType if hasMap(s) =>
+                // keep NULL structs NULL (struct() of nulls would collide)
+                when(cc.isNull, lit(null).cast(canonType(s))).otherwise(
+                  struct(s.fields.map(f =>
+                    canon(cc.getField(f.name), f.dataType).as(f.name)).toSeq: _*))
+              case _ => cc
+            }
+            Some(nullSafe(c, to_json(canon(c, df0.schema(n).dataType))))
           case _ => None // map-free variant: dedup on the column itself
         }
         keyOpt match {

@@ -119,14 +119,22 @@ object GraphCsv {
         }.toSeq: _*)
       // keep ONLY (key refs, props) past this point: a property column
       // named id/src/dst must not collide with the resolved columns
-      // sort on BOTH endpoint refs: ids must be stable across lazy
-      // recomputation, so the zipWithIndex order needs a (near-)total sort
+      // sort on BOTH endpoint refs PLUS a props hash: parallel edges share
+      // (src, dst), and without a tiebreak the zipWithIndex order — hence
+      // the id↔props association — could change across lazy recomputation;
+      // edges identical in all three are interchangeable, so this order is
+      // total up to indistinguishable rows
       val withId = withRankIds(
         raw.select(col(e.srcCol).cast(StringType).as("__srcref"),
           col(e.dstCol).cast(StringType).as("__dstref"),
-          props.as("__props")),
-        Seq("__srcref", "__dstref"), (i + nodeCsvs.size).toLong * LabelStride)
+          props.as("__props"))
+          .withColumn("__tie", xxhash64(to_json(col("__props")))),
+        Seq("__srcref", "__dstref", "__tie"),
+        (i + nodeCsvs.size).toLong * LabelStride)
+        .drop("__tie")
       val nRaw = withId.count()
+      require(nRaw <= LabelStride,
+        s"${e.path}: $nRaw rows exceed the per-relation id range $LabelStride")
       val resolved = withId
         .join(keyIds(e.srcLabel).withColumnRenamed("__key", "__srcref")
           .withColumnRenamed("__nid", "__srcid"), Seq("__srcref"))

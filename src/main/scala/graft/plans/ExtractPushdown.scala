@@ -116,7 +116,9 @@ object ExtractPushdownRule extends Rule[LogicalPlan] {
       g: Expression): Option[(LogicalPlan, Attribute)] = plan match {
     case pr @ Project(list, _) =>
       list.find(_.exprId == a.exprId) match {
-        case Some(Alias(e, _)) if !e.isInstanceOf[AttributeReference] =>
+        // duplicating a nondeterministic constructor would give the
+        // extracted field a value inconsistent with the struct column
+        case Some(Alias(e, _)) if !e.isInstanceOf[AttributeReference] && e.deterministic =>
           // found the constructor — emit the pre-extracted value next to it
           val newAlias = Alias(
             g.transform { case x: AttributeReference if x.exprId == a.exprId => e },
