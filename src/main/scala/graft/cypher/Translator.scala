@@ -867,6 +867,9 @@ object Translator {
         f = patternFilter(ctx, f, p, anti = false)
       case Ast.Not(Ast.Fn("exists", List(Ast.PatternPred(p)), _)) =>
         f = patternFilter(ctx, f, p, anti = true)
+      case pred if containsPattern(pred) =>
+        // pattern predicates under OR / NOT / arbitrary boolean structure
+        f = patternMultiplex(ctx, f, pred)
       case pred @ Ast.Bin("=", l0, r0) if valueExpr(l0) && valueExpr(r0) &&
           refsVar(l0) && refsVar(r0) =>
         // top-level equality conjunct → ONE struct-equality predicate on
@@ -890,6 +893,66 @@ object Translator {
           Values.isTrue(trExpr(ctx, f2, rw(pred)))))
     }
     f
+  }
+
+  private def containsPattern(e: Ast.Expr): Boolean = e match {
+    case _: Ast.PatternPred => true
+    case Ast.Bin(_, l, r) => containsPattern(l) || containsPattern(r)
+    case Ast.Not(x) => containsPattern(x)
+    case Ast.Neg(x) => containsPattern(x)
+    case Ast.Fn(_, args, _) => args.exists(containsPattern)
+    case _ => false
+  }
+
+  /** ApplyMultiplexer (`/root/reference/src/execution_plan/ops/
+    * op_apply_multiplexer.c:171`): pattern predicates composed under
+    * OR/NOT/any boolean structure. Each DISTINCT pattern runs once as a
+    * semi-join key set on a tagged row id and materializes as a boolean
+    * flag column (left join + coalesce(false) — a pattern predicate is
+    * two-valued); the surrounding expression then evaluates as a plain
+    * value predicate over the flags. One tag + one join per distinct
+    * pattern, no per-branch re-execution of the input.
+    */
+  private def patternMultiplex(ctx: Ctx, frame: Frame, pred: Ast.Expr): Frame = {
+    val rid = freshName("rid")
+    val tagged = frame.df.withColumn(rid, monotonically_increasing_id())
+      .localCheckpoint(true)
+    val flags = scala.collection.mutable.LinkedHashMap[Ast.PathPat, String]()
+    def collectPats(e: Ast.Expr): Unit = e match {
+      case Ast.PatternPred(p) =>
+        if (!flags.contains(p)) flags(p) = freshName("pp")
+      case Ast.Bin(_, l, r) => collectPats(l); collectPats(r)
+      case Ast.Not(x) => collectPats(x)
+      case Ast.Neg(x) => collectPats(x)
+      case Ast.Fn(_, args, _) => args.foreach(collectPats)
+      case _ => ()
+    }
+    collectPats(pred)
+    val seed = Frame(tagged, frame.vars)
+    var df = tagged
+    flags.foreach { case (p, fn) =>
+      val (inner, _) = translatePath(ctx, seed, p)
+      val keys = inner.df.select(inner.col(rid)).distinct()
+        .withColumn(fn, lit(true))
+      df = df.join(keys, Seq(rid), "left_outer")
+        .withColumn(fn, Values.vBool(coalesce(col(fn), lit(false))))
+    }
+    // exists(pattern) IS the flag; a bare pattern predicate likewise
+    def subst(e: Ast.Expr): Ast.Expr = e match {
+      case Ast.Fn("exists", List(Ast.PatternPred(p)), _) =>
+        Ast.Variable(flags(p))
+      case Ast.PatternPred(p) => Ast.Variable(flags(p))
+      case Ast.Bin(op, l, r) => Ast.Bin(op, subst(l), subst(r))
+      case Ast.Not(x) => Ast.Not(subst(x))
+      case Ast.Neg(x) => Ast.Neg(subst(x))
+      case f @ Ast.Fn(n, args, _) => f.copy(args = args.map(subst))
+      case other => other
+    }
+    val f2 = Frame(df, frame.vars ++ flags.values.map(_ -> KValue))
+    val rewritten = subst(pred)
+    val (f3, rw) = resolveDegrees(ctx, f2, Seq(rewritten))
+    val filtered = f3.df.filter(Values.isTrue(trExpr(ctx, f3, rw(rewritten))))
+    Frame(filtered.drop(flags.values.toSeq :+ rid: _*), frame.vars)
   }
 
   /** SemiApply / AntiSemiApply (`op_semi_apply.c`) via left_semi/left_anti

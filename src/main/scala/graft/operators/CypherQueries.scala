@@ -166,6 +166,21 @@ object CypherQueries {
     },
 
     QueryDef(
+      "q_cypher_or_pattern",
+      """SELECT c_custkey AS ck FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |   OR c.c_acctbal > 9000""".stripMargin) { (s, dir) =>
+      // pattern predicate OR value predicate → ApplyMultiplexer shape:
+      // semi-join key set per pattern, boolean flag column, value filter
+      run(s, dir,
+        """MATCH (c:Customer)
+          |WHERE (c)-[:PLACED]->(:Order {status: 'F'}) OR c.acctbal > 9000
+          |RETURN c.custkey AS ck""".stripMargin)
+        .select(asLong("ck"))
+    },
+
+    QueryDef(
       "q_cypher_union",
       """SELECT c_name AS name FROM customer WHERE c_acctbal > 9000
         |UNION

@@ -482,4 +482,54 @@ class TckSpec extends AnyFunSuite {
         |RETURN count(*) AS c""".stripMargin)
     assert(r == Seq(Map("c" -> 1L)))
   }
+
+  // ─── ApplyMultiplexer: pattern predicates under OR/NOT (op_apply_multiplexer.c) ───
+
+  private def orGraph(): CypherSession = freshSession(
+    // a: has KNOWS out-edge; b: has LIKES out-edge; c: both; d: neither
+    """CREATE (a:P {name:'a'}), (b:P {name:'b'}), (c:P {name:'c'}),
+      |(d:P {name:'d'}), (t:T),
+      |(a)-[:KNOWS]->(t), (b)-[:LIKES]->(t),
+      |(c)-[:KNOWS]->(t), (c)-[:LIKES]->(t)""".stripMargin)
+
+  test("OR of two pattern predicates") {
+    val s = orGraph()
+    val r = rows(s,
+      """MATCH (p:P) WHERE (p)-[:KNOWS]->() OR (p)-[:LIKES]->()
+        |RETURN p.name AS n ORDER BY n""".stripMargin)
+    assert(r.map(_("n")) == Seq("a", "b", "c"))
+  }
+
+  test("pattern predicate OR value predicate") {
+    val s = orGraph()
+    val r = rows(s,
+      """MATCH (p:P) WHERE (p)-[:LIKES]->() OR p.name = 'd'
+        |RETURN p.name AS n ORDER BY n""".stripMargin)
+    assert(r.map(_("n")) == Seq("b", "c", "d"))
+  }
+
+  test("NOT over an OR of pattern predicates") {
+    val s = orGraph()
+    val r = rows(s,
+      """MATCH (p:P) WHERE NOT ((p)-[:KNOWS]->() OR (p)-[:LIKES]->())
+        |RETURN p.name AS n""".stripMargin)
+    assert(r.map(_("n")) == Seq("d"))
+  }
+
+  test("AND-of-OR mixing patterns and values; exists() inside OR") {
+    val s = orGraph()
+    val r = rows(s,
+      """MATCH (p:P)
+        |WHERE (exists((p)-[:KNOWS]->()) OR p.name = 'b') AND p.name <> 'c'
+        |RETURN p.name AS n ORDER BY n""".stripMargin)
+    assert(r.map(_("n")) == Seq("a", "b"))
+  }
+
+  test("same pattern repeated in OR runs once and still answers correctly") {
+    val s = orGraph()
+    val r = rows(s,
+      """MATCH (p:P) WHERE (p)-[:KNOWS]->() OR (p)-[:KNOWS]->()
+        |RETURN count(*) AS c""".stripMargin)
+    assert(r == Seq(Map("c" -> 2L)))
+  }
 }
