@@ -1564,16 +1564,8 @@ object Translator {
         vArr(slice(arr, lo + 1, greatest(hi - lo, lit(0))))
 
       case Ast.ListComprehension(v, list, where, projTo) =>
-        // the variant's list elements are SCALAR (a fixed Catalyst schema
-        // cannot recurse) — reject syntactically list-valued projections
-        // instead of silently nulling them (the reference's T_ARRAY nests
-        // arbitrarily; our depth limit mirrors its property-value rule,
-        // value.h:54 SI_VALID_PROPERTY_VALUE)
-        projTo.foreach { p =>
-          if (syntacticallyListValued(p)) throw TranslateError(
-            "nested list values inside a list are not supported " +
-              "(one nesting level); restructure with UNWIND")
-        }
+        // list-valued projections nest (Values.narrow keeps the list
+        // branch up to Values.MaxNest levels; beyond raises loudly)
         val arr = t(list).getField("arr")
         val filtered = where match {
           case Some(p) =>
@@ -1636,16 +1628,6 @@ object Translator {
       case None => throw TranslateError(
         s"$what must be a constant integer expression: $e")
     }
-  }
-
-  /** Expressions that are list-valued by syntax alone (static check for
-    * the comprehension nesting limit).
-    */
-  private def syntacticallyListValued(e: Ast.Expr): Boolean = e match {
-    case _: Ast.ListLit | _: Ast.ListComprehension | _: Ast.SliceExpr => true
-    case Ast.Fn(f, _, _) => Set("range", "tolist", "split", "labels",
-      "nodes", "relationships", "tail", "collect").contains(f.toLowerCase)
-    case _ => false
   }
 
   /** evaluate `body` with variable `v` bound to scalar-variant lambda arg. */

@@ -42,12 +42,27 @@ object Values {
 
   val scalarType: StructType = StructType(scalarFields)
 
-  /** Full variant: scalar branches + one level of list nesting (the
-    * reference restricts property values to primitives/arrays-of-primitives,
-    * SI_VALID_PROPERTY_VALUE `value.h:54`).
+  /** Maximum list nesting depth a variant value carries. The reference's
+    * T_ARRAY nests arbitrarily (`src/datatypes/array.c`); a fixed Catalyst
+    * schema cannot recurse, so we materialize [[MaxNest]] levels and raise
+    * loudly beyond (deeper than any reference test exercises).
     */
-  val variantType: StructType = StructType(
-    scalarFields :+ StructField("arr", ArrayType(scalarType)))
+  val MaxNest = 3
+
+  /** Variant struct carrying up to `d` levels of list nesting. */
+  def nestedType(d: Int): StructType =
+    if (d <= 0) scalarType
+    else StructType(
+      scalarFields :+ StructField("arr", ArrayType(nestedType(d - 1))))
+
+  /** Full variant: scalar branches + [[MaxNest]] levels of list nesting
+    * (property VALUES stay primitives/arrays-of-primitives per
+    * SI_VALID_PROPERTY_VALUE `value.h:54`; runtime values nest).
+    */
+  val variantType: StructType = nestedType(MaxNest)
+
+  /** Element type of a top-level list value (one nesting level fewer). */
+  val elemType: StructType = nestedType(MaxNest - 1)
 
   val propsType: DataType = MapType(StringType, variantType)
 
@@ -57,13 +72,14 @@ object Values {
       arr: Column): Column =
     struct(t.as("t"), i.cast(LongType).as("i"), f.cast(DoubleType).as("f"),
       s.cast(StringType).as("s"), b.cast(BooleanType).as("b"),
-      arr.cast(ArrayType(scalarType)).as("arr"))
+      arr.cast(ArrayType(elemType)).as("arr"))
 
   private val nI = lit(null).cast(LongType)
   private val nF = lit(null).cast(DoubleType)
   private val nS = lit(null).cast(StringType)
   private val nB = lit(null).cast(BooleanType)
-  private val nA = lit(null).cast(ArrayType(scalarType))
+  private val nA = lit(null).cast(ArrayType(elemType))
+  private val nA1 = lit(null).cast(ArrayType(nestedType(MaxNest - 2)))
 
   def vInt(c: Column): Column =
     when(c.isNull, vNull).otherwise(mk(lit(T_INT), c, nF, nS, nB, nA))
@@ -84,29 +100,57 @@ object Values {
   def pointLat(v: Column): Column = element_at(v.getField("arr"), 1).getField("f")
   def pointLon(v: Column): Column = element_at(v.getField("arr"), 2).getField("f")
 
-  /** Scalar (non-list) variant from the same branches — for list elements. */
-  def sInt(c: Column): Column = when(c.isNull, lit(null).cast(scalarType))
+  /** Scalar-branch LIST ELEMENT variants (type [[elemType]]). */
+  def sInt(c: Column): Column = when(c.isNull, lit(null).cast(elemType))
     .otherwise(struct(lit(T_INT).as("t"), c.cast(LongType).as("i"),
-      nF.as("f"), nS.as("s"), nB.as("b")))
-  def sFloat(c: Column): Column = when(c.isNull, lit(null).cast(scalarType))
+      nF.as("f"), nS.as("s"), nB.as("b"), nA1.as("arr")))
+  def sFloat(c: Column): Column = when(c.isNull, lit(null).cast(elemType))
     .otherwise(struct(lit(T_FLOAT).as("t"), nI.as("i"),
-      c.cast(DoubleType).as("f"), nS.as("s"), nB.as("b")))
-  def sStr(c: Column): Column = when(c.isNull, lit(null).cast(scalarType))
+      c.cast(DoubleType).as("f"), nS.as("s"), nB.as("b"), nA1.as("arr")))
+  def sStr(c: Column): Column = when(c.isNull, lit(null).cast(elemType))
     .otherwise(struct(lit(T_STRING).as("t"), nI.as("i"), nF.as("f"),
-      c.cast(StringType).as("s"), nB.as("b")))
+      c.cast(StringType).as("s"), nB.as("b"), nA1.as("arr")))
 
-  /** Widen a scalar variant to the full variant type. */
-  def widen(c: Column): Column =
-    when(c.isNull, vNull)
-      .otherwise(mk(c.getField("t"), c.getField("i"), c.getField("f"),
-        c.getField("s"), c.getField("b"), nA))
+  /** Rebuild a depth-`d` value at depth `d+1` — same value, one more
+    * nesting slot (free for the scalar branches, a transform per level
+    * for the list branch).
+    */
+  private def up(c: Column, d: Int): Column =
+    when(c.isNull, lit(null).cast(nestedType(d + 1))).otherwise(struct(
+      c.getField("t").as("t"), c.getField("i").as("i"),
+      c.getField("f").as("f"), c.getField("s").as("s"),
+      c.getField("b").as("b"),
+      (if (d == 0) lit(null).cast(ArrayType(scalarType))
+       else transform(c.getField("arr"), e => up(e, d - 1))).as("arr")))
 
-  /** Narrow a full variant to scalar (drops list branch). */
-  def narrow(c: Column): Column =
-    when(c.isNull || c.getField("t") === T_ARRAY, lit(null).cast(scalarType))
-      .otherwise(struct(c.getField("t").as("t"), c.getField("i").as("i"),
-        c.getField("f").as("f"), c.getField("s").as("s"),
-        c.getField("b").as("b")))
+  /** Rebuild a depth-`d` value at depth `d-1`; a list (or point) at the
+    * truncation floor cannot be represented and raises the loud
+    * depth-limit error instead of silently dropping data.
+    */
+  private def down(c: Column, d: Int): Column = {
+    val t0 =
+      if (d == 1)
+        when(c.getField("arr").isNotNull,
+          raise_error(lit(s"nested list values exceed the supported " +
+            s"nesting depth ($MaxNest)")).cast(IntegerType))
+          .otherwise(c.getField("t"))
+      else c.getField("t")
+    val fields = Seq(t0.as("t"),
+      c.getField("i").as("i"), c.getField("f").as("f"),
+      c.getField("s").as("s"), c.getField("b").as("b")) ++
+      (if (d == 1) Nil
+       else Seq(transform(c.getField("arr"), e => down(e, d - 1)).as("arr")))
+    when(c.isNull, lit(null).cast(nestedType(d - 1)))
+      .otherwise(struct(fields: _*))
+  }
+
+  /** Widen a list-element variant to the full variant type. */
+  def widen(c: Column): Column = up(c, MaxNest - 1)
+
+  /** Narrow a full variant to a list element (one nesting level fewer;
+    * values already nested to the floor raise).
+    */
+  def narrow(c: Column): Column = down(c, MaxNest)
 
   // ── accessors ─────────────────────────────────────────────────────────────
   def tag(v: Column): Column = v.getField("t")
@@ -172,7 +216,7 @@ object Values {
     when(v.isNull, lit(null).cast(StructType(Seq(
       StructField("r", IntegerType), StructField("n", DoubleType),
       StructField("s", StringType), StructField("b", BooleanType),
-      StructField("a", ArrayType(scalarType))))))
+      StructField("a", ArrayType(elemType))))))
       .otherwise(struct(rank.as("r"), num(v).as("n"),
         v.getField("s").as("s"), v.getField("b").as("b"),
         v.getField("arr").as("a")))
@@ -251,6 +295,7 @@ object Values {
       .when(a.getField("t") =!= b.getField("t"), lit(false))
       .when(a.getField("t") === T_STRING, a.getField("s") === b.getField("s"))
       .when(a.getField("t") === T_BOOL, a.getField("b") === b.getField("b"))
+      .when(a.getField("t") === T_ARRAY, a.getField("arr") === b.getField("arr"))
       .otherwise(nB)
   }
 
@@ -260,9 +305,11 @@ object Values {
     val i = idx.getField("i")
     val n = size(arr)
     val pos = when(i >= 0, i + 1).otherwise(n + i + 1) // element_at is 1-based
+    // try_element_at: codegen subexpression elimination may hoist the
+    // access out of the bounds guard, and ANSI element_at throws on OOB
     when(l.isNull || idx.isNull || tag(l) =!= T_ARRAY, vNull)
       .when(pos < 1 || pos > n, vNull)
-      .otherwise(widen(element_at(arr, pos.cast(IntegerType))))
+      .otherwise(widen(try_element_at(arr, pos.cast(IntegerType))))
   }
 
   /** size() of list or string. */
@@ -297,24 +344,23 @@ object Values {
     concat(lit("\""), e, lit("\""))
   }
 
-  private def jsonScalar(e: Column): Column =
-    when(e.isNull, lit("null"))
+  /** JSON text of a depth-`d` variant (lists recurse down the nesting). */
+  private def jsonAt(e: Column, d: Int): Column = {
+    val base = when(e.isNull, lit("null"))
       .when(e.getField("t") === T_INT, e.getField("i").cast(StringType))
       .when(e.getField("t") === T_FLOAT, e.getField("f").cast(StringType))
       .when(e.getField("t") === T_STRING, jsonStr(e.getField("s")))
       .when(e.getField("t") === T_BOOL, e.getField("b").cast(StringType))
+    if (d <= 0) base.otherwise(lit("null"))
+    else base
+      .when(e.getField("t") === T_ARRAY, concat(lit("["),
+        concat_ws(", ", transform(e.getField("arr"), x => jsonAt(x, d - 1))),
+        lit("]")))
       .otherwise(lit("null"))
+  }
 
   /** JSON text of a variant value (strings quoted+escaped, lists nested). */
-  def jsonOf(v: Column): Column =
-    when(v.isNull, lit("null"))
-      .when(tag(v) === T_ARRAY, concat(lit("["),
-        concat_ws(", ", transform(v.getField("arr"), e => jsonScalar(e))),
-        lit("]")))
-      .otherwise(jsonScalar(
-        struct(tag(v).as("t"), v.getField("i").as("i"),
-          v.getField("f").as("f"), v.getField("s").as("s"),
-          v.getField("b").as("b"))))
+  def jsonOf(v: Column): Column = jsonAt(v, MaxNest)
 
   /** `"properties": {"k": v, …}` for a variant props map (entry order =
     * map construction order, like the reference's property array order).

@@ -123,6 +123,10 @@ object ProjectCseRule extends Rule[LogicalPlan] {
         case _: NamedLambdaVariable | _: LambdaFunction => true
         case _: PlanExpression[_] => true
         case _: aggregate.AggregateExpression => true
+        // eager evaluation of a hoisted CSE is only sound for non-throwing
+        // expressions — raise_error/assert_true live under conditional
+        // guards precisely so they DON'T run on every row
+        case _: RaiseError | _: AssertTrue => true
         case _ => false
       }
 }

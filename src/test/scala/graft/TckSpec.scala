@@ -291,12 +291,50 @@ class TckSpec extends AnyFunSuite {
     assert(r == Seq(Map("z" -> List(20L, 30L))))
   }
 
-  test("nested list values inside a list error loudly (depth limit)") {
+  test("nested list literals (depth 2 and 3)") {
     val s = freshSession()
-    val e = intercept[graft.cypher.Translator.TranslateError] {
-      s.run("RETURN [x IN [1,2] | range(1, x)] AS z").collect()
+    val r = rows(s,
+      """RETURN [[1,2],[3]] AS a, [[1,2],[3]][0] AS b, size([[1],[2,3]]) AS c,
+        |[[[1]],[[2,3]]] AS d""".stripMargin)
+    assert(r == Seq(Map(
+      "a" -> List(List(1L, 2L), List(3L)),
+      "b" -> List(1L, 2L),
+      "c" -> 2L,
+      "d" -> List(List(List(1L)), List(List(2L, 3L))))))
+  }
+
+  test("list comprehension projecting lists; nested membership and equality") {
+    val s = freshSession()
+    val r = rows(s,
+      """RETURN [x IN [1,2] | range(1, x)] AS z,
+        |[1,2] IN [[1,2],[3]] AS m, [9] IN [[1,2]] AS n,
+        |[[1,2],[3]] = [[1,2],[3]] AS e""".stripMargin)
+    assert(r == Seq(Map(
+      "z" -> List(List(1L), List(1L, 2L)),
+      "m" -> true, "n" -> false, "e" -> true)))
+  }
+
+  test("collect of collected lists nests; UNWIND unrolls one level") {
+    val s = freshSession(
+      "CREATE (:NL {g: 1, v: 1})", "CREATE (:NL {g: 1, v: 2})",
+      "CREATE (:NL {g: 2, v: 3})")
+    val r = rows(s,
+      """MATCH (n:NL) WITH n.g AS g, collect(n.v) AS vs ORDER BY g
+        |RETURN collect(vs) AS groups""".stripMargin)
+    assert(r == Seq(Map("groups" -> List(List(1L, 2L), List(3L)))))
+    val u = rows(s,
+      """MATCH (n:NL) WITH n.g AS g, collect(n.v) AS vs
+        |UNWIND vs AS v RETURN v ORDER BY v""".stripMargin)
+    assert(u.map(_("v")) == Seq(1L, 2L, 3L))
+  }
+
+  test("nesting beyond the supported depth errors loudly at runtime") {
+    val s = freshSession()
+    val e = intercept[Exception] {
+      s.run("RETURN [[[[1]]]] AS z").collect()
     }
-    assert(e.getMessage.contains("nested list"))
+    assert(e.getMessage.contains("nesting depth") ||
+      Option(e.getCause).exists(_.getMessage.contains("nesting depth")))
   }
 
   test("collect(entity) yields entity structs; var-len edge property filter") {

@@ -120,6 +120,25 @@ class ValueLawsSpec extends AnyFunSuite {
       !(isNum(a) && isNum(b)) && sub(a, b).isNotNull) == 0)
   }
 
+  test("nested lists: identity, ordering key stability, equality laws") {
+    import Values._
+    // [a] and [[a]] are distinct values; equal nested lists compare equal
+    val la = vArr(array(narrow(a)))
+    val lla = vArr(array(narrow(vArr(array(narrow(a))))))
+    assert(violations(df, a.isNotNull &&
+      coalesce(Values.eq(la, lla), lit(false))) == 0)
+    assert(violations(df, a.isNotNull &&
+      !coalesce(Values.eq(lla, lla), lit(false))) == 0)
+    // orderKey respects nested equality: equal nested lists → equal keys
+    assert(violations(df, a.isNotNull &&
+      !(orderKey(lla) === orderKey(lla))) == 0)
+    // distinct scalars produce distinct nested singletons
+    assert(violations(df, a.isNotNull && b.isNotNull &&
+      coalesce(Values.eq(a, b), lit(false)) =!=
+      coalesce(Values.eq(lla, vArr(array(narrow(vArr(array(narrow(b))))))),
+        lit(false))) == 0)
+  }
+
   test("scalacheck: driver-side generator sanity (non-degenerate kinds)") {
     val prop = Prop.forAll(genCell)(c => c.kind >= 0 && c.kind <= 4)
     val res = SCTest.check(SCTest.Parameters.default, prop)
