@@ -122,6 +122,45 @@ class CypherSession(val spark: SparkSession) {
     }
   }
 
+  /** Point-read result cache for [[serve]]: query string → (graph version,
+    * collected rows). Only stats-served counts land here — their answer is
+    * exactly as fresh as the graph statistics, so the same version bump
+    * that refreshes the statistics invalidates the cache.
+    */
+  private val servedCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Array[Row])]()
+
+  /** Point-read serving (the RESP-reply analogue of `GRAPH.QUERY` for a
+    * read-only statement): returns the collected result rows. The
+    * reference caches the result-producing plan per query string
+    * (`src/commands/execution_ctx.c:79-87`) and answers count-only
+    * patterns from graph statistics (`optimizations/reduce_count.c`); the
+    * composition of the two — a version-stable answer served without
+    * re-dispatch — is a memoized row per (query, graphVersion). Everything
+    * else falls back to `run().collect()`.
+    */
+  def serve(query: String, params: Map[String, Any] = Map.empty): Array[Row] = {
+    if (params.nonEmpty) return run(query, params).collect()
+    val v = graphVersion
+    val hit = servedCounts.get(query)
+    if (hit != null && hit._1 == v) return hit._2
+    val (prefix, body) = CypherParser.splitParams(query)
+    if (prefix.isEmpty) {
+      val ast = parse(body)
+      if (!Graft.isMutation(ast)) {
+        countFastPath(ast) match {
+          case Some(df) =>
+            val out = df.collect()
+            if (servedCounts.size > 256) servedCounts.clear()
+            servedCounts.put(query, (v, out))
+            return out
+          case None => ()
+        }
+      }
+    }
+    run(query, params).collect()
+  }
+
   // ═══════════════════════ property indexes ════════════════════════════════
   /** Single-property node indexes (reference `src/index/index.c`; created
     * with `CREATE INDEX ON :Label(prop)`). Spark-first mapping: an index on
@@ -208,7 +247,7 @@ class CypherSession(val spark: SparkSession) {
     * lazily when the graph version moves (reference reindexes on write).
     * At scale the index is a bucketed-by-token Delta table.
     */
-  private var graphVersion = 0L
+  @volatile private var graphVersion = 0L
   private val ftIndexes =
     scala.collection.mutable.Map[String, (List[String], Long, DataFrame)]()
 

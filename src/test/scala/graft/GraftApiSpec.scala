@@ -132,4 +132,18 @@ class GraftApiSpec extends AnyFunSuite {
     val r = g.roQuery("tpch", "MATCH (n:Nation) RETURN count(n) AS c")
     assert(r.select(r("c").getField("i")).head().getLong(0) == 25L)
   }
+
+  test("serve: stats-count point reads are memoized and mutation-invalidated") {
+    val s = new graft.cypher.CypherSession(spark)
+    s.run("UNWIND range(1, 4) AS i CREATE (:SV {v: i})")
+    val q = "MATCH (n:SV) RETURN count(n) AS c"
+    def count(): Long = s.serve(q).head.getStruct(0).getLong(1)
+    assert(count() == 4L)
+    assert(count() == 4L) // served from the memoized row
+    s.run("CREATE (:SV {v: 99})") // version bump must invalidate
+    assert(count() == 5L)
+    // non-fast-path queries still serve correct results
+    val full = s.serve("MATCH (n:SV) WHERE n.v > 2 RETURN count(n) AS c")
+    assert(full.head.getStruct(0).getLong(1) == 3L)
+  }
 }
