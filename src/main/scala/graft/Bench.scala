@@ -133,9 +133,53 @@ object Bench {
         if (failed.get()) 0.0
         else n.get() * 1e9 / (System.nanoTime() - t0)
       } catch { case _: Throwable => 0.0 }
+    // Mutation KPIs (BASELINE updates_baseline / edge-deletion lines):
+    // point update on a single-node graph, explicit edge delete and
+    // implicit (node) delete on a connected graph. Each mutation commits a
+    // new graph snapshot (localCheckpoint) — the analytical-store posture;
+    // p50 latencies are the honest comparison to the reference's in-place
+    // in-memory writes, and writers serialize (single-writer lock) so
+    // throughput ≈ 1/p50.
+    def p50(samples: Seq[Double]): Double = {
+      val s = samples.sorted; if (s.isEmpty) 0.0 else s(s.length / 2)
+    }
+    def mutationBench(): (Double, Double, Double, Double) =
+      try {
+        val sess = new graft.cypher.CypherSession(spark)
+        sess.run("CREATE (:U {v: 0})")
+        val upd = "MATCH (n) WHERE id(n) = 0 SET n.v = n.v + 1"
+        sess.run(upd) // warm plan/JIT
+        val updTimes = (1 to 15).map { _ =>
+          val t0 = System.nanoTime()
+          sess.run(upd)
+          (System.nanoTime() - t0) / 1e6
+        }
+        val updQps = 1000.0 / math.max(p50(updTimes), 1e-9)
+
+        val sess2 = new graft.cypher.CypherSession(spark)
+        sess2.run("UNWIND range(0, 200) AS i CREATE (:N {v: i})-[:R {w: i}]->(:M {v: i})")
+        val edel = "MATCH (:N {v: $i})-[e:R]->() DELETE e"
+        val ndel = "MATCH (n:M {v: $i}) DELETE n"
+        sess2.run(edel, Map("i" -> 0L)); sess2.run(ndel, Map("i" -> 0L))
+        val edelTimes = (1 to 10).map { i =>
+          val t0 = System.nanoTime()
+          sess2.run(edel, Map("i" -> i.toLong))
+          (System.nanoTime() - t0) / 1e6
+        }
+        val ndelTimes = (1 to 10).map { i =>
+          val t0 = System.nanoTime()
+          sess2.run(ndel, Map("i" -> i.toLong))
+          (System.nanoTime() - t0) / 1e6
+        }
+        (p50(updTimes), updQps, p50(edelTimes), p50(ndelTimes))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] mutation bench failed: ${e.getMessage}")
+        (0.0, 0.0, 0.0, 0.0)
+      }
+    val (updP50, updQps, edelP50, ndelP50) = mutationBench()
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${js(
-        cold)},"warm_total":$warmTotal%.3f,"warm":${js(warm)},"count_qps":$countQps%.1f,"sf":"$sfDir"}""")
+        cold)},"warm_total":$warmTotal%.3f,"warm":${js(warm)},"count_qps":$countQps%.1f,"update_p50_ms":$updP50%.1f,"update_qps":$updQps%.1f,"delete_edge_p50_ms":$edelP50%.1f,"delete_node_p50_ms":$ndelP50%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,6 +34,9 @@ class CypherSession(val spark: SparkSession) {
   var graph: PropertyGraph = PropertyGraph(
     emptyDf(nodeSchema), emptyDf(edgeSchema))
 
+  /** Serializes mutating statements (single-writer discipline). */
+  private val writeLock = new Object
+
   // id allocation is lazy: the max-id scan only runs when a mutation first
   // needs a fresh id, so read-only sessions never pay it
   private var nextNodeId: Option[Long] = Some(0L)
@@ -116,7 +119,14 @@ class CypherSession(val spark: SparkSession) {
         indicesFrame(if (dropIndex(label, prop)) -1 else 0)
       case _ if Graft.isMutation(ast) =>
         require(ast.parts.size == 1, "mutations cannot be UNIONed")
-        new MutationRunner(this).run(ast.parts.head.clauses, allParams)
+        // single-writer / multi-reader (`src/commands/cmd_query.c:156-170`):
+        // a mutation reads the current graph and commits a new snapshot —
+        // two unserialized writers would each base on the same snapshot and
+        // the second commit would erase the first (lost update). Reads stay
+        // lock-free on the immutable snapshot they grabbed.
+        writeLock.synchronized {
+          new MutationRunner(this).run(ast.parts.head.clauses, allParams)
+        }
       case _ => countFastPath(ast).getOrElse(
         Translator.translate(indexedGraph, ast, allParams, Some(this)))
     }

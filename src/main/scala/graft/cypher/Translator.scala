@@ -1191,8 +1191,8 @@ object Translator {
         }
         sorted = sorted.orderBy(sorts: _*)
       }
-      proj.skip.foreach(e => sorted = sorted.offset(constInt(e, "SKIP")))
-      proj.limit.foreach(e => sorted = sorted.limit(constInt(e, "LIMIT")))
+      proj.skip.foreach(e => sorted = sorted.offset(runtimeInt(ctx, e, "SKIP")))
+      proj.limit.foreach(e => sorted = sorted.limit(runtimeInt(ctx, e, "LIMIT")))
       // bare entity variables keep their scan-level flat property columns
       // across the projection (renamed to the new alias) — row-preserving
       // here, so carrying extra columns is safe (not so for DISTINCT/agg)
@@ -1230,8 +1230,8 @@ object Translator {
       }
       f = f.copy(df = f.df.orderBy(sorts: _*))
     }
-    proj.skip.foreach(e => f = f.copy(df = f.df.offset(constInt(e, "SKIP"))))
-    proj.limit.foreach(e => f = f.copy(df = f.df.limit(constInt(e, "LIMIT"))))
+    proj.skip.foreach(e => f = f.copy(df = f.df.offset(runtimeInt(ctx, e, "SKIP"))))
+    proj.limit.foreach(e => f = f.copy(df = f.df.limit(runtimeInt(ctx, e, "LIMIT"))))
     f
   }
 
@@ -1604,6 +1604,29 @@ object Translator {
   /** SKIP/LIMIT take runtime-evaluated expressions in the reference
     * (`op_skip.c`/`op_limit.c`); we fold constant integer arithmetic.
     */
+  /** SKIP/LIMIT operand (`ops/op_skip.c` evaluates its expression at
+    * runtime): constant-fold the common shapes, else evaluate the
+    * translated expression driver-side against a unit row — SKIP/LIMIT
+    * expressions cannot reference variables per openCypher, so an empty
+    * frame is the correct scope.
+    */
+  private def runtimeInt(ctx: Ctx, e: Ast.Expr, what: String): Int =
+    try constInt(e, what)
+    catch {
+      case _: TranslateError =>
+        val spark = ctx.graph.nodes.sparkSession
+        val unit = spark.range(1).toDF()
+        val v = trExpr(ctx, Frame(unit, Map.empty), e)
+        val r = unit.select(
+          when(Values.tag(v) === Values.T_INT, v.getField("i"))
+            .otherwise(lit(null)).as("n")).head()
+        if (r.isNullAt(0)) throw TranslateError(
+          s"$what must evaluate to an integer, got: $e")
+        val n = r.getLong(0)
+        if (!n.isValidInt) throw TranslateError(s"$what out of range: $n")
+        n.toInt
+    }
+
   private def constInt(e: Ast.Expr, what: String): Int = {
     def eval(x: Ast.Expr): Option[Long] = x match {
       case Ast.LitInt(n) => Some(n)

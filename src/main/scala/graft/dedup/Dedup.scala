@@ -25,7 +25,10 @@ object Dedup {
     */
   private def parallelized(docs: DataFrame): DataFrame = {
     val want = docs.sparkSession.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions >= math.max(want / 2, 2)) docs
+    // toRdd, not .rdd: reads the physical partitioning off the already-
+    // planned query without building the extra row-deserializer plan
+    if (docs.queryExecution.toRdd.getNumPartitions >= math.max(want / 2, 2))
+      docs
     else docs.repartition(want)
   }
 

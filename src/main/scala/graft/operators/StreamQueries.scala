@@ -157,11 +157,41 @@ object StreamQueries {
         .select(col("doc_id"), col("frame_idx"), col("n_bytes"))
     },
 
-    QueryDef.noOracle("q_multimodal_decode") { (s, dir) =>
+    QueryDef(
+      "q_multimodal_decode",
+      // the decode stub is a pure byte-hash (java.util.Arrays.hashCode over
+      // the UTF-8 payload): the oracle replays the exact 32-bit wraparound
+      // fold + truncating division in DuckDB (hex → signed-byte list →
+      // list_reduce), so even the stubbed dims get a hash gate
+      """WITH raw AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx FROM documents
+        |), b AS (
+        |  SELECT doc_id,
+        |    [ (strpos('0123456789ABCDEF', hx[2*i-1])-1)*16 +
+        |      (strpos('0123456789ABCDEF', hx[2*i])-1)
+        |      for i in generate_series(1, length(hx)//2) ] AS bytes
+        |  FROM raw
+        |), h AS (
+        |  SELECT doc_id, bytes,
+        |    list_reduce(list_prepend(CAST(1 AS BIGINT), bytes),
+        |      (acc, x) -> ((acc * 31 +
+        |          CASE WHEN x >= 128 THEN x - 256 ELSE x END
+        |          + 2147483648) % 4294967296 + 4294967296) % 4294967296
+        |        - 2147483648
+        |    ) AS hh
+        |  FROM b
+        |)
+        |SELECT doc_id,
+        |  CAST(abs(hh % 640) + 1 AS INT) AS width,
+        |  CAST(abs(CAST(trunc(hh / 640.0) AS BIGINT) % 480) + 1 AS INT)
+        |    AS height,
+        |  CAST(len(bytes) AS INT) AS n_bytes,
+        |  array_to_string([ CAST(len(list_filter(bytes, x -> x // 16 = k))
+        |    AS BIGINT) for k in generate_series(0, 15) ], ',') AS histogram
+        |FROM h""".stripMargin) { (s, dir) =>
       // full feature extraction incl. stubbed decode (deterministic fake
-      // dims) + 16-bin byte histogram; MultimodalSpec checks invariants.
-      // Histogram serialized — the driver's rows-only check still reads the
-      // parquet with pandas and can't hash array cells.
+      // dims) + 16-bin byte histogram; histogram serialized to a string
+      // cell (the driver's pandas reader can't hash array cells)
       Multimodal.extractFeatures(
           Multimodal.mediaFromDocs(Tables.documents(s, dir))).toDF()
         .select(col("doc_id"), col("width"), col("height"), col("n_bytes"),

@@ -79,9 +79,13 @@ object Similarity {
     * Returns (vec_id, table, bucket) — one row per table.
     */
   def lshBuckets(vectors: DataFrame, bits: Int = 8,
-      tables: Int = 8): DataFrame = {
+      tables: Int = 8, dimHint: Int = -1): DataFrame = {
     graft.plans.GraftExtensions.ensureFunctions(vectors.sparkSession)
-    val dim = vectors.select(size(col("embedding"))).head().getInt(0)
+    // dim from the caller or a LIMIT-1 probe (plan-pruned single row) —
+    // never a full-scan driver job per invocation
+    val dim =
+      if (dimHint > 0) dimHint
+      else vectors.select(size(col("embedding"))).limit(1).head().getInt(0)
     val tableCols = (0 until tables).map { t =>
       val planeBits = (0 until bits).map { p =>
         val plane = typedlit((0 until dim).map(j => planeCoef(t, p, j)))
@@ -119,17 +123,22 @@ object Similarity {
         col("embedding").cast("array<double>").as("centroid"))
     def assign(cents: DataFrame): DataFrame = {
       // argmin_c ‖x−c‖² ≡ argmin_c (‖c‖² − 2x·c): the per-row ‖x‖² term is
-      // rank-invariant, and both dots are codegen'd graft_dot loops
+      // rank-invariant, and both dots are codegen'd graft_dot loops.
+      // min_by groupBy, not a row_number window: partial aggregation
+      // collapses the n×nlist expansion to one candidate per vec_id
+      // map-side (all nlist copies are co-partitioned by the broadcast
+      // cross join), so only n rows shuffle per Lloyd step; (d2, cell)
+      // ordering keeps the tie-break deterministic
       val scored = cents.withColumn("cn2",
         dot(col("centroid"), col("centroid")))
       val d2 = col("cn2") - lit(2.0) * dot(col("embedding"), col("centroid"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("d2"), col("cell"))
       vectors.crossJoin(broadcast(scored))
         .select(col("vec_id"), col("embedding"), col("cell"), d2.as("d2"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cell"))
+        .groupBy("vec_id")
+        .agg(min_by(struct(col("cell"), col("embedding")),
+          struct(col("d2"), col("cell"))).as("__w"))
+        .select(col("vec_id"), col("__w.embedding").as("embedding"),
+          col("__w.cell").as("cell"))
     }
     for (_ <- 0 until iters) {
       val assigned = assign(centroids)

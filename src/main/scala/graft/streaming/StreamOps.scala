@@ -174,7 +174,10 @@ object StreamOps {
     import graft.dedup.Dedup
     private var bucketStore: Option[DataFrame] = None
     private var shingleStore: Option[DataFrame] = None
-    private var pairs: Vector[(Long, Long, Double)] = Vector.empty
+    // verified pairs stay a checkpointed DataFrame like the bucket store:
+    // on a duplicate-heavy corpus the pair set is O(corpus) and must not
+    // accumulate on the driver (at scale: a Delta table append per batch)
+    private var pairStore: Option[DataFrame] = None
 
     /** Release the RDD blocks behind a superseded localCheckpoint so
       * executor storage stays flat across batches (each batch's new store
@@ -216,16 +219,23 @@ object StreamOps {
               size(array_intersect(col("sh_a"), col("sh_b")))))
             .as("jaccard"))
         .filter(col("jaccard") >= threshold)
-      pairs = pairs ++ verified.collect().map(r =>
-        (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      val (oldB, oldS) = (bucketStore, shingleStore)
+      val (oldB, oldS, oldP) = (bucketStore, shingleStore, pairStore)
+      pairStore = Some(pairStore.map(_.unionByName(verified))
+        .getOrElse(verified).localCheckpoint(true))
       bucketStore = Some(store.localCheckpoint(true))
       shingleStore = Some(allShingles.localCheckpoint(true))
-      oldB.foreach(release); oldS.foreach(release)
+      oldB.foreach(release); oldS.foreach(release); oldP.foreach(release)
     }
 
-    /** All near-dup pairs discovered so far. */
-    def nearDups: Seq[(Long, Long, Double)] = pairs
+    /** All near-dup pairs discovered so far, as a distributed frame
+      * (a|b|jaccard) — the serving surface at scale.
+      */
+    def nearDupsDf: Option[DataFrame] = pairStore
+
+    /** Driver-side view of [[nearDupsDf]] (tests / small result sets). */
+    def nearDups: Seq[(Long, Long, Double)] =
+      pairStore.map(_.collect().toSeq.map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2)))).getOrElse(Seq.empty)
   }
 
   /** Streaming graph ingestion (SURVEY §2.7 extension): a readStream of

@@ -172,4 +172,28 @@ class MutationSpec extends AnyFunSuite {
       "UNWIND ['a','b'] AS nm MERGE (v:V {name: nm}) RETURN v.name AS n ORDER BY n")
     assert(r == Seq(Map("n" -> "a"), Map("n" -> "b")))
   }
+
+  test("concurrent writers are serialized: no lost updates") {
+    // single-writer discipline (cmd_query.c:156-170): N threads × M CREATEs
+    // must land exactly N·M nodes — unserialized snapshot-swap commits
+    // would drop whole batches
+    val s = freshSession()
+    val (nThreads, mCreates) = (4, 5)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to nThreads).map { t =>
+      val th = new Thread(() => {
+        try (1 to mCreates).foreach { m =>
+          s.run(s"CREATE (:CW {t: $t, m: $m})")
+        } catch { case e: Throwable => errs.add(e) }
+      })
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek()).map(_.getMessage)}")
+    val r = rows(s, "MATCH (n:CW) RETURN count(n) AS c")
+    assert(r == Seq(Map("c" -> (nThreads * mCreates).toLong)))
+    // distinct (t, m) pairs all present — not N·M copies of one write
+    val d = rows(s, "MATCH (n:CW) RETURN count(DISTINCT n.t * 100 + n.m) AS c")
+    assert(d == Seq(Map("c" -> (nThreads * mCreates).toLong)))
+  }
 }

@@ -521,6 +521,18 @@ class TckSpec extends AnyFunSuite {
     assert(r == Seq(Map("c" -> 1L)))
   }
 
+  test("SKIP/LIMIT accept runtime-evaluated expressions (op_skip.c)") {
+    val s = freshSession()
+    val r = rows(s,
+      """UNWIND [1,2,3,4] AS x RETURN x ORDER BY x
+        |SKIP size([1]) LIMIT size([1,2])""".stripMargin)
+    assert(r.map(_("x")) == Seq(2L, 3L))
+    val e = intercept[graft.cypher.Translator.TranslateError] {
+      s.run("UNWIND [1,2] AS x RETURN x LIMIT 'nope'").collect()
+    }
+    assert(e.getMessage.contains("LIMIT"))
+  }
+
   // ─── ApplyMultiplexer: pattern predicates under OR/NOT (op_apply_multiplexer.c) ───
 
   private def orGraph(): CypherSession = freshSession(
