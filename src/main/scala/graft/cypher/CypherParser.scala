@@ -53,8 +53,21 @@ object CypherParser extends RegexParsers {
   }
 
   def floatLit: Parser[Double] =
-    """-?(\d+\.\d+([eE][+-]?\d+)?|\d+[eE][+-]?\d+)""".r ^^ (_.toDouble)
+    """-?(\d+\.\d+([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?|\d+[eE][+-]?\d+)""".r ^^
+      (_.toDouble)
   def intLit: Parser[Long] = """-?\d+""".r ^^ (_.toLong)
+  /** 0x / 0o integer literals (openCypher Literals3/4). */
+  def radixIntLit: Parser[Long] =
+    """-?0x[0-9a-fA-F]+""".r ^^ { s =>
+      val neg = s.startsWith("-")
+      val v = java.lang.Long.parseLong(s.stripPrefix("-").drop(2), 16)
+      if (neg) -v else v
+    } |
+      """-?0o[0-7]+""".r ^^ { s =>
+        val neg = s.startsWith("-")
+        val v = java.lang.Long.parseLong(s.stripPrefix("-").drop(2), 8)
+        if (neg) -v else v
+      }
 
   // ── expressions (precedence ladder) ──────────────────────────────────────
   def expr: Parser[Expr] = orExpr
@@ -134,6 +147,7 @@ object CypherParser extends RegexParsers {
       kw("TRUE") ^^^ LitBool(true) |
       kw("FALSE") ^^^ LitBool(false) |
       kw("NULL") ^^^ LitNull |
+      radixIntLit ^^ (LitInt(_)) |
       floatLit ^^ (LitFloat(_)) |
       intLit ^^ (LitInt(_)) |
       stringLit ^^ (LitString(_)) |
@@ -197,8 +211,13 @@ object CypherParser extends RegexParsers {
         case mn ~ mx => (mn.toInt, mx.map(_.toInt))
       } |
         (".." ~> intLit) ^^ (mx => (1, Some(mx.toInt))) | // *..3
+        ".." ^^^ ((1, None: Option[Int])) |               // *.. (unbounded)
         intLit ^^ (n => (n.toInt, Some(n.toInt))) |       // *2 (exactly)
-        success((1, None)))                               // bare *
+        success((1, None))) >> { case (mn, mx) =>         // bare *
+      if (mn < 0 || mx.exists(_ < 0))
+        err(s"InvalidRelationshipPattern: negative variable-length bound")
+      else success((mn, mx))
+    }
 
   private def relDetail: Parser[RelPat] =
     "[" ~> opt(ident) ~
@@ -250,21 +269,49 @@ object CypherParser extends RegexParsers {
       case e ~ d => SortItem(e, !d.exists(_.startsWith("DESC")))
     }
 
-  def projectionBody: Parser[Projection] =
+  def projectionBody: Parser[Projection] = projectionBody(false)
+
+  def projectionBody(requireAlias: Boolean): Parser[Projection] =
     opt(kw("DISTINCT")) ~
-      rep1sep(returnItem, ",") ~
+      rep1sep(returnItem(requireAlias), ",") ~
       opt(kw("ORDER") ~> kw("BY") ~> rep1sep(sortItem, ",")) ~
       opt(kw("SKIP") ~> expr) ~ opt(kw("LIMIT") ~> expr) ^^ {
       case d ~ items ~ ob ~ sk ~ lm =>
         Projection(d.isDefined, items, ob.getOrElse(Nil), sk, lm)
     }
 
-  def returnItem: Parser[(Expr, Option[String])] =
+  /** Run `p` and also capture the exact source text it consumed —
+    * unaliased projection items are named by their literal query text
+    * (openCypher result-column naming, e.g. `count(r)`, `n.v IS NULL`).
+    */
+  private def sourceOf[T](p: Parser[T]): Parser[(T, String)] = Parser { in =>
+    p(in) match {
+      case Success(t, rest) =>
+        Success((t,
+          in.source.subSequence(in.offset, rest.offset).toString.trim), rest)
+      case ns: NoSuccess => ns
+    }
+  }
+
+  def returnItem(requireAlias: Boolean): Parser[(Expr, Option[String])] =
     "*" ^^^ (Variable("*"), None) |
-      expr ~ opt(kw("AS") ~> ident) ^^ { case e ~ a => (e, a) }
+      sourceOf(expr) ~ opt(kw("AS") ~> ident) >> {
+        case (e, raw) ~ a =>
+          if (requireAlias && a.isEmpty && !e.isInstanceOf[Variable])
+            // WITH requires aliases on non-variable items
+            // (openCypher NoExpressionAlias, compile-time)
+            err(s"Expression in WITH must be aliased (use AS): $raw")
+          else
+            success((e, a.orElse(e match {
+              // bare variables keep their name (no synthetic alias so the
+              // translator's entity carry/scoping logic sees the variable)
+              case Variable(_) => None
+              case _ => Some(raw)
+            })))
+      }
 
   def withClause: Parser[Clause] =
-    kw("WITH") ~> projectionBody ~ opt(kw("WHERE") ~> expr) ^^ {
+    kw("WITH") ~> projectionBody(true) ~ opt(kw("WHERE") ~> expr) ^^ {
       case p ~ w => With(p, w)
     }
 

@@ -365,7 +365,9 @@ class CypherSession(val spark: SparkSession) {
 
   private def decode(v: Any): Any = v match {
     case null => null
-    case r: Row if r.schema != null && r.schema.fieldNames.contains("t") =>
+    case r: Row if r.schema != null &&
+        r.schema.fieldNames.take(5).sameElements(
+          Array("t", "i", "f", "s", "b")) =>
       decodeVariant(r)
     case r: Row if r.schema != null && r.schema.fieldNames.sameElements(
         Array("nodes", "rels")) => // path value
@@ -373,6 +375,10 @@ class CypherSession(val spark: SparkSession) {
     case r: Row if r.schema != null && r.schema.fieldNames.contains("props") =>
       r.schema.fieldNames.zipWithIndex.map { case (f, i) =>
         f -> decode(r.get(i))
+      }.toMap
+    case r: Row if r.schema != null => // typed map-value struct
+      r.schema.fieldNames.zipWithIndex.collect {
+        case (f, i) if f != Translator.EmptyMapMarker => f -> decode(r.get(i))
       }.toMap
     case m: scala.collection.Map[_, _] =>
       m.map { case (k, x) => k -> decode(x) }.toMap

@@ -246,6 +246,12 @@ private[cypher] final class MutationRunner(session: CypherSession) {
           })))
       case it => List(it)
     }
+    // every SET target must be a bound variable (TCK UndefinedVariable)
+    items.foreach {
+      case Ast.SetItem(Ast.Variable(n), _, _) if !frame.vars.contains(n) =>
+        throw TranslateError(s"UndefinedVariable: $n is not defined")
+      case _ => ()
+    }
     val c = ctx(params)
     // whole-entity replacements (`SET n = {map}` — reference semantics:
     // the property bag is REPLACED by the map, test_entity_update.py:75)
@@ -368,10 +374,25 @@ private[cypher] final class MutationRunner(session: CypherSession) {
     val edgeIdDfs = scala.collection.mutable.ArrayBuffer[DataFrame]()
     d.exprs.foreach {
       case Ast.Variable(n) => frame.vars.get(n) match {
+        // null entities (OPTIONAL MATCH misses) are no-ops, not deletions
         case Some(KNode) =>
           nodeIdDfs += frame.df.select(frame.col(n).getField("id").as("id"))
+            .filter(col("id").isNotNull)
         case Some(KEdge) =>
           edgeIdDfs += frame.df.select(frame.col(n).getField("id").as("id"))
+            .filter(col("id").isNotNull)
+        case Some(KPath) =>
+          // DELETE p deletes the path's nodes and relationships
+          // (explode of a NULL path's arrays emits no rows — null-safe)
+          val c = frame.col(n)
+          nodeIdDfs += frame.df.select(explode(c.getField("nodes")).as("x"))
+            .select(col("x.id").as("id")).filter(col("id").isNotNull)
+          edgeIdDfs += frame.df.select(explode(c.getField("rels")).as("x"))
+            .select(col("x.id").as("id")).filter(col("id").isNotNull)
+        case Some(KRelList) =>
+          edgeIdDfs += frame.df
+            .select(explode(frame.col(n)).as("x"))
+            .select(col("x.id").as("id")).filter(col("id").isNotNull)
         case _ => throw TranslateError(s"DELETE target must be an entity: $n")
       }
       case other => throw TranslateError(s"DELETE target must be a variable: $other")
@@ -418,6 +439,16 @@ private[cypher] final class MutationRunner(session: CypherSession) {
         (rel.copy(direction = 1), node)
       case other => other
     }))
+    // merging on a NULL property value can never match NOR create a
+    // property (Cypher stores no null properties) — reject like the
+    // reference (TCK MergeReadOwnWrites)
+    (m0.path.head.props ++ m0.path.tail.flatMap { case (r, n) =>
+      r.props ++ n.props
+    }).foreach {
+      case (k, Ast.LitNull) => throw TranslateError(
+        s"MERGE cannot use a null property value for '$k'")
+      case _ => ()
+    }
     val c = ctx(params)
     val rid = "__merge_rid"
     val tagged = frame.df.withColumn(rid, monotonically_increasing_id())

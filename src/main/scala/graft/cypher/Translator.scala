@@ -96,6 +96,9 @@ object Translator {
     else {
       // UNION: sequence of (unionAll?) combines (`op_join.c` +
       // execution_plan.c:91-103 distinct for UNION)
+      if (q.unionAll.distinct.size > 1)
+        throw TranslateError(
+          "Invalid combination of UNION and UNION ALL")
       var acc = parts.head
       q.unionAll.zip(parts.tail).foreach { case (all, df) =>
         if (df.columns.toSet != acc.columns.toSet)
@@ -103,7 +106,7 @@ object Translator {
             "All sub queries in a UNION must have the same return column " +
               s"names (${acc.columns.mkString(",")} vs ${df.columns.mkString(",")})")
         acc = acc.unionByName(df)
-        if (!all) acc = acc.dropDuplicates()
+        if (!all) acc = dedupByIdentity(acc)
       }
       acc
     }
@@ -563,6 +566,12 @@ object Translator {
 
   private def bindNode(ctx: Ctx, frame: Frame, np: Ast.NodePat): Frame = {
     val name = nameOf(np)
+    frame.vars.get(name).foreach {
+      case KNode => ()
+      case other => throw TranslateError(
+        s"VariableTypeConflict: $name already bound as $other cannot " +
+          "re-bind as a node")
+    }
     if (frame.has(name)) {
       // re-matched bound var: apply label/prop predicates as filters
       var df = frame.df
@@ -630,7 +639,9 @@ object Translator {
     rel.direction match {
       case 1 => base
       case -1 => swapped
-      case 0 => base.unionByName(swapped)
+      // undirected: both orientations, but a SELF-LOOP has only one
+      // distinct traversal (the reference matches it once, not twice)
+      case 0 => base.unionByName(swapped.where(col("__from") =!= col("__to")))
     }
   }
 
@@ -641,6 +652,17 @@ object Translator {
       rel: Ast.RelPat, node: Ast.NodePat): (Frame, String) = {
     val rname = nameOf(rel)
     val nname = nameOf(node)
+    // a relationship variable bound by an earlier MATCH re-appearing in a
+    // pattern is a CHECK on that edge, not a new traversal (re-joining the
+    // edge view under the same name would duplicate the column): filter on
+    // endpoint/type/prop agreement, binding the far node if needed
+    if (frame.vars.get(rname).contains(KEdge))
+      return expandBoundEdge(ctx, frame, prev, rel, node, rname, nname)
+    frame.vars.get(rname).foreach { other =>
+      throw TranslateError(
+        s"VariableTypeConflict: $rname already bound as $other cannot " +
+          "re-bind as a relationship")
+    }
     val (constRelProps, dynRelProps) =
       rel.props.partition { case (_, e) => isConst(e) }
     val ev = edgeView(ctx, rel.copy(props = constRelProps),
@@ -679,6 +701,56 @@ object Translator {
         f
       }
     (result.copy(df = result.df.drop("__from", "__to")), rname)
+  }
+
+  /** Re-matched bound relationship: endpoint/type/prop agreement filter
+    * (see [[expandOne]]); binds the far node when it is not bound yet.
+    */
+  private def expandBoundEdge(ctx: Ctx, frame: Frame, prev: String,
+      rel: Ast.RelPat, node: Ast.NodePat, rname: String,
+      nname: String): (Frame, String) = {
+    val r = frame.col(rname)
+    val prevId = frame.col(prev).getField("id")
+    val src = r.getField("src")
+    val dst = r.getField("dst")
+    def connects(from: Column, to: Column): Column = {
+      val m = from === prevId
+      if (frame.has(nname)) m && to === frame.col(nname).getField("id")
+      else m
+    }
+    val dirOk = rel.direction match {
+      case 1 => connects(src, dst)
+      case -1 => connects(dst, src)
+      case 0 => connects(src, dst) || connects(dst, src)
+    }
+    var cond = r.isNotNull && dirOk
+    if (rel.types.nonEmpty)
+      cond = cond && r.getField("reltype").isin(rel.types.map(lit): _*)
+    var f = Frame(frame.df.filter(cond), frame.vars)
+    rel.props.foreach { case (k, e) =>
+      f = f.copy(df = f.df.filter(coalesce(Values.eq(
+        element_at(r.getField("props"), k), trExpr(ctx, f, e)), lit(false))))
+    }
+    if (!frame.has(nname)) {
+      val farId = rel.direction match {
+        case 1 => dst
+        case -1 => src
+        case 0 => when(src === prevId, dst).otherwise(src)
+      }
+      val (constProps, dynProps) =
+        node.props.partition { case (_, e) => isConst(e) }
+      val scan = nodeScan(ctx, node.copy(props = constProps), nname,
+        keepProps = dynProps.nonEmpty && node.variable.isEmpty)
+      f = Frame(f.df.join(scan, farId === scan(nname).getField("id")),
+        f.vars + (nname -> KNode))
+      dynProps.foreach { case (k, e) =>
+        f = f.copy(df = f.df.filter(coalesce(Values.eq(
+          f.propCol(nname, k).getOrElse(
+            element_at(f.col(nname).getField("props"), k)),
+          trExpr(ctx, f, e)), lit(false))))
+      }
+    }
+    (f, rname)
   }
 
   /** Var-len expansion `*min..max` (CondVarLenTraverse,
@@ -975,12 +1047,21 @@ object Translator {
   private[cypher] def translateUnwind(ctx: Ctx, frame: Frame,
       u: Ast.Unwind): Frame = {
     val v = trExpr(ctx, frame, u.list)
-    val tmp = freshName("ex")
-    val df = frame.df
-      .withColumn(tmp, explode(v.getField("arr")))
-      .withColumn(u.alias, Values.widen(col(tmp)))
-      .drop(tmp)
-    Frame(df, frame.vars + (u.alias -> KValue))
+    // schema-driven: UNWIND over an ENTITY list (collect(n), nodes(p),
+    // relationships(p)) binds entity rows, not variant scalars
+    frame.df.select(v).schema.head.dataType match {
+      case ArrayType(s: StructType, _) if s.fieldNames.contains("props") =>
+        val kind = if (s.fieldNames.contains("reltype")) KEdge else KNode
+        Frame(frame.df.withColumn(u.alias, explode(v)),
+          frame.vars + (u.alias -> kind))
+      case _ =>
+        val tmp = freshName("ex")
+        val df = frame.df
+          .withColumn(tmp, explode(v.getField("arr")))
+          .withColumn(u.alias, Values.widen(col(tmp)))
+          .drop(tmp)
+        Frame(df, frame.vars + (u.alias -> KValue))
+    }
   }
 
   // ═══════════════════════════ WITH / RETURN ═══════════════════════════════
@@ -998,6 +1079,152 @@ object Translator {
         containsAgg(a) || containsAgg(b)
       } || o.exists(containsAgg)
     case _ => false
+  }
+
+  /** Marker field keeping the empty map literal representable as a Spark
+    * struct (which needs at least one field); ignored by decode/compare.
+    */
+  val EmptyMapMarker = "__emptymap"
+
+  /** Best-effort schema probe. None when the expression isn't resolvable
+    * against the frame alone (e.g. it references lambda variables inside a
+    * comprehension) — lambda-scope values are always variants anyway.
+    */
+  private def dataTypeOf(frame: Frame, c: Column): Option[DataType] =
+    try Some(frame.df.select(c).schema.head.dataType)
+    catch { case _: Throwable => None }
+
+  private[cypher] def isVariantStruct(dt: DataType): Boolean = dt match {
+    case s: StructType =>
+      s.fieldNames.take(5).sameElements(Array("t", "i", "f", "s", "b"))
+    case _ => false
+  }
+
+  /** A typed map-value struct (from a map literal) — any struct that is
+    * not the variant encoding, an entity, or a path.
+    */
+  private[cypher] def isMapStruct(dt: DataType): Boolean = dt match {
+    case s: StructType =>
+      !isVariantStruct(s) && !s.fieldNames.contains("props") &&
+        s.fieldNames.toSeq != Seq("nodes", "rels")
+    case _ => false
+  }
+
+  /** Cypher map equality (ternary): differing key sets → false; same keys
+    * → per-key equality folded with ternary AND (`map.c` Map_Compare
+    * semantics, TCK Comparison1 [7]).
+    */
+  private def mapEq(a: Column, da: DataType, b: Column,
+      db: DataType): Column = {
+    def keysOf(dt: DataType): Option[Seq[(String, DataType)]] = dt match {
+      case s: StructType if isMapStruct(s) =>
+        Some(s.fields.toSeq.filter(_.name != EmptyMapMarker)
+          .map(f => f.name -> f.dataType))
+      case _ => None
+    }
+    (keysOf(da), keysOf(db)) match {
+      case (Some(ka), Some(kb)) =>
+        if (ka.map(_._1).toSet != kb.map(_._1).toSet) lit(false)
+        else {
+          val bs = kb.toMap
+          ka.map { case (k, dva) =>
+            val dvb = bs(k)
+            if (isMapStruct(dva) || isMapStruct(dvb))
+              mapEq(a.getField(k), dva, b.getField(k), dvb)
+            else Values.eq(a.getField(k), b.getField(k))
+          }.reduceOption(_ && _).getOrElse(lit(true))
+        }
+      case _ => lit(false) // map vs non-map never equal
+    }
+  }
+
+  private def hasMapType(dt: DataType): Boolean = dt match {
+    case _: MapType => true
+    case s: StructType => s.fields.exists(f => hasMapType(f.dataType))
+    case a: ArrayType => hasMapType(a.elementType)
+    case _ => false
+  }
+
+  /** Cypher map equality is entry-order-insensitive: canonicalize maps to
+    * key-sorted entry arrays (recursively) so serialized forms compare.
+    */
+  private def canonKeyType(dt: DataType): DataType = dt match {
+    case m: MapType =>
+      ArrayType(StructType(Seq(StructField("key", m.keyType),
+        StructField("value", canonKeyType(m.valueType)))))
+    case a: ArrayType => a.copy(elementType = canonKeyType(a.elementType))
+    case s: StructType =>
+      StructType(s.fields.map(f => f.copy(dataType = canonKeyType(f.dataType))))
+    case other => other
+  }
+
+  private def canonKey(cc: Column, dt: DataType): Column = dt match {
+    case m: MapType =>
+      // canon(value) first: a map-free value makes the entry struct
+      // orderable for array_sort
+      array_sort(transform(map_entries(cc), e =>
+        struct(e.getField("key").as("key"),
+          canonKey(e.getField("value"), m.valueType).as("value"))))
+    case a: ArrayType if hasMapType(a.elementType) =>
+      transform(cc, x => canonKey(x, a.elementType))
+    case s: StructType if hasMapType(s) =>
+      // keep NULL structs NULL (struct() of nulls would collide)
+      when(cc.isNull, lit(null).cast(canonKeyType(s))).otherwise(
+        struct(s.fields.map(f =>
+          canonKey(cc.getField(f.name), f.dataType).as(f.name)).toSeq: _*))
+    case _ => cc
+  }
+
+  /** Identity dedup key for one column, derived from its SCHEMA: entities
+    * dedup by id, paths by node+rel id sequences (parallel edges give
+    * distinct paths over identical node sequences), relationship lists by
+    * id sequence, map-bearing values by canonical JSON. None = the column
+    * is directly usable as a set-operation key.
+    */
+  private def identityKeyFor(c: Column, dt: DataType): Option[Column] = {
+    // NULL-preserving (concat_ws would swallow a NULL array, merging NULL
+    // with the empty list under DISTINCT)
+    def nullSafe(k: Column): Column =
+      when(c.isNull, lit(null).cast(StringType)).otherwise(k)
+    dt match {
+      case s: StructType if s.fieldNames.contains("props") &&
+          s.fieldNames.contains("id") => // node / edge struct
+        Some(nullSafe(c.getField("id").cast(StringType)))
+      case s: StructType if s.fieldNames.toSeq == Seq("nodes", "rels") =>
+        Some(nullSafe(concat_ws("|",
+          concat_ws(",", transform(c.getField("nodes"),
+            x => x.getField("id").cast(StringType))),
+          concat_ws(",", transform(c.getField("rels"),
+            x => x.getField("id").cast(StringType))))))
+      case ArrayType(s: StructType, _)
+          if s.fieldNames.contains("reltype") => // relationship list
+        Some(nullSafe(concat_ws(",",
+          transform(c, x => x.getField("id").cast(StringType)))))
+      case d if hasMapType(d) =>
+        Some(nullSafe(to_json(canonKey(c, d))))
+      case _ => None
+    }
+  }
+
+  /** dropDuplicates that tolerates entity/map columns (Spark set ops
+    * reject MapType): dedup on identity keys, drop the keys after.
+    */
+  private[cypher] def dedupByIdentity(df: DataFrame): DataFrame = {
+    var keyed = df
+    val tempKeys = scala.collection.mutable.ArrayBuffer[String]()
+    val dedupCols = df.schema.fields.map { fld =>
+      identityKeyFor(keyed(s"`${fld.name}`"), fld.dataType) match {
+        case Some(key) =>
+          val kn = freshName("dk")
+          keyed = keyed.withColumn(kn, key)
+          tempKeys += kn
+          kn
+        case None => fld.name
+      }
+    }
+    if (dedupCols.isEmpty) df.dropDuplicates()
+    else keyed.dropDuplicates(dedupCols.head, dedupCols.tail: _*)
+      .drop(tempKeys.toSeq: _*)
   }
 
   private def defaultName(e: Ast.Expr): String = e match {
@@ -1082,87 +1309,12 @@ object Translator {
     } else if (proj.distinct) {
       // DISTINCT projects first; ORDER BY sees only projected values.
       // Entities/paths carry props MAPs which Spark's set operations
-      // reject — dedup on map-free keys (entity identity = id)
+      // reject — dedup on schema-derived identity keys (entity = id)
       val df0 = lframe.df.select(litems.map { case (e, n) =>
         trAny(ctx, lframe, e).as(n)
       }: _*)
       val kinds = litems.map { case (e, n) => n -> kindOf(ctx, lframe, e) }
-      def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-        case _: org.apache.spark.sql.types.MapType => true
-        case s: StructType => s.fields.exists(f => hasMap(f.dataType))
-        case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
-        case _ => false
-      }
-      // NULL-preserving identity key (concat_ws would swallow a NULL array,
-      // merging NULL with the empty list under DISTINCT)
-      def nullSafe(c: Column, k: Column): Column =
-        when(c.isNull, lit(null).cast(StringType)).otherwise(k)
-      var keyed = df0
-      val tempKeys = scala.collection.mutable.ArrayBuffer[String]()
-      val dedupCols = kinds.zipWithIndex.map { case ((n, k), i) =>
-        val c = keyed(s"`$n`")
-        val keyOpt = k match {
-          case KNode | KEdge =>
-            Some(nullSafe(c, c.getField("id").cast(StringType)))
-          case KPath =>
-            // path identity includes RELATIONSHIP ids — parallel edges give
-            // distinct paths over identical node sequences
-            Some(nullSafe(c, concat_ws("|",
-              concat_ws(",", transform(c.getField("nodes"),
-                x => x.getField("id").cast(StringType))),
-              concat_ws(",", transform(c.getField("rels"),
-                x => x.getField("id").cast(StringType))))))
-          case KRelList =>
-            Some(nullSafe(c, concat_ws(",",
-              transform(c, x => x.getField("id").cast(StringType)))))
-          case _ if hasMap(df0.schema(n).dataType) =>
-            // map-bearing value columns (nodes(p), map literals) can't be
-            // set-operation keys directly; Cypher map equality is
-            // entry-order-insensitive, so canonicalize maps to key-sorted
-            // entry arrays (recursively) before serializing
-            def canonType(dt: DataType): DataType = dt match {
-              case m: org.apache.spark.sql.types.MapType =>
-                ArrayType(StructType(Seq(StructField("key", m.keyType),
-                  StructField("value", canonType(m.valueType)))))
-              case a: org.apache.spark.sql.types.ArrayType =>
-                a.copy(elementType = canonType(a.elementType))
-              case s: StructType =>
-                StructType(s.fields.map(f => f.copy(dataType = canonType(f.dataType))))
-              case other => other
-            }
-            def canon(cc: Column, dt: DataType): Column = dt match {
-              case m: org.apache.spark.sql.types.MapType =>
-                // canon(value) first: a map-free value makes the entry
-                // struct orderable for array_sort
-                array_sort(transform(map_entries(cc), e =>
-                  struct(e.getField("key").as("key"),
-                    canon(e.getField("value"), m.valueType).as("value"))))
-              case a: org.apache.spark.sql.types.ArrayType if hasMap(a.elementType) =>
-                transform(cc, x => canon(x, a.elementType))
-              case s: StructType if hasMap(s) =>
-                // keep NULL structs NULL (struct() of nulls would collide)
-                when(cc.isNull, lit(null).cast(canonType(s))).otherwise(
-                  struct(s.fields.map(f =>
-                    canon(cc.getField(f.name), f.dataType).as(f.name)).toSeq: _*))
-              case _ => cc
-            }
-            Some(nullSafe(c, to_json(canon(c, df0.schema(n).dataType))))
-          case _ => None // map-free variant: dedup on the column itself
-        }
-        keyOpt match {
-          case Some(key) =>
-            val kn = freshName("dk")
-            keyed = keyed.withColumn(kn, key)
-            tempKeys += kn
-            kn
-          case None => n
-        }
-      }
-      val df =
-        if (dedupCols.isEmpty) df0.dropDuplicates()
-        else keyed.dropDuplicates(dedupCols.head, dedupCols.tail: _*)
-          .drop(tempKeys.toSeq: _*)
-      f = Frame(df, kinds.toMap)
+      f = Frame(dedupByIdentity(df0), kinds.toMap)
 
     } else {
       // keep pre-projection columns alongside items so ORDER BY can
@@ -1369,13 +1521,6 @@ object Translator {
   private def trAny(ctx: Ctx, frame: Frame, e: Ast.Expr): Column = e match {
     case Ast.Variable(n) if frame.has(n) && frame.vars(n) != KValue =>
       frame.col(n)
-    case Ast.MapLit(entries) =>
-      // map VALUE in a projection (reference `tomap`, T_MAP): a string-keyed
-      // map of variants (decoded client-side like entity props)
-      if (entries.isEmpty) map().cast(Values.propsType)
-      else map(entries.flatMap { case (k, v) =>
-        Seq(lit(k), trExpr(ctx, frame, v))
-      }: _*)
     case other => trExpr(ctx, frame, other)
   }
 
@@ -1387,9 +1532,16 @@ object Translator {
       Values.vInt(if (distinct) countDistinct(v) else count(v))
     case Ast.Fn("sum", List(arg), _) =>
       // reference semantics (agg_funcs.c AGG_SUM/AvgFinalize): processing
-      // >=1 rows whose values are all NULL yields 0, zero rows yields NULL
-      val n = Values.num(trExpr(ctx, frame, arg))
-      Values.vFloat(when(count(lit(1)) > 0, coalesce(sum(n), lit(0.0))))
+      // >=1 rows whose values are all NULL yields 0, zero rows yields NULL;
+      // an all-integer input sums to an integer, any float promotes
+      val v = trExpr(ctx, frame, arg)
+      val anyFloat =
+        max(when(Values.tag(v) === Values.T_FLOAT, 1).otherwise(0)) === 1
+      when(count(lit(1)) > 0,
+        when(anyFloat,
+          Values.vFloat(coalesce(sum(Values.num(v)), lit(0.0))))
+          .otherwise(Values.vInt(coalesce(sum(v.getField("i")), lit(0L)))))
+        .otherwise(Values.vNull)
     case Ast.Fn("avg", List(arg), _) =>
       Values.vFloat(when(count(lit(1)) > 0,
         coalesce(avg(Values.num(trExpr(ctx, frame, arg))), lit(0.0))))
@@ -1466,6 +1618,14 @@ object Translator {
       case Ast.ListLit(items) =>
         vArr(array(items.map(i => narrow(t(i))): _*))
 
+      case Ast.MapLit(entries) =>
+        // map VALUES are typed structs (every literal's keys are static),
+        // so nesting is arbitrary — unlike the fixed variant encoding.
+        // The marker field keeps `{}` representable (Spark structs need
+        // ≥1 field); decode/compare ignore it.
+        if (entries.isEmpty) struct(lit(true).as(EmptyMapMarker))
+        else struct(entries.map { case (k, v) => t(v).as(k) }: _*)
+
       case Ast.Variable(n) =>
         frame.vars.get(n) match {
           case Some(KValue) => frame.col(n)
@@ -1490,8 +1650,14 @@ object Translator {
                 s"$$$p.$key needs a map parameter, got: $other")
               case None => throw TranslateError(s"missing parameter: $$$p")
             }
-          case other => // maps unsupported on values
-            element_at(t(other).getField("arr"), key)
+          case other =>
+            val c = t(other)
+            dataTypeOf(frame, c) match {
+              case Some(s: StructType) if isMapStruct(s) =>
+                // static-key map struct: missing key ≡ NULL
+                if (s.fieldNames.contains(key)) c.getField(key) else vNull
+              case _ => element_at(c.getField("arr"), key)
+            }
         }
 
       case Ast.Bin(op, l, r) =>
@@ -1502,12 +1668,20 @@ object Translator {
         if ((op == "=" || op == "<>") && isEntity(l) && isEntity(r)) {
           val c = t(l).getField("id") === t(r).getField("id")
           if (op == "=") vBool(c) else vBool(!c)
+        } else if (op == "=" || op == "<>") {
+          // schema probe: a side may be a typed map struct (map VALUES)
+          val cl = t(l); val cr = t(r)
+          val dl = dataTypeOf(frame, cl); val dr = dataTypeOf(frame, cr)
+          val eqc =
+            if (dl.exists(isMapStruct) || dr.exists(isMapStruct))
+              mapEq(cl, dl.getOrElse(Values.variantType),
+                cr, dr.getOrElse(Values.variantType))
+            else Values.eq(cl, cr)
+          vBool(if (op == "=") eqc else !eqc)
         } else op match {
           case "OR" => or(t(l), t(r))
           case "XOR" => xor(t(l), t(r))
           case "AND" => and(t(l), t(r))
-          case "=" => vBool(Values.eq(t(l), t(r)))
-          case "<>" => vBool(Values.neq(t(l), t(r)))
           case "<" => vBool(lt(t(l), t(r)))
           case "<=" => vBool(lte(t(l), t(r)))
           case ">" => vBool(gt(t(l), t(r)))

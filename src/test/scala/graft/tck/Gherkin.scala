@@ -25,6 +25,7 @@ object Gherkin {
     var feature = ""
     var fileTags = Set.empty[String]
     var pendingTags = Set.empty[String]
+    var background: List[Step] = Nil
     val out = scala.collection.mutable.ListBuffer[Scenario]()
 
     def peek: String = if (i < lines.length) lines(i).trim else ""
@@ -84,6 +85,9 @@ object Gherkin {
         feature = t.drop("Feature:".length).trim
         fileTags = pendingTags; pendingTags = Set.empty
         i += 1
+      } else if (t.startsWith("Background:")) {
+        i += 1
+        background = readSteps()
       } else if (t.startsWith("Scenario Outline:") || t.startsWith("Scenario:")) {
         val isOutline = t.startsWith("Scenario Outline:")
         val name = t.dropWhile(_ != ':').tail.trim
@@ -107,7 +111,7 @@ object Gherkin {
                       acc.replace(s"<$h>", v)
                     }
                   out += Scenario(feature, s"$name #${k + 1}", tags,
-                    steps.map(st => st.copy(text = sub(st.text),
+                    background ++ steps.map(st => st.copy(text = sub(st.text),
                       doc = st.doc.map(sub),
                       table = st.table.map(_.map(_.map(sub))))),
                     path.toString, line)
@@ -116,7 +120,8 @@ object Gherkin {
             }
           }
         } else {
-          out += Scenario(feature, name, tags, steps, path.toString, line)
+          out += Scenario(feature, name, tags, background ++ steps,
+            path.toString, line)
         }
       } else i += 1
     }
