@@ -1309,9 +1309,20 @@ object Translator {
     } else if (proj.distinct) {
       // DISTINCT projects first; ORDER BY sees only projected values.
       // Entities/paths carry props MAPs which Spark's set operations
-      // reject — dedup on schema-derived identity keys (entity = id)
-      val df0 = lframe.df.select(litems.map { case (e, n) =>
-        trAny(ctx, lframe, e).as(n)
+      // reject — dedup on schema-derived identity keys (entity = id).
+      // WHERE attached to the WITH filters BEFORE the dedup projection and
+      // sees pre-projection variables AND the new aliases (TCK WithWhere1).
+      var pref = lframe.copy(
+        vars = lframe.vars ++ litems.map { case (e, n) =>
+          n -> kindOf(ctx, lframe, e)
+        },
+        bindings = lframe.bindings ++ litems.map { case (e, n) =>
+          n -> trAny(ctx, lframe, e)
+        })
+      where.foreach { w => pref = applyWhere(ctx, pref, w) }
+      val src = lframe.copy(df = pref.df)
+      val df0 = src.df.select(litems.map { case (e, n) =>
+        trAny(ctx, src, e).as(n)
       }: _*)
       val kinds = litems.map { case (e, n) => n -> kindOf(ctx, lframe, e) }
       f = Frame(dedupByIdentity(df0), kinds.toMap)
@@ -1366,8 +1377,10 @@ object Translator {
       }.toMap)
     }
 
-    // agg / distinct paths: ORDER BY over projected aliases only
-    where.foreach { w => f = applyWhere(ctx, f, w) }
+    // agg path: WHERE over the projected frame (HAVING shape); the
+    // distinct-only path already filtered pre-projection
+    if (hasAgg || !proj.distinct)
+      where.foreach { w => f = applyWhere(ctx, f, w) }
     if (proj.orderBy.nonEmpty) {
       val sorts = proj.orderBy.map { si =>
         // ORDER BY may repeat a projected expression verbatim — most
@@ -1954,10 +1967,30 @@ object Translator {
         when(k.isNull, vNull)
           .otherwise(element_at(e.getField("props"), k.getField("s")))
 
-      // path funcs (`path_funcs.c:266-289`) — raw entity arrays
-      case "nodes" => t(fn.args.head).getField("nodes")
-      case "relationships" => t(fn.args.head).getField("rels")
-      case "length" => vInt(size(t(fn.args.head).getField("rels")))
+      // path funcs (`path_funcs.c:266-289`) — raw entity arrays; a null
+      // (variant-typed) argument null-propagates instead of failing to
+      // resolve the path fields
+      case "nodes" =>
+        val c = t(fn.args.head)
+        dataTypeOf(frame, c) match {
+          case Some(s: StructType) if s.fieldNames.contains("nodes") =>
+            c.getField("nodes")
+          case _ => lit(null).cast(ArrayType(nodeStructType))
+        }
+      case "relationships" =>
+        val c = t(fn.args.head)
+        dataTypeOf(frame, c) match {
+          case Some(s: StructType) if s.fieldNames.contains("rels") =>
+            c.getField("rels")
+          case _ => lit(null).cast(ArrayType(edgeStructType))
+        }
+      case "length" =>
+        val c = t(fn.args.head)
+        dataTypeOf(frame, c) match {
+          case Some(s: StructType) if s.fieldNames.contains("rels") =>
+            vInt(size(c.getField("rels")))
+          case _ => vNull
+        }
 
       // point/geo (`point_funcs.c:14,98`: haversine, EARTH_RADIUS 6378140)
       case "point" => fn.args.head match {
@@ -2088,7 +2121,14 @@ object Translator {
         // var-len relationship variable: raw edge-struct list, not variant
         case Ast.Variable(v) if frame.vars.get(v).contains(KRelList) =>
           vInt(size(frame.col(v)).cast(LongType))
-        case a => sizeOf(t(a))
+        case a =>
+          val c = t(a)
+          dataTypeOf(frame, c) match {
+            // raw entity arrays (collect(n) temps, nodes(p)) — not variants
+            case Some(_: ArrayType) =>
+              vInt(when(c.isNull, lit(null)).otherwise(size(c)).cast(LongType))
+            case _ => sizeOf(c)
+          }
       }
       case "head" =>
         val v = t(fn.args.head)
@@ -2102,10 +2142,19 @@ object Translator {
           .otherwise(vArr(slice(v.getField("arr"), lit(2),
             greatest(size(v.getField("arr")) - 1, lit(0)))))
       case "range" =>
-        val from = num(t(fn.args.head)).cast(LongType)
-        val to = num(t(fn.args(1))).cast(LongType)
+        // non-integer arguments are an ArgumentError (`list_funcs.c` range
+        // validates INT64), checked per-row before the sequence
+        def intArg(e: Ast.Expr, what: String): Column = {
+          val v = t(e)
+          when(v.isNotNull && Values.tag(v) =!= Values.T_INT,
+            raise_error(concat(lit(s"range(): $what must be an integer, got "),
+              Values.render(v))).cast(LongType))
+            .otherwise(v.getField("i"))
+        }
+        val from = intArg(fn.args.head, "start")
+        val to = intArg(fn.args(1), "end")
         val step = fn.args.drop(2).headOption
-          .map(s => num(t(s)).cast(LongType)).getOrElse(lit(1L))
+          .map(s => intArg(s, "step")).getOrElse(lit(1L))
         vArr(transform(sequence(from, to, step), x => sInt(x)))
 
       // temporal (`time_funcs.c:22`)

@@ -187,6 +187,7 @@ object Values {
       .when(tag(a) =!= tag(b), nB)
       .when(tag(a) === T_STRING, a.getField("s") < b.getField("s"))
       .when(tag(a) === T_BOOL, a.getField("b") < b.getField("b"))
+      .when(tag(a) === T_ARRAY, a.getField("arr") < b.getField("arr"))
       .otherwise(nB)
   }
   def lte(a: Column, b: Column): Column = {
@@ -196,6 +197,7 @@ object Values {
       .when(tag(a) =!= tag(b), nB)
       .when(tag(a) === T_STRING, a.getField("s") <= b.getField("s"))
       .when(tag(a) === T_BOOL, a.getField("b") <= b.getField("b"))
+      .when(tag(a) === T_ARRAY, a.getField("arr") <= b.getField("arr"))
       .otherwise(nB)
   }
   def gt(a: Column, b: Column): Column = lt(b, a)
