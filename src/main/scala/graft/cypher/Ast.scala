@@ -142,4 +142,9 @@ object Ast {
     * between parts i and i+1.
     */
   case class Query(parts: List[SingleQuery], unionAll: List[Boolean])
+
+  /** Thrown mid-parse for inputs the grammar matches but the language
+    * rejects (e.g. IntegerOverflow) — surfaces as a compile-time error.
+    */
+  case class ParseRejected(msg: String) extends RuntimeException(msg)
 }

@@ -32,9 +32,13 @@ object CypherParser extends RegexParsers {
   /** identifiers where keywords are allowed (labels, reltypes, prop keys) */
   def anyIdent: Parser[String] = identRe | "`" ~> """[^`]+""".r <~ "`"
 
+  // unrolled-loop patterns: the naive (?:[^'\\]|\\.)* alternation
+  // overflows the regex engine's stack on multi-KB literals
   def stringLit: Parser[String] =
-    ("'" + """(?:[^'\\]|\\.)*""" + "'").r ^^ (s => unescape(s.substring(1, s.length - 1))) |
-      ("\"" + """(?:[^"\\]|\\.)*""" + "\"").r ^^ (s => unescape(s.substring(1, s.length - 1)))
+    ("'" + """[^'\\]*(?:\\.[^'\\]*)*""" + "'").r ^^
+      (s => unescape(s.substring(1, s.length - 1))) |
+      ("\"" + """[^"\\]*(?:\\.[^"\\]*)*""" + "\"").r ^^
+        (s => unescape(s.substring(1, s.length - 1)))
 
   private def unescape(s: String): String = {
     val sb = new StringBuilder
@@ -56,18 +60,31 @@ object CypherParser extends RegexParsers {
     """-?(\d+\.\d+([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?|\d+[eE][+-]?\d+)""".r ^^
       (_.toDouble)
   def intLit: Parser[Long] = """-?\d+""".r ^^ (_.toLong)
-  /** 0x / 0o integer literals (openCypher Literals3/4). */
-  def radixIntLit: Parser[Long] =
-    """-?0x[0-9a-fA-F]+""".r ^^ { s =>
-      val neg = s.startsWith("-")
-      val v = java.lang.Long.parseLong(s.stripPrefix("-").drop(2), 16)
-      if (neg) -v else v
-    } |
-      """-?0o[0-7]+""".r ^^ { s =>
-        val neg = s.startsWith("-")
-        val v = java.lang.Long.parseLong(s.stripPrefix("-").drop(2), 8)
-        if (neg) -v else v
-      }
+
+  /** Overflow-checked signed parse at any radix (IntegerOverflow is a
+    * compile-time error; -2^63 is in range only with its sign attached).
+    */
+  private def checkedRadix(src: String, skip: Int, radix: Int): Long = {
+    val neg = src.startsWith("-")
+    val digits = (if (neg) src.tail else src).drop(skip)
+    val b = BigInt(digits, radix)
+    val v = if (neg) -b else b
+    if (!v.isValidLong)
+      throw Ast.ParseRejected(s"IntegerOverflow: integer literal $src")
+    v.toLong
+  }
+
+  /** Full numeric literal ladder: hex (0x), explicit octal (0o), floats,
+    * legacy leading-zero octal, decimal — signs included so -2^63 and
+    * negative radix literals parse as single tokens (openCypher
+    * Literals2-5).
+    */
+  def numberLit: Parser[Expr] =
+    """-?0[xX][0-9a-fA-F]+""".r ^^ (s => LitInt(checkedRadix(s, 2, 16))) |
+      """-?0o[0-7]+""".r ^^ (s => LitInt(checkedRadix(s, 2, 8))) |
+      floatLit ^^ (LitFloat(_)) |
+      """-?0[0-7]+(?![0-9a-zA-Z_.])""".r ^^ (s => LitInt(checkedRadix(s, 1, 8))) |
+      """-?\d+""".r ^^ (s => LitInt(checkedRadix(s, 0, 10)))
 
   // ── expressions (precedence ladder) ──────────────────────────────────────
   def expr: Parser[Expr] = orExpr
@@ -121,7 +138,8 @@ object CypherParser extends RegexParsers {
       all.reduceRight((a, b) => Bin("^", a, b))
     }
   def unary: Parser[Expr] =
-    "-" ~> unary ^^ (Neg(_)) | "+" ~> unary | postfix
+    guard("""-?[0-9.]""".r) ~> numberLit |
+      "-" ~> unary ^^ (Neg(_)) | "+" ~> unary | postfix
 
   /** postfix: property access, IS NULL, subscript/slice. */
   def postfix: Parser[Expr] =
@@ -147,9 +165,7 @@ object CypherParser extends RegexParsers {
       kw("TRUE") ^^^ LitBool(true) |
       kw("FALSE") ^^^ LitBool(false) |
       kw("NULL") ^^^ LitNull |
-      radixIntLit ^^ (LitInt(_)) |
-      floatLit ^^ (LitFloat(_)) |
-      intLit ^^ (LitInt(_)) |
+      numberLit |
       stringLit ^^ (LitString(_)) |
       "$" ~> anyIdent ^^ (Param(_)) |
       mapLit |
@@ -228,9 +244,12 @@ object CypherParser extends RegexParsers {
     }
 
   def relPat: Parser[RelPat] =
-    ("<-" ~> relDetail <~ "-" ~ not(">")) ^^ (_.copy(direction = -1)) |
+    // <-[..]-> / <--> : both arrowheads ≡ undirected (openCypher grammar)
+    ("<-" ~> relDetail <~ "->") ^^ (_.copy(direction = 0)) |
+      ("<-" ~> relDetail <~ "-" ~ not(">")) ^^ (_.copy(direction = -1)) |
       ("-" ~> relDetail <~ "->") ^^ (_.copy(direction = 1)) |
       ("-" ~> relDetail <~ "-" ~ not(">")) ^^ (_.copy(direction = 0)) |
+      "<-" ~ "->" ^^^ RelPat(None, Nil, Nil, 0, None) |
       "<-" ~ "-" ~ not(">") ^^^ RelPat(None, Nil, Nil, -1, None) |
       "-" ~ "->" ^^^ RelPat(None, Nil, Nil, 1, None) |
       "--" ~ not(">") ^^^ RelPat(None, Nil, Nil, 0, None)

@@ -568,6 +568,15 @@ object Translator {
     val name = nameOf(np)
     frame.vars.get(name).foreach {
       case KNode => ()
+      case KValue =>
+        // a projected VALUE re-bound in a node pattern is legal when it
+        // holds an entity (WITH coalesce(b, c) AS x MATCH (x)-->(d)) or
+        // null; a variant-typed value can only be null here → no matches
+        if (!dataTypeOf(frame, frame.col(name)).exists(dt => dt match {
+          case s: StructType =>
+            s.fieldNames.contains("id") && s.fieldNames.contains("props")
+          case _ => false
+        })) return Frame(frame.df.filter(lit(false)), frame.vars)
       case other => throw TranslateError(
         s"VariableTypeConflict: $name already bound as $other cannot " +
           "re-bind as a node")
@@ -680,7 +689,13 @@ object Translator {
     val f1 = Frame(joined, frame.vars + (rname -> KEdge))
     val result =
       if (frame.has(nname)) {
-        // ExpandInto: destination already bound
+        // ExpandInto: destination already bound — must be node-kinded
+        frame.vars.get(nname).foreach {
+          case KNode | KValue => ()
+          case other => throw TranslateError(
+            s"VariableTypeConflict: $nname already bound as $other " +
+              "cannot re-bind as a node")
+        }
         var df = joined.filter(
           col("__to") === frame.col(nname).getField("id"))
         Frame(df, f1.vars)
@@ -713,6 +728,12 @@ object Translator {
     val prevId = frame.col(prev).getField("id")
     val src = r.getField("src")
     val dst = r.getField("dst")
+    frame.vars.get(nname).foreach {
+      case KNode | KValue => ()
+      case other => throw TranslateError(
+        s"VariableTypeConflict: $nname already bound as $other " +
+          "cannot re-bind as a node")
+    }
     def connects(from: Column, to: Column): Column = {
       val m = from === prevId
       if (frame.has(nname)) m && to === frame.col(nname).getField("id")
@@ -1070,6 +1091,12 @@ object Translator {
     case Ast.Fn(n, args, _) =>
       AggFns.contains(n) || args.exists(containsAgg)
     case Ast.Bin(_, l, r) => containsAgg(l) || containsAgg(r)
+    case Ast.ListComprehension(_, list, _, _) => containsAgg(list)
+    case Ast.Quantifier(_, _, list, _) => containsAgg(list)
+    case Ast.Subscript(t, i) => containsAgg(t) || containsAgg(i)
+    case Ast.SliceExpr(t, f, to) => containsAgg(t) ||
+      f.exists(containsAgg) || to.exists(containsAgg)
+    case Ast.ListLit(xs) => xs.exists(containsAgg)
     case Ast.Not(x) => containsAgg(x)
     case Ast.Neg(x) => containsAgg(x)
     case Ast.IsNull(x, _) => containsAgg(x)
@@ -1283,6 +1310,16 @@ object Translator {
         case Ast.Fn(n, args, d) => Ast.Fn(n, args.map(extract), d)
         case Ast.CaseExpr(s, w, o) => Ast.CaseExpr(s.map(extract),
           w.map { case (a, b) => (extract(a), extract(b)) }, o.map(extract))
+        // aggregate in a comprehension SOURCE ([x IN collect(v) | ...])
+        // extracts like any other; lambda bodies cannot aggregate
+        case Ast.ListComprehension(v, list, w, pr) =>
+          Ast.ListComprehension(v, extract(list), w, pr)
+        case Ast.Quantifier(k, v, list, pr) =>
+          Ast.Quantifier(k, v, extract(list), pr)
+        case Ast.Subscript(tg, i) => Ast.Subscript(extract(tg), extract(i))
+        case Ast.SliceExpr(tg, f, to) =>
+          Ast.SliceExpr(extract(tg), f.map(extract), to.map(extract))
+        case Ast.ListLit(xs) => Ast.ListLit(xs.map(extract))
         case other => other
       }
       val rewritten = litems.map { case (e, n) =>
@@ -1678,7 +1715,24 @@ object Translator {
           case Ast.Variable(n) => frame.vars.get(n).exists(_ != KValue)
           case _ => false
         }
-        if ((op == "=" || op == "<>") && isEntity(l) && isEntity(r)) {
+        val isPath = (x: Ast.Expr) => x match {
+          case Ast.Variable(n) => frame.vars.get(n).contains(KPath)
+          case _ => false
+        }
+        if ((op == "=" || op == "<>") && isPath(l) && isPath(r)) {
+          // path identity = node+rel id sequences; traversal direction is
+          // not significant (TCK Comparison1 [14]) so the reversed
+          // sequence is the same path
+          val pa = t(l); val pb = t(r)
+          def ids(p: Column, f: String) =
+            transform(p.getField(f), x => x.getField("id"))
+          val c =
+            (ids(pa, "nodes") === ids(pb, "nodes") &&
+              ids(pa, "rels") === ids(pb, "rels")) ||
+              (ids(pa, "nodes") === reverse(ids(pb, "nodes")) &&
+                ids(pa, "rels") === reverse(ids(pb, "rels")))
+          vBool(if (op == "=") c else !c)
+        } else if ((op == "=" || op == "<>") && isEntity(l) && isEntity(r)) {
           val c = t(l).getField("id") === t(r).getField("id")
           if (op == "=") vBool(c) else vBool(!c)
         } else if (op == "=" || op == "<>") {
@@ -1707,7 +1761,14 @@ object Translator {
           case "^" =>
             val a = num(t(l)); val b = num(t(r))
             when(a.isNull || b.isNull, vNull).otherwise(vFloat(pow(a, b)))
-          case "IN" => vBool(Values.in(t(l), t(r)))
+          case "IN" =>
+            r match {
+              case Ast.LitInt(_) | Ast.LitFloat(_) | Ast.LitString(_) |
+                  Ast.LitBool(_) | _: Ast.MapLit => throw TranslateError(
+                s"InvalidArgumentType: IN expects a list, got: $r")
+              case _ => ()
+            }
+            vBool(Values.in(t(l), t(r)))
           case "STARTSWITH" =>
             strPred(t(l), t(r))((a, b) => a.startsWith(b))
           case "ENDSWITH" =>
@@ -1717,7 +1778,14 @@ object Translator {
           case other => throw TranslateError(s"unknown operator $other")
         }
 
-      case Ast.Not(x) => Values.not(t(x))
+      case Ast.Not(x) =>
+        x match {
+          case Ast.LitInt(_) | Ast.LitFloat(_) | Ast.LitString(_) |
+              _: Ast.ListLit | _: Ast.MapLit => throw TranslateError(
+            s"InvalidArgumentType: NOT expects a boolean, got: $x")
+          case _ => ()
+        }
+        Values.not(t(x))
       case Ast.Neg(x) => neg(t(x))
       case Ast.IsNull(x, negated) =>
         val c = t(x).isNull
@@ -1738,17 +1806,48 @@ object Translator {
             }
         }
 
-      case Ast.Subscript(target, idx) => subscript(t(target), t(idx))
+      case Ast.Subscript(target, idx) =>
+        val tc = t(target)
+        dataTypeOf(frame, tc) match {
+          case Some(st: StructType) if st.fieldNames.contains("props") =>
+            // dynamic property access n[expr] (`graph_entity.c` GETPROP)
+            element_at(tc.getField("props"), t(idx).getField("s"))
+          case Some(st: StructType) if isMapStruct(st) =>
+            val k = t(idx).getField("s")
+            st.fields.filter(_.name != EmptyMapMarker).foldLeft(vNull) {
+              (acc, f) =>
+                if (isVariantStruct(f.dataType))
+                  when(k === f.name, tc.getField(f.name)).otherwise(acc)
+                else acc
+            }
+          case _ =>
+            idx match {
+              case Ast.LitFloat(_) | Ast.LitString(_) | Ast.LitBool(_) |
+                  _: Ast.ListLit | _: Ast.MapLit => throw TranslateError(
+                s"ListElementAccessByNonInteger: list index must be an " +
+                  s"integer, got: $idx")
+              case _ => ()
+            }
+            subscript(tc, t(idx))
+        }
 
       case Ast.SliceExpr(target, from, to) =>
-        val arr = t(target).getField("arr")
+        val tgt = t(target)
+        val arr = tgt.getField("arr")
         val n = size(arr)
-        def norm(c: Column) = when(c >= 0, c).otherwise(n + c)
-        val lo = from.map(f => norm(num(t(f)).cast(IntegerType)))
-          .getOrElse(lit(0))
-        val hi = to.map(x => norm(num(t(x)).cast(IntegerType)))
-          .getOrElse(n)
-        vArr(slice(arr, lo + 1, greatest(hi - lo, lit(0))))
+        // clamp to the list bounds (`l[-5..]` is the whole list, not a
+        // wrapped index); a null bound nulls the whole slice
+        def norm(c: Column) =
+          greatest(least(when(c >= 0, c).otherwise(n + c), n), lit(0))
+        val fromV = from.map(f => num(t(f)).cast(IntegerType))
+        val toV = to.map(x => num(t(x)).cast(IntegerType))
+        val lo = fromV.map(norm).getOrElse(lit(0))
+        val hi = toV.map(norm).getOrElse(n)
+        val boundNull =
+          (fromV.map(_.isNull).toSeq ++ toV.map(_.isNull).toSeq)
+            .reduceOption(_ || _).getOrElse(lit(false))
+        when(tgt.isNull || boundNull, vNull)
+          .otherwise(vArr(slice(arr, lo + 1, greatest(hi - lo, lit(0)))))
 
       case Ast.ListComprehension(v, list, where, projTo) =>
         // list-valued projections nest (Values.narrow keeps the list
@@ -1908,6 +2007,14 @@ object Translator {
       case Ast.Variable(n) if frame.has(n) && frame.vars(n) != KValue =>
         frame.col(n)
       case f @ Ast.Fn("startnode" | "endnode", _, _) => trFn(ctx, frame, f)
+      // a null literal / null-valued value var is a NULL entity (entity
+      // functions null-propagate)
+      case Ast.LitNull => lit(null).cast(nodeStructType)
+      case Ast.Variable(n) if frame.has(n) &&
+          dataTypeOf(frame, frame.col(n)).exists(dt => dt match {
+            case s: StructType => s.fieldNames.contains("props")
+            case _ => false
+          }) => frame.col(n)
       case other => throw TranslateError(s"expected entity: $other")
     }
     def str1(f: Column => Column): Column = {
@@ -1937,28 +2044,35 @@ object Translator {
         when(e.isNull, vNull)
           .otherwise(vArr(array(sStr(e.getField("label")))))
       case "type" =>
-        val e = entity(fn.args.head)
         fn.args.head match {
+          case Ast.LitNull => vNull
           case Ast.Variable(v) if frame.vars.get(v).contains(KNode) =>
             throw TranslateError("type() expects a relationship, got a node")
-          case _ => ()
+          case _ =>
+            val e = entity(fn.args.head)
+            when(e.isNull, vNull).otherwise(vStr(e.getField("reltype")))
         }
-        when(e.isNull, vNull).otherwise(vStr(e.getField("reltype")))
       case "exists" => vBool(t(fn.args.head).isNotNull)
       // id-only node stubs: enough for id(startNode(r)) composition; full
       // entity hydration would need a join, which callers do via patterns
-      case "startnode" =>
-        val e = entity(fn.args.head)
-        when(e.isNull, lit(null).cast(nodeStructType))
-          .otherwise(struct(e.getField("src").as("id"),
-            lit(null).cast(StringType).as("label"),
-            lit(null).cast(Values.propsType).as("props")))
-      case "endnode" =>
-        val e = entity(fn.args.head)
-        when(e.isNull, lit(null).cast(nodeStructType))
-          .otherwise(struct(e.getField("dst").as("id"),
-            lit(null).cast(StringType).as("label"),
-            lit(null).cast(Values.propsType).as("props")))
+      case "startnode" => fn.args.head match {
+        case Ast.LitNull => lit(null).cast(nodeStructType)
+        case a =>
+          val e = entity(a)
+          when(e.isNull, lit(null).cast(nodeStructType))
+            .otherwise(struct(e.getField("src").as("id"),
+              lit(null).cast(StringType).as("label"),
+              lit(null).cast(Values.propsType).as("props")))
+      }
+      case "endnode" => fn.args.head match {
+        case Ast.LitNull => lit(null).cast(nodeStructType)
+        case a =>
+          val e = entity(a)
+          when(e.isNull, lit(null).cast(nodeStructType))
+            .otherwise(struct(e.getField("dst").as("id"),
+              lit(null).cast(StringType).as("label"),
+              lit(null).cast(Values.propsType).as("props")))
+      }
       // dynamic property access (`entity_funcs.c` property): key evaluated
       // at runtime, missing ≡ NULL (PROPERTY_NOTFOUND)
       case "property" =>

@@ -165,14 +165,38 @@ object Values {
     * type compares natively; differing types → false.
     */
   def eq(a: Column, b: Column): Column = {
+    val bothInt = tag(a) === T_INT && tag(b) === T_INT
     val bothNum = isNum(a) && isNum(b)
+    // mixed int/float equality must not lose precision to the double
+    // widening (2^53+1 != 2^53.0): require the float to round-trip the
+    // integer exactly
+    val ia = when(tag(a) === T_INT, a.getField("i")).otherwise(b.getField("i"))
+    val fb = when(tag(a) === T_INT, b.getField("f")).otherwise(a.getField("f"))
+    val mixedEq = when(abs(fb) > 9.2e18, lit(false))
+      .otherwise(ia.cast(DoubleType) === fb && ia === fb.cast(LongType))
     when(a.isNull || b.isNull, nB)
-      .when(bothNum, num(a) === num(b))
+      .when(bothInt, a.getField("i") === b.getField("i"))
+      .when(bothNum, mixedEq)
       .when(tag(a) =!= tag(b), lit(false))
       .when(tag(a) === T_STRING, a.getField("s") === b.getField("s"))
       .when(tag(a) === T_BOOL, a.getField("b") === b.getField("b"))
-      .when(tag(a) === T_ARRAY, a.getField("arr") === b.getField("arr"))
+      .when(tag(a) === T_ARRAY,
+        listPairEq(a.getField("arr"), b.getField("arr"), scalarEq))
       .otherwise(a === b)
+  }
+
+  /** Ternary pairwise list equality: length mismatch → false, any element
+    * pair definitely unequal → false, else any null comparison → null,
+    * else true (TCK List3/List5 null semantics).
+    */
+  private def listPairEq(ea: Column, eb: Column,
+      elemEq: (Column, Column) => Column): Column = {
+    val pair = zip_with(ea, eb, (x, y) => elemEq(x, y))
+    when(ea.isNull || eb.isNull, nB)
+      .when(size(ea) =!= size(eb), lit(false))
+      .when(exists(pair, p => !coalesce(p, lit(true))), lit(false))
+      .when(exists(pair, p => p.isNull), nB)
+      .otherwise(lit(true))
   }
 
   def neq(a: Column, b: Column): Column = !eq(a, b)
@@ -278,26 +302,56 @@ object Values {
   def in(x: Column, list: Column): Column = {
     val arr = list.getField("arr")
     val xs = narrow(x)
-    val hit = exists(arr, e => coalesce(scalarEq(e, xs), lit(false)))
-    val hasNull = exists(arr, e => e.isNull)
+    // ternary per candidate: any TRUE → true; else any NULL comparison
+    // (null elements, lists containing nulls) → null; else false
+    val cmp = transform(arr, e => scalarEq(e, xs))
     when(x.isNull || list.isNull || tag(list) =!= T_ARRAY, nB)
-      .when(hit, lit(true))
-      .when(hasNull, nB)
+      .when(exists(cmp, c => coalesce(c, lit(false))), lit(true))
+      .when(exists(cmp, c => c.isNull), nB)
       .otherwise(lit(false))
   }
 
-  /** Equality on scalar variants (used inside list lambdas). */
+  /** Equality on list-element variants (ternary; nested lists compare
+    * pairwise one level down, deeper levels natively).
+    */
   def scalarEq(a: Column, b: Column): Column = {
     def sIsNum(v: Column) = v.getField("t") === T_INT || v.getField("t") === T_FLOAT
     def sNum(v: Column) =
       when(v.getField("t") === T_INT, v.getField("i").cast(DoubleType))
         .otherwise(v.getField("f"))
+    def sub0Eq(x: Column, y: Column): Column =
+      when(x.isNull || y.isNull, nB)
+        .when((x.getField("t") === T_INT || x.getField("t") === T_FLOAT) &&
+          (y.getField("t") === T_INT || y.getField("t") === T_FLOAT),
+          when(x.getField("t") === T_INT, x.getField("i").cast(DoubleType))
+            .otherwise(x.getField("f")) ===
+            when(y.getField("t") === T_INT, y.getField("i").cast(DoubleType))
+              .otherwise(y.getField("f")))
+        .when(x.getField("t") =!= y.getField("t"), lit(false))
+        .when(x.getField("t") === T_STRING, x.getField("s") === y.getField("s"))
+        .when(x.getField("t") === T_BOOL, x.getField("b") === y.getField("b"))
+        .otherwise(nB)
+    def sub1Eq(x: Column, y: Column): Column =
+      when(x.isNull || y.isNull, nB)
+        .when((x.getField("t") === T_INT || x.getField("t") === T_FLOAT) &&
+          (y.getField("t") === T_INT || y.getField("t") === T_FLOAT),
+          when(x.getField("t") === T_INT, x.getField("i").cast(DoubleType))
+            .otherwise(x.getField("f")) ===
+            when(y.getField("t") === T_INT, y.getField("i").cast(DoubleType))
+              .otherwise(y.getField("f")))
+        .when(x.getField("t") =!= y.getField("t"), lit(false))
+        .when(x.getField("t") === T_STRING, x.getField("s") === y.getField("s"))
+        .when(x.getField("t") === T_BOOL, x.getField("b") === y.getField("b"))
+        .when(x.getField("t") === T_ARRAY,
+          listPairEq(x.getField("arr"), y.getField("arr"), sub0Eq))
+        .otherwise(nB)
     when(a.isNull || b.isNull, nB)
       .when(sIsNum(a) && sIsNum(b), sNum(a) === sNum(b))
       .when(a.getField("t") =!= b.getField("t"), lit(false))
       .when(a.getField("t") === T_STRING, a.getField("s") === b.getField("s"))
       .when(a.getField("t") === T_BOOL, a.getField("b") === b.getField("b"))
-      .when(a.getField("t") === T_ARRAY, a.getField("arr") === b.getField("arr"))
+      .when(a.getField("t") === T_ARRAY,
+        listPairEq(a.getField("arr"), b.getField("arr"), sub1Eq))
       .otherwise(nB)
   }
 

@@ -260,7 +260,8 @@ class TckFeatureSpec extends AnyFunSuite {
             else if (sc.steps.exists(_.text.startsWith("there exists a procedure")))
               Skipped("ad-hoc test procedure registration (reference skips " +
                 "most; not part of the engine surface)")
-            else skiplist.get(sc.id) match {
+            else skiplist.get(sc.id)
+              .orElse(skiplist.get(sc.id.replaceAll(" #\\d+$", ""))) match {
               case Some(reason) => Skipped(s"triaged: $reason")
               case None =>
                 try { runScenario(sc); Passed }
