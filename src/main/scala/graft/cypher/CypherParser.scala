@@ -249,10 +249,14 @@ object CypherParser extends RegexParsers {
       ("<-" ~> relDetail <~ "-" ~ not(">")) ^^ (_.copy(direction = -1)) |
       ("-" ~> relDetail <~ "->") ^^ (_.copy(direction = 1)) |
       ("-" ~> relDetail <~ "-" ~ not(">")) ^^ (_.copy(direction = 0)) |
-      "<-" ~ "->" ^^^ RelPat(None, Nil, Nil, 0, None) |
-      "<-" ~ "-" ~ not(">") ^^^ RelPat(None, Nil, Nil, -1, None) |
-      "-" ~ "->" ^^^ RelPat(None, Nil, Nil, 1, None) |
-      "--" ~ not(">") ^^^ RelPat(None, Nil, Nil, 0, None)
+      // `^^ { _ => ... }`, NOT `^^^`: ^^^ caches its value in a lazy val,
+      // which would make every bare arrow in every query share ONE RelPat
+      // instance — the translator names anonymous patterns by object
+      // identity, so shared instances collide into duplicate join columns
+      "<-" ~ "->" ^^ { _ => RelPat(None, Nil, Nil, 0, None) } |
+      "<-" ~ "-" ~ not(">") ^^ { _ => RelPat(None, Nil, Nil, -1, None) } |
+      "-" ~ "->" ^^ { _ => RelPat(None, Nil, Nil, 1, None) } |
+      "--" ~ not(">") ^^ { _ => RelPat(None, Nil, Nil, 0, None) }
 
   private def barePath: Parser[PathPat] =
     nodePat ~ rep(relPat ~ nodePat) ^^ {

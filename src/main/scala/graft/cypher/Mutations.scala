@@ -82,7 +82,19 @@ private[cypher] final class MutationRunner(session: CypherSession) {
   private def propsCol(c: Ctx, frame: Frame,
       props: List[(String, Ast.Expr)]): Column =
     if (props.isEmpty) emptyProps
-    else map_filter(
+    else if (props.forall(p => isPureLit(p._2))) {
+      // all-literal prop map → ONE Catalyst Literal. A large CREATE (the
+      // TCK movie graph is ~170 entities in one statement) otherwise
+      // emits a map_from_arrays(struct...) tree per entity and the
+      // generated code explodes past what Janino (and Spark's
+      // CodeFormatter regex) can handle.
+      val m = scala.collection.immutable.ListMap(props.flatMap {
+        case (k, e) => Option(litRow(e, Values.MaxNest)).map(k -> _)
+      }: _*)
+      org.apache.spark.sql.GraftColumn.column(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          m, Values.propsType))
+    } else map_filter(
       map_from_arrays(
         array(props.map { case (k, _) => lit(k) }: _*),
         array(props.map { case (_, e) => trExpr(c, frame, e) }: _*)),
@@ -165,39 +177,43 @@ private[cypher] final class MutationRunner(session: CypherSession) {
 
     var df = tagged
     var vars = frame.vars
-    val exprFrame = () => Frame(df, vars)
-    // bind new node structs first (edges reference them)
-    pn.foreach { n =>
-      df = df.withColumn(n.name, struct(
+    // bind new node structs first (edges reference them); ONE select per
+    // phase — chained withColumn re-analyzes the whole plan per entity,
+    // which is O(entities²) on the TCK movie-graph-sized CREATE
+    if (pn.nonEmpty) {
+      val nodeFrame = Frame(df, vars)
+      df = df.select(df.columns.map(df(_)) ++ pn.map(n => struct(
         nodeId(n.slot).as("id"),
         lit(n.pat.label.orNull).cast(StringType).as("label"),
-        propsCol(c, exprFrame(), n.pat.props).as("props")))
-      vars += n.name -> KNode
+        propsCol(c, nodeFrame, n.pat.props).as("props")).as(n.name)): _*)
+      vars ++= pn.map(_.name -> (KNode: Kind))
     }
-    pe.foreach { e =>
-      df = df.withColumn(e.name, struct(
+    if (pe.nonEmpty) {
+      val edgeFrame = Frame(df, vars)
+      df = df.select(df.columns.map(df(_)) ++ pe.map(e => struct(
         edgeId(e.slot).as("id"),
         df(e.srcVar).getField("id").as("src"),
         df(e.dstVar).getField("id").as("dst"),
         lit(e.rel.types.head).as("reltype"),
-        propsCol(c, exprFrame(), e.rel.props).as("props")))
-      vars += e.name -> KEdge
+        propsCol(c, edgeFrame, e.rel.props).as("props")).as(e.name)): _*)
+      vars ++= pe.map(_.name -> (KEdge: Kind))
     }
 
+    // one explode over an array of the new structs, not an entity-count-
+    // wide union (a 170-way unionByName is a 170-branch plan)
     val newNodeDf =
       if (pn.isEmpty) None
-      else Some(pn.map(n => df.select(
-        df(n.name).getField("id").as("id"),
-        df(n.name).getField("label").as("label"),
-        df(n.name).getField("props").as("props"))).reduce(_ unionByName _))
+      else Some(df.select(explode(
+          array(pn.map(n => df(n.name)): _*)).as("__new"))
+        .select(col("__new.id").as("id"), col("__new.label").as("label"),
+          col("__new.props").as("props")))
     val newEdgeDf =
       if (pe.isEmpty) None
-      else Some(pe.map(e => df.select(
-        df(e.name).getField("id").as("id"),
-        df(e.name).getField("src").as("src"),
-        df(e.name).getField("dst").as("dst"),
-        df(e.name).getField("reltype").as("reltype"),
-        df(e.name).getField("props").as("props"))).reduce(_ unionByName _))
+      else Some(df.select(explode(
+          array(pe.map(e => df(e.name)): _*)).as("__new"))
+        .select(col("__new.id").as("id"), col("__new.src").as("src"),
+          col("__new.dst").as("dst"), col("__new.reltype").as("reltype"),
+          col("__new.props").as("props")))
 
     nodesCreated += rows * pn.size
     relsCreated += rows * pe.size
@@ -439,6 +455,32 @@ private[cypher] final class MutationRunner(session: CypherSession) {
         (rel.copy(direction = 1), node)
       case other => other
     }))
+    // compile-time validations (ast_validations.c MERGE checks):
+    // ON MATCH / ON CREATE may only reference pattern or prior variables,
+    // and a bound variable cannot impose new label/prop predicates
+    val declared = frame.vars.keySet ++
+      (m0.path.head :: m0.path.tail.map(_._2)).flatMap(_.variable) ++
+      m0.path.tail.flatMap(_._1.variable) ++ m0.path.pathVar
+    def rootVar(e: Ast.Expr): Option[String] = e match {
+      case Ast.Variable(v) => Some(v)
+      case Ast.Prop(t, _) => rootVar(t)
+      case _ => None
+    }
+    (m0.onMatch ++ m0.onCreate).foreach { si =>
+      rootVar(si.target).foreach { v =>
+        if (!declared.contains(v)) throw TranslateError(
+          s"UndefinedVariable: $v not defined")
+      }
+    }
+    (m0.path.head :: m0.path.tail.map(_._2)).foreach { np =>
+      np.variable.foreach { v =>
+        if (frame.vars.contains(v) &&
+            (np.label.nonEmpty || np.props.nonEmpty))
+          throw TranslateError(
+            s"VariableAlreadyBound: MERGE cannot impose new predicates " +
+              s"on bound variable $v")
+      }
+    }
     // merging on a NULL property value can never match NOR create a
     // property (Cypher stores no null properties) — reject like the
     // reference (TCK MergeReadOwnWrites)
@@ -560,12 +602,26 @@ private[cypher] final class MutationRunner(session: CypherSession) {
 
     // bind created entities back to miss rows via the key columns
     val patVars = (pn.map(_.name) ++ pe.map(_.name))
-    val createdBind = missKeyed.join(ck, keyCols.keys.toSeq)
+    var createdBind = missKeyed.join(ck, keyCols.keys.toSeq)
+    // MERGE p = (...): the matched side bound the path in translatePath;
+    // assemble the created side's path struct from the pattern sequence
+    // (TCK Merge1 [13] / Merge5 [10])
+    m0.path.pathVar.foreach { pv =>
+      val nodeCols = (m.path.head :: m.path.tail.map(_._2))
+        .map(np => createdBind(nameOf(np)))
+      val relCols = m.path.tail.map { case (r, _) => createdBind(nameOf(r)) }
+      val rels =
+        if (relCols.isEmpty) array().cast(ArrayType(edgeStructType))
+        else array(relCols: _*)
+      createdBind = createdBind.withColumn(pv,
+        struct(array(nodeCols: _*).as("nodes"), rels.as("rels")))
+    }
     val newVars: Map[String, Kind] = frame.vars ++
       pn.map(_.name -> (KNode: Kind)) ++ pe.map(_.name -> (KEdge: Kind)) ++
       (m.path.head :: m.path.tail.map(_._2)).flatMap(_.variable)
         .map(_ -> (KNode: Kind)) ++
-      m.path.tail.flatMap(_._1.variable).map(_ -> (KEdge: Kind))
+      m.path.tail.flatMap(_._1.variable).map(_ -> (KEdge: Kind)) ++
+      m0.path.pathVar.map(_ -> (KPath: Kind))
 
     val outCols = (frame.vars.keys.toSeq ++ patVars ++
       (newVars.keySet -- frame.vars.keySet -- patVars).toSeq).distinct

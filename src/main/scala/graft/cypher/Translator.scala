@@ -38,7 +38,8 @@ object Translator {
     * df columns ↔ alias→entry mapping.
     */
   case class Frame(df: DataFrame, vars: Map[String, Kind],
-      bindings: Map[String, Column] = Map.empty) {
+      bindings: Map[String, Column] = Map.empty,
+      bindingTypes: Map[String, DataType] = Map.empty) {
     /** Lambda-variable bindings resolve first and COMPOSE — a nested
       * comprehension's frame keeps every enclosing lambda's binding (an
       * override-based chain would drop the outer variable and fail
@@ -149,6 +150,11 @@ object Translator {
       fullVars: Option[Set[String]] = None) {
     /** Does variable `v`'s struct need the full props map? (None ⇒ yes.) */
     def needsProps(v: String): Boolean = fullVars.forall(_.contains(v))
+    /** Variables currently bound to pure literals by WITH (for the
+      * compile-time type checks the TCK wants on e.g. `list[idx]` where
+      * `idx` was aliased to 3.14 — updated in projection order).
+      */
+    val constVars = scala.collection.mutable.Map[String, Ast.Expr]()
   }
 
   /** Name of the flat column a scan projects for property `k` of variable
@@ -564,6 +570,57 @@ object Translator {
     case _ => false
   }
 
+  /** Literal-only (no params — those fold elsewhere): foldable driver-side
+    * to a single Catalyst Literal.
+    */
+  private[cypher] def isPureLit(e: Ast.Expr): Boolean = e match {
+    case Ast.LitInt(_) | Ast.LitFloat(_) | Ast.LitString(_) |
+         Ast.LitBool(_) | Ast.LitNull => true
+    case Ast.Neg(x) => isPureLit(x)
+    case Ast.ListLit(items) => items.forall(isPureLit)
+    case _ => false
+  }
+
+  /** Driver-side Row encoding of a pure-literal value at variant nesting
+    * depth `d` (see [[Values.nestedType]]); raises past the depth floor
+    * like `Values.narrow`.
+    */
+  private[cypher] def litRow(e: Ast.Expr, d: Int): Any = {
+    def row(t: Int, i: Any = null, f: Any = null, s: Any = null,
+        b: Any = null, arr: Any = null): org.apache.spark.sql.Row =
+      if (d <= 0) org.apache.spark.sql.Row(t, i, f, s, b)
+      else org.apache.spark.sql.Row(t, i, f, s, b, arr)
+    e match {
+      case Ast.LitNull => null
+      case Ast.LitInt(v) => row(Values.T_INT, i = v)
+      case Ast.LitFloat(v) => row(Values.T_FLOAT, f = v)
+      case Ast.LitString(v) => row(Values.T_STRING, s = v)
+      case Ast.LitBool(v) => row(Values.T_BOOL, b = v)
+      case Ast.Neg(x) => litRow(x, d) match {
+        case null => null
+        case r: org.apache.spark.sql.Row if r.getInt(0) == Values.T_INT =>
+          row(Values.T_INT, i = -r.getLong(1))
+        case r: org.apache.spark.sql.Row if r.getInt(0) == Values.T_FLOAT =>
+          row(Values.T_FLOAT, f = -r.getDouble(2))
+        case _ => null
+      }
+      case Ast.ListLit(items) =>
+        if (d <= 0) throw TranslateError(
+          s"nested list values exceed the supported nesting depth " +
+            s"(${Values.MaxNest})")
+        row(Values.T_ARRAY, arr = items.map(i => litRow(i, d - 1)))
+      case other => throw TranslateError(s"not a literal: $other")
+    }
+  }
+
+  /** An all-literal list expression as ONE Literal column (constant-width
+    * codegen regardless of element count).
+    */
+  private def constListLiteral(items: List[Ast.Expr]): Column =
+    org.apache.spark.sql.GraftColumn.column(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        litRow(Ast.ListLit(items), Values.MaxNest), Values.variantType))
+
   private def bindNode(ctx: Ctx, frame: Frame, np: Ast.NodePat): Frame = {
     val name = nameOf(np)
     frame.vars.get(name).foreach {
@@ -571,12 +628,20 @@ object Translator {
       case KValue =>
         // a projected VALUE re-bound in a node pattern is legal when it
         // holds an entity (WITH coalesce(b, c) AS x MATCH (x)-->(d)) or
-        // null; a variant-typed value can only be null here → no matches
+        // null; a variant-typed value can only be null here → no matches.
+        // Rebind as a NULL node struct so downstream traversal/path code
+        // sees entity fields (rows are already filtered away).
         if (!dataTypeOf(frame, frame.col(name)).exists(dt => dt match {
           case s: StructType =>
             s.fieldNames.contains("id") && s.fieldNames.contains("props")
           case _ => false
-        })) return Frame(frame.df.filter(lit(false)), frame.vars)
+        })) return frame.copy(
+          // overwrite the COLUMN with a typed null node (not a binding:
+          // downstream Frame(df, vars) reconstructions would drop a
+          // binding, and path assembly must see the node struct type)
+          df = frame.df.filter(lit(false))
+            .withColumn(name, lit(null).cast(nodeStructType)),
+          vars = frame.vars + (name -> KNode))
       case other => throw TranslateError(
         s"VariableTypeConflict: $name already bound as $other cannot " +
           "re-bind as a node")
@@ -654,6 +719,25 @@ object Translator {
     }
   }
 
+  /** Label/prop predicates of a node pattern applied to an ALREADY-BOUND
+    * variable — the ExpandInto side of a traversal must still honor the
+    * pattern's label and property constraints (mirrors bindNode's
+    * re-match path).
+    */
+  private def filterBoundNode(ctx: Ctx, f0: Frame, np: Ast.NodePat,
+      name: String): Frame = {
+    var f = f0
+    np.label.foreach(l => f = f.copy(df = f.df.filter(
+      f.col(name).getField("label") === l)))
+    np.props.foreach { case (k, e) =>
+      f = f.copy(df = f.df.filter(coalesce(Values.eq(
+        f.propCol(name, k).getOrElse(
+          element_at(f.col(name).getField("props"), k)),
+        trExpr(ctx, f, e)), lit(false))))
+    }
+    f
+  }
+
   /** One-hop expansion: ConditionalTraverse / ExpandInto
     * (`op_conditional_traverse.c`, `op_expand_into.c`) as equi-joins.
     */
@@ -696,9 +780,9 @@ object Translator {
             s"VariableTypeConflict: $nname already bound as $other " +
               "cannot re-bind as a node")
         }
-        var df = joined.filter(
+        val df = joined.filter(
           col("__to") === frame.col(nname).getField("id"))
-        Frame(df, f1.vars)
+        filterBoundNode(ctx, Frame(df, f1.vars), node, nname)
       } else {
         val (constProps, dynProps) =
           node.props.partition { case (_, e) => isConst(e) }
@@ -752,7 +836,9 @@ object Translator {
       f = f.copy(df = f.df.filter(coalesce(Values.eq(
         element_at(r.getField("props"), k), trExpr(ctx, f, e)), lit(false))))
     }
-    if (!frame.has(nname)) {
+    if (frame.has(nname)) {
+      f = filterBoundNode(ctx, f, node, nname)
+    } else {
       val farId = rel.direction match {
         case 1 => dst
         case -1 => src
@@ -856,8 +942,15 @@ object Translator {
       frame.col(prev).getField("id") === reach("__vstart"))
     var result =
       if (frame.has(nname)) {
-        Frame(joined.filter(
-          col("__vcur") === frame.col(nname).getField("id")), frame.vars)
+        frame.vars.get(nname).foreach {
+          case KNode | KValue => ()
+          case other => throw TranslateError(
+            s"VariableTypeConflict: $nname already bound as $other " +
+              "cannot re-bind as a node")
+        }
+        filterBoundNode(ctx, Frame(joined.filter(
+          col("__vcur") === frame.col(nname).getField("id")), frame.vars),
+          node, nname)
       } else {
         val (constProps, dynProps) =
           node.props.partition { case (_, e) => isConst(e) }
@@ -1120,6 +1213,38 @@ object Translator {
   private def dataTypeOf(frame: Frame, c: Column): Option[DataType] =
     try Some(frame.df.select(c).schema.head.dataType)
     catch { case _: Throwable => None }
+
+  /** Static type of an expression, resolvable even when the expression
+    * closes over a lambda variable (a `transform`/`filter` binding cannot
+    * be `df.select`ed, so [[dataTypeOf]] returns None inside lambda
+    * bodies). Lambda variables carry their element type in
+    * `frame.bindingTypes`; the entity/path-shaped functions have fixed
+    * return types.
+    */
+  private def staticTypeOf(frame: Frame, e: Ast.Expr): Option[DataType] =
+    e match {
+      case Ast.Variable(n) => frame.bindingTypes.get(n)
+      case Ast.Fn("nodes", _, _) => Some(ArrayType(nodeStructType))
+      case Ast.Fn("relationships", _, _) => Some(ArrayType(edgeStructType))
+      case Ast.Fn("startnode" | "endnode", _, _) => Some(nodeStructType)
+      case Ast.Fn("head" | "last", args, _) =>
+        staticTypeOf(frame, args.head).collect {
+          case ArrayType(et: StructType, _) if !isVariantStruct(et) => et
+        }
+      case Ast.Fn("tail", args, _) =>
+        staticTypeOf(frame, args.head).collect {
+          case a @ ArrayType(et: StructType, _) if !isVariantStruct(et) => a
+        }
+      case Ast.Subscript(tgt, _) =>
+        staticTypeOf(frame, tgt).collect {
+          case ArrayType(et: StructType, _) if !isVariantStruct(et) => et
+        }
+      case _ => None
+    }
+
+  /** [[staticTypeOf]] first (lambda-safe), then the frame schema. */
+  private def typeOf(frame: Frame, e: Ast.Expr, c: Column): Option[DataType] =
+    staticTypeOf(frame, e).orElse(dataTypeOf(frame, c))
 
   private[cypher] def isVariantStruct(dt: DataType): Boolean = dt match {
     case s: StructType =>
@@ -1409,6 +1534,7 @@ object Translator {
       val named = sorted.select(items.zipWithIndex.map { case ((_, n), i) =>
         col(s"__item_$i").as(n)
       } ++ carry: _*)
+      recordConstVars(ctx, items)
       return Frame(named, items.map { case (e, n) =>
         n -> kindOf(ctx, frame, e)
       }.toMap)
@@ -1434,8 +1560,18 @@ object Translator {
     }
     proj.skip.foreach(e => f = f.copy(df = f.df.offset(runtimeInt(ctx, e, "SKIP"))))
     proj.limit.foreach(e => f = f.copy(df = f.df.limit(runtimeInt(ctx, e, "LIMIT"))))
+    recordConstVars(ctx, items)
     f
   }
+
+  /** Track which aliases a projection bound to pure literals (see
+    * Ctx.constVars).
+    */
+  private def recordConstVars(ctx: Ctx,
+      items: List[(Ast.Expr, String)]): Unit =
+    items.foreach { case (e, n) =>
+      if (isPureLit(e)) ctx.constVars(n) = e else ctx.constVars.remove(n)
+    }
 
   /** Evaluation layering for nested projection expressions.
     *
@@ -1484,6 +1620,10 @@ object Translator {
     // the consuming function
     def noSpill(e: Ast.Expr): Boolean = e match {
       case _: Ast.MapLit => true
+      // a list literal holding maps is typed (or identity-keyed by the
+      // aggregate path) — hoisting it would force the variant encoding
+      case Ast.ListLit(xs) if xs.exists(x =>
+        x.isInstanceOf[Ast.MapLit] || noSpill(x)) => true
       case Ast.Fn(n, _, _) =>
         StructFns.contains(n.toLowerCase)
       case _ => false
@@ -1503,7 +1643,16 @@ object Translator {
       case Ast.Bin(op, a, b) =>
         val (a2, da) = spill(a); val (b2, db) = spill(b)
         (Ast.Bin(op, a2, b2), math.max(da, db))
-      case Ast.Not(x) => val (x2, d) = spill(x); (Ast.Not(x2), d)
+      case Ast.Not(x) =>
+        // type-check BEFORE the operand spills to a temp (the trExpr check
+        // would only ever see the hoisted variable)
+        x match {
+          case Ast.LitInt(_) | Ast.LitFloat(_) | Ast.LitString(_) |
+              _: Ast.ListLit | _: Ast.MapLit => throw TranslateError(
+            s"InvalidArgumentType: NOT expects a boolean, got: $x")
+          case _ => ()
+        }
+        val (x2, d) = spill(x); (Ast.Not(x2), d)
       case Ast.Neg(x) => val (x2, d) = spill(x); (Ast.Neg(x2), d)
       case Ast.IsNull(x, n) => val (x2, d) = spill(x); (Ast.IsNull(x2, n), d)
       case Ast.Fn(n, _, _) if ShapeArgFns.contains(n.toLowerCase) =>
@@ -1578,8 +1727,16 @@ object Translator {
   private def trAgg(ctx: Ctx, frame: Frame, e: Ast.Expr): Column = e match {
     case Ast.CountStar => Values.vInt(count(lit(1)))
     case Ast.Fn("count", List(arg), distinct) =>
-      val v = trAny(ctx, frame, arg)
-      Values.vInt(if (distinct) countDistinct(v) else count(v))
+      // maps nested inside list literals have no single Catalyst type
+      // (heterogeneous key sets); counting needs only IDENTITY, so key
+      // them by canonical JSON instead of materializing the value
+      // (TCK Return5 [4])
+      if (distinct && hasMapInList(arg))
+        Values.vInt(countDistinct(jsonIdent(ctx, frame, arg)))
+      else {
+        val v = trAny(ctx, frame, arg)
+        Values.vInt(if (distinct) countDistinct(v) else count(v))
+      }
     case Ast.Fn("sum", List(arg), _) =>
       // reference semantics (agg_funcs.c AGG_SUM/AvgFinalize): processing
       // >=1 rows whose values are all NULL yields 0, zero rows yields NULL;
@@ -1607,24 +1764,40 @@ object Translator {
         .getField("v")
     case Ast.Fn("collect", List(arg), distinct) =>
       arg match {
-        // collect(entity): a raw entity-struct array (the BASELINE
+        // collect(entity/path): a raw struct array (the BASELINE
         // index_node_lookup query shape, `RETURN a, collect(b)`) — entity
-        // structs don't fit the scalar-variant element type
+        // and path structs don't fit the scalar-variant element type
         case Ast.Variable(v) if frame.vars.get(v)
-            .exists(k => k == KNode || k == KEdge) =>
+            .exists(k => k == KNode || k == KEdge || k == KPath) =>
           val c = frame.col(v)
+          val isPath = frame.vars(v) == KPath
           if (!distinct) collect_list(c)
           else {
             // collect_set rejects structs containing maps (props) — dedup
-            // by entity id post-collect (same-id entities are identical)
+            // by identity post-collect (entity = id, path = id sequences;
+            // same-identity values are identical)
+            def key(x: Column): Column =
+              if (isPath) struct(
+                transform(x.getField("nodes"), n => n.getField("id")).as("n"),
+                transform(x.getField("rels"), r => r.getField("id")).as("r"))
+              else x.getField("id")
             val arr = collect_list(c)
             filter(arr, (e, i) =>
-              array_position(transform(arr, x => x.getField("id")),
-                e.getField("id")) === (i + 1).cast(LongType))
+              array_position(transform(arr, x => key(x)), key(e)) ===
+                (i + 1).cast(LongType))
           }
         case _ =>
-          val v = Values.narrow(trExpr(ctx, frame, arg))
-          Values.vArr(if (distinct) collect_set(v) else collect_list(v))
+          val raw = trExpr(ctx, frame, arg)
+          dataTypeOf(frame, raw) match {
+            // map values are typed structs outside the variant element
+            // model — collect them as a raw typed array (TCK Return4 [11]
+            // `head(collect({k: v}))`)
+            case Some(s: StructType) if isMapStruct(s) =>
+              if (distinct) collect_set(raw) else collect_list(raw)
+            case _ =>
+              val v = Values.narrow(raw)
+              Values.vArr(if (distinct) collect_set(v) else collect_list(v))
+          }
       }
     case Ast.Fn("stdev", List(arg), _) =>
       Values.vFloat(stddev_samp(Values.num(trExpr(ctx, frame, arg))))
@@ -1643,6 +1816,44 @@ object Translator {
     case other =>
       throw TranslateError(s"aggregate must be top-level, got: $other")
   }
+
+  /** Does the expression tree put a map literal inside a list literal
+    * (unrepresentable as one Catalyst array type)?
+    */
+  private def hasMapInList(e: Ast.Expr): Boolean = e match {
+    case Ast.ListLit(items) =>
+      items.exists {
+        case _: Ast.MapLit => true
+        case i => hasMapInList(i)
+      }
+    case Ast.MapLit(entries) => entries.exists(kv => hasMapInList(kv._2))
+    case Ast.Bin(_, l, r) => hasMapInList(l) || hasMapInList(r)
+    case Ast.Fn(_, args, _) => args.exists(hasMapInList)
+    case _ => false
+  }
+
+  /** Canonical JSON identity key of an arbitrary value expression: map
+    * entries key-sorted, strings quoted, null distinct from "null".
+    * Used where only equality-identity is needed (DISTINCT counting).
+    */
+  private def jsonIdent(ctx: Ctx, frame: Frame, e: Ast.Expr): Column =
+    e match {
+      case Ast.MapLit(entries) =>
+        concat(lit("{"), concat_ws(",",
+          entries.sortBy(_._1).map { case (k, v) =>
+            concat(lit("\"" + k + "\":"), jsonIdent(ctx, frame, v))
+          }: _*), lit("}"))
+      case Ast.ListLit(items) =>
+        concat(lit("["), concat_ws(",",
+          items.map(i => jsonIdent(ctx, frame, i)): _*), lit("]"))
+      case other =>
+        val c = trExpr(ctx, frame, other)
+        dataTypeOf(frame, c) match {
+          case Some(s: StructType) if isMapStruct(s) =>
+            coalesce(to_json(canonKey(c, s)), lit("null"))
+          case _ => Values.jsonOf(c)
+        }
+    }
 
   private def constantDouble(ctx: Ctx, e: Ast.Expr): Double = e match {
     case Ast.LitFloat(v) => v
@@ -1665,7 +1876,30 @@ object Translator {
       case Ast.LitBool(v) => vBool(lit(v))
       case Ast.LitNull => vNull
       case Ast.Param(name) => paramValue(ctx, name)
+      case Ast.ListLit(items) if items.nonEmpty && items.forall(isPureLit) =>
+        // all-literal list: fold to ONE Catalyst Literal driver-side.
+        // Per-element array(when(...struct...)) trees make the generated
+        // code O(elements) — a 1000-element literal list explodes the
+        // codegen unit (and Spark's CodeFormatter regex) before Janino
+        // even runs
+        constListLiteral(items)
+      case Ast.ListLit(items)
+          if items.nonEmpty && items.forall(_.isInstanceOf[Ast.MapLit]) =>
+        // list of map literals: a raw typed array when the maps share a
+        // schema (heterogeneous key sets still raise at analysis — no
+        // single Catalyst element type exists)
+        array(items.map(t): _*)
       case Ast.ListLit(items) =>
+        // static nesting past the schema floor fails at TRANSLATION — the
+        // runtime raise_error inside per-element narrow() transforms both
+        // defers the error and generates pathologically large codegen
+        def astDepth(x: Ast.Expr): Int = x match {
+          case Ast.ListLit(xs) => 1 + (0 +: xs.map(astDepth)).max
+          case _ => 0
+        }
+        if (astDepth(e) > Values.MaxNest) throw TranslateError(
+          s"nested list values exceed the supported nesting depth " +
+            s"(${Values.MaxNest})")
         vArr(array(items.map(i => narrow(t(i))): _*))
 
       case Ast.MapLit(entries) =>
@@ -1702,10 +1936,13 @@ object Translator {
             }
           case other =>
             val c = t(other)
-            dataTypeOf(frame, c) match {
+            typeOf(frame, other, c) match {
               case Some(s: StructType) if isMapStruct(s) =>
                 // static-key map struct: missing key ≡ NULL
                 if (s.fieldNames.contains(key)) c.getField(key) else vNull
+              case Some(s: StructType) if s.fieldNames.contains("props") =>
+                // entity-valued expression (startNode(r) etc.)
+                element_at(c.getField("props"), key)
               case _ => element_at(c.getField("arr"), key)
             }
         }
@@ -1808,7 +2045,16 @@ object Translator {
 
       case Ast.Subscript(target, idx) =>
         val tc = t(target)
-        dataTypeOf(frame, tc) match {
+        typeOf(frame, target, tc) match {
+          case Some(ArrayType(et: StructType, _)) if !isVariantStruct(et) =>
+            // raw typed array (collect(entity/path) temps, nodes(p)):
+            // negative index from the end, OOB → typed null
+            val i = t(idx).getField("i")
+            val n = size(tc)
+            val pos = when(i >= 0, i + 1).otherwise(n + i + 1)
+            when(tc.isNull || i.isNull || pos < 1 || pos > n,
+              lit(null).cast(et))
+              .otherwise(try_element_at(tc, pos.cast(IntegerType)))
           case Some(st: StructType) if st.fieldNames.contains("props") =>
             // dynamic property access n[expr] (`graph_entity.c` GETPROP)
             element_at(tc.getField("props"), t(idx).getField("s"))
@@ -1821,11 +2067,17 @@ object Translator {
                 else acc
             }
           case _ =>
-            idx match {
+            // resolve WITH-aliased literals (WITH 3.14 AS idx ... l[idx]
+            // is a compile-time type error per TCK List1)
+            val idxRes = idx match {
+              case Ast.Variable(n) => ctx.constVars.getOrElse(n, idx)
+              case other => other
+            }
+            idxRes match {
               case Ast.LitFloat(_) | Ast.LitString(_) | Ast.LitBool(_) |
                   _: Ast.ListLit | _: Ast.MapLit => throw TranslateError(
                 s"ListElementAccessByNonInteger: list index must be an " +
-                  s"integer, got: $idx")
+                  s"integer, got: $idxRes")
               case _ => ()
             }
             subscript(tc, t(idx))
@@ -1850,21 +2102,57 @@ object Translator {
           .otherwise(vArr(slice(arr, lo + 1, greatest(hi - lo, lit(0)))))
 
       case Ast.ListComprehension(v, list, where, projTo) =>
-        // list-valued projections nest (Values.narrow keeps the list
-        // branch up to Values.MaxNest levels; beyond raises loudly)
-        val arr = t(list).getField("arr")
-        val filtered = where match {
-          case Some(p) =>
-            filter(arr, x => Values.isTrue(lambdaExpr(ctx, frame, v, x, p)))
-          case None => arr
+        val src = t(list)
+        typeOf(frame, list, src) match {
+          case Some(ArrayType(et: StructType, _)) if !isVariantStruct(et) =>
+            // raw typed source (collect(entity/path) temps, nodes(p)):
+            // bind the lambda variable with its struct kind so entity/path
+            // functions resolve inside the body (TCK List12
+            // `[x IN collect(p) | head(nodes(x))]`)
+            val kind: Kind =
+              if (et.fieldNames.toSeq == Seq("nodes", "rels")) KPath
+              else if (et.fieldNames.contains("src")) KEdge
+              else if (et.fieldNames.contains("props")) KNode
+              else KValue
+            def bind(x: Column) = frame.copy(
+              vars = frame.vars + (v -> kind),
+              bindings = frame.bindings + (v -> x),
+              bindingTypes = frame.bindingTypes + (v -> et))
+            val filtered = where match {
+              case Some(p) =>
+                filter(src, x => Values.isTrue(trExpr(ctx, bind(x), p)))
+              case None => src
+            }
+            projTo match {
+              case Some(p) =>
+                // body producing an entity/path struct stays raw; scalar
+                // bodies re-enter the variant list model
+                val raw = staticTypeOf(frame.copy(
+                  bindingTypes = frame.bindingTypes + (v -> et)), p)
+                  .exists(dt => !isVariantStruct(dt))
+                if (raw) transform(filtered, x => trExpr(ctx, bind(x), p))
+                else vArr(transform(filtered,
+                  x => Values.narrow(trExpr(ctx, bind(x), p))))
+              case None => filtered
+            }
+          case _ =>
+            // list-valued projections nest (Values.narrow keeps the list
+            // branch up to Values.MaxNest levels; beyond raises loudly)
+            val arr = src.getField("arr")
+            val filtered = where match {
+              case Some(p) =>
+                filter(arr,
+                  x => Values.isTrue(lambdaExpr(ctx, frame, v, x, p)))
+              case None => arr
+            }
+            val projected = projTo match {
+              case Some(p) =>
+                transform(filtered, x =>
+                  Values.narrow(lambdaExpr(ctx, frame, v, x, p)))
+              case None => filtered
+            }
+            vArr(projected)
         }
-        val projected = projTo match {
-          case Some(p) =>
-            transform(filtered, x =>
-              Values.narrow(lambdaExpr(ctx, frame, v, x, p)))
-          case None => filtered
-        }
-        vArr(projected)
 
       case Ast.Quantifier(kind, v, list, pred) =>
         val arr = t(list).getField("arr")
@@ -2055,23 +2343,26 @@ object Translator {
       case "exists" => vBool(t(fn.args.head).isNotNull)
       // id-only node stubs: enough for id(startNode(r)) composition; full
       // entity hydration would need a join, which callers do via patterns
-      case "startnode" => fn.args.head match {
+      case "startnode" | "endnode" => fn.args.head match {
         case Ast.LitNull => lit(null).cast(nodeStructType)
         case a =>
           val e = entity(a)
-          when(e.isNull, lit(null).cast(nodeStructType))
-            .otherwise(struct(e.getField("src").as("id"),
-              lit(null).cast(StringType).as("label"),
-              lit(null).cast(Values.propsType).as("props")))
-      }
-      case "endnode" => fn.args.head match {
-        case Ast.LitNull => lit(null).cast(nodeStructType)
-        case a =>
-          val e = entity(a)
-          when(e.isNull, lit(null).cast(nodeStructType))
-            .otherwise(struct(e.getField("dst").as("id"),
-              lit(null).cast(StringType).as("label"),
-              lit(null).cast(Values.propsType).as("props")))
+          val far = e.getField(if (fn.name == "startnode") "src" else "dst")
+          // hydrate from any node variable already bound to that id (the
+          // common `MATCH (a)-[r]-(b) ... startNode(r).k` shape needs
+          // label/props, not just the id); fall back to an id-only stub —
+          // full hydration would need a join, which callers do via patterns
+          val stub = struct(far.as("id"),
+            lit(null).cast(StringType).as("label"),
+            lit(null).cast(Values.propsType).as("props"))
+          val hydrated = frame.vars.toSeq.sortBy(_._1).collect {
+            case (nv, KNode) => frame.col(nv)
+          }.foldLeft(stub) { (acc, nc) =>
+            when(nc.getField("id") === far, struct(
+              nc.getField("id").as("id"), nc.getField("label").as("label"),
+              nc.getField("props").as("props"))).otherwise(acc)
+          }
+          when(e.isNull, lit(null).cast(nodeStructType)).otherwise(hydrated)
       }
       // dynamic property access (`entity_funcs.c` property): key evaluated
       // at runtime, missing ≡ NULL (PROPERTY_NOTFOUND)
@@ -2086,21 +2377,21 @@ object Translator {
       // resolve the path fields
       case "nodes" =>
         val c = t(fn.args.head)
-        dataTypeOf(frame, c) match {
+        typeOf(frame, fn.args.head, c) match {
           case Some(s: StructType) if s.fieldNames.contains("nodes") =>
             c.getField("nodes")
           case _ => lit(null).cast(ArrayType(nodeStructType))
         }
       case "relationships" =>
         val c = t(fn.args.head)
-        dataTypeOf(frame, c) match {
+        typeOf(frame, fn.args.head, c) match {
           case Some(s: StructType) if s.fieldNames.contains("rels") =>
             c.getField("rels")
           case _ => lit(null).cast(ArrayType(edgeStructType))
         }
       case "length" =>
         val c = t(fn.args.head)
-        dataTypeOf(frame, c) match {
+        typeOf(frame, fn.args.head, c) match {
           case Some(s: StructType) if s.fieldNames.contains("rels") =>
             vInt(size(c.getField("rels")))
           case _ => vNull
@@ -2237,7 +2528,7 @@ object Translator {
           vInt(size(frame.col(v)).cast(LongType))
         case a =>
           val c = t(a)
-          dataTypeOf(frame, c) match {
+          typeOf(frame, a, c) match {
             // raw entity arrays (collect(n) temps, nodes(p)) — not variants
             case Some(_: ArrayType) =>
               vInt(when(c.isNull, lit(null)).otherwise(size(c)).cast(LongType))
@@ -2246,15 +2537,29 @@ object Translator {
       }
       case "head" =>
         val v = t(fn.args.head)
-        subscript(v, vInt(lit(0L)))
+        typeOf(frame, fn.args.head, v) match {
+          // raw typed arrays (collect(entity/map) temps): element passes
+          // through with its own type, not the variant encoding
+          case Some(_: ArrayType) => try_element_at(v, lit(1))
+          case _ => subscript(v, vInt(lit(0L)))
+        }
       case "last" =>
         val v = t(fn.args.head)
-        subscript(v, vInt(lit(-1L)))
+        typeOf(frame, fn.args.head, v) match {
+          case Some(_: ArrayType) => try_element_at(v, lit(-1))
+          case _ => subscript(v, vInt(lit(-1L)))
+        }
       case "tail" =>
         val v = t(fn.args.head)
-        when(v.isNull, vNull)
-          .otherwise(vArr(slice(v.getField("arr"), lit(2),
-            greatest(size(v.getField("arr")) - 1, lit(0)))))
+        typeOf(frame, fn.args.head, v) match {
+          case Some(_: ArrayType) =>
+            when(v.isNull, v)
+              .otherwise(slice(v, lit(2), greatest(size(v) - 1, lit(0))))
+          case _ =>
+            when(v.isNull, vNull)
+              .otherwise(vArr(slice(v.getField("arr"), lit(2),
+                greatest(size(v.getField("arr")) - 1, lit(0)))))
+        }
       case "range" =>
         // non-integer arguments are an ArgumentError (`list_funcs.c` range
         // validates INT64), checked per-row before the sequence
@@ -2269,7 +2574,12 @@ object Translator {
         val to = intArg(fn.args(1), "end")
         val step = fn.args.drop(2).headOption
           .map(s => intArg(s, "step")).getOrElse(lit(1L))
-        vArr(transform(sequence(from, to, step), x => sInt(x)))
+        // range(0, -1) is the EMPTY list in Cypher; Spark's sequence
+        // rejects inconsistent boundaries
+        val empty = (step > 0 && to < from) || (step < 0 && to > from)
+        when(from.isNull || to.isNull || step.isNull, vNull)
+          .otherwise(vArr(when(empty, array().cast(ArrayType(Values.elemType)))
+            .otherwise(transform(sequence(from, to, step), x => sInt(x)))))
 
       // temporal (`time_funcs.c:22`)
       case "timestamp" =>

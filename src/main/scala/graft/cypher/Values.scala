@@ -166,6 +166,7 @@ object Values {
     */
   def eq(a: Column, b: Column): Column = {
     val bothInt = tag(a) === T_INT && tag(b) === T_INT
+    val bothFloat = tag(a) === T_FLOAT && tag(b) === T_FLOAT
     val bothNum = isNum(a) && isNum(b)
     // mixed int/float equality must not lose precision to the double
     // widening (2^53+1 != 2^53.0): require the float to round-trip the
@@ -176,6 +177,7 @@ object Values {
       .otherwise(ia.cast(DoubleType) === fb && ia === fb.cast(LongType))
     when(a.isNull || b.isNull, nB)
       .when(bothInt, a.getField("i") === b.getField("i"))
+      .when(bothFloat, a.getField("f") === b.getField("f"))
       .when(bothNum, mixedEq)
       .when(tag(a) =!= tag(b), lit(false))
       .when(tag(a) === T_STRING, a.getField("s") === b.getField("s"))
@@ -201,27 +203,75 @@ object Values {
 
   def neq(a: Column, b: Column): Column = !eq(a, b)
 
+  /** Lexicographic ternary list-comparison code: 0 = equal, 1 = a<b,
+    * 2 = a>b, 3 = incomparable (→ null result). The first non-equal
+    * element pair over the common prefix decides; a null element or
+    * cross-type pair reached before a decision makes the whole
+    * comparison null; a fully-equal prefix falls through to list
+    * length (TCK Comparison2 [4]: `[1,null] >= [1]` is true — the null
+    * is never compared — while `[1,2] >= [1,null]` is null).
+    */
+  private def arrCmpCode(ea: Column, eb: Column, d: Int): Column = {
+    val n = least(size(ea), size(eb))
+    val pairs = zip_with(slice(ea, lit(1), n), slice(eb, lit(1), n),
+      (x, y) => elemCmpCode(x, y, d))
+    val folded = aggregate(pairs, lit(0),
+      (acc, c) => when(acc =!= 0, acc).otherwise(c))
+    when(ea.isNull || eb.isNull, lit(3))
+      .when(folded =!= 0, folded)
+      .when(size(ea) < size(eb), lit(1))
+      .when(size(ea) > size(eb), lit(2))
+      .otherwise(lit(0))
+  }
+
+  private def elemCmpCode(x: Column, y: Column, d: Int): Column = {
+    def t(c: Column) = c.getField("t")
+    def isN(c: Column) = t(c) === T_INT || t(c) === T_FLOAT
+    def nm(c: Column) =
+      when(t(c) === T_INT, c.getField("i").cast(DoubleType))
+        .otherwise(c.getField("f"))
+    val base = when(x.isNull || y.isNull, lit(3))
+      .when(isN(x) && isN(y),
+        when(nm(x) < nm(y), lit(1)).when(nm(x) > nm(y), lit(2))
+          .otherwise(lit(0)))
+      .when(t(x) =!= t(y), lit(3))
+      .when(t(x) === T_STRING,
+        when(x.getField("s") < y.getField("s"), lit(1))
+          .when(x.getField("s") > y.getField("s"), lit(2)).otherwise(lit(0)))
+      .when(t(x) === T_BOOL,
+        when(!x.getField("b") && y.getField("b"), lit(1))
+          .when(x.getField("b") && !y.getField("b"), lit(2))
+          .otherwise(lit(0)))
+    if (d <= 0) base.otherwise(lit(3))
+    else base.when(t(x) === T_ARRAY,
+      arrCmpCode(x.getField("arr"), y.getField("arr"), d - 1))
+      .otherwise(lit(3))
+  }
+
   /** Cypher `<`: null if either null OR types incomparable
     * (`SI_VALUES_ARE_COMPARABLE`, `value.h:60`; DISJOINT → null).
     */
   def lt(a: Column, b: Column): Column = {
     val bothNum = isNum(a) && isNum(b)
+    val code = arrCmpCode(a.getField("arr"), b.getField("arr"), MaxNest - 1)
     when(a.isNull || b.isNull, nB)
       .when(bothNum, num(a) < num(b))
       .when(tag(a) =!= tag(b), nB)
       .when(tag(a) === T_STRING, a.getField("s") < b.getField("s"))
       .when(tag(a) === T_BOOL, a.getField("b") < b.getField("b"))
-      .when(tag(a) === T_ARRAY, a.getField("arr") < b.getField("arr"))
+      .when(tag(a) === T_ARRAY, when(code === 3, nB).otherwise(code === 1))
       .otherwise(nB)
   }
   def lte(a: Column, b: Column): Column = {
     val bothNum = isNum(a) && isNum(b)
+    val code = arrCmpCode(a.getField("arr"), b.getField("arr"), MaxNest - 1)
     when(a.isNull || b.isNull, nB)
       .when(bothNum, num(a) <= num(b))
       .when(tag(a) =!= tag(b), nB)
       .when(tag(a) === T_STRING, a.getField("s") <= b.getField("s"))
       .when(tag(a) === T_BOOL, a.getField("b") <= b.getField("b"))
-      .when(tag(a) === T_ARRAY, a.getField("arr") <= b.getField("arr"))
+      .when(tag(a) === T_ARRAY,
+        when(code === 3, nB).otherwise(code === 1 || code === 0))
       .otherwise(nB)
   }
   def gt(a: Column, b: Column): Column = lt(b, a)

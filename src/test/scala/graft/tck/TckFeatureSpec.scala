@@ -277,9 +277,16 @@ class TckFeatureSpec extends AnyFunSuite {
       })
     }
     pool.shutdown()
-    pool.awaitTermination(30, TimeUnit.MINUTES)
+    pool.awaitTermination(25, TimeUnit.MINUTES)
+    pool.shutdownNow()
 
     import scala.jdk.CollectionConverters._
+    // scenarios whose worker never returned (hung Spark job / codegen):
+    // report them as failures instead of silently dropping them
+    val done = results.asScala.map(_._1.id).toSet
+    scenarios.filterNot(sc => done.contains(sc.id)).foreach(sc =>
+      results.add((sc, Failed("did not complete within the suite budget " +
+        "(hung scenario)"))))
     val all = results.asScala.toList.sortBy(r => (r._1.file, r._1.line))
     val passed = all.count(_._2 == Passed)
     val skipped = all.count(_._2.isInstanceOf[Skipped])
