@@ -147,13 +147,22 @@ object Bench {
       try {
         val sess = new graft.cypher.CypherSession(spark)
         sess.run("CREATE (:U {v: 0})")
-        val upd = "MATCH (n) WHERE id(n) = 0 SET n.v = n.v + 1"
+        // resolve the REAL node id (distributed id assignment is partition-
+        // based, not 0): a fixed id silently updates nothing and the KPI
+        // becomes a no-op measurement
+        val nid = sess.rows(sess.run("MATCH (n:U) RETURN id(n) AS i"))
+          .head("i").asInstanceOf[Long]
+        val upd = s"MATCH (n) WHERE id(n) = $nid SET n.v = n.v + 1"
         sess.run(upd) // warm plan/JIT
         val updTimes = (1 to 15).map { _ =>
           val t0 = System.nanoTime()
           sess.run(upd)
           (System.nanoTime() - t0) / 1e6
         }
+        // the whole point is that the updates actually LAND
+        val vNow = sess.rows(sess.run("MATCH (n:U) RETURN n.v AS v"))
+          .head("v").asInstanceOf[Long]
+        require(vNow == 16L, s"update KPI no-op: n.v = $vNow, expected 16")
         val updQps = 1000.0 / math.max(p50(updTimes), 1e-9)
 
         val sess2 = new graft.cypher.CypherSession(spark)

@@ -31,11 +31,42 @@ class CypherSession(val spark: SparkSession) {
   private def emptyDf(schema: StructType): DataFrame =
     spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
 
-  var graph: PropertyGraph = PropertyGraph(
+  private var graphStore: PropertyGraph = PropertyGraph(
     emptyDf(nodeSchema), emptyDf(edgeSchema))
+
+  /** Point writes only mark the overlay dirty; the overlay VIEW (base
+    * filter ∪ pending local relation) is built lazily on the next read, so
+    * a hot write burst is pure driver-map work (see [[PointWrite]]).
+    */
+  @volatile private[cypher] var overlayDirty = false
+
+  def graph: PropertyGraph = {
+    if (overlayDirty) writeLock.synchronized {
+      if (overlayDirty) {
+        graphStore = PointWrite.materialize(this, pointWrites, graphStore)
+        overlayDirty = false
+      }
+    }
+    graphStore
+  }
+
+  def graph_=(g: PropertyGraph): Unit = graphStore = g
 
   /** Serializes mutating statements (single-writer discipline). */
   private val writeLock = new Object
+
+  /** Pending point-write overlay (see [[PointWrite]]); mutated only under
+    * [[writeLock]].
+    */
+  private val pointWrites = new PointWrite.State
+
+  /** A point write landed in the pending map: bump the version and defer
+    * the overlay view build to the next read.
+    */
+  private[cypher] def markPointWrite(): Unit = {
+    overlayDirty = true
+    graphVersion += 1
+  }
 
   // id allocation is lazy: the max-id scan only runs when a mutation first
   // needs a fresh id, so read-only sessions never pay it
@@ -48,6 +79,7 @@ class CypherSession(val spark: SparkSession) {
     nextNodeId = None
     nextEdgeId = None
     graphVersion += 1
+    pointWrites.clear()
   }
 
   private def maxId(df: DataFrame): Long =
@@ -73,11 +105,21 @@ class CypherSession(val spark: SparkSession) {
     * chained mutations don't stack plans.
     */
   private[cypher] def commit(nodes: DataFrame, edges: DataFrame): Unit = {
+    // an untouched side (edge-only delete, node-only create) re-commits
+    // the SAME frame — already materialized, skip the redundant checkpoint
+    def ckpt(df: DataFrame, cur: DataFrame, overlaid: Boolean): DataFrame =
+      if ((df eq cur) && !overlaid) df
+      else df.localCheckpoint(true)
     graph = PropertyGraph(
-      nodes.localCheckpoint(true), edges.localCheckpoint(true))
+      // only the node side ever carries the point-write overlay view
+      ckpt(nodes, graph.nodes, pointWrites.pending.nonEmpty),
+      ckpt(edges, graph.edges, overlaid = false))
     nextNodeId = None
     nextEdgeId = None
     graphVersion += 1
+    // the checkpoint folds any pending point-write overlay into the
+    // materialized snapshot — the overlay is spent
+    pointWrites.clear()
   }
 
   /** Query-string → AST LRU cache (≡ the reference's execution-plan cache,
@@ -125,7 +167,8 @@ class CypherSession(val spark: SparkSession) {
         // the second commit would erase the first (lost update). Reads stay
         // lock-free on the immutable snapshot they grabbed.
         writeLock.synchronized {
-          new MutationRunner(this).run(ast.parts.head.clauses, allParams)
+          PointWrite.tryRun(this, pointWrites, ast, allParams).getOrElse(
+            new MutationRunner(this).run(ast.parts.head.clauses, allParams))
         }
       case _ => countFastPath(ast).getOrElse(
         Translator.translate(indexedGraph, ast, allParams, Some(this)))

@@ -38,7 +38,7 @@ private[cypher] final class MutationRunner(session: CypherSession) {
     val unit = spark.range(1).select(lit(1).as("__unit"))
     var frame = Frame(unit, Map.empty)
     var returned: Option[DataFrame] = None
-    clauses.foreach {
+    mergeCreates(clauses).foreach {
       case m: Ast.Match => frame = translateMatch(ctx(params), frame, m)
       case u: Ast.Unwind => frame = translateUnwind(ctx(params), frame, u)
       case w: Ast.With =>
@@ -57,6 +57,49 @@ private[cypher] final class MutationRunner(session: CypherSession) {
           "index DDL cannot be combined with other clauses")
     }
     returned.getOrElse(statsDf)
+  }
+
+  /** Fuse runs of consecutive CREATE clauses into one (`CREATE (a)
+    * CREATE (a)-[:R]->(b) …` ≡ one multi-path CREATE): the TCK "Many
+    * CREATE clauses" scenario is 972 clauses, and a commit (snapshot
+    * checkpoint + stats jobs) PER CLAUSE is quadratic wall-clock where one
+    * wide create is a single job set. A later clause whose property
+    * expressions read a variable created earlier in the run still needs
+    * that entity materialized — such a boundary flushes the run.
+    */
+  private def mergeCreates(clauses: List[Ast.Clause]): List[Ast.Clause] = {
+    val out = scala.collection.mutable.ListBuffer[Ast.Clause]()
+    var acc = scala.collection.mutable.ListBuffer[Ast.PathPat]()
+    var created = Set.empty[String]
+    def flush(): Unit = {
+      if (acc.nonEmpty) out += Ast.Create(acc.toList)
+      acc = scala.collection.mutable.ListBuffer()
+      created = Set.empty
+    }
+    def propRefs(p: Ast.PathPat): Set[String] = {
+      val refs = scala.collection.mutable.Set[String]()
+      def scan(e: Ast.Expr): Unit = Ast.foreachExpr(e) {
+        case Ast.Variable(n) => refs += n
+        case _ => ()
+      }
+      (p.head.props ++ p.tail.flatMap { case (r, n) => r.props ++ n.props })
+        .foreach(kv => scan(kv._2))
+      refs.toSet
+    }
+    def boundVars(p: Ast.PathPat): Set[String] =
+      ((p.head :: p.tail.map(_._2)).flatMap(_.variable) ++
+        p.tail.flatMap(_._1.variable)).toSet
+    clauses.foreach {
+      case c: Ast.Create =>
+        c.paths.foreach { p =>
+          if (propRefs(p).intersect(created).nonEmpty) flush()
+          acc += p
+          created ++= boundVars(p)
+        }
+      case other => flush(); out += other
+    }
+    flush()
+    out.toList
   }
 
   private def statsDf: DataFrame = {

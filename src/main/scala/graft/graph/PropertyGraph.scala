@@ -66,14 +66,39 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
     * `reduceCount` O(1) answer path (`optimizations/reduce_count.c:13-40`).
     * At scale these come from Delta table metadata / partition stats.
     */
-  @transient lazy val labelCounts: Map[String, Long] =
-    nodes.groupBy("label").count().collect()
-      .map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(1)).toMap
-  @transient lazy val reltypeCounts: Map[String, Long] =
-    edges.groupBy("reltype").count().collect()
-      .map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(1)).toMap
-  @transient lazy val nodeCount: Long = labelCounts.values.sum
-  @transient lazy val edgeCount: Long = reltypeCounts.values.sum
+  @transient private var statsCache
+      : Option[(Map[String, Long], Map[String, Long])] = None
+
+  private def stats: (Map[String, Long], Map[String, Long]) = synchronized {
+    statsCache.getOrElse {
+      val s = (
+        nodes.groupBy("label").count().collect()
+          .map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(1))
+          .toMap,
+        edges.groupBy("reltype").count().collect()
+          .map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(1))
+          .toMap)
+      statsCache = Some(s)
+      s
+    }
+  }
+
+  def labelCounts: Map[String, Long] = stats._1
+  def reltypeCounts: Map[String, Long] = stats._2
+  def nodeCount: Long = labelCounts.values.sum
+  def edgeCount: Long = reltypeCounts.values.sum
+
+  /** Carry computed statistics over from a prior version when the change
+    * provably didn't touch counts (point property writes): keeps the
+    * stats-served count path job-free across hot writes.
+    */
+  private[graft] def seedStatsFrom(prev: PropertyGraph): PropertyGraph =
+    synchronized {
+      if (statsCache.isEmpty) statsCache = prev.synchronized {
+        prev.statsCache
+      }
+      this
+    }
 }
 
 object PropertyGraph {

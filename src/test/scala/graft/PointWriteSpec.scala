@@ -1,0 +1,44 @@
+package graft
+
+import graft.cypher.CypherSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Point-write fast-path behavior: correctness of the overlay and the
+  * driver-side latency class (no Spark job on a hot key).
+  */
+class PointWriteSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("point SET lands, reads see overlay, compaction preserves") {
+    val s = new CypherSession(spark)
+    s.run("CREATE (:U {v: 0, w: 'x'})")
+    val nid = s.rows(s.run("MATCH (n:U) RETURN id(n) AS i"))
+      .head("i").asInstanceOf[Long]
+    val q = s"MATCH (n) WHERE id(n) = $nid SET n.v = n.v + 1"
+    (1 to 5).foreach(_ => s.run(q))
+    assert(s.rows(s.run("MATCH (n:U) RETURN n.v AS v, n.w AS w")).head ==
+      Map("v" -> 5L, "w" -> "x"))
+    // hot-key latency: after the first write the key lives in the overlay —
+    // no job, driver-only (generous bound; general path is ~500ms+)
+    val t0 = System.nanoTime()
+    (1 to 20).foreach(_ => s.run(q))
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(s.rows(s.run("MATCH (n:U) RETURN n.v AS v")).head("v") == 25L)
+    assert(ms / 20 < 100, s"per point write: ${ms / 20} ms")
+    // push past CompactEvery on distinct keys to exercise compaction
+    s.run("UNWIND range(1, 70) AS i CREATE (:K {v: i})")
+    val ids = s.rows(s.run("MATCH (k:K) RETURN id(k) AS i"))
+      .map(_("i").asInstanceOf[Long])
+    ids.foreach(i => s.run(s"MATCH (n) WHERE id(n) = $i SET n.v = n.v * 10"))
+    val sum = s.rows(s.run("MATCH (k:K) RETURN sum(k.v) AS s")).head("s")
+    assert(sum == (1 to 70).map(_ * 10).sum.toLong)
+    // label predicate respected; SET null removes
+    s.run(s"MATCH (n:Missing) WHERE id(n) = $nid SET n.v = 99")
+    assert(s.rows(s.run("MATCH (n:U) RETURN n.v AS v")).head("v") == 25L)
+    s.run(s"MATCH (n) WHERE id(n) = $nid SET n.w = null")
+    assert(s.rows(s.run("MATCH (n:U) RETURN n.w AS w")).head("w") == null)
+    // general mutations on top of the overlay see overlaid values
+    s.run("MATCH (n:U) SET n.z = n.v + 1")
+    assert(s.rows(s.run("MATCH (n:U) RETURN n.z AS z")).head("z") == 26L)
+  }
+}

@@ -245,7 +245,12 @@ class TckFeatureSpec extends AnyFunSuite {
 
   test("openCypher TCK corpus (reference skip policy + triage skiplist)") {
     assume(Files.isDirectory(featuresRoot), "reference TCK corpus present")
+    // TCK_ONLY=<substring> narrows the corpus for targeted triage runs
+    val only = Option(System.getProperty("tck.only"))
+      .orElse(sys.env.get("TCK_ONLY")).filter(_.nonEmpty)
     val scenarios = Gherkin.parseTree(featuresRoot)
+      .filter(sc => only.forall(f => sc.id.contains(f) ||
+        sc.file.toString.contains(f)))
     val skiplist = loadSkiplist()
     val results = new ConcurrentLinkedQueue[(Gherkin.Scenario, Outcome)]()
 
