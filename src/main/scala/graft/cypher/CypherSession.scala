@@ -111,9 +111,8 @@ class CypherSession(val spark: SparkSession) {
       if ((df eq cur) && !overlaid) df
       else df.localCheckpoint(true)
     graph = PropertyGraph(
-      // only the node side ever carries the point-write overlay view
-      ckpt(nodes, graph.nodes, pointWrites.pending.nonEmpty),
-      ckpt(edges, graph.edges, overlaid = false))
+      ckpt(nodes, graph.nodes, pointWrites.nodesOverlaid),
+      ckpt(edges, graph.edges, pointWrites.edgesOverlaid))
     nextNodeId = None
     nextEdgeId = None
     graphVersion += 1
@@ -167,8 +166,10 @@ class CypherSession(val spark: SparkSession) {
         // the second commit would erase the first (lost update). Reads stay
         // lock-free on the immutable snapshot they grabbed.
         writeLock.synchronized {
-          PointWrite.tryRun(this, pointWrites, ast, allParams).getOrElse(
-            new MutationRunner(this).run(ast.parts.head.clauses, allParams))
+          PointWrite.tryRun(this, pointWrites, ast, allParams)
+            .orElse(PointWrite.tryDelete(this, pointWrites, ast, allParams))
+            .getOrElse(new MutationRunner(this)
+              .run(ast.parts.head.clauses, allParams))
         }
       case _ => countFastPath(ast).getOrElse(
         Translator.translate(indexedGraph, ast, allParams, Some(this)))

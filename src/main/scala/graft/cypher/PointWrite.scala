@@ -31,12 +31,37 @@ private[cypher] object PointWrite {
     */
   final case class Pending(row: Row, props: Map[String, Any])
 
-  /** Per-session overlay state (guarded by the session's write lock). */
+  /** Per-session overlay state (guarded by the session's write lock).
+    * `pending` is the upsert buffer; `deletedNodes`/`deletedEdges` are
+    * deletion vectors (same design as Delta deletion vectors: reads filter
+    * them out, compaction rewrites them away).
+    */
   final class State {
     var base: Option[DataFrame] = None // nodes frame the overlay applies to
+    var edgeBase: Option[DataFrame] = None // edges frame deletions apply to
     val pending = scala.collection.mutable.LinkedHashMap[Long, Pending]()
-    def clear(): Unit = { base = None; pending.clear() }
+    val deletedNodes = scala.collection.mutable.LinkedHashSet[Long]()
+    val deletedEdges = scala.collection.mutable.LinkedHashSet[Long]()
+    /** Exact post-delete statistics (None until known; deletes without a
+      * computed base leave it None and stats recompute lazily).
+      */
+    var stats: Option[(Map[String, Long], Map[String, Long])] = None
+    var hasDeletes = false
+    def size: Int = pending.size + deletedNodes.size + deletedEdges.size
+    def nodesOverlaid: Boolean = pending.nonEmpty || deletedNodes.nonEmpty
+    def edgesOverlaid: Boolean = deletedEdges.nonEmpty
+    def clear(): Unit = {
+      base = None; edgeBase = None; pending.clear()
+      deletedNodes.clear(); deletedEdges.clear()
+      stats = None; hasDeletes = false
+    }
   }
+
+  /** Fallback cap: a point delete that matches more ids than this goes to
+    * the general snapshot-commit path (the driver should not hold
+    * arbitrarily large vectors).
+    */
+  private val MaxPointIds = 10000
 
   /** Try to run `ast` as a point write. None ⇒ not this shape, use the
     * general mutation path. Must be called under the session write lock.
@@ -108,23 +133,134 @@ private[cypher] object PointWrite {
     Some(stats(session, items.size))
   }
 
-  /** Build the overlay view over the stable base: `base.filter(¬pending)
-    * ∪ localRelation(pending)` — a constant-depth plan, no job. byLabel/
-    * byReltype views are dropped (a prebuilt label view would bypass the
-    * overlay); compaction or any general mutation restores the plain
-    * committed shape.
+  /** Point DELETE fast path: a single MATCH + DELETE of one bound
+    * variable resolves the target ids with one distributed lookup, then
+    * records them in the deletion vectors — no snapshot commit. Node
+    * deletes implicitly delete touching edges (reference semantics,
+    * `op_delete.c`). Falls back for multi-target deletes, paths, OPTIONAL
+    * or >MaxPointIds matches.
+    */
+  def tryDelete(session: CypherSession, st: State, ast: Ast.Query,
+      params: Map[String, Any]): Option[DataFrame] = {
+    import Translator._
+    val (m, del) = ast.parts match {
+      case List(Ast.SingleQuery(List(mm: Ast.Match, d: Ast.Delete)))
+          if !mm.optional => (mm, d)
+      case _ => return None
+    }
+    val dv = del.exprs match {
+      case List(Ast.Variable(n)) => n
+      case _ => return None
+    }
+    val ctx = Ctx(session.graph, params, Some(session))
+    val unit = session.spark.range(1).select(lit(1).as("__unit"))
+    val frame =
+      try translateMatch(ctx, Frame(unit, Map.empty), m)
+      catch { case _: Throwable => return None }
+    if (!frame.vars.get(dv).exists(k => k == KNode || k == KEdge))
+      return None
+    val isNode = frame.vars(dv) == KNode
+    // dedup on the driver: a distinct() here is a 32-partition shuffle
+    // per point delete; the row set is ≤ MaxPointIds by construction
+    val raw = frame.df.select(
+      frame.col(dv).getField("id").as("id"),
+      (if (isNode) frame.col(dv).getField("label")
+       else frame.col(dv).getField("reltype")).as("kind"))
+      .filter(col("id").isNotNull).take(MaxPointIds + 1)
+    // a full take means the match MAY be larger than the cap — bail
+    // before deleting a silent subset
+    if (raw.length > MaxPointIds) return None
+    val rows = raw.groupBy(_.getLong(0)).map(_._2.head).toArray
+    if (rows.isEmpty) return Some(delStats(session, 0, 0))
+
+    if (st.base.isEmpty) st.base = Some(session.graph.nodes)
+    if (st.edgeBase.isEmpty) st.edgeBase = Some(session.graph.edges)
+    if (!st.hasDeletes) {
+      st.stats = session.graph.statsIfComputed
+      st.hasDeletes = true
+    }
+    def dec(m0: Option[(Map[String, Long], Map[String, Long])],
+        nodeSide: Boolean, key: String): Option[(Map[String, Long],
+          Map[String, Long])] =
+      m0.map { case (lc, rc) =>
+        if (nodeSide) (lc.updated(key, math.max(lc.getOrElse(key, 0L) - 1, 0L)), rc)
+        else (lc, rc.updated(key, math.max(rc.getOrElse(key, 0L) - 1, 0L)))
+      }
+
+    var nDel = 0L
+    var eDel = 0L
+    if (isNode) {
+      val ids = rows.map(_.getLong(0))
+      // implicit delete of touching edges; the id set is driver-small so
+      // the OR predicate broadcasts, and at scale this path bails to the
+      // anti-join general path at MaxPointIds anyway
+      val rawTouch = session.graph.edges
+        .filter(col("src").isin(ids: _*) || col("dst").isin(ids: _*))
+        .select(col("id"), col("reltype")).take(MaxPointIds + 1)
+      if (rawTouch.length > MaxPointIds) return None
+      val touching = rawTouch.groupBy(_.getLong(0)).map(_._2.head).toArray
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        if (!st.deletedNodes.contains(id)) {
+          st.deletedNodes += id
+          st.pending.remove(id)
+          nDel += 1
+          st.stats = dec(st.stats, nodeSide = true,
+            Option(r.getString(1)).getOrElse(""))
+        }
+      }
+      touching.foreach { r =>
+        val id = r.getLong(0)
+        if (!st.deletedEdges.contains(id)) {
+          st.deletedEdges += id
+          eDel += 1
+          st.stats = dec(st.stats, nodeSide = false,
+            Option(r.getString(1)).getOrElse(""))
+        }
+      }
+    } else {
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        if (!st.deletedEdges.contains(id)) {
+          st.deletedEdges += id
+          eDel += 1
+          st.stats = dec(st.stats, nodeSide = false,
+            Option(r.getString(1)).getOrElse(""))
+        }
+      }
+    }
+    session.markPointWrite()
+    if (st.size >= CompactEvery)
+      session.commit(session.graph.nodes, session.graph.edges)
+    Some(delStats(session, nDel, eDel))
+  }
+
+  /** Build the overlay view over the stable base: `base.filter(¬pending ∧
+    * ¬deleted) ∪ localRelation(pending)`, edges minus deletion vector — a
+    * constant-depth plan, no job. byLabel/byReltype views are dropped (a
+    * prebuilt label view would bypass the overlay); compaction or any
+    * general mutation restores the plain committed shape.
     */
   def materialize(session: CypherSession, st: State,
       cur: PropertyGraph): PropertyGraph = {
-    if (st.pending.isEmpty) return cur
+    if (st.pending.isEmpty && !st.hasDeletes) return cur
     import scala.jdk.CollectionConverters._
-    val base = st.base.getOrElse(cur.nodes)
-    val pendingDf = session.spark.createDataFrame(
-      st.pending.values.map(_.row).toList.asJava, session.nodeSchema)
-    val ids = st.pending.keys.toSeq
-    val overlaid = base.filter(!col("id").isin(ids: _*))
-      .unionByName(pendingDf)
-    PropertyGraph(overlaid, cur.edges).seedStatsFrom(cur)
+    var nodes = st.base.getOrElse(cur.nodes)
+    val nodeMask = (st.deletedNodes ++ st.pending.keys).toSeq
+    if (nodeMask.nonEmpty)
+      nodes = nodes.filter(!col("id").isin(nodeMask: _*))
+    if (st.pending.nonEmpty)
+      nodes = nodes.unionByName(session.spark.createDataFrame(
+        st.pending.values.map(_.row).toList.asJava, session.nodeSchema))
+    var edges = st.edgeBase.getOrElse(cur.edges)
+    if (st.deletedEdges.nonEmpty)
+      edges = edges.filter(!col("id").isin(st.deletedEdges.toSeq: _*))
+    val pg = PropertyGraph(nodes, edges)
+    (st.stats, st.hasDeletes) match {
+      case (Some((lc, rc)), _) => pg.seedStats(lc, rc)
+      case (None, false) => pg.seedStatsFrom(cur) // SET-only: counts intact
+      case _ => pg // deletes with unknown base stats: recompute lazily
+    }
   }
 
   /** Driver-evaluable SET value: literals, the entity's own properties,
@@ -188,6 +324,19 @@ private[cypher] object PointWrite {
         case _ => None
       }
     case _ => None
+  }
+
+  private def delStats(session: CypherSession, nodes: Long,
+      rels: Long): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    session.spark.createDataFrame(
+      List(Row(0L, 0L, 0L, nodes, rels)).asJava,
+      StructType(Seq(
+        StructField("nodes_created", LongType),
+        StructField("relationships_created", LongType),
+        StructField("properties_set", LongType),
+        StructField("nodes_deleted", LongType),
+        StructField("relationships_deleted", LongType))))
   }
 
   private val statsCache =

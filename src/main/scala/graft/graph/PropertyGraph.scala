@@ -99,6 +99,19 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
       }
       this
     }
+
+  /** Install exact statistics computed on the driver (point deletes know
+    * precisely which labels/reltypes they removed).
+    */
+  private[graft] def seedStats(lc: Map[String, Long],
+      rc: Map[String, Long]): PropertyGraph = synchronized {
+    statsCache = Some((lc, rc))
+    this
+  }
+
+  private[graft] def statsIfComputed
+      : Option[(Map[String, Long], Map[String, Long])] =
+    synchronized(statsCache)
 }
 
 object PropertyGraph {

@@ -41,4 +41,43 @@ class PointWriteSpec extends AnyFunSuite {
     s.run("MATCH (n:U) SET n.z = n.v + 1")
     assert(s.rows(s.run("MATCH (n:U) RETURN n.z AS z")).head("z") == 26L)
   }
+
+  test("point DELETE via deletion vectors") {
+    val s = new CypherSession(spark)
+    s.run("UNWIND range(0, 30) AS i CREATE (:N {v: i})-[:R {w: i}]->(:M {v: i})")
+    def counts() = (
+      s.rows(s.run("MATCH (n) RETURN count(n) AS c")).head("c"),
+      s.rows(s.run("MATCH ()-[r]->() RETURN count(r) AS c")).head("c"))
+    assert(counts() == (62L, 31L))
+    // explicit edge delete
+    val st1 = s.rows(s.run("MATCH (:N {v: 3})-[e:R]->() DELETE e"))
+    assert(st1.head("relationships_deleted") == 1L)
+    assert(counts() == (62L, 30L))
+    // node delete with implicit edge deletion
+    val st2 = s.rows(s.run("MATCH (n:N {v: 5}) DELETE n"))
+    assert(st2.head("nodes_deleted") == 1L &&
+      st2.head("relationships_deleted") == 1L)
+    assert(counts() == (61L, 29L))
+    // deleting an already-deleted edge's pattern matches nothing
+    val st3 = s.rows(s.run("MATCH (:N {v: 3})-[e:R]->() DELETE e"))
+    assert(st3.head("relationships_deleted") == 0L)
+    // reads exclude deleted entities
+    assert(s.rows(s.run("MATCH (n:N {v: 5}) RETURN n")).isEmpty)
+    assert(s.rows(s.run("MATCH (:N {v: 5})-[e]->() RETURN e")).isEmpty)
+    // point SET after delete of another key still lands
+    val nid = s.rows(s.run("MATCH (n:N {v: 7}) RETURN id(n) AS i"))
+      .head("i").asInstanceOf[Long]
+    s.run(s"MATCH (n) WHERE id(n) = $nid SET n.v = 700")
+    assert(s.rows(s.run("MATCH (n:N {v: 700}) RETURN count(n) AS c"))
+      .head("c") == 1L)
+    // hot delete latency (prop-match lookup + driver vector update)
+    val t0 = System.nanoTime()
+    (10 to 19).foreach(i => s.run(s"MATCH (:N {v: $i})-[e:R]->() DELETE e"))
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(counts() == (61L, 19L))
+    assert(ms / 10 < 400, s"per point delete: ${ms / 10} ms")
+    // general mutation on top compacts the vectors away
+    s.run("CREATE (:Z)")
+    assert(counts() == (62L, 19L))
+  }
 }
