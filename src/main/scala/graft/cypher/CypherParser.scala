@@ -138,7 +138,9 @@ object CypherParser extends RegexParsers {
       all.reduceRight((a, b) => Bin("^", a, b))
     }
   def unary: Parser[Expr] =
-    guard("""-?[0-9.]""".r) ~> numberLit |
+    guard("""-?[0-9.]""".r) ~> numberLit ~ rep(postfixOp) ^^ { case a ~ ops =>
+      ops.foldLeft(a: Expr)((e, f) => f(e))
+    } |
       "-" ~> unary ^^ (Neg(_)) | "+" ~> unary | postfix
 
   /** postfix: property access, IS NULL, subscript/slice. */

@@ -173,6 +173,22 @@ private[cypher] object PointWrite {
     val rows = raw.groupBy(_.getLong(0)).map(_._2.head).toArray
     if (rows.isEmpty) return Some(delStats(session, 0, 0))
 
+    // resolve touching edges (node case) BEFORE seeding any overlay state,
+    // so every `return None` path leaves `st` untouched — a seeded-but-
+    // bailed state would hand stale base frames to a later point write
+    val touching: Array[org.apache.spark.sql.Row] =
+      if (isNode) {
+        val ids = rows.map(_.getLong(0))
+        // implicit delete of touching edges; the id set is driver-small so
+        // the OR predicate broadcasts, and at scale this path bails to the
+        // anti-join general path at MaxPointIds anyway
+        val rawTouch = session.graph.edges
+          .filter(col("src").isin(ids: _*) || col("dst").isin(ids: _*))
+          .select(col("id"), col("reltype")).take(MaxPointIds + 1)
+        if (rawTouch.length > MaxPointIds) return None
+        rawTouch.groupBy(_.getLong(0)).map(_._2.head).toArray
+      } else Array.empty
+
     if (st.base.isEmpty) st.base = Some(session.graph.nodes)
     if (st.edgeBase.isEmpty) st.edgeBase = Some(session.graph.edges)
     if (!st.hasDeletes) {
@@ -190,15 +206,6 @@ private[cypher] object PointWrite {
     var nDel = 0L
     var eDel = 0L
     if (isNode) {
-      val ids = rows.map(_.getLong(0))
-      // implicit delete of touching edges; the id set is driver-small so
-      // the OR predicate broadcasts, and at scale this path bails to the
-      // anti-join general path at MaxPointIds anyway
-      val rawTouch = session.graph.edges
-        .filter(col("src").isin(ids: _*) || col("dst").isin(ids: _*))
-        .select(col("id"), col("reltype")).take(MaxPointIds + 1)
-      if (rawTouch.length > MaxPointIds) return None
-      val touching = rawTouch.groupBy(_.getLong(0)).map(_._2.head).toArray
       rows.foreach { r =>
         val id = r.getLong(0)
         if (!st.deletedNodes.contains(id)) {

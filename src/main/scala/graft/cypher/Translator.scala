@@ -2059,12 +2059,26 @@ object Translator {
             // dynamic property access n[expr] (`graph_entity.c` GETPROP)
             element_at(tc.getField("props"), t(idx).getField("s"))
           case Some(st: StructType) if isMapStruct(st) =>
-            val k = t(idx).getField("s")
-            st.fields.filter(_.name != EmptyMapMarker).foldLeft(vNull) {
-              (acc, f) =>
-                if (isVariantStruct(f.dataType))
+            val fields = st.fields.filter(_.name != EmptyMapMarker)
+            idx match {
+              case Ast.LitString(kname) if fields.exists(f =>
+                    f.name == kname && !isVariantStruct(f.dataType)) =>
+                // static key hitting a nested-map field: return the typed
+                // inner struct (≡ static access m.a)
+                tc.getField(kname)
+              case _ =>
+                // a dynamic key cannot select among mixed variant /
+                // nested-map fields in one column type — raise rather
+                // than silently nulling the nested values
+                val nested = fields.filter(f => !isVariantStruct(f.dataType))
+                if (nested.nonEmpty) throw TranslateError(
+                  "dynamic access to nested map values unsupported " +
+                    s"(keys: ${nested.map(_.name).mkString(", ")}); " +
+                    "use static access m.key")
+                val k = t(idx).getField("s")
+                fields.foldLeft(vNull) { (acc, f) =>
                   when(k === f.name, tc.getField(f.name)).otherwise(acc)
-                else acc
+                }
             }
           case _ =>
             // resolve WITH-aliased literals (WITH 3.14 AS idx ... l[idx]

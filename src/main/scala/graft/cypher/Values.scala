@@ -173,7 +173,10 @@ object Values {
     // integer exactly
     val ia = when(tag(a) === T_INT, a.getField("i")).otherwise(b.getField("i"))
     val fb = when(tag(a) === T_INT, b.getField("f")).otherwise(a.getField("f"))
-    val mixedEq = when(abs(fb) > 9.2e18, lit(false))
+    // guard only where double→long cast saturation starts (≥ 2^63):
+    // 9.223372036854775e18 is the largest double below 2^63, so every
+    // in-range long remains comparable via the round-trip check
+    val mixedEq = when(abs(fb) > 9.223372036854775e18, lit(false))
       .otherwise(ia.cast(DoubleType) === fb && ia === fb.cast(LongType))
     when(a.isNull || b.isNull, nB)
       .when(bothInt, a.getField("i") === b.getField("i"))

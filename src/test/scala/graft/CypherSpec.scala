@@ -326,4 +326,11 @@ class CypherSpec extends AnyFunSuite {
     val u = rows(s, "RETURN randomUUID() AS u").head("u").asInstanceOf[String]
     assert(u.length == 36 && u.count(_ == '-') == 4)
   }
+
+  test("postfix operators chain after numeric literals") {
+    val s = freshSession()
+    assert(rows(s, "RETURN 1 IS NULL AS a, 1.5 IS NOT NULL AS b, " +
+      "-1 IS NULL AS c")
+      == Seq(Map("a" -> false, "b" -> true, "c" -> false)))
+  }
 }
