@@ -31,7 +31,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  /** `events` with `ts` normalized to epoch-nanos long regardless of how the
+    * generator stored it (timestamp[ns] read as long via nanosAsLong, or
+    * timestamp[us] read as TIMESTAMP_NTZ). All downstream event-time
+    * arithmetic (session gaps, band buckets, interval joins) is integer
+    * nanos — one conversion at the load boundary, pushed into the scan's
+    * projection, keeps that code storage-agnostic.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case TimestampType | TimestampNTZType =>
+        raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => raw
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -15,14 +15,26 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
-  /** events schema as stored (ts = epoch nanos read via nanosAsLong). */
+  /** events schema as stored (ts = timestamp[us], no timezone). */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Normalize a raw events frame so `ts` is epoch-nanos long whatever the
+    * storage type was — same contract as [[graft.Tables.events]], applied to
+    * streaming reads (which bypass Tables).
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case TimestampType | TimestampNTZType =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => df
+    }
 
   /** epoch-ns long → timestamp (µs precision). */
   def tsCol: org.apache.spark.sql.Column =
@@ -248,10 +260,10 @@ object StreamOps {
   def graphIngest(spark: SparkSession, dir: String,
       session: graft.cypher.CypherSession): Unit = {
     import graft.cypher.Values
-    val stream = spark.readStream
+    val stream = normalizeTs(spark.readStream
       .schema(eventSchema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+      .parquet(dir))
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val nodes = batch.select(
@@ -284,10 +296,10 @@ object StreamOps {
       transform: DataFrame => DataFrame, sinkName: String,
       outputMode: String = "complete"): DataFrame = {
     // FileStreamSource needs a directory; select the single file via glob
-    val stream = spark.readStream
+    val stream = normalizeTs(spark.readStream
       .schema(eventSchema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+      .parquet(dir))
     val q = transform(stream).writeStream
       .outputMode(outputMode)
       .format("memory")
