@@ -66,35 +66,49 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
+    val failedQueries = scala.collection.mutable.LinkedHashSet[String]()
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
+        // a failed query must not masquerade as a timing — record it
+        failedQueries += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       (System.nanoTime() - t0) / 1e9
     }
-    // Per-query measurement isolation: before each query, drop cached plans,
-    // SQL-cached data and leftover checkpoint blocks from EARLIER queries,
-    // and settle the heap — so the cold number is the query's own full cost
-    // (translate + optimize + recompute every intermediate), not a tax from
-    // a neighbour's leftovers. `warm` is the immediate re-invocation with
-    // the engine's plan cache populated (steady-state serving shape).
-    val results = headline.map { n =>
+    // Per-query measurement isolation: before each cold run, drop cached
+    // plans, SQL-cached data and leftover checkpoint blocks from EARLIER
+    // queries, and settle the heap — so the cold number is the query's own
+    // full cost (translate + optimize + recompute every intermediate), not
+    // a tax from a neighbour's leftovers. Each query runs COLD_RUNS
+    // isolated cold times and reports the MEDIAN plus min/max spread — one
+    // cold sample per round made regression vs machine noise unadjudicable
+    // (r4→r5 showed 15-64% phantom swings on untouched code). `warm` is the
+    // immediate re-invocation with the engine's plan cache populated
+    // (steady-state serving shape).
+    val ColdRuns = 3
+    def isolate(): Unit = {
       SparkEntry.clearPlanCache(spark)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
-      val cold = timed(n)
-      val warm = timed(n)
-      (n, cold, warm)
     }
-    val cold = results.map { case (n, c, _) => n -> c }
+    val results = headline.map { n =>
+      val colds = (1 to ColdRuns).map { _ => isolate(); timed(n) }.sorted
+      val warm = timed(n)
+      (n, colds, warm)
+    }.filterNot { case (n, _, _) => failedQueries.contains(n) }
+    val cold = results.map { case (n, cs, _) => n -> cs(cs.length / 2) }
+    val spread = results.map { case (n, cs, _) => (n, cs.head, cs.last) }
     val warm = results.map { case (n, _, w) => n -> w }
 
     def js(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+        .mkString("{", ",", "}")
+    def jsSpread(rs: Seq[(String, Double, Double)]): String =
+      rs.map { case (k, lo, hi) => "\"" + k + f"""\":[$lo%.3f,$hi%.3f]""" }
         .mkString("{", ",", "}")
     val total = cold.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
@@ -186,9 +200,12 @@ object Bench {
         (0.0, 0.0, 0.0, 0.0)
       }
     val (updP50, updQps, edelP50, ndelP50) = mutationBench()
+    val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${js(
-        cold)},"warm_total":$warmTotal%.3f,"warm":${js(warm)},"count_qps":$countQps%.1f,"update_p50_ms":$updP50%.1f,"update_qps":$updQps%.1f,"delete_edge_p50_ms":$edelP50%.1f,"delete_node_p50_ms":$ndelP50%.1f,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_runs":$ColdRuns,"queries":${js(
+        cold)},"cold_spread":${jsSpread(
+        spread)},"failed":$failedJson,"warm_total":$warmTotal%.3f,"warm":${js(
+        warm)},"count_qps":$countQps%.1f,"update_p50_ms":$updP50%.1f,"update_qps":$updQps%.1f,"delete_edge_p50_ms":$edelP50%.1f,"delete_node_p50_ms":$ndelP50%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -16,6 +16,15 @@ import org.apache.spark.sql.types._
   */
 class CypherSession(val spark: SparkSession) {
 
+  // Point lookups resolve via take(cap): with the default initial limit
+  // scan of 1 partition, a match living in partition k costs up to
+  // log4(k) SEQUENTIAL scale-up jobs — pure scheduler latency on the
+  // point-op path. Scanning defaultParallelism partitions in the first
+  // job keeps take() a single parallel round on any graph up to that
+  // partition count (and still caps driver results).
+  spark.conf.set("spark.sql.limit.initialNumPartitions",
+    spark.sparkContext.defaultParallelism)
+
   val nodeSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("label", StringType),
@@ -167,7 +176,8 @@ class CypherSession(val spark: SparkSession) {
         // lock-free on the immutable snapshot they grabbed.
         writeLock.synchronized {
           PointWrite.tryRun(this, pointWrites, ast, allParams)
-            .orElse(PointWrite.tryDelete(this, pointWrites, ast, allParams))
+            .orElse(PointWrite.tryDelete(this, pointWrites, ast, allParams,
+              body))
             .getOrElse(new MutationRunner(this)
               .run(ast.parts.head.clauses, allParams))
         }
@@ -443,6 +453,8 @@ class CypherSession(val spark: SparkSession) {
         val arr = r.getSeq[Row](r.fieldIndex("arr"))
         Map("latitude" -> arr(0).getDouble(arr(0).fieldIndex("f")),
           "longitude" -> arr(1).getDouble(arr(1).fieldIndex("f")))
+      case Values.T_BOXED =>
+        CypherSession.decodeBoxedJson(r.getString(r.fieldIndex("s")))
       case _ => null
     }
   }
@@ -452,4 +464,69 @@ object CypherSession {
   /** Query/document tokenizer shared by index build and fulltext search. */
   def tokenize(q: String): Seq[String] =
     q.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
+
+  /** Parse a boxed tagged-JSON value (Values.T_BOXED — entities/maps/deep
+    * lists carried inside list values) back to the decoded Scala shapes
+    * `rows`/`decode` produce for inline values (entities → Map with
+    * id/label/props keys, so result comparison can't tell boxed from
+    * inline). Jackson ships with Spark.
+    */
+  private[cypher] def decodeBoxedJson(js: String): Any = {
+    if (js == null) return null
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    decodeJsonNode(mapper.readTree(js))
+  }
+
+  private def decodeJsonNode(
+      n: com.fasterxml.jackson.databind.JsonNode): Any = {
+    import scala.jdk.CollectionConverters._
+    if (n == null || n.isNull) return null
+    def propsOf(p: com.fasterxml.jackson.databind.JsonNode): Any =
+      if (p == null || p.isNull) Map.empty[String, Any]
+      else p.fields().asScala.map(e =>
+        e.getKey -> decodeJsonNode(e.getValue)).toMap
+    // plain (untagged) shapes appear for typed-map struct VALUES —
+    // nested maps and typed arrays serialize without a tag
+    if (n.isArray)
+      return n.elements().asScala.map(decodeJsonNode).toList
+    if (!n.isObject || !n.has("t"))
+      return (
+        if (n.isTextual) n.asText()
+        else if (n.isBoolean) n.asBoolean()
+        else if (n.isIntegralNumber) n.asLong()
+        else if (n.isNumber) n.asDouble()
+        else if (n.isObject) n.fields().asScala
+          .filter(_.getKey != Translator.EmptyMapMarker)
+          .map(e => e.getKey -> decodeJsonNode(e.getValue)).toMap
+        else null)
+    n.get("t").asInt() match {
+      case Values.T_INT => n.get("i").asLong()
+      case Values.T_FLOAT => n.get("f").asDouble()
+      case Values.T_STRING => n.get("s").asText()
+      case Values.T_BOOL => n.get("b").asBoolean()
+      case Values.T_ARRAY =>
+        val arr = n.get("arr")
+        if (arr == null || arr.isNull) List.empty[Any]
+        else arr.elements().asScala.map(decodeJsonNode).toList
+      case Values.T_NODE => Map(
+        "id" -> n.get("id").asLong(),
+        "label" -> Option(n.get("label")).filterNot(_.isNull)
+          .map(_.asText()).orNull,
+        "props" -> propsOf(n.get("props")))
+      case Values.T_EDGE => Map(
+        "id" -> n.get("id").asLong(),
+        "src" -> n.get("src").asLong(),
+        "dst" -> n.get("dst").asLong(),
+        "reltype" -> Option(n.get("reltype")).filterNot(_.isNull)
+          .map(_.asText()).orNull,
+        "props" -> propsOf(n.get("props")))
+      case Values.T_BOXED_MAP =>
+        val m = n.get("m")
+        if (m == null || m.isNull) Map.empty[String, Any]
+        else m.fields().asScala
+          .filter(_.getKey != Translator.EmptyMapMarker)
+          .map(e => e.getKey -> decodeJsonNode(e.getValue)).toMap
+      case _ => null
+    }
+  }
 }

@@ -1,7 +1,7 @@
 package graft.cypher
 
 import graft.graph.PropertyGraph
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -47,6 +47,15 @@ private[cypher] object PointWrite {
       */
     var stats: Option[(Map[String, Long], Map[String, Long])] = None
     var hasDeletes = false
+    /** Query-string → cached parameterized point-delete plan (built against
+      * the epoch's stable base frames; dies with them at the next commit).
+      */
+    val deletePlans =
+      scala.collection.mutable.HashMap[String, DeletePlan]()
+    /** Shared touching-edges plan for node deletes: the id-array box and
+      * the `src∈ids ∨ dst∈ids` resolve over `edgeBase`.
+      */
+    var touchPlan: Option[(graft.plans.ParamBox, CachedResolve)] = None
     def size: Int = pending.size + deletedNodes.size + deletedEdges.size
     def nodesOverlaid: Boolean = pending.nonEmpty || deletedNodes.nonEmpty
     def edgesOverlaid: Boolean = deletedEdges.nonEmpty
@@ -54,6 +63,58 @@ private[cypher] object PointWrite {
       base = None; edgeBase = None; pending.clear()
       deletedNodes.clear(); deletedEdges.clear()
       stats = None; hasDeletes = false
+      deletePlans.clear(); touchPlan = None
+    }
+  }
+
+  /** A translated-once parameterized point-delete plan (≡ the reference's
+    * execution-plan cache keyed on the query string,
+    * `src/commands/execution_ctx.c:79-87`, with params bound per execution).
+    *
+    * Every resolve frame is EXCHANGE-FREE (scan → filter → project over a
+    * stable checkpointed base): a join in a cached plan would freeze its
+    * first binding's broadcast/shuffle materialization, and AQE would then
+    * serve stale results on rebind. Single-hop patterns decompose instead
+    * into endpoint-id resolves plus an edge resolve filtered by driver-bound
+    * id arrays — the index-nested-loop shape of the reference's point seeks.
+    */
+  final case class DeletePlan(
+      baseNodes: DataFrame, baseEdges: DataFrame,
+      /** scalar parameter boxes, keyed by param name */
+      boxes: Map[String, graft.plans.ParamBox],
+      isNode: Boolean,
+      /** node delete: (id, label) rows matching the pattern */
+      nodeResolve: Option[CachedResolve],
+      /** edge delete: constrained-endpoint id resolves; each execution runs
+        * the resolve and binds the id array into its box (read by
+        * `edgeResolve`'s filter, which already encodes the pattern's
+        * direction — including both orientations for undirected)
+        */
+      endpointResolves: Seq[(graft.plans.ParamBox, CachedResolve)],
+      /** edge delete: (id, reltype) rows matching under current bindings */
+      edgeResolve: Option[CachedResolve])
+
+  /** A resolve plan pinned at the RDD layer. `df.collect()` per execution
+    * would re-run whole-stage source GENERATION (the variant-equality tree
+    * is big — ~100 ms a call) even though Janino caches the compile;
+    * `toRdd` pays codegen once, and each execution is then one job over the
+    * compiled iterators. Each job re-serializes the task binary, so the
+    * current [[graft.plans.ParamBox]] bindings ship with it. The per-
+    * partition `take(cap+1)` bounds driver results the way the dropped
+    * `limit(n)` node did — without CollectLimit's single-partition shuffle
+    * (an exchange would freeze its first binding's materialization under
+    * AQE reuse).
+    */
+  final class CachedResolve(df: DataFrame, cap: Int) {
+    private val rdd = df.queryExecution.toRdd
+    private val sc = df.sparkSession.sparkContext
+    private val takeN = cap + 1
+    /** rows (internal format), ≤ takeN per partition */
+    def collectRows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+      val n = takeN
+      sc.runJob(rdd,
+        (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
+          it.take(n).map(_.copy()).toArray).flatten
     }
   }
 
@@ -68,7 +129,6 @@ private[cypher] object PointWrite {
     */
   def tryRun(session: CypherSession, st: State, ast: Ast.Query,
       params: Map[String, Any]): Option[DataFrame] = {
-    if (params.nonEmpty) return None
     val (v, label, cond, items) = ast.parts match {
       case List(Ast.SingleQuery(List(
           Ast.Match(false, List(p), Some(c)), Ast.SetClause(its)))) =>
@@ -79,15 +139,26 @@ private[cypher] object PointWrite {
         }
       case _ => return None
     }
+    def asId(e: Ast.Expr): Option[Long] = e match {
+      case Ast.LitInt(n) => Some(n)
+      case Ast.Param(p) => params.get(p) match {
+        case Some(n: Long) => Some(n)
+        case Some(n: Int) => Some(n.toLong)
+        case _ => None
+      }
+      case _ => None
+    }
     val id = cond match {
-      case Ast.Bin("=", Ast.Fn("id", List(Ast.Variable(`v`)), false),
-          Ast.LitInt(n)) => n
-      case Ast.Bin("=", Ast.LitInt(n),
-          Ast.Fn("id", List(Ast.Variable(`v`)), false)) => n
+      case Ast.Bin("=", Ast.Fn("id", List(Ast.Variable(`v`)), false), e) =>
+        asId(e).getOrElse(return None)
+      case Ast.Bin("=", e,
+          Ast.Fn("id", List(Ast.Variable(`v`)), false)) =>
+        asId(e).getOrElse(return None)
       case _ => return None
     }
     if (!items.forall {
-      case Ast.SetItem(Ast.Variable(`v`), Some(_), e) => evaluable(v, e)
+      case Ast.SetItem(Ast.Variable(`v`), Some(_), e) =>
+        evaluable(v, e, params)
       case _ => false
     }) return None
 
@@ -111,7 +182,7 @@ private[cypher] object PointWrite {
 
     var props: Map[String, Any] = curProps
     items.foreach { case Ast.SetItem(_, Some(k), e) =>
-      eval(v, e, props) match {
+      eval(v, e, props, params) match {
         case Some(null) => props -= k
         case Some(x) => props += k -> x
         case None => return None // dynamic value: general path
@@ -141,7 +212,7 @@ private[cypher] object PointWrite {
     * or >MaxPointIds matches.
     */
   def tryDelete(session: CypherSession, st: State, ast: Ast.Query,
-      params: Map[String, Any]): Option[DataFrame] = {
+      params: Map[String, Any], queryKey: String): Option[DataFrame] = {
     import Translator._
     val (m, del) = ast.parts match {
       case List(Ast.SingleQuery(List(mm: Ast.Match, d: Ast.Delete)))
@@ -152,6 +223,14 @@ private[cypher] object PointWrite {
       case List(Ast.Variable(n)) => n
       case _ => return None
     }
+    // parameterized cached point path first: translate once per query
+    // string, bind per execution (≡ execution_ctx.c plan cache)
+    try {
+      cachedDelete(session, st, m, dv, params, queryKey) match {
+        case Some(out) => return Some(out)
+        case None => ()
+      }
+    } catch { case _: Throwable => () } // any cached-path surprise → general
     val ctx = Ctx(session.graph, params, Some(session))
     val unit = session.spark.range(1).select(lit(1).as("__unit"))
     val frame =
@@ -189,6 +268,17 @@ private[cypher] object PointWrite {
         rawTouch.groupBy(_.getLong(0)).map(_._2.head).toArray
       } else Array.empty
 
+    Some(applyDelete(session, st, rows, touching, isNode))
+  }
+
+  /** Record resolved deletions in the deletion vectors and return the
+    * statistics frame — shared by the general and cached point-delete
+    * paths. `rows` = (id, label|reltype) of the delete targets; `touching`
+    * = (id, reltype) of implicitly deleted edges (node case).
+    */
+  private def applyDelete(session: CypherSession, st: State,
+      rows: Array[Row], touching: Array[Row],
+      isNode: Boolean): DataFrame = {
     if (st.base.isEmpty) st.base = Some(session.graph.nodes)
     if (st.edgeBase.isEmpty) st.edgeBase = Some(session.graph.edges)
     if (!st.hasDeletes) {
@@ -239,7 +329,290 @@ private[cypher] object PointWrite {
     session.markPointWrite()
     if (st.size >= CompactEvery)
       session.commit(session.graph.nodes, session.graph.edges)
-    Some(delStats(session, nDel, eDel))
+    delStats(session, nDel, eDel)
+  }
+
+  /** Constrained endpoint id sets above this size are not point-shaped —
+    * the cached path bails to the general anti-join delete.
+    */
+  private val EndpointCap = 1024
+
+  /** Const-expression shapes the cached plan supports in pattern props:
+    * SCALARS only. List values (literal or bound) would need the full
+    * variant equality, whose unprunable tree (zip_with/exists are
+    * CodegenFallback) kicks the filter out of whole-stage codegen and
+    * costs ~10 ms/task in interpreted setup — they take the general path.
+    */
+  private def cacheableConst(e: Ast.Expr): Boolean = e match {
+    case Ast.LitInt(_) | Ast.LitFloat(_) | Ast.LitString(_) |
+        Ast.LitBool(_) | Ast.LitNull | Ast.Param(_) => true
+    case Ast.Neg(x) => cacheableConst(x)
+    case Ast.Bin("+" | "-" | "*" | "/" | "%", l, r) =>
+      cacheableConst(l) && cacheableConst(r)
+    case _ => false
+  }
+
+  /** Cypher equality specialized to a SCALAR right side (the bind-time
+    * check rejects list/map params): small enough to stay inside
+    * whole-stage codegen where the full [[Values.eq]] tree cannot
+    * (its array branches carry higher-order functions). Semantics match
+    * Values.eq on every scalar pair; a non-scalar stored value against a
+    * scalar never compares equal (tag mismatch ⇒ false).
+    */
+  private def scalarEq(a: Column, b: Column): Column = {
+    def tg(c: Column): Column = c.getField("t")
+    val ia = a.getField("i"); val ib = b.getField("i")
+    val fa = a.getField("f"); val fb = b.getField("f")
+    val bothInt = tg(a) === Values.T_INT && tg(b) === Values.T_INT
+    val bothFloat = tg(a) === Values.T_FLOAT && tg(b) === Values.T_FLOAT
+    val numA = tg(a) === Values.T_INT || tg(a) === Values.T_FLOAT
+    val numB = tg(b) === Values.T_INT || tg(b) === Values.T_FLOAT
+    // mixed int/float: double-widening must not lose precision
+    // (≡ Values.eq's round-trip check)
+    val intSide = when(tg(a) === Values.T_INT, ia).otherwise(ib)
+    val floatSide = when(tg(a) === Values.T_INT, fb).otherwise(fa)
+    val mixedEq = when(abs(floatSide) > 9.223372036854775e18, lit(false))
+      .otherwise(intSide.cast("double") === floatSide &&
+        intSide === floatSide.cast("bigint"))
+    when(a.isNull || b.isNull, lit(null).cast("boolean"))
+      .when(bothInt, ia === ib)
+      .when(bothFloat, fa === fb)
+      .when(numA && numB, mixedEq)
+      .when(tg(a) =!= tg(b), lit(false))
+      .when(tg(a) === Values.T_STRING,
+        a.getField("s") === b.getField("s"))
+      .when(tg(a) === Values.T_BOOL,
+        a.getField("b") === b.getField("b"))
+      .otherwise(lit(false))
+  }
+
+  private def paramNames(e: Ast.Expr): Set[String] = e match {
+    case Ast.Param(n) => Set(n)
+    case Ast.Neg(x) => paramNames(x)
+    case Ast.Bin(_, l, r) => paramNames(l) ++ paramNames(r)
+    case Ast.ListLit(xs) => xs.flatMap(paramNames).toSet
+    case _ => Set.empty
+  }
+
+  private lazy val toVariantInternal =
+    org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(Values.variantType)
+
+  /** Bind a driver parameter value into a box, in Catalyst internal form
+    * of the variant encoding.
+    */
+  private def bindScalar(box: graft.plans.ParamBox, v: Any): Unit =
+    box.value = toVariantInternal(
+      Translator.litRow(Translator.constToAst(v), Values.MaxNest))
+
+  /** The parameterized point-delete fast path. None ⇒ shape not covered or
+    * state not eligible — fall through to the general path (always
+    * correct, just slower).
+    */
+  private def cachedDelete(session: CypherSession, st: State, m: Ast.Match,
+      dv: String, params: Map[String, Any],
+      queryKey: String): Option[DataFrame] = {
+    // pending SET rows are invisible to plans over the stable base
+    if (st.pending.nonEmpty) return None
+    if (m.where.nonEmpty) return None
+    val path = m.paths match {
+      case List(p @ Ast.PathPat(None, _, _, false, false)) => p
+      case _ => return None
+    }
+    val dp = st.deletePlans.get(queryKey) match {
+      case Some(p) if st.base.exists(_ eq p.baseNodes) &&
+          st.edgeBase.exists(_ eq p.baseEdges) => p
+      case _ =>
+        buildDeletePlan(session, st, path, dv) match {
+          case Some(b) => st.deletePlans.put(queryKey, b); b
+          case None => return None
+        }
+    }
+    // bind scalar params; list/map values need full variant equality →
+    // general path (missing params → general path raises the error)
+    dp.boxes.foreach { case (n, box) =>
+      params.get(n) match {
+        case Some(null) => bindScalar(box, null)
+        case Some(v @ (_: Long | _: Int | _: Double | _: String |
+            _: Boolean)) => bindScalar(box, v)
+        case _ => return None
+      }
+    }
+    execCachedDelete(session, st, dp)
+  }
+
+  private def buildDeletePlan(session: CypherSession, st: State,
+      path: Ast.PathPat, dv: String): Option[DeletePlan] = {
+    import graft.plans.{ParamBox, ParamRef}
+    import org.apache.spark.sql.GraftColumn
+    val head = path.head
+    def propsOk(ps: List[(String, Ast.Expr)]): Boolean =
+      ps.forall { case (_, e) => cacheableConst(e) }
+    // seed the epoch's stable bases (inert while the overlay is empty)
+    if (st.base.isEmpty) st.base = Some(session.graph.nodes)
+    if (st.edgeBase.isEmpty) st.edgeBase = Some(session.graph.edges)
+    val nodesB = st.base.get
+    val edgesB = st.edgeBase.get
+
+    def mkBoxes(ps: List[(String, Ast.Expr)]*): Map[String, ParamBox] =
+      ps.flatten.flatMap { case (_, e) => paramNames(e) }.toSet
+        .map((n: String) => n -> new ParamBox(n)).toMap
+
+    def nodeFilter(np: Ast.NodePat,
+        ctx: Translator.Ctx): DataFrame = {
+      var d = nodesB
+      np.label.foreach(l => d = d.filter(col("label") === l))
+      np.props.foreach { case (k, e) =>
+        d = d.filter(coalesce(scalarEq(element_at(col("props"), k),
+          Translator.constantValue(ctx, e)), lit(false)))
+      }
+      d
+    }
+
+    path.tail match {
+      case Nil => // node delete: MATCH (n[:L] {…}) DELETE n
+        if (!head.variable.contains(dv) || !propsOk(head.props)) return None
+        val boxes = mkBoxes(head.props)
+        val ctx = Translator.Ctx(session.graph, Map.empty, Some(session),
+          paramBoxes = boxes)
+        Some(DeletePlan(nodesB, edgesB, boxes, isNode = true,
+          Some(new CachedResolve(
+            nodeFilter(head, ctx).select(col("id"), col("label")),
+            MaxPointIds)),
+          Nil, None))
+
+      case List((rel, dstN)) => // edge delete: MATCH (…)-[e:T {…}]-(…) DELETE e
+        if (!rel.variable.contains(dv) || rel.varLen.nonEmpty) return None
+        if (!propsOk(head.props) || !propsOk(dstN.props) ||
+          !propsOk(rel.props)) return None
+        // a repeated node var would add a src=dst constraint we don't encode
+        (head.variable, dstN.variable) match {
+          case (Some(a), Some(b)) if a == b => return None
+          case _ => ()
+        }
+        val boxes = mkBoxes(head.props, dstN.props, rel.props)
+        val ctx = Translator.Ctx(session.graph, Map.empty, Some(session),
+          paramBoxes = boxes)
+        def constrained(np: Ast.NodePat): Boolean =
+          np.label.nonEmpty || np.props.nonEmpty
+        val arrT = ArrayType(LongType, containsNull = false)
+        def contains(b: ParamBox, c: Column): Column =
+          array_contains(GraftColumn.column(ParamRef(b, arrT)), c)
+        val headEnd = if (constrained(head))
+          Some((new ParamBox("__ids_head"), new CachedResolve(
+            nodeFilter(head, ctx).select(col("id")), EndpointCap))) else None
+        val dstEnd = if (constrained(dstN))
+          Some((new ParamBox("__ids_dst"), new CachedResolve(
+            nodeFilter(dstN, ctx).select(col("id")), EndpointCap))) else None
+        var e = edgesB
+        rel.types match {
+          case Nil => ()
+          case List(t) => e = e.filter(col("reltype") === t)
+          case ts => e = e.filter(col("reltype").isin(ts: _*))
+        }
+        rel.props.foreach { case (k, x) =>
+          e = e.filter(coalesce(scalarEq(element_at(col("props"), k),
+            Translator.constantValue(ctx, x)), lit(false)))
+        }
+        def and(cs: Seq[Column]): Option[Column] = cs.reduceOption(_ && _)
+        val cond: Option[Column] = rel.direction match {
+          case 0 => // undirected: either orientation matches
+            val fwd = and(Seq(
+              headEnd.map { case (b, _) => contains(b, col("src")) },
+              dstEnd.map { case (b, _) => contains(b, col("dst")) }).flatten)
+            val bwd = and(Seq(
+              headEnd.map { case (b, _) => contains(b, col("dst")) },
+              dstEnd.map { case (b, _) => contains(b, col("src")) }).flatten)
+            (fwd, bwd) match {
+              case (Some(f), Some(bk)) => Some(f || bk)
+              case _ => None
+            }
+          case d =>
+            val (srcSide, dstSide) =
+              if (d == 1) (headEnd, dstEnd) else (dstEnd, headEnd)
+            and(Seq(
+              srcSide.map { case (b, _) => contains(b, col("src")) },
+              dstSide.map { case (b, _) => contains(b, col("dst")) }).flatten)
+        }
+        cond.foreach(c => e = e.filter(c))
+        Some(DeletePlan(nodesB, edgesB, boxes, isNode = false, None,
+          Seq(headEnd, dstEnd).flatten,
+          Some(new CachedResolve(
+            e.select(col("id"), col("reltype")), MaxPointIds))))
+
+      case _ => None // multi-hop: not point-shaped
+    }
+  }
+
+  private val debugTimings = sys.env.contains("SPARK_GRAFT_POINT_DEBUG")
+  @inline private def dbg[A](tag: String)(f: => A): A =
+    if (!debugTimings) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(
+        f"[point] $tag: ${(System.nanoTime() - t0) / 1e6}%.1f ms")
+      r
+    }
+
+  private def execCachedDelete(session: CypherSession, st: State,
+      dp: DeletePlan): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // (id, str-kind) internal rows → dedup by id → external rows for the
+    // shared bookkeeping
+    def toRows(raw: Array[org.apache.spark.sql.catalyst.InternalRow],
+        except: scala.collection.Set[Long]): Array[Row] = {
+      val seen = scala.collection.mutable.LinkedHashMap[Long, Row]()
+      raw.foreach { r =>
+        val id = r.getLong(0)
+        if (!except.contains(id) && !seen.contains(id))
+          seen(id) = Row(id,
+            if (r.isNullAt(1)) null else r.getUTF8String(1).toString)
+      }
+      seen.values.toArray
+    }
+    if (dp.isNode) {
+      val raw = dbg("node resolve")(dp.nodeResolve.get.collectRows())
+      if (raw.length > MaxPointIds) return None
+      val rows = toRows(raw, st.deletedNodes)
+      if (rows.isEmpty) return Some(delStats(session, 0, 0))
+      val ids = rows.map(_.getLong(0))
+      if (ids.length > EndpointCap) return None
+      // shared touching-edges plan (src∈ids ∨ dst∈ids over the epoch base)
+      val (tBox, tPlan) = st.touchPlan.getOrElse {
+        import graft.plans.{ParamBox, ParamRef}
+        val b = new ParamBox("__touch_ids")
+        val c = org.apache.spark.sql.GraftColumn.column(
+          ParamRef(b, ArrayType(LongType, containsNull = false)))
+        val p = new CachedResolve(st.edgeBase.get
+          .filter(array_contains(c, col("src")) ||
+            array_contains(c, col("dst")))
+          .select(col("id"), col("reltype")), MaxPointIds)
+        val tp = (b, p)
+        st.touchPlan = Some(tp)
+        tp
+      }
+      tBox.value = new GenericArrayData(ids)
+      val rawTouch = dbg("touch resolve")(tPlan.collectRows())
+      if (rawTouch.length > MaxPointIds) return None
+      val touching = toRows(rawTouch, st.deletedEdges)
+      Some(dbg("applyDelete")(
+        applyDelete(session, st, rows, touching, isNode = true)))
+    } else {
+      // resolve constrained endpoints, bind their id arrays
+      for ((box, resolve) <- dp.endpointResolves) {
+        val idRows = dbg("endpoint resolve")(resolve.collectRows())
+        if (idRows.length > EndpointCap) return None
+        val ids = idRows.map(_.getLong(0)).distinct
+        if (ids.isEmpty) return Some(delStats(session, 0, 0))
+        box.value = new GenericArrayData(ids)
+      }
+      val raw = dbg("edge resolve")(dp.edgeResolve.get.collectRows())
+      if (raw.length > MaxPointIds) return None
+      val rows = toRows(raw, st.deletedEdges)
+      if (rows.isEmpty) return Some(delStats(session, 0, 0))
+      Some(dbg("applyDelete")(
+        applyDelete(session, st, rows, Array.empty, isNode = false)))
+    }
   }
 
   /** Build the overlay view over the stable base: `base.filter(¬pending ∧
@@ -270,28 +643,38 @@ private[cypher] object PointWrite {
     }
   }
 
-  /** Driver-evaluable SET value: literals, the entity's own properties,
-    * and arithmetic/concat over them.
+  /** Driver-evaluable SET value: literals, scalar parameters, the entity's
+    * own properties, and arithmetic/concat over them.
     */
-  private def evaluable(v: String, e: Ast.Expr): Boolean = e match {
+  private def evaluable(v: String, e: Ast.Expr,
+      params: Map[String, Any]): Boolean = e match {
     case Ast.LitInt(_) | Ast.LitFloat(_) | Ast.LitString(_) |
         Ast.LitBool(_) | Ast.LitNull => true
+    case Ast.Param(p) => params.get(p) match {
+      case Some(null) | Some(_: Long) | Some(_: Int) | Some(_: Double) |
+          Some(_: String) | Some(_: Boolean) => true
+      case _ => false
+    }
     case Ast.Prop(Ast.Variable(`v`), _) => true
-    case Ast.Neg(x) => evaluable(v, x)
+    case Ast.Neg(x) => evaluable(v, x, params)
     case Ast.Bin("+" | "-" | "*" | "/" | "%", l, r) =>
-      evaluable(v, l) && evaluable(v, r)
+      evaluable(v, l, params) && evaluable(v, r, params)
     case _ => false
   }
 
-  private def eval(v: String, e: Ast.Expr,
-      props: Map[String, Any]): Option[Any] = e match {
+  private def eval(v: String, e: Ast.Expr, props: Map[String, Any],
+      params: Map[String, Any]): Option[Any] = e match {
     case Ast.LitInt(n) => Some(n)
     case Ast.LitFloat(n) => Some(n)
     case Ast.LitString(s) => Some(s)
     case Ast.LitBool(b) => Some(b)
     case Ast.LitNull => Some(null)
+    case Ast.Param(p) => params.get(p).map {
+      case i: Int => i.toLong
+      case x => x
+    }
     case Ast.Prop(Ast.Variable(`v`), k) => Some(props.getOrElse(k, null))
-    case Ast.Neg(x) => eval(v, x, props).flatMap {
+    case Ast.Neg(x) => eval(v, x, props, params).flatMap {
       case n: Long => Some(-n)
       case d: Double => Some(-d)
       case null => Some(null)
@@ -299,8 +682,8 @@ private[cypher] object PointWrite {
     }
     case Ast.Bin(op, l, r) =>
       for {
-        a <- eval(v, l, props)
-        b <- eval(v, r, props)
+        a <- eval(v, l, props, params)
+        b <- eval(v, r, props, params)
         out <- binOp(op, a, b)
       } yield out
     case _ => None

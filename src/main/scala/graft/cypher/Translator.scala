@@ -147,7 +147,17 @@ object Translator {
   case class Ctx(graph: PropertyGraph, params: Map[String, Any],
       session: Option[CypherSession] = None,
       propUse: Map[String, Set[String]] = Map.empty,
-      fullVars: Option[Set[String]] = None) {
+      fullVars: Option[Set[String]] = None,
+      /** Late-bound parameter boxes for cached parameterized plans
+        * ([[PointWrite]]): when set, `$p` translates to a [[graft.plans
+        * .ParamRef]] placeholder instead of folding the current value in,
+        * so the translated plan re-executes under new bindings. Param
+        * surfaces that must branch on the VALUE at translation time
+        * (`$map.key`, runtime SKIP/LIMIT, procedure args) read
+        * `params` — which the cached path leaves empty — and so throw,
+        * falling the statement back to fresh translation.
+        */
+      paramBoxes: Map[String, graft.plans.ParamBox] = Map.empty) {
     /** Does variable `v`'s struct need the full props map? (None ⇒ yes.) */
     def needsProps(v: String): Boolean = fullVars.forall(_.contains(v))
     /** Variables currently bound to pure literals by WITH (for the
@@ -620,6 +630,71 @@ object Translator {
     org.apache.spark.sql.GraftColumn.column(
       org.apache.spark.sql.catalyst.expressions.Literal.create(
         litRow(Ast.ListLit(items), Values.MaxNest), Values.variantType))
+
+  /** Static list-literal nesting depth. */
+  private def astDepth(x: Ast.Expr): Int = x match {
+    case Ast.ListLit(xs) => 1 + (0 +: xs.map(astDepth)).max
+    case _ => 0
+  }
+
+  /** JSON string escape for [[litJson]]. */
+  private def jsonQuote(v: String): String =
+    "\"" + v.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Driver-side tagged-JSON encoding of a pure-literal value — the boxed
+    * (T_BOXED) form for list literals nested past the schema floor.
+    */
+  private def litJson(e: Ast.Expr): String = e match {
+    case Ast.LitNull => "null"
+    case Ast.LitInt(v) => s"""{"t":${Values.T_INT},"i":$v}"""
+    case Ast.LitFloat(v) => s"""{"t":${Values.T_FLOAT},"f":$v}"""
+    case Ast.LitString(v) =>
+      s"""{"t":${Values.T_STRING},"s":${jsonQuote(v)}}"""
+    case Ast.LitBool(v) => s"""{"t":${Values.T_BOOL},"b":$v}"""
+    case Ast.Neg(Ast.LitInt(v)) => litJson(Ast.LitInt(-v))
+    case Ast.Neg(Ast.LitFloat(v)) => litJson(Ast.LitFloat(-v))
+    case Ast.ListLit(xs) =>
+      xs.map(litJson).mkString(
+        s"""{"t":${Values.T_ARRAY},"arr":[""", ",", "]}")
+    case other => throw TranslateError(s"not a boxable literal: $other")
+  }
+
+  /** Tagged-JSON encodings of runtime values for the boxed branch: the
+    * field names match the variant/entity structs, so `to_json` IS the
+    * encoder and the driver decode parses the same shape back.
+    */
+  private def boxNode(e: Column): Column =
+    to_json(struct(lit(Values.T_NODE).as("t"), e.getField("id").as("id"),
+      e.getField("label").as("label"), e.getField("props").as("props")))
+
+  private def boxEdge(e: Column): Column =
+    to_json(struct(lit(Values.T_EDGE).as("t"), e.getField("id").as("id"),
+      e.getField("src").as("src"), e.getField("dst").as("dst"),
+      e.getField("reltype").as("reltype"), e.getField("props").as("props")))
+
+  private def boxMapStruct(c: Column): Column =
+    to_json(struct(lit(Values.T_BOXED_MAP).as("t"), c.as("m")))
+
+  /** Unbox a tagged-JSON value back to an inline variant where the fixed
+    * schema can hold it (scalars and scalar lists); anything deeper stays
+    * boxed and round-trips through the driver decode.
+    */
+  private def jsonToVariant(js: Column): Column = {
+    val t0 = get_json_object(js, "$.t").cast(IntegerType)
+    when(js.isNull, Values.vNull)
+      .when(t0.isin(Values.T_INT, Values.T_FLOAT, Values.T_STRING,
+        Values.T_BOOL, Values.T_ARRAY),
+        from_json(js, Values.variantType))
+      .otherwise(Values.vBoxed(js))
+  }
 
   private def bindNode(ctx: Ctx, frame: Frame, np: Ast.NodePat): Frame = {
     val name = nameOf(np)
@@ -1101,6 +1176,11 @@ object Translator {
     */
   private def patternMultiplex(ctx: Ctx, frame: Frame, pred: Ast.Expr): Frame = {
     val rid = freshName("rid")
+    // the eager checkpoint pins monotonically_increasing_id so the rid is
+    // STABLE across the per-pattern self-joins (recomputation would
+    // renumber rows). It materializes the bound frame once; at 100 TB the
+    // bound side of a multiplexed WHERE is a persisted table with a real
+    // surrogate key, so the materialization disappears rather than grows.
     val tagged = frame.df.withColumn(rid, monotonically_increasing_id())
       .localCheckpoint(true)
     val flags = scala.collection.mutable.LinkedHashMap[Ast.PathPat, String]()
@@ -1679,6 +1759,12 @@ object Translator {
         val f2 = f0.map(spill); val to2 = to.map(spill)
         (Ast.SliceExpr(t2, f2.map(_._1), to2.map(_._1)),
           (Seq(dt) ++ f2.map(_._2) ++ to2.map(_._2)).max)
+      case l @ Ast.ListLit(xs) if xs.forall(isPureLit) =>
+        // pure-literal lists fold to ONE driver-side Literal (or a boxed
+        // JSON text when nested past the schema floor) — decomposing
+        // them into spilled temps would force the per-level variant
+        // encoding and re-impose the depth limit
+        (l, 0)
       case Ast.ListLit(xs) =>
         val rs = xs.map(spill)
         (Ast.ListLit(rs.map(_._1)), (0 +: rs.map(_._2)).max)
@@ -1862,7 +1948,7 @@ object Translator {
   }
 
   /** literal/parameter subtree → variant Column (for prop-map predicates). */
-  private def constantValue(ctx: Ctx, e: Ast.Expr): Column =
+  private[cypher] def constantValue(ctx: Ctx, e: Ast.Expr): Column =
     trExpr(ctx, Frame(null, Map.empty), e)
 
   // ═══════════════════════════ expressions ═════════════════════════════════
@@ -1881,8 +1967,11 @@ object Translator {
         // Per-element array(when(...struct...)) trees make the generated
         // code O(elements) — a 1000-element literal list explodes the
         // codegen unit (and Spark's CodeFormatter regex) before Janino
-        // even runs
-        constListLiteral(items)
+        // even runs. Literal nesting past the schema floor folds to a
+        // BOXED tagged-JSON value instead (≡ SIArray arbitrary nesting,
+        // `src/datatypes/array.c`).
+        if (astDepth(e) > Values.MaxNest) vBoxed(lit(litJson(e)))
+        else constListLiteral(items)
       case Ast.ListLit(items)
           if items.nonEmpty && items.forall(_.isInstanceOf[Ast.MapLit]) =>
         // list of map literals: a raw typed array when the maps share a
@@ -1890,17 +1979,34 @@ object Translator {
         // single Catalyst element type exists)
         array(items.map(t): _*)
       case Ast.ListLit(items) =>
-        // static nesting past the schema floor fails at TRANSLATION — the
-        // runtime raise_error inside per-element narrow() transforms both
-        // defers the error and generates pathologically large codegen
-        def astDepth(x: Ast.Expr): Int = x match {
-          case Ast.ListLit(xs) => 1 + (0 +: xs.map(astDepth)).max
-          case _ => 0
-        }
+        // runtime nesting past the schema floor still fails at
+        // TRANSLATION (non-literal deep elements can't be boxed without
+        // runtime type dispatch)
         if (astDepth(e) > Values.MaxNest) throw TranslateError(
           s"nested list values exceed the supported nesting depth " +
             s"(${Values.MaxNest})")
-        vArr(array(items.map(i => narrow(t(i))): _*))
+        // elements the inline variant can't carry — entities, typed maps,
+        // typed map arrays — box to tagged JSON (T_BOXED); scalars and
+        // scalar lists stay inline
+        def elemCol(item: Ast.Expr): Column = {
+          val c = t(item)
+          typeOf(frame, item, c) match {
+            case Some(st: StructType) if isVariantStruct(st) => narrow(c)
+            case Some(st: StructType) if st.fieldNames.contains("props") =>
+              Values.sBoxed(
+                if (st.fieldNames.contains("reltype")) boxEdge(c)
+                else boxNode(c))
+            case Some(st: StructType) if isMapStruct(st) =>
+              Values.sBoxed(boxMapStruct(c))
+            case Some(ArrayType(et: StructType, _)) if isMapStruct(et) =>
+              Values.sBoxed(to_json(struct(
+                lit(Values.T_ARRAY).as("t"),
+                transform(c, m => struct(
+                  lit(Values.T_BOXED_MAP).as("t"), m.as("m"))).as("arr"))))
+            case _ => narrow(c)
+          }
+        }
+        vArr(array(items.map(elemCol): _*))
 
       case Ast.MapLit(entries) =>
         // map VALUES are typed structs (every literal's keys are static),
@@ -1943,7 +2049,20 @@ object Translator {
               case Some(s: StructType) if s.fieldNames.contains("props") =>
                 // entity-valued expression (startNode(r) etc.)
                 element_at(c.getField("props"), key)
-              case _ => element_at(c.getField("arr"), key)
+              case _ =>
+                // variant-typed target: a BOXED map/entity exposes its
+                // fields through the tagged JSON; any other runtime type
+                // is a property access on a non-map (reference raises,
+                // TCK Map1 [2])
+                val js = c.getField("s")
+                when(c.isNull, vNull)
+                  .when(Values.tag(c) === Values.T_BOXED,
+                    jsonToVariant(coalesce(
+                      get_json_object(js, s"$$.m.$key"),
+                      get_json_object(js, s"$$.props.$key"))))
+                  .otherwise(vStr(raise_error(lit(
+                    s"Type mismatch: expected a map to access '$key'"))
+                    .cast(StringType)))
             }
         }
 
@@ -2293,9 +2412,13 @@ object Translator {
   }
 
   private def paramValue(ctx: Ctx, name: String): Column =
-    ctx.params.get(name) match {
-      case Some(v) => scalarParam(v) // one ladder for every param surface
-      case None => throw TranslateError(s"missing parameter: $$$name")
+    ctx.paramBoxes.get(name) match {
+      case Some(box) => org.apache.spark.sql.GraftColumn.column(
+        graft.plans.ParamRef(box, Values.variantType))
+      case None => ctx.params.get(name) match {
+        case Some(v) => scalarParam(v) // one ladder for every param surface
+        case None => throw TranslateError(s"missing parameter: $$$name")
+      }
     }
 
   // ═══════════════════════ scalar function library ═════════════════════════
@@ -2350,9 +2473,25 @@ object Translator {
           case Ast.LitNull => vNull
           case Ast.Variable(v) if frame.vars.get(v).contains(KNode) =>
             throw TranslateError("type() expects a relationship, got a node")
-          case _ =>
-            val e = entity(fn.args.head)
-            when(e.isNull, vNull).otherwise(vStr(e.getField("reltype")))
+          case a =>
+            val c = t(a)
+            typeOf(frame, a, c) match {
+              case Some(st: StructType) if isVariantStruct(st) =>
+                // variant-valued arg (e.g. list[0] on a mixed list): a
+                // BOXED edge answers from its tagged JSON; anything else
+                // is a runtime type error (reference `type()` Any-type
+                // handling, TCK Graph4 [5])
+                val rt = get_json_object(c.getField("s"), "$.reltype")
+                when(c.isNull, vNull)
+                  .when(Values.tag(c) === Values.T_BOXED && rt.isNotNull,
+                    vStr(rt))
+                  .otherwise(vStr(raise_error(lit(
+                    "Type mismatch: type() expects a relationship"))
+                    .cast(StringType)))
+              case _ =>
+                val e = entity(fn.args.head)
+                when(e.isNull, vNull).otherwise(vStr(e.getField("reltype")))
+            }
         }
       case "exists" => vBool(t(fn.args.head).isNotNull)
       // id-only node stubs: enough for id(startNode(r)) composition; full

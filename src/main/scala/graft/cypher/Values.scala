@@ -32,6 +32,19 @@ object Values {
     * scalar floats [latitude, longitude].
     */
   val T_POINT = 8
+  /** Boxed exotic value: the `s` field carries a tagged-JSON encoding of a
+    * value the fixed variant schema can't hold inline — an entity inside a
+    * list, a map inside a list, or list nesting past [[MaxNest]]
+    * (the reference's SIValue nests arbitrarily, `src/datatypes/array.c`;
+    * a fixed Catalyst schema can't). The tagged form reuses the variant
+    * field names, so `to_json` of a variant/entity column IS the encoding
+    * and `from_json(…, variantType)` unboxes inline-able values. Driver
+    * decode parses the JSON back to full values; see
+    * [[CypherSession.decodeVariant]].
+    */
+  val T_BOXED = 9
+  /** tag used INSIDE boxed JSON for map values: `{"t":10,"m":{…}}` */
+  val T_BOXED_MAP = 10
 
   val scalarFields: Seq[StructField] = Seq(
     StructField("t", IntegerType),
@@ -92,6 +105,15 @@ object Values {
   /** arr must be array<scalar-variant>. */
   def vArr(c: Column): Column =
     when(c.isNull, vNull).otherwise(mk(lit(T_ARRAY), nI, nF, nS, nB, c))
+
+  /** Boxed value from its tagged-JSON text. */
+  def vBoxed(json: Column): Column =
+    when(json.isNull, vNull).otherwise(mk(lit(T_BOXED), nI, nF, json, nB, nA))
+
+  /** Boxed LIST-ELEMENT variant at element depth. */
+  def sBoxed(json: Column): Column = when(json.isNull, lit(null).cast(elemType))
+    .otherwise(struct(lit(T_BOXED).as("t"), nI.as("i"), nF.as("f"),
+      json.cast(StringType).as("s"), nB.as("b"), nA1.as("arr")))
 
   def vPoint(lat: Column, lon: Column): Column =
     when(lat.isNull || lon.isNull, vNull)
@@ -183,7 +205,11 @@ object Values {
       .when(bothFloat, a.getField("f") === b.getField("f"))
       .when(bothNum, mixedEq)
       .when(tag(a) =!= tag(b), lit(false))
-      .when(tag(a) === T_STRING, a.getField("s") === b.getField("s"))
+      // boxed values (entities/maps/deep lists in lists): the tagged-JSON
+      // text is canonical for a given construction path, so text equality
+      // is value equality
+      .when(tag(a) === T_STRING || tag(a) === T_BOXED,
+        a.getField("s") === b.getField("s"))
       .when(tag(a) === T_BOOL, a.getField("b") === b.getField("b"))
       .when(tag(a) === T_ARRAY,
         listPairEq(a.getField("arr"), b.getField("arr"), scalarEq))
@@ -206,66 +232,25 @@ object Values {
 
   def neq(a: Column, b: Column): Column = !eq(a, b)
 
-  /** Lexicographic ternary list-comparison code: 0 = equal, 1 = a<b,
-    * 2 = a>b, 3 = incomparable (→ null result). The first non-equal
-    * element pair over the common prefix decides; a null element or
-    * cross-type pair reached before a decision makes the whole
-    * comparison null; a fully-equal prefix falls through to list
-    * length (TCK Comparison2 [4]: `[1,null] >= [1]` is true — the null
-    * is never compared — while `[1,2] >= [1,null]` is null).
-    */
-  private def arrCmpCode(ea: Column, eb: Column): Column = {
-    val n = least(size(ea), size(eb))
-    val pairs = zip_with(slice(ea, lit(1), n), slice(eb, lit(1), n),
-      (x, y) => elemCmpCode(x, y))
-    val folded = aggregate(pairs, lit(0),
-      (acc, c) => when(acc =!= 0, acc).otherwise(c))
-    when(ea.isNull || eb.isNull, lit(3))
-      .when(folded =!= 0, folded)
-      .when(size(ea) < size(eb), lit(1))
-      .when(size(ea) > size(eb), lit(2))
-      .otherwise(lit(0))
-  }
-
-  /** Scalar element comparison; NESTED-list elements compare as
-    * incomparable (→ null overall). Keeping the comparator flat matters:
-    * this expression rides along inside EVERY `<`/`<=` translation, and a
-    * depth-recursive tree multiplies Catalyst optimize/codegen cost for
-    * every comparison in every query (measured 2-4× on comparison-heavy
-    * benchmarks). Flat lists of scalars are what list ordering is defined
-    * over in practice (TCK Comparison2).
-    */
-  private def elemCmpCode(x: Column, y: Column): Column = {
-    def t(c: Column) = c.getField("t")
-    def isN(c: Column) = t(c) === T_INT || t(c) === T_FLOAT
-    def nm(c: Column) =
-      when(t(c) === T_INT, c.getField("i").cast(DoubleType))
-        .otherwise(c.getField("f"))
-    when(x.isNull || y.isNull, lit(3))
-      .when(isN(x) && isN(y),
-        when(nm(x) < nm(y), lit(1)).when(nm(x) > nm(y), lit(2))
-          .otherwise(lit(0)))
-      .when(t(x) =!= t(y), lit(3))
-      .when(t(x) === T_STRING,
-        when(x.getField("s") < y.getField("s"), lit(1))
-          .when(x.getField("s") > y.getField("s"), lit(2)).otherwise(lit(0)))
-      .when(t(x) === T_BOOL,
-        when(!x.getField("b") && y.getField("b"), lit(1))
-          .when(x.getField("b") && !y.getField("b"), lit(2))
-          .otherwise(lit(0)))
-      .otherwise(lit(3))
-  }
-
   /** Cypher `<`: null if either null OR types incomparable
     * (`SI_VALUES_ARE_COMPARABLE`, `value.h:60`; DISJOINT → null).
     */
   /** code → boolean via a 4-slot array lookup so the comparator subtree
     * appears ONCE in the when-branch, not once per compared-against code.
+    * The code comes from the native recursive comparator
+    * ([[graft.plans.VariantArrayCmp]] ≡ `SIArray_Compare`,
+    * `/root/reference/src/value.c:455`): nested-list elements recurse to
+    * the schema depth instead of comparing as incomparable.
     */
-  private def arrayLtBool(a: Column, b: Column, codeToBool: Seq[Any]): Column =
+  private def arrayLtBool(a: Column, b: Column, codeToBool: Seq[Any]): Column = {
+    import org.apache.spark.sql.GraftColumn
+    val code = GraftColumn.column(graft.plans.VariantArrayCmp(
+      GraftColumn.expression(a.getField("arr")),
+      GraftColumn.expression(b.getField("arr"))))
     element_at(
       array(codeToBool.map(v => lit(v).cast(BooleanType)): _*),
-      arrCmpCode(a.getField("arr"), b.getField("arr")) + 1)
+      code + 1)
+  }
 
   def lt(a: Column, b: Column): Column = {
     val bothNum = isNum(a) && isNum(b)
@@ -394,7 +379,8 @@ object Values {
             when(y.getField("t") === T_INT, y.getField("i").cast(DoubleType))
               .otherwise(y.getField("f")))
         .when(x.getField("t") =!= y.getField("t"), lit(false))
-        .when(x.getField("t") === T_STRING, x.getField("s") === y.getField("s"))
+        .when(x.getField("t") === T_STRING || x.getField("t") === T_BOXED,
+          x.getField("s") === y.getField("s"))
         .when(x.getField("t") === T_BOOL, x.getField("b") === y.getField("b"))
         .otherwise(nB)
     def sub1Eq(x: Column, y: Column): Column =
@@ -406,7 +392,8 @@ object Values {
             when(y.getField("t") === T_INT, y.getField("i").cast(DoubleType))
               .otherwise(y.getField("f")))
         .when(x.getField("t") =!= y.getField("t"), lit(false))
-        .when(x.getField("t") === T_STRING, x.getField("s") === y.getField("s"))
+        .when(x.getField("t") === T_STRING || x.getField("t") === T_BOXED,
+          x.getField("s") === y.getField("s"))
         .when(x.getField("t") === T_BOOL, x.getField("b") === y.getField("b"))
         .when(x.getField("t") === T_ARRAY,
           listPairEq(x.getField("arr"), y.getField("arr"), sub0Eq))
@@ -414,7 +401,9 @@ object Values {
     when(a.isNull || b.isNull, nB)
       .when(sIsNum(a) && sIsNum(b), sNum(a) === sNum(b))
       .when(a.getField("t") =!= b.getField("t"), lit(false))
-      .when(a.getField("t") === T_STRING, a.getField("s") === b.getField("s"))
+      .when(a.getField("t") === T_STRING ||
+        a.getField("t") === T_BOXED,
+        a.getField("s") === b.getField("s"))
       .when(a.getField("t") === T_BOOL, a.getField("b") === b.getField("b"))
       .when(a.getField("t") === T_ARRAY,
         listPairEq(a.getField("arr"), b.getField("arr"), sub1Eq))

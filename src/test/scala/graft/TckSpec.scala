@@ -328,10 +328,18 @@ class TckSpec extends AnyFunSuite {
     assert(u.map(_("v")) == Seq(1L, 2L, 3L))
   }
 
-  test("nesting beyond the supported depth errors loudly at runtime") {
+  test("literal nesting beyond the inline depth boxes and round-trips") {
+    // past the fixed variant depth, pure-literal lists fold to the boxed
+    // tagged-JSON branch (Values.T_BOXED) and decode back losslessly
+    // (≡ SIArray arbitrary nesting, src/datatypes/array.c)
     val s = freshSession()
+    val r = rows(s, "RETURN [[[[1]]]] AS z, [[[[[[[]]]]]]] AS d7")
+    assert(r.head("z") == List(List(List(List(1L)))))
+    assert(r.head("d7") ==
+      List(List(List(List(List(List(List())))))))
+    // non-literal deep nesting still errors loudly at translation
     val e = intercept[Exception] {
-      s.run("RETURN [[[[1]]]] AS z").collect()
+      s.run("WITH [[[1]]] AS x RETURN [x] AS z").collect()
     }
     assert(e.getMessage.contains("nesting depth") ||
       Option(e.getCause).exists(_.getMessage.contains("nesting depth")))

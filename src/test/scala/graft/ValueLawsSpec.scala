@@ -139,6 +139,35 @@ class ValueLawsSpec extends AnyFunSuite {
         lit(false))) == 0)
   }
 
+  test("nested lists ORDER recursively (SIArray_Compare semantics)") {
+    import Values._
+    // [[1],[2]] < [[1],[3]] — element lists recurse instead of comparing
+    // as incomparable (the round-4 flat-comparator deviation, closed by
+    // plans.VariantArrayCmp)
+    def lst(xs: Long*): Column =
+      narrow(vArr(array(xs.map(x => narrow(vInt(lit(x)))): _*)))
+    val one = spark.range(1).toDF("x")
+    def evalB(c: Column): Any = one.select(c.as("r")).head().get(0)
+    assert(evalB(lt(vArr(array(lst(1), lst(2))),
+      vArr(array(lst(1), lst(3))))) == true)
+    assert(evalB(lt(vArr(array(lst(1), lst(3))),
+      vArr(array(lst(1), lst(2))))) == false)
+    assert(evalB(Values.eq(vArr(array(lst(1), lst(2))),
+      vArr(array(lst(1), lst(2))))) == true)
+    // prefix rule still holds through nesting: [[1],[2]] vs [[1]] → longer
+    assert(evalB(gt(vArr(array(lst(1), lst(2))), vArr(array(lst(1))))) == true)
+    // null element inside a nested list → incomparable when reached
+    assert(evalB(lt(vArr(array(narrow(vArr(array(
+      lit(null).cast(elemType)))))),
+      vArr(array(lst(1))))) == null)
+    // nested ordering mirrors scalar ordering on comparable pairs
+    val lla = vArr(array(narrow(vArr(array(narrow(a))))))
+    val llb = vArr(array(narrow(vArr(array(narrow(b))))))
+    assert(violations(df, comparable &&
+      coalesce(lt(a, b), lit(false)) =!= coalesce(lt(lla, llb), lit(false)))
+      == 0)
+  }
+
   test("scalacheck: driver-side generator sanity (non-degenerate kinds)") {
     val prop = Prop.forAll(genCell)(c => c.kind >= 0 && c.kind <= 4)
     val res = SCTest.check(SCTest.Parameters.default, prop)
