@@ -60,6 +60,21 @@ object Translator {
 
   case class TranslateError(msg: String) extends RuntimeException(msg)
 
+  /** All variable names referenced anywhere in an expression tree
+    * (generic Product walk — covers every AST node shape).
+    */
+  private def exprVars(e: Ast.Expr): Set[String] = {
+    val acc = scala.collection.mutable.Set[String]()
+    def go(x: Any): Unit = x match {
+      case Ast.Variable(n) => acc += n
+      case p: Product => p.productIterator.foreach(go)
+      case l: Iterable[_] => l.foreach(go)
+      case _ => ()
+    }
+    go(e)
+    acc.toSet
+  }
+
   private val AggFns = Set("count", "sum", "avg", "min", "max", "collect",
     "stdev", "stdevp", "percentiledisc", "percentilecont")
 
@@ -398,14 +413,32 @@ object Translator {
     f
   }
 
+  /** Bound frames under the row-id trick (OPTIONAL MATCH / SemiApply /
+    * ApplyMultiplexer) pin `monotonically_increasing_id` with a
+    * localCheckpoint so the rid is stable across the per-pattern
+    * self-joins. Small frames checkpoint EAGERLY (one tiny job at
+    * translate time, everything downstream is a cheap cached scan); a
+    * frame the optimizer estimates above the threshold checkpoints
+    * LAZILY — same single materialization, but deferred to first action
+    * and never paid for a plan that is only explained, so a huge bound
+    * side under a multi-pattern WHERE is not built twice. The estimate is
+    * Catalyst's static `sizeInBytes` — no extra job to decide.
+    */
+  private val PinEagerMaxBytes = BigInt(256L << 20)
+  private def pinRid(df: DataFrame, rid: String): DataFrame = {
+    val tagged = df.withColumn(rid, monotonically_increasing_id())
+    val est = try tagged.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case _: Throwable => BigInt(0) }
+    tagged.localCheckpoint(est <= PinEagerMaxBytes)
+  }
+
   /** OPTIONAL MATCH via the row-id trick: tag each input row, run the inner
     * match, left-join the new columns back on the tag (`op_optional.c` +
     * Apply → decorrelated left_outer, SURVEY §2.3).
     */
   private def translateOptional(ctx: Ctx, frame: Frame, m: Ast.Match): Frame = {
     val rid = freshName("rid")
-    val tagged = frame.df.withColumn(rid, monotonically_increasing_id())
-      .localCheckpoint(true)
+    val tagged = pinRid(frame.df, rid)
     val seed = Frame(tagged, frame.vars)
     val inner = translateMatch(ctx, seed, m.copy(optional = false))
     val newVars = inner.vars.keySet -- frame.vars.keySet
@@ -1176,13 +1209,9 @@ object Translator {
     */
   private def patternMultiplex(ctx: Ctx, frame: Frame, pred: Ast.Expr): Frame = {
     val rid = freshName("rid")
-    // the eager checkpoint pins monotonically_increasing_id so the rid is
-    // STABLE across the per-pattern self-joins (recomputation would
-    // renumber rows). It materializes the bound frame once; at 100 TB the
-    // bound side of a multiplexed WHERE is a persisted table with a real
-    // surrogate key, so the materialization disappears rather than grows.
-    val tagged = frame.df.withColumn(rid, monotonically_increasing_id())
-      .localCheckpoint(true)
+    // pinRid keeps the rid STABLE across the per-pattern self-joins
+    // (recomputation would renumber rows); eager only while small.
+    val tagged = pinRid(frame.df, rid)
     val flags = scala.collection.mutable.LinkedHashMap[Ast.PathPat, String]()
     def collectPats(e: Ast.Expr): Unit = e match {
       case Ast.PatternPred(p) =>
@@ -1227,8 +1256,7 @@ object Translator {
   private def patternFilter(ctx: Ctx, frame: Frame, p: Ast.PathPat,
       anti: Boolean): Frame = {
     val rid = freshName("rid")
-    val tagged = frame.df.withColumn(rid, monotonically_increasing_id())
-      .localCheckpoint(true)
+    val tagged = pinRid(frame.df, rid)
     val seed = Frame(tagged, frame.vars)
     val (inner, _) = translatePath(ctx, seed, p)
     val keys = inner.df.select(inner.col(rid)).distinct()
@@ -1857,7 +1885,15 @@ object Translator {
             .exists(k => k == KNode || k == KEdge || k == KPath) =>
           val c = frame.col(v)
           val isPath = frame.vars(v) == KPath
-          if (!distinct) collect_list(c)
+          // entity collects sort by id (reference scan order, see the
+          // scalar branch below); array_sort with an id comparator because
+          // sort_array can't order structs carrying props maps
+          def idSort(arr: Column): Column =
+            if (isPath) arr
+            else array_sort(arr, (a, b) =>
+              when(a.getField("id") < b.getField("id"), -1)
+                .when(a.getField("id") > b.getField("id"), 1).otherwise(0))
+          if (!distinct) idSort(collect_list(c))
           else {
             // collect_set rejects structs containing maps (props) — dedup
             // by identity post-collect (entity = id, path = id sequences;
@@ -1867,7 +1903,7 @@ object Translator {
                 transform(x.getField("nodes"), n => n.getField("id")).as("n"),
                 transform(x.getField("rels"), r => r.getField("id")).as("r"))
               else x.getField("id")
-            val arr = collect_list(c)
+            val arr = idSort(collect_list(c))
             filter(arr, (e, i) =>
               array_position(transform(arr, x => key(x)), key(e)) ===
                 (i + 1).cast(LongType))
@@ -1877,12 +1913,34 @@ object Translator {
           dataTypeOf(frame, raw) match {
             // map values are typed structs outside the variant element
             // model — collect them as a raw typed array (TCK Return4 [11]
-            // `head(collect({k: v}))`)
+            // `head(collect({k: v})`)
             case Some(s: StructType) if isMapStruct(s) =>
               if (distinct) collect_set(raw) else collect_list(raw)
             case _ =>
               val v = Values.narrow(raw)
-              Values.vArr(if (distinct) collect_set(v) else collect_list(v))
+              // deterministic element order: when the collected expression
+              // depends on exactly one bound entity, order elements by
+              // that entity's id — the reference's pipelined scan emits
+              // rows in id order (`op_all_node_scan.c` iterates the
+              // datablock sequentially), an order a partitioned engine
+              // loses at the shuffle. Sorting (id, value) pairs inside the
+              // aggregate restores it without a global sort.
+              val entVars = exprVars(arg).toList.filter(n =>
+                frame.vars.get(n).exists(k => k == KNode || k == KEdge))
+              entVars match {
+                case List(ev) =>
+                  val pairs = sort_array(collect_list(when(v.isNotNull,
+                    struct(frame.col(ev).getField("id").as("o"),
+                      v.as("v")))))
+                  val vals = transform(pairs, p => p.getField("v"))
+                  Values.vArr(
+                    if (!distinct) vals
+                    else filter(vals, (e, i) =>
+                      array_position(vals, e) === (i + 1).cast(LongType)))
+                case _ =>
+                  Values.vArr(
+                    if (distinct) collect_set(v) else collect_list(v))
+              }
           }
       }
     case Ast.Fn("stdev", List(arg), _) =>

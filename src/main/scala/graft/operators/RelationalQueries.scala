@@ -247,26 +247,52 @@ object RelationalQueries {
         count(lit(1)).as("n_rows"))
     },
 
-    QueryDef.noOracle("q_approx_distinct") { (s, dir) =>
+    QueryDef(
+      "q_approx_distinct",
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS exact_parts,
+        |       count(DISTINCT l_suppkey) AS exact_supps,
+        |       true AS parts_ok, true AS supps_ok
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
       // HLL++ approximate count-distinct: the sketch path for the 100 TB
       // case where exact distinct's shuffle is the bottleneck — partial
-      // sketches merge map-side, constant memory per group. Values are
-      // engine-specific (driver does the rows-only check); ScaleOpsSpec
-      // bounds the relative error against the exact counts.
+      // sketches merge map-side, constant memory per group. The sketch
+      // value is engine-specific, so the oracle gates the ERROR BOUND: the
+      // approx must land within 5% of the exact (rsd configured 2%), and
+      // the exact counts themselves hash-match DuckDB.
+      def ok(approx: Column, exact: Column): Column =
+        (abs(approx - exact) / exact) <= 0.05
       t(s, dir, "lineitem").groupBy("l_returnflag").agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("n_parts_approx"),
-        approx_count_distinct(col("l_suppkey"), 0.02).as("n_supps_approx"))
+        approx_count_distinct(col("l_partkey"), 0.02).as("a_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("a_supps"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"))
+        .select(col("l_returnflag"),
+          col("exact_parts"), col("exact_supps"),
+          ok(col("a_parts"), col("exact_parts")).as("parts_ok"),
+          ok(col("a_supps"), col("exact_supps")).as("supps_ok"))
     },
 
-    QueryDef.noOracle("q_approx_quantile") { (s, dir) =>
+    QueryDef(
+      "q_approx_quantile",
+      """SELECT l_returnflag, true AS p50_ok, true AS p99_ok
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
       // Approximate percentiles (Greenwald-Khanna): mergeable quantile
-      // sketch vs q_percentile's exact path. Engine-specific values —
-      // rows-only check + spec-bounded error vs exact.
-      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
-        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000))
-          .as("p50_approx"),
-        approx_percentile(col("l_extendedprice"), lit(0.99), lit(1000))
-          .as("p99_approx"))
+      // sketch vs q_percentile's exact path. The sketch value is
+      // engine-specific, so the oracle gates the RANK error bound: with
+      // accuracy 1000 the rank error is ≤ n/1000, far inside the ±0.02
+      // rank window checked here (approx p50 ∈ [exact p48, exact p52]).
+      val x = col("l_extendedprice")
+      def win(p: Double, lo: Double, hi: Double, nm: String): Seq[Column] = Seq(
+        approx_percentile(x, lit(p), lit(1000)).as(s"a_$nm"),
+        expr(s"percentile(l_extendedprice, ${lo})").as(s"lo_$nm"),
+        expr(s"percentile(l_extendedprice, ${hi})").as(s"hi_$nm"))
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(win(0.5, 0.48, 0.52, "p50").head,
+          (win(0.5, 0.48, 0.52, "p50").tail ++ win(0.99, 0.97, 0.995, "p99")): _*)
+        .select(col("l_returnflag"),
+          col("a_p50").between(col("lo_p50"), col("hi_p50")).as("p50_ok"),
+          col("a_p99").between(col("lo_p99"), col("hi_p99")).as("p99_ok"))
     },
 
     QueryDef(
