@@ -23,7 +23,7 @@ object CypherParser extends RegexParsers {
     "OR", "XOR", "NOT", "IN", "STARTS", "ENDS", "CONTAINS", "IS", "NULL",
     "TRUE", "FALSE", "CASE", "WHEN", "THEN", "ELSE", "END", "DISTINCT",
     "CREATE", "MERGE", "SET", "DELETE", "DETACH", "UNION", "ALL", "ON",
-    "CALL", "YIELD")
+    "CALL", "YIELD", "REMOVE")
 
   def ident: Parser[String] =
     identRe.filter(s => !reserved.contains(s.toUpperCase)) |
@@ -47,10 +47,24 @@ object CypherParser extends RegexParsers {
       val c = s.charAt(i)
       if (c == '\\' && i + 1 < s.length) {
         s.charAt(i + 1) match {
-          case 'n' => sb.append('\n'); case 't' => sb.append('\t')
-          case 'r' => sb.append('\r'); case other => sb.append(other)
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          // \uXXXX (4 hex) / \UXXXXXXXX (8 hex) unicode escapes
+          // (openCypher Literals6); bad digits are a compile-time error
+          case u @ ('u' | 'U') =>
+            val width = if (u == 'u') 4 else 8
+            val hex = s.substring(i + 2,
+              math.min(s.length, i + 2 + width))
+            val cp = try {
+              require(hex.length == width)
+              Integer.parseInt(hex, 16)
+            } catch { case _: Exception => throw Ast.ParseRejected(
+              s"InvalidUnicodeLiteral: \\$u$hex") }
+            sb.appendAll(Character.toChars(cp))
+            i += 2 + width
+          case other => sb.append(other); i += 2
         }
-        i += 2
       } else { sb.append(c); i += 1 }
     }
     sb.toString
@@ -149,6 +163,9 @@ object CypherParser extends RegexParsers {
 
   private def postfixOp: Parser[Expr => Expr] =
     "." ~> anyIdent ^^ (k => (e: Expr) => Prop(e, k)) |
+      // label predicate in expression context (`n:Person`); chained
+      // labels conjoin. NOT inside patterns — those parse via nodePat.
+      ":" ~> anyIdent ^^ (l => (e: Expr) => HasLabel(e, l)) |
       kw("IS") ~> kw("NOT") ~> kw("NULL") ^^^ ((e: Expr) => IsNull(e, negated = true)) |
       kw("IS") ~> kw("NULL") ^^^ ((e: Expr) => IsNull(e, negated = false)) |
       ("[" ~> expr ~ opt(".." ~> opt(expr)) <~ "]") ^^ {
@@ -160,6 +177,7 @@ object CypherParser extends RegexParsers {
   def atom: Parser[Expr] =
     caseExpr |
       quantifier |
+      patternComprehension |
       listComprehension |
       kw("COUNT") ~ "(" ~ "*" ~ ")" ^^^ CountStar |
       functionCall |
@@ -189,18 +207,38 @@ object CypherParser extends RegexParsers {
       case k ~ v ~ l ~ p => Quantifier(k.toLowerCase, v, l, p)
     }
 
+  /** [ (a)-[r]->(b) WHERE pred | proj ] — requires ≥1 relationship so a
+    * bracketed parenthesized expression stays a list literal.
+    */
+  def patternComprehension: Parser[Expr] =
+    "[" ~> pathPattern.filter(_.tail.nonEmpty) ~ opt(kw("WHERE") ~> expr) ~
+      ("|" ~> expr) <~ "]" ^^ {
+      case p ~ w ~ proj => PatternComprehension(p, w, proj)
+    }
+
   def listComprehension: Parser[Expr] =
     "[" ~> ident ~ (kw("IN") ~> expr) ~ opt(kw("WHERE") ~> expr) ~
       opt("|" ~> expr) <~ "]" ^^ {
       case v ~ l ~ w ~ p => ListComprehension(v, l, w, p)
     }
 
+  /** namespaced function suffixes (`datetime.truncate`, `duration.between`,
+    * clock selectors) — whitelisted so `var.prop` never lexes as a
+    * function name.
+    */
+  private val fnSuffixes = Set("truncate", "between", "inmonths", "indays",
+    "inseconds", "statement", "transaction", "realtime", "fromepoch",
+    "fromepochmillis")
+
   def functionCall: Parser[Expr] =
-    (anyIdent ~ ("(" ~> opt(kw("DISTINCT")) ~ repsep(expr, ",") <~ ")")).filter {
-      case name ~ _ => !reserved.contains(name.toUpperCase) ||
-        name.toUpperCase == "EXISTS"
-    } ^^ { case name ~ (d ~ args) =>
-      Fn(name.toLowerCase, args, d.isDefined)
+    (anyIdent ~ opt("." ~> anyIdent) ~
+      ("(" ~> opt(kw("DISTINCT")) ~ repsep(expr, ",") <~ ")")).filter {
+      case name ~ suffix ~ _ =>
+        (!reserved.contains(name.toUpperCase) ||
+          name.toUpperCase == "EXISTS") &&
+          suffix.forall(s => fnSuffixes.contains(s.toLowerCase))
+    } ^^ { case name ~ suffix ~ (d ~ args) =>
+      Fn((name +: suffix.toList).mkString(".").toLowerCase, args, d.isDefined)
     }
 
   def patternPredicate: Parser[Expr] =
@@ -352,7 +390,12 @@ object CypherParser extends RegexParsers {
     * (replacement semantics, handled by the mutation runner).
     */
   def setItem: Parser[List[SetItem]] =
-    postfix ~ ("+=" ~> expr) ^? ({
+    // SET n:Label (single-label model: one write per item; the
+    // translator rejects stacked labels on an already-labeled node)
+    ident ~ rep1(":" ~> anyIdent) ^^ { case v ~ labels =>
+      labels.map(l => SetItem(Variable(v), Some(LabelKey), LitString(l)))
+    } |
+      postfix ~ ("+=" ~> expr) ^? ({
       case t ~ MapLit(entries) =>
         entries.map { case (k, v) => SetItem(t, Some(k), v) }
       case t ~ (p: Param) =>
@@ -367,6 +410,21 @@ object CypherParser extends RegexParsers {
 
   def setClause: Parser[Clause] =
     kw("SET") ~> rep1sep(setItem, ",") ^^ (xs => SetClause(xs.flatten))
+
+  /** REMOVE n.prop / REMOVE n:Label — desugars to null-valued SET items
+    * (Cypher stores no null property; label null = unlabeled).
+    */
+  def removeClause: Parser[Clause] =
+    kw("REMOVE") ~> rep1sep(
+      ident ~ rep1(":" ~> anyIdent) ^^ { case v ~ labels =>
+        // conditional: the label comes off only if it matches
+        labels.map(l => SetItem(Variable(v), Some(LabelKey),
+          Fn("__remove_label", List(LitString(l)))))
+      } |
+        postfix ^? ({
+          case Prop(t, k) => List(SetItem(t, Some(k), LitNull))
+        }, e => s"REMOVE expects a property or label: $e"),
+      ",") ^^ (xs => SetClause(xs.flatten))
 
   def deleteClause: Parser[Clause] =
     opt(kw("DETACH")) ~ (kw("DELETE") ~> rep1sep(expr, ",")) ^^ {
@@ -407,7 +465,8 @@ object CypherParser extends RegexParsers {
 
   def clause: Parser[Clause] =
     indexClause | matchClause | unwindClause | withClause | returnClause |
-      createClause | mergeClause | setClause | deleteClause | callClause
+      createClause | mergeClause | setClause | removeClause | deleteClause |
+      callClause
 
   def singleQuery: Parser[SingleQuery] = rep1(clause) ^^ (SingleQuery(_))
 

@@ -160,6 +160,7 @@ class CypherSession(val spark: SparkSession) {
     val (prefix, body) = CypherParser.splitParams(query)
     val allParams = if (prefix.isEmpty) params else prefix ++ params
     val ast = parse(body)
+    Validate.check(ast)
     ast.parts.head.clauses match {
       case List(Ast.CreateIndex(label, prop)) =>
         require(ast.parts.size == 1, "index DDL cannot be UNIONed")
@@ -455,6 +456,16 @@ class CypherSession(val spark: SparkSession) {
           "longitude" -> arr(1).getDouble(arr(1).fieldIndex("f")))
       case Values.T_BOXED =>
         CypherSession.decodeBoxedJson(r.getString(r.fieldIndex("s")))
+      case t if t >= Values.T_DATE && t <= Values.T_DURATION =>
+        // temporal values present as their canonical ISO string (the TCK's
+        // expected-value language has no temporal literals — strings are
+        // the exchange form)
+        val i = r.fieldIndex("i"); val f = r.fieldIndex("f")
+        val s = r.fieldIndex("s")
+        TemporalOps.render(TemporalOps.fromFields(t,
+          if (r.isNullAt(i)) 0L else r.getLong(i),
+          if (r.isNullAt(f)) 0.0 else r.getDouble(f),
+          if (r.isNullAt(s)) null else r.getString(s)))
       case _ => null
     }
   }
@@ -500,6 +511,11 @@ object CypherSession {
           .map(e => e.getKey -> decodeJsonNode(e.getValue)).toMap
         else null)
     n.get("t").asInt() match {
+      case t if t >= Values.T_DATE && t <= Values.T_DURATION =>
+        TemporalOps.render(TemporalOps.fromFields(t,
+          Option(n.get("i")).filterNot(_.isNull).map(_.asLong()).getOrElse(0L),
+          Option(n.get("f")).filterNot(_.isNull).map(_.asDouble()).getOrElse(0.0),
+          Option(n.get("s")).filterNot(_.isNull).map(_.asText()).orNull))
       case Values.T_INT => n.get("i").asLong()
       case Values.T_FLOAT => n.get("f").asDouble()
       case Values.T_STRING => n.get("s").asText()

@@ -292,7 +292,7 @@ private[cypher] final class MutationRunner(session: CypherSession) {
       params: Map[String, Any]): Frame = {
     // `SET n += $props` / `SET n = $props` desugar now that the map is
     // known (reference wire map params, test_entity_update.py:110)
-    val items = items0.flatMap {
+    val itemsAll = items0.flatMap {
       case Ast.SetItem(tgt, None,
           Ast.Fn("__merge_param", List(Ast.Param(p)), _)) =>
         paramMap(params, p, "SET +=").toList.map { case (k, v) =>
@@ -306,18 +306,66 @@ private[cypher] final class MutationRunner(session: CypherSession) {
       case it => List(it)
     }
     // every SET target must be a bound variable (TCK UndefinedVariable)
-    items.foreach {
+    itemsAll.foreach {
       case Ast.SetItem(Ast.Variable(n), _, _) if !frame.vars.contains(n) =>
         throw TranslateError(s"UndefinedVariable: $n is not defined")
       case _ => ()
     }
     val c = ctx(params)
+    // label writes (SET n:L / REMOVE n:L) — single-label model: SET on an
+    // unlabeled (or same-labeled) node lands; a second distinct label is a
+    // loud runtime error, not a silent overwrite. REMOVE only clears a
+    // matching label.
+    val (labelItems, items) = itemsAll.partition(_.key.contains(Ast.LabelKey))
+    if (labelItems.nonEmpty) {
+      val writes = labelItems.map { it =>
+        val n = it.target match {
+          case Ast.Variable(v) => v
+          case other => throw TranslateError(
+            s"label SET target must be a variable: $other")
+        }
+        if (!frame.vars.get(n).contains(KNode)) throw TranslateError(
+          s"label SET target must be a node: $n")
+        it.value match {
+          case Ast.LitString(l) => frame.df.select(
+            frame.col(n).getField("id").as("__id"),
+            lit(l).as("__l"), lit(false).as("__rm"))
+          case Ast.Fn("__remove_label", List(Ast.LitString(l)), _) =>
+            frame.df.select(frame.col(n).getField("id").as("__id"),
+              lit(l).as("__l"), lit(true).as("__rm"))
+          case other => throw TranslateError(
+            s"SET label expects a literal label, got: $other")
+        }
+      }.reduce(_ unionByName _).filter(col("__id").isNotNull)
+        .dropDuplicates("__id", "__l", "__rm")
+      val nodes2 = session.graph.nodes
+        .join(writes, col("id") === col("__id"), "left_outer")
+        .withColumn("label",
+          when(col("__l").isNull, col("label"))
+            .when(col("__rm") && col("label") === col("__l"),
+              lit(null).cast(StringType))
+            .when(col("__rm"), col("label"))
+            .when(col("label").isNull || col("label") === col("__l"),
+              col("__l"))
+            .otherwise(raise_error(concat(
+              lit("label conflict: single-label model cannot stack :"),
+              col("__l"), lit(" on :"), col("label")))))
+        .drop("__id", "__l", "__rm")
+      propsSet += writes.count()
+      session.commit(nodes2, session.graph.edges)
+    }
     // whole-entity replacements (`SET n = {map}` — reference semantics:
-    // the property bag is REPLACED by the map, test_entity_update.py:75)
-    val repls = items.collect {
-      case Ast.SetItem(Ast.Variable(n), None, m: Ast.MapLit) => (n, m)
+    // the property bag is REPLACED by the map, test_entity_update.py:75).
+    // `SET n = m` with m a bound entity copies m's property bag
+    // (TCK Merge6 [6]).
+    val repls: List[(String, Either[Ast.MapLit, String])] = items.collect {
+      case Ast.SetItem(Ast.Variable(n), None, m: Ast.MapLit) =>
+        (n, Left(m))
+      case Ast.SetItem(Ast.Variable(n), None, Ast.Variable(src))
+          if frame.vars.get(src).exists(k => k == KNode || k == KEdge) =>
+        (n, Right(src))
       case Ast.SetItem(t, None, v) => throw TranslateError(
-        s"SET <entity> = requires a map literal, got: $v")
+        s"SET <entity> = requires a map or entity, got: $v")
     }
     val replVars = repls.map(_._1).toSet
     items.foreach {
@@ -333,10 +381,15 @@ private[cypher] final class MutationRunner(session: CypherSession) {
         else Some(frame.df.select(
           frame.col(n).getField("id").as("__id"),
           map_filter(
-            if (m.entries.isEmpty) emptyProps
-            else map(m.entries.flatMap { case (k, v) =>
-              Seq(lit(k), trExpr(c, frame, v))
-            }: _*),
+            m match {
+              case Left(ml) =>
+                if (ml.entries.isEmpty) emptyProps
+                else map(ml.entries.flatMap { case (k, v) =>
+                  Seq(lit(k), trExpr(c, frame, v))
+                }: _*)
+              case Right(src) =>
+                coalesce(frame.col(src).getField("props"), emptyProps)
+            },
             (_, v) => v.isNotNull).as("__np")))
       }
       rs.reduceOption(_ unionByName _)
@@ -408,18 +461,27 @@ private[cypher] final class MutationRunner(session: CypherSession) {
       .getOrElse(edgesReplaced)
     session.commit(newNodes, newEdges)
 
-    // rebind updated vars so a following RETURN sees the new props
-    val touched = items.collect {
+    // rebind updated vars so a following RETURN sees the new props/label
+    val touched = itemsAll.collect {
+      case Ast.SetItem(Ast.Variable(n), _, _) => n
+    }.toSet
+    val labelTouched = labelItems.collect {
       case Ast.SetItem(Ast.Variable(n), _, _) => n
     }.toSet
     var df = frame.df
     touched.foreach { n =>
       val kind = frame.vars(n)
       val table = if (kind == KNode) session.graph.nodes else session.graph.edges
-      val fresh = table.select(col("id").as("__fid"), col("props").as("__fp"))
+      val fresh = table.select(col("id").as("__fid"), col("props").as("__fp"),
+        (if (kind == KNode) col("label") else lit(null).cast(StringType))
+          .as("__fl"))
       df = df.join(fresh, df(n).getField("id") === col("__fid"), "left_outer")
-        .withColumn(n, col(n).withField("props", col("__fp")))
-        .drop("__fid", "__fp")
+        .withColumn(n,
+          if (kind == KNode && labelTouched(n))
+            col(n).withField("props", col("__fp"))
+              .withField("label", col("__fl"))
+          else col(n).withField("props", col("__fp")))
+        .drop("__fid", "__fp", "__fl")
     }
     Frame(df, frame.vars)
   }

@@ -1127,6 +1127,74 @@ object Translator {
     }
   }
 
+  /** Pattern comprehensions `[ (a)-[r]->(b) WHERE w | proj ]` resolve to a
+    * per-row collected array BEFORE expression translation (the same tag +
+    * sub-match + join-back discipline as [[patternMultiplex]]): evaluate
+    * the projection per match, collect per row id ordered by the matched
+    * entities' ids descending (the reference's match emission order), and
+    * substitute the collected column into the expression.
+    */
+  private def resolvePatternComprehensions(ctx: Ctx, frame: Frame,
+      exprs: Seq[Ast.Expr]): (Frame, Ast.Expr => Ast.Expr) = {
+    val found =
+      scala.collection.mutable.LinkedHashMap[Ast.PatternComprehension, String]()
+    // top-level occurrences only (an inner comprehension evaluates inside
+    // its parent's sub-match, not against this frame)
+    def walk(e: Ast.Expr): Unit = e match {
+      case pc: Ast.PatternComprehension =>
+        found.getOrElseUpdate(pc, freshName("pcmp")); ()
+      case other => Ast.foreachExpr(other) {
+        case pc: Ast.PatternComprehension if !(other eq pc) =>
+          found.getOrElseUpdate(pc, freshName("pcmp")); ()
+        case _ => ()
+      }
+    }
+    exprs.foreach(walk)
+    if (found.isEmpty) return (frame, identity[Ast.Expr] _)
+    var f = frame
+    found.foreach { case (pc, tmp) =>
+      val rid = freshName("rid")
+      val tagged = pinRid(f.df, rid)
+      val seed = Frame(tagged, f.vars)
+      var (inner, _) = translatePath(ctx, seed, pc.path)
+      pc.where.foreach { w => inner = applyWhere(ctx, inner, w) }
+      val c = trExpr(ctx, inner, pc.projection)
+      val elem = typeOf(inner, pc.projection, c) match {
+        case Some(st: StructType) if isVariantStruct(st) => Values.narrow(c)
+        case Some(st: StructType) if st.fieldNames.contains("nodes") =>
+          Values.sBoxed(to_json(c)) // path value → boxed {nodes, rels}
+        case Some(st: StructType) if st.fieldNames.contains("props") =>
+          Values.sBoxed(
+            if (st.fieldNames.contains("reltype")) boxEdge(c) else boxNode(c))
+        case Some(st: StructType) if isMapStruct(st) =>
+          Values.sBoxed(boxMapStruct(c))
+        case _ => Values.narrow(c)
+      }
+      val idCols = (pc.path.head.variable.getOrElse(nameOf(pc.path.head)) ::
+        pc.path.tail.flatMap { case (rp, np) =>
+          List(rp.variable.getOrElse(nameOf(rp)),
+            np.variable.getOrElse(nameOf(np)))
+        }).filter(n => inner.vars.get(n).exists(k => k == KNode || k == KEdge))
+        .map(n => -inner.col(n).getField("id"))
+      val key = if (idCols.isEmpty) array(lit(0L)) else array(idCols: _*)
+      val collected = inner.df
+        .groupBy(inner.col(rid).as(rid))
+        .agg(collect_list(struct(key.as("k"), elem.as("v"))).as("__pcl"))
+        .select(col(rid),
+          transform(array_sort(col("__pcl")), x => x.getField("v")).as(tmp))
+      val joined = tagged.join(collected, Seq(rid), "left_outer")
+        .withColumn(tmp, Values.vArr(coalesce(col(tmp),
+          array().cast(ArrayType(Values.elemType)))))
+        .drop(rid)
+      f = Frame(joined, f.vars + (tmp -> KValue))
+    }
+    val rewrite = (e: Ast.Expr) => Ast.transformExpr(e) {
+      case pc: Ast.PatternComprehension if found.contains(pc) =>
+        Ast.Variable(found(pc))
+    }
+    (f, rewrite)
+  }
+
   // ═══════════════════════════ WHERE / predicates ══════════════════════════
   /** Split top-level conjunction; pattern predicates become semi/anti joins
     * (`reduce_to_apply.c` ≡ RewritePredicateSubquery, done at translation).
@@ -1181,8 +1249,10 @@ object Translator {
         f = f2.copy(df = f2.df.filter(
           Values.orderKey(trExpr(ctx, f2, l)) ===
             Values.orderKey(trExpr(ctx, f2, r))))
-      case pred =>
-        val (f2, rw) = resolveDegrees(ctx, f, Seq(pred))
+      case pred0 =>
+        val (fp, pcRw) = resolvePatternComprehensions(ctx, f, Seq(pred0))
+        val pred = pcRw(pred0)
+        val (f2, rw) = resolveDegrees(ctx, fp, Seq(pred))
         f = f2.copy(df = f2.df.filter(
           Values.isTrue(trExpr(ctx, f2, rw(pred)))))
     }
@@ -1498,9 +1568,14 @@ object Translator {
   private[cypher] def translateProjection(ctx: Ctx, frame0: Frame,
       proj0: Ast.Projection, where: Option[Ast.Expr],
       carryFlats: Boolean = false): Frame = {
-    // degree calls resolve to joined columns before any projection math
-    val (frame, degRw) = resolveDegrees(ctx, frame0,
+    // pattern comprehensions and degree calls resolve to joined columns
+    // before any projection math
+    val (framePc, pcRw) = resolvePatternComprehensions(ctx, frame0,
       proj0.items.map(_._1) ++ proj0.orderBy.map(_.expr))
+    val (frame, degRw0) = resolveDegrees(ctx, framePc,
+      proj0.items.map(i => pcRw(i._1)) ++
+        proj0.orderBy.map(si => pcRw(si.expr)))
+    val degRw = (e: Ast.Expr) => degRw0(pcRw(e))
     val proj = proj0.copy(
       // pin default aliases pre-rewrite (outdegree(n) stays named outdegree)
       items = proj0.items.map { case (e, a) =>
@@ -1619,7 +1694,7 @@ object Translator {
       if (proj.orderBy.nonEmpty) {
         val sf = aliased(sorted)
         val sorts = proj.orderBy.map { si =>
-          val k = Values.orderKey(trExpr(ctx, sf, si.expr))
+          val k = sortKey(ctx, sf, si.expr)
           if (si.ascending) k.asc_nulls_last else k.desc_nulls_first
         }
         sorted = sorted.orderBy(sorts: _*)
@@ -1661,7 +1736,7 @@ object Translator {
         val resolved = litems.collectFirst {
           case (e, n) if e == si.expr => Ast.Variable(n)
         }.getOrElse(si.expr)
-        val k = Values.orderKey(trExpr(ctx, f, resolved))
+        val k = sortKey(ctx, f, resolved)
         if (si.ascending) k.asc_nulls_last else k.desc_nulls_first
       }
       f = f.copy(df = f.df.orderBy(sorts: _*))
@@ -1670,6 +1745,25 @@ object Translator {
     proj.limit.foreach(e => f = f.copy(df = f.df.limit(runtimeInt(ctx, e, "LIMIT"))))
     recordConstVars(ctx, items)
     f
+  }
+
+  /** ORDER BY sort key: variants use the global-order [[Values.orderKey]];
+    * entity/path-typed columns (not representable in the variant) sort by
+    * id / (length, id-sequence) — deterministic and type-grouped.
+    */
+  private def sortKey(ctx: Ctx, frame: Frame, e: Ast.Expr): Column = {
+    val c = trExpr(ctx, frame, e)
+    dataTypeOf(frame, c) match {
+      case Some(st: StructType) if st.fieldNames.contains("nodes") =>
+        struct(size(c.getField("nodes")).as("n"),
+          to_json(transform(c.getField("nodes"),
+            x => x.getField("id"))).as("ids"),
+          to_json(transform(c.getField("rels"),
+            x => x.getField("id"))).as("rids"))
+      case Some(st: StructType) if st.fieldNames.contains("props") =>
+        c.getField("id")
+      case _ => Values.orderKey(c)
+    }
   }
 
   /** Track which aliases a projection bound to pure literals (see
@@ -1809,7 +1903,12 @@ object Translator {
       case other => (other, 0)
     }
 
-    val newItems = items.map { case (e, n) => (rw(e)._1, n) }
+    // aggregate/pattern-containing items translate on the AGG path against
+    // its own pre/post frames — a hoisted temp from here would be unknown
+    // there, so such items stay whole (no CSE inside them)
+    val newItems = items.map { case (e, n) =>
+      (if (blocked(e)) e else rw(e)._1, n)
+    }
     var f = frame
     layers.foreach { layer =>
       val cols = layer.toSeq.map { case (ex, n) => trExpr(ctx, f, ex).as(n) }
@@ -2002,6 +2101,15 @@ object Translator {
   private def constantDouble(ctx: Ctx, e: Ast.Expr): Double = e match {
     case Ast.LitFloat(v) => v
     case Ast.LitInt(v) => v.toDouble
+    case Ast.Neg(x) => -constantDouble(ctx, x)
+    // parameters are driver-side constants — fold (TCK Aggregation6)
+    case Ast.Param(p) => ctx.params.get(p) match {
+      case Some(v: Double) => v
+      case Some(v: Long) => v.toDouble
+      case Some(v: Int) => v.toDouble
+      case other => throw TranslateError(
+        s"expected a numeric parameter for $$$p, got: $other")
+    }
     case other => throw TranslateError(s"expected numeric literal: $other")
   }
 
@@ -2118,6 +2226,9 @@ object Translator {
                     jsonToVariant(coalesce(
                       get_json_object(js, s"$$.m.$key"),
                       get_json_object(js, s"$$.props.$key"))))
+                  // temporal component access: d.year, t.offset, …
+                  .when(Values.isTemporal(c),
+                    temporalFn("component", c, vStr(lit(key))))
                   .otherwise(vStr(raise_error(lit(
                     s"Type mismatch: expected a map to access '$key'"))
                     .cast(StringType)))
@@ -2163,14 +2274,40 @@ object Translator {
           case "OR" => or(t(l), t(r))
           case "XOR" => xor(t(l), t(r))
           case "AND" => and(t(l), t(r))
-          case "<" => vBool(lt(t(l), t(r)))
-          case "<=" => vBool(lte(t(l), t(r)))
-          case ">" => vBool(gt(t(l), t(r)))
-          case ">=" => vBool(gte(t(l), t(r)))
-          case "+" => add(t(l), t(r))
-          case "-" => sub(t(l), t(r))
-          case "*" => mul(t(l), t(r))
-          case "/" => div(t(l), t(r))
+          case "<" | "<=" | ">" | ">=" =>
+            val (a, b) = (t(l), t(r))
+            // entity/path/map-struct operands are not orderable → ternary
+            // null (SI_VALUES_ARE_COMPARABLE DISJOINT)
+            val structOperand = Seq(a, b).exists(c =>
+              dataTypeOf(frame, c).exists {
+                case st: StructType if !isVariantStruct(st) => true
+                case _ => false
+              })
+            if (structOperand) vNull
+            else vBool(op match {
+              case "<" => lt(a, b)
+              case "<=" => lte(a, b)
+              case ">" => gt(a, b)
+              case ">=" => gte(a, b)
+            })
+          case "+" =>
+            val (a, b) = (t(l), t(r))
+            when(Values.isTemporal(a) || Values.isTemporal(b),
+              temporalFn("add", a, b)).otherwise(add(a, b))
+          case "-" =>
+            val (a, b) = (t(l), t(r))
+            when(Values.isTemporal(a) || Values.isTemporal(b),
+              temporalFn("sub", a, b)).otherwise(sub(a, b))
+          case "*" =>
+            val (a, b) = (t(l), t(r))
+            when(Values.tag(a) === Values.T_DURATION ||
+              Values.tag(b) === Values.T_DURATION,
+              temporalFn("mul", a, b)).otherwise(mul(a, b))
+          case "/" =>
+            val (a, b) = (t(l), t(r))
+            when(Values.tag(a) === Values.T_DURATION ||
+              Values.tag(b) === Values.T_DURATION,
+              temporalFn("div", a, b)).otherwise(div(a, b))
           case "%" => Values.mod(t(l), t(r))
           case "^" =>
             val a = num(t(l)); val b = num(t(r))
@@ -2200,10 +2337,44 @@ object Translator {
           case _ => ()
         }
         Values.not(t(x))
-      case Ast.Neg(x) => neg(t(x))
+      case Ast.Neg(x) =>
+        val c = t(x)
+        when(Values.tag(c) === Values.T_DURATION,
+          temporalFn("mul", c, vInt(lit(-1L)))).otherwise(neg(c))
       case Ast.IsNull(x, negated) =>
         val c = t(x).isNull
         vBool(if (negated) !c else c)
+
+      case Ast.HasLabel(target, label) =>
+        def ofEntity(e: Column, fld: Column): Column =
+          when(e.isNull, vNull)
+            .otherwise(vBool(coalesce(fld === lit(label), lit(false))))
+        target match {
+          case Ast.Variable(n) if frame.has(n) && frame.vars(n) != KValue =>
+            val e = frame.col(n)
+            ofEntity(e, if (frame.vars(n) == KEdge) e.getField("reltype")
+              else e.getField("label"))
+          case other =>
+            val c = t(other)
+            typeOf(frame, other, c) match {
+              case Some(s: StructType) if s.fieldNames.contains("props") =>
+                ofEntity(c, if (s.fieldNames.contains("reltype"))
+                  c.getField("reltype") else c.getField("label"))
+              case _ =>
+                // variant target: null → null (TCK Graph5 [5]); a boxed
+                // entity answers from its tagged JSON; anything else is a
+                // runtime type error
+                val js = c.getField("s")
+                val lbl = coalesce(get_json_object(js, "$.label"),
+                  get_json_object(js, "$.reltype"))
+                when(c.isNull, vNull)
+                  .when(Values.tag(c) === Values.T_BOXED && lbl.isNotNull,
+                    vBool(lbl === lit(label)))
+                  .otherwise(vBool(raise_error(lit(
+                    "Type mismatch: label predicate on a non-entity"))
+                    .cast(BooleanType)))
+            }
+        }
 
       case Ast.CaseExpr(scrut, whens, otherwise) =>
         val els = otherwise.map(t).getOrElse(vNull)
@@ -2271,7 +2442,32 @@ object Translator {
                   s"integer, got: $idxRes")
               case _ => ()
             }
-            subscript(tc, t(idx))
+            val ic = t(idx)
+            // string key on a boxed map/entity: dynamic property lookup —
+            // parse the tagged-JSON property bag to map<string, variant>
+            // and index it (map-valued parameters, Map2; get_json_object
+            // paths are compile-time strings, so a runtime key must go
+            // through from_json). Wrong index type on a map/list and
+            // subscripting a scalar are runtime type errors (TCK List1,
+            // Map2 [3]/[5]).
+            val js = tc.getField("s")
+            val bag = coalesce(get_json_object(js, "$.m"),
+              get_json_object(js, "$.props"))
+            val key = ic.getField("s")
+            when(tc.isNull || ic.isNull, vNull)
+              .when(tag(tc) === T_BOXED && tag(ic) === T_STRING,
+                element_at(from_json(bag,
+                  MapType(StringType, Values.variantType)), key))
+              .when(tag(tc) === T_BOXED && bag.isNotNull,
+                vStr(raise_error(lit("Type mismatch: map access by " +
+                  "non-string key")).cast(StringType)))
+              .when(tag(tc) === T_ARRAY && tag(ic) =!= T_INT,
+                vStr(raise_error(lit("Type mismatch: list index must be " +
+                  "an integer")).cast(StringType)))
+              .when(tag(tc) =!= T_ARRAY && tag(tc) =!= T_BOXED,
+                vStr(raise_error(lit("Type mismatch: subscript target is " +
+                  "not a list or map")).cast(StringType)))
+              .otherwise(subscript(tc, ic))
         }
 
       case Ast.SliceExpr(target, from, to) =>
@@ -2451,7 +2647,42 @@ object Translator {
     case v: Boolean => Ast.LitBool(v)
     case null => Ast.LitNull
     case s: Seq[_] => Ast.ListLit(s.map(constToAst).toList)
+    case m: Map[_, _] => Ast.MapLit(m.asInstanceOf[Map[String, Any]]
+      .toList.map { case (k, v) => k -> constToAst(v) })
     case other => throw TranslateError(s"bad parameter value: $other")
+  }
+
+  /** Driver-side tagged-JSON encoding of a parameter value — the same
+    * wire format [[Values.vBoxed]]/decodeBoxedJson speak, so map-valued
+    * parameters ride the boxed-variant channel.
+    */
+  private def taggedJson(v: Any): String = {
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => " "
+        case c => c.toString
+      } + "\""
+    v match {
+      case null => "null"
+      case x: Long => s"""{"t":${Values.T_INT},"i":$x}"""
+      case x: Int => s"""{"t":${Values.T_INT},"i":$x}"""
+      case x: Double => s"""{"t":${Values.T_FLOAT},"f":$x}"""
+      case x: String => s"""{"t":${Values.T_STRING},"s":${jstr(x)}}"""
+      case x: Boolean => s"""{"t":${Values.T_BOOL},"b":$x}"""
+      case s: Seq[_] =>
+        s.map(taggedJson).mkString(
+          s"""{"t":${Values.T_ARRAY},"arr":[""", ",", "]}")
+      case m: Map[_, _] =>
+        m.asInstanceOf[Map[String, Any]].toList
+          .map { case (k, x) => jstr(k) + ":" + taggedJson(x) }
+          .mkString(s"""{"t":${Values.T_BOXED_MAP},"m":{""", ",", "}}")
+      case other => throw TranslateError(s"bad param value: $other")
+    }
   }
 
   /** A scalar-or-list parameter value as a variant column. */
@@ -2464,7 +2695,14 @@ object Translator {
       case v: String => vStr(lit(v))
       case v: Boolean => vBool(lit(v))
       case null => vNull
+      case s: Seq[_] if s.exists(_.isInstanceOf[Map[_, _]]) =>
+        // list containing maps: elements box to tagged JSON
+        vArr(array(s.map {
+          case m: Map[_, _] => Values.sBoxed(lit(taggedJson(m)))
+          case e => narrow(scalarParam(e))
+        }: _*))
       case s: Seq[_] => vArr(array(s.map(e => narrow(scalarParam(e))): _*))
+      case m: Map[_, _] => Values.vBoxed(lit(taggedJson(m)))
       case other => throw TranslateError(s"bad param value: $other")
     }
   }
@@ -2483,9 +2721,33 @@ object Translator {
   /** SURVEY §2.6 function inventory (117 fns in
     * `src/arithmetic/funcs.c`) — each a Column composition.
     */
+  /** Wrap a [[TemporalFn]] dispatch over variant columns. */
+  private[cypher] def temporalFn(fn: String, args: Column*): Column =
+    org.apache.spark.sql.GraftColumn.column(TemporalFn(fn,
+      args.map(org.apache.spark.sql.GraftColumn.expression)))
+
   private def trFn(ctx: Ctx, frame: Frame, fn: Ast.Fn): Column = {
     import Values._
     def t(x: Ast.Expr): Column = trExpr(ctx, frame, x)
+    /** component map argument → map<string, variant> column. */
+    def componentMap(a: Ast.Expr): Option[Column] = a match {
+      case Ast.MapLit(entries) =>
+        Some(if (entries.isEmpty) map().cast(Values.propsType)
+        else map(entries.flatMap { case (k, v) => Seq(lit(k), t(v)) }: _*))
+      case other =>
+        val c = t(other)
+        typeOf(frame, other, c) match {
+          case Some(s: StructType) if isMapStruct(s) =>
+            val fields = s.fields.filter(_.name != EmptyMapMarker)
+            if (!fields.forall(f => isVariantStruct(f.dataType)))
+              throw TranslateError(
+                "temporal component maps cannot carry nested maps")
+            Some(if (fields.isEmpty) map().cast(Values.propsType)
+            else map(fields.flatMap(f =>
+              Seq(lit(f.name), c.getField(f.name))): _*))
+          case _ => None
+        }
+    }
     def entity(x: Ast.Expr): Column = x match {
       case Ast.Variable(n) if frame.has(n) && frame.vars(n) != KValue =>
         frame.col(n)
@@ -2524,7 +2786,10 @@ object Translator {
         when(e.isNull, vNull).otherwise(vInt(e.getField("id")))
       case "labels" =>
         val e = entity(fn.args.head)
+        // unlabeled node → [] (not [null]); TCK Graph3 [1]
         when(e.isNull, vNull)
+          .when(e.getField("label").isNull,
+            vArr(array().cast(ArrayType(elemType))))
           .otherwise(vArr(array(sStr(e.getField("label")))))
       case "type" =>
         fn.args.head match {
@@ -2551,7 +2816,91 @@ object Translator {
                 when(e.isNull, vNull).otherwise(vStr(e.getField("reltype")))
             }
         }
-      case "exists" => vBool(t(fn.args.head).isNotNull)
+      case "exists" => fn.args.head match {
+        // exists() takes a property access or a pattern (the pattern form
+        // is rewritten before trFn); bare variables/literals are a
+        // compile-time error (TCK Graph9 [6] InvalidArgumentExpression)
+        case Ast.Prop(Ast.Variable(n), _)
+            if frame.has(n) && frame.vars(n) != KValue =>
+          // null entity (OPTIONAL MATCH miss) → null, not false
+          when(frame.col(n).isNull, vNull)
+            .otherwise(vBool(t(fn.args.head).isNotNull))
+        case _: Ast.Prop | _: Ast.Subscript =>
+          vBool(t(fn.args.head).isNotNull)
+        case other => throw TranslateError(
+          s"InvalidArgumentExpression: exists() expects a property " +
+            s"access or pattern, got: $other")
+      }
+      case "keys" =>
+        // property keys of an entity / key list of a map value
+        fn.args.head match {
+          case a @ Ast.Variable(n)
+              if frame.has(n) && frame.vars(n) != KValue =>
+            val e = entity(a)
+            when(e.isNull, vNull).otherwise(vArr(transform(
+              map_keys(coalesce(e.getField("props"),
+                map().cast(Values.propsType))), k => sStr(k))))
+          case a =>
+            val c = t(a)
+            typeOf(frame, a, c) match {
+              case Some(s: StructType) if isMapStruct(s) =>
+                vArr(array(s.fieldNames.filterNot(_ == EmptyMapMarker)
+                  .map(k => sStr(lit(k))): _*))
+              case Some(s: StructType) if s.fieldNames.contains("props") =>
+                when(c.isNull, vNull).otherwise(vArr(transform(
+                  map_keys(coalesce(c.getField("props"),
+                    map().cast(Values.propsType))), k => sStr(k))))
+              case _ =>
+                // variant: boxed maps/entities expose keys through the
+                // tagged JSON
+                val js = c.getField("s")
+                val keysOf = coalesce(
+                  json_object_keys(get_json_object(js, "$.m")),
+                  json_object_keys(get_json_object(js, "$.props")))
+                when(c.isNull, vNull)
+                  .when(tag(c) === T_BOXED && keysOf.isNotNull,
+                    vArr(transform(keysOf, k => sStr(k))))
+                  .otherwise(vNull)
+            }
+        }
+      case "properties" =>
+        fn.args.head match {
+          case Ast.LitNull => vNull
+          case a @ Ast.Variable(n)
+              if frame.has(n) && frame.vars(n) != KValue =>
+            val e = entity(a)
+            // boxed map value (T_BOXED_MAP tagged JSON) — decodes to a
+            // plain map, indistinguishable from a map literal
+            when(e.isNull, vNull).otherwise(vBoxed(to_json(struct(
+              lit(Values.T_BOXED_MAP).as("t"),
+              coalesce(e.getField("props"),
+                map().cast(Values.propsType)).as("m")))))
+          case a =>
+            val c = t(a)
+            typeOf(frame, a, c) match {
+              case Some(s: StructType) if isMapStruct(s) => c // already a map
+              case Some(s: StructType) if s.fieldNames.contains("props") =>
+                when(c.isNull, vNull).otherwise(vBoxed(to_json(struct(
+                  lit(Values.T_BOXED_MAP).as("t"),
+                  coalesce(c.getField("props"),
+                    map().cast(Values.propsType)).as("m")))))
+              case _ =>
+                when(c.isNull, vNull)
+                  .when(tag(c) === T_BOXED, c) // boxed map passes through
+                  .otherwise(vStr(raise_error(lit(
+                    "Type mismatch: properties() expects an entity or map"))
+                    .cast(StringType)))
+            }
+        }
+      case "toboolean" =>
+        val v = t(fn.args.head)
+        when(v.isNull, vNull)
+          .when(tag(v) === T_BOOL, v)
+          .when(tag(v) === T_STRING && lower(v.getField("s")) === "true",
+            vBool(lit(true)))
+          .when(tag(v) === T_STRING && lower(v.getField("s")) === "false",
+            vBool(lit(false)))
+          .otherwise(vNull)
       // id-only node stubs: enough for id(startNode(r)) composition; full
       // entity hydration would need a join, which callers do via patterns
       case "startnode" | "endnode" => fn.args.head match {
@@ -2795,6 +3144,58 @@ object Translator {
       // temporal (`time_funcs.c:22`)
       case "timestamp" =>
         vInt(unix_millis(current_timestamp()))
+
+      // ── temporal value family (extension; TCK Temporal1-10) ─────────────
+      case name @ ("date" | "time" | "localtime" | "localdatetime" |
+          "datetime" | "duration") =>
+        fn.args match {
+          case Nil => temporalFn(name)
+          case List(a) => componentMap(a) match {
+            case Some(m) => temporalFn(name, m)
+            case None => temporalFn(name, t(a))
+          }
+          case _ => throw TranslateError(
+            s"$name() takes at most one argument")
+        }
+      // clock selectors: statement/transaction/realtime share one clock in
+      // a single-statement engine
+      case name if name.endsWith(".statement") ||
+          name.endsWith(".transaction") || name.endsWith(".realtime") =>
+        val base = name.substring(0, name.indexOf('.'))
+        fn.args match {
+          case Nil => temporalFn(base)
+          case List(a) => temporalFn(base, t(a))
+          case _ => throw TranslateError(s"$name() takes at most one argument")
+        }
+      case name if name.endsWith(".truncate") =>
+        val kind = name.substring(0, name.indexOf('.'))
+        fn.args match {
+          case List(unit, src) =>
+            temporalFn(s"truncate_$kind", t(unit), t(src))
+          case List(unit, src, ov) =>
+            val m = componentMap(ov).getOrElse(throw TranslateError(
+              s"$name overrides must be a map"))
+            temporalFn(s"truncate_$kind", t(unit), t(src), m)
+          case _ => throw TranslateError(
+            s"$name(unit, temporal[, overrides]) arity")
+        }
+      case "duration.between" | "duration.inmonths" | "duration.indays" |
+          "duration.inseconds" =>
+        val k = fn.name.substring("duration.".length)
+        fn.args match {
+          case List(a, b) => temporalFn(k, t(a), t(b))
+          case _ => throw TranslateError(s"${fn.name}(a, b) arity")
+        }
+      case "datetime.fromepoch" =>
+        fn.args match {
+          case List(s, n) => temporalFn("fromepoch", t(s), t(n))
+          case _ => throw TranslateError("datetime.fromepoch(sec, nano) arity")
+        }
+      case "datetime.fromepochmillis" =>
+        fn.args match {
+          case List(ms) => temporalFn("fromepochmillis", t(ms))
+          case _ => throw TranslateError("datetime.fromepochmillis(ms) arity")
+        }
 
       case other =>
         throw TranslateError(s"unknown function: $other")

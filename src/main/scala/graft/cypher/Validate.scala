@@ -1,0 +1,155 @@
+package graft.cypher
+
+/** Compile-time semantic checks the reference's AST validator performs
+  * before planning (`/root/reference/src/ast/ast_validations.c`):
+  * variable-binding conflicts, projection-name conflicts, and
+  * non-deterministic-in-aggregate rejection. Runs on the parsed AST before
+  * translation; throws [[Translator.TranslateError]] with the openCypher
+  * error name in the message (the TCK accepts any engine error for a typed
+  * error expectation, but the name keeps diagnostics honest).
+  */
+object Validate {
+  import Ast._
+  private def fail(msg: String): Nothing =
+    throw Translator.TranslateError(msg)
+
+  private sealed trait Kind
+  private case object VNode extends Kind
+  private case object VRel extends Kind
+  private case object VPath extends Kind
+  /** value of statically-unknown shape — may hold an entity at runtime
+    * (coalesce of nodes, unwound collect element), so patterns accept it */
+  private case object VValue extends Kind
+  /** value statically known to be a non-entity literal — re-matching it as
+    * a node/relationship is a compile-time VariableTypeConflict */
+  private case object VLit extends Kind
+
+  private def isLiteralish(e: Expr): Boolean = e match {
+    case _: LitInt | _: LitFloat | _: LitString | _: LitBool | LitNull =>
+      true
+    case _: ListLit | _: MapLit => true
+    case Neg(x) => isLiteralish(x)
+    case Bin(_, l, r) => isLiteralish(l) && isLiteralish(r)
+    case _ => false
+  }
+
+  def check(q: Query): Unit = q.parts.foreach(checkSingle)
+
+  private def checkSingle(sq: SingleQuery): Unit = {
+    var scope = Map.empty[String, Kind]
+
+    def bindPattern(p: PathPat, creating: Boolean,
+        boundBefore: Map[String, Kind]): Unit = {
+      // named path: the variable must be fresh, and must not collide with
+      // any entity variable of the same pattern (Match6 [21-23])
+      p.pathVar.foreach { pv =>
+        if (scope.contains(pv))
+          fail(s"VariableAlreadyBound: $pv is already declared")
+        val entityVars = (p.head.variable.toList ++
+          p.tail.flatMap { case (r, n) => r.variable.toList ++
+            n.variable.toList }).toSet
+        if (entityVars.contains(pv))
+          fail(s"VariableAlreadyBound: $pv is already declared")
+        scope += pv -> VPath
+      }
+      def bindNode(np: NodePat, singleNodePath: Boolean): Unit =
+        np.variable.foreach { v =>
+          scope.get(v) match {
+            case Some(VLit) => fail(
+              s"VariableTypeConflict: $v is bound to a value, not a node")
+            case Some(VRel) => fail(
+              s"VariableTypeConflict: $v is bound to a relationship")
+            case Some(VPath) => fail(
+              s"VariableAlreadyBound: $v is already declared as a path")
+            case Some(VNode | VValue) if creating =>
+              // reusing a bound node inside CREATE is legal only as a
+              // bare endpoint of a relationship pattern (Create1 [11-17])
+              if (np.label.nonEmpty || np.props.nonEmpty ||
+                  (singleNodePath && boundBefore.contains(v)))
+                fail(s"VariableAlreadyBound: $v is already declared")
+            case _ => ()
+          }
+          if (scope.get(v) != Some(VValue)) scope += v -> VNode
+        }
+      def bindRel(rp: RelPat): Unit = rp.variable.foreach { v =>
+        scope.get(v) match {
+          case Some(VLit) => fail(
+            s"VariableTypeConflict: $v is bound to a value")
+          case Some(VNode) => fail(
+            s"VariableTypeConflict: $v is bound to a node")
+          case Some(VPath) => fail(
+            s"VariableAlreadyBound: $v is already declared as a path")
+          case Some(VRel) if creating => fail(
+            s"VariableAlreadyBound: $v is already declared")
+          case _ => ()
+        }
+        if (scope.get(v) != Some(VValue)) scope += v -> VRel
+      }
+      bindNode(p.head, p.tail.isEmpty)
+      p.tail.foreach { case (rp, np) => bindRel(rp); bindNode(np, false) }
+    }
+
+    def checkProjection(pr: Projection, isReturn: Boolean): Unit = {
+      // duplicate output names (Return4 [10] ColumnNameConflict)
+      val names = pr.items.flatMap {
+        case (Variable("*"), _) => None
+        case (Variable(v), alias) => Some(alias.getOrElse(v))
+        case (_, alias) => alias
+      }
+      names.groupBy(identity).collectFirst {
+        case (n, xs) if xs.size > 1 => n
+      }.foreach(n => fail(
+        s"ColumnNameConflict: multiple result columns named '$n'"))
+      // non-deterministic functions inside aggregates (Return6 [15])
+      val aggNames = Set("count", "sum", "avg", "min", "max", "collect",
+        "stdev", "stdevp", "percentiledisc", "percentilecont")
+      def scan(e: Expr): Unit = foreachExpr(e) {
+        case Fn(a, args, _) if aggNames(a) =>
+          args.foreach(arg => foreachExpr(arg) {
+            case Fn("rand" | "randomuuid", _, _) => fail(
+              "NonConstantExpression: non-deterministic function inside " +
+                "an aggregate")
+            case _ => ()
+          })
+        case _ => ()
+      }
+      pr.items.foreach(i => scan(i._1))
+      // rebuild scope from the projection (WITH/RETURN re-scope)
+      val star = pr.items.exists(_._1 == Variable("*"))
+      val next = pr.items.flatMap {
+        case (Variable("*"), _) => Nil
+        case (Variable(v), alias) =>
+          List(alias.getOrElse(v) -> scope.getOrElse(v, VValue))
+        case (e, Some(a)) =>
+          List(a -> (if (isLiteralish(e)) VLit else VValue: Kind))
+        case (e, None) => Nil // unaliased expression: text-named value col
+      }.toMap
+      scope = if (star) scope ++ next else next
+    }
+
+    sq.clauses.foreach {
+      case Match(_, paths, _) =>
+        val before = scope
+        paths.foreach(bindPattern(_, creating = false, before))
+      case Create(paths) =>
+        val before = scope
+        paths.foreach(bindPattern(_, creating = true, before))
+      case Merge(path, _, _) =>
+        // MERGE's own validator covers rebinding; record bindings only
+        (path.head :: path.tail.map(_._2)).foreach(_.variable.foreach(v =>
+          scope += v -> VNode))
+        path.tail.foreach(_._1.variable.foreach(v => scope += v -> VRel))
+        path.pathVar.foreach(pv => scope += pv -> VPath)
+      case Unwind(_, alias) =>
+        if (scope.contains(alias))
+          fail(s"VariableAlreadyBound: $alias is already declared")
+        scope += alias -> VValue
+      case With(proj, _) => checkProjection(proj, isReturn = false)
+      case Return(proj) => checkProjection(proj, isReturn = true)
+      case CallProc(_, _, yields) =>
+        yields.foreach { case (c, alias) =>
+          scope += alias.getOrElse(c) -> VValue }
+      case _ => () // SET/DELETE/index DDL bind nothing new
+    }
+  }
+}

@@ -45,6 +45,23 @@ object Values {
   val T_BOXED = 9
   /** tag used INSIDE boxed JSON for map values: `{"t":10,"m":{…}}` */
   val T_BOXED_MAP = 10
+  // temporal family (extension beyond the reference — see
+  // [[graft.cypher.TemporalOps]]); payload lives in (i, f, s):
+  /** i = epoch day */
+  val T_DATE = 11
+  /** i = nano of day */
+  val T_LOCALTIME = 12
+  /** i = nano of day, f = offset seconds */
+  val T_TIME = 13
+  /** i = epoch second (UTC-anchored local), f = nano of second */
+  val T_LOCALDATETIME = 14
+  /** i = epoch second, f = nano of second, s = zone id/offset */
+  val T_DATETIME = 15
+  /** i = months, f = days, s = "seconds,nanos" (normalized) */
+  val T_DURATION = 16
+
+  def isTemporal(v: Column): Column =
+    tag(v) >= T_DATE && tag(v) <= T_DURATION
 
   val scalarFields: Seq[StructField] = Seq(
     StructField("t", IntegerType),
@@ -200,7 +217,12 @@ object Values {
     // in-range long remains comparable via the round-trip check
     val mixedEq = when(abs(fb) > 9.223372036854775e18, lit(false))
       .otherwise(ia.cast(DoubleType) === fb && ia === fb.cast(LongType))
+    // NaN equals nothing, including itself (Cypher IEEE semantics; Spark's
+    // `===` treats NaN = NaN as true, so guard explicitly)
+    val anyNaN = (tag(a) === T_FLOAT && isnan(a.getField("f"))) ||
+      (tag(b) === T_FLOAT && isnan(b.getField("f")))
     when(a.isNull || b.isNull, nB)
+      .when((isNum(a) && isNum(b)) && anyNaN, lit(false))
       .when(bothInt, a.getField("i") === b.getField("i"))
       .when(bothFloat, a.getField("f") === b.getField("f"))
       .when(bothNum, mixedEq)
@@ -213,8 +235,25 @@ object Values {
       .when(tag(a) === T_BOOL, a.getField("b") === b.getField("b"))
       .when(tag(a) === T_ARRAY,
         listPairEq(a.getField("arr"), b.getField("arr"), scalarEq))
+      // temporal equality: instants compare zone-insensitively (i, f);
+      // times by offset-normalized nano-of-day; durations by normalized
+      // components (canonical s text)
+      .when(tag(a) === T_DATE || tag(a) === T_LOCALTIME,
+        a.getField("i") === b.getField("i"))
+      .when(tag(a) === T_TIME, timeEff(a) === timeEff(b))
+      .when(tag(a) === T_LOCALDATETIME || tag(a) === T_DATETIME,
+        a.getField("i") === b.getField("i") &&
+          a.getField("f") === b.getField("f"))
+      .when(tag(a) === T_DURATION,
+        a.getField("i") === b.getField("i") &&
+          a.getField("f") === b.getField("f") &&
+          a.getField("s") === b.getField("s"))
       .otherwise(a === b)
   }
+
+  /** offset-normalized time-of-day (nanos, as double — exact: <2^47). */
+  private def timeEff(v: Column): Column =
+    v.getField("i").cast(DoubleType) - v.getField("f") * 1e9d
 
   /** Ternary pairwise list equality: length mismatch → false, any element
     * pair definitely unequal → false, else any null comparison → null,
@@ -252,9 +291,17 @@ object Values {
       code + 1)
   }
 
+  /** NaN is unordered: every <,<=,>,>= against it is false (IEEE / TCK
+    * Comparison2 [5]; Spark instead sorts NaN above all doubles).
+    */
+  private def numNaN(a: Column, b: Column): Column =
+    (tag(a) === T_FLOAT && isnan(a.getField("f"))) ||
+      (tag(b) === T_FLOAT && isnan(b.getField("f")))
+
   def lt(a: Column, b: Column): Column = {
     val bothNum = isNum(a) && isNum(b)
     when(a.isNull || b.isNull, nB)
+      .when(bothNum && numNaN(a, b), lit(false))
       .when(bothNum, num(a) < num(b))
       .when(tag(a) =!= tag(b), nB)
       .when(tag(a) === T_STRING, a.getField("s") < b.getField("s"))
@@ -262,17 +309,33 @@ object Values {
       // codes: 0 equal, 1 a<b, 2 a>b, 3 incomparable→null
       .when(tag(a) === T_ARRAY,
         arrayLtBool(a, b, Seq(false, true, false, null)))
+      .when(tag(a) === T_DATE || tag(a) === T_LOCALTIME,
+        a.getField("i") < b.getField("i"))
+      .when(tag(a) === T_TIME, timeEff(a) < timeEff(b))
+      .when(tag(a) === T_LOCALDATETIME || tag(a) === T_DATETIME,
+        (a.getField("i") < b.getField("i")) ||
+          (a.getField("i") === b.getField("i") &&
+            a.getField("f") < b.getField("f")))
+      // durations are not orderable → fall to null
       .otherwise(nB)
   }
   def lte(a: Column, b: Column): Column = {
     val bothNum = isNum(a) && isNum(b)
     when(a.isNull || b.isNull, nB)
+      .when(bothNum && numNaN(a, b), lit(false))
       .when(bothNum, num(a) <= num(b))
       .when(tag(a) =!= tag(b), nB)
       .when(tag(a) === T_STRING, a.getField("s") <= b.getField("s"))
       .when(tag(a) === T_BOOL, a.getField("b") <= b.getField("b"))
       .when(tag(a) === T_ARRAY,
         arrayLtBool(a, b, Seq(true, true, false, null)))
+      .when(tag(a) === T_DATE || tag(a) === T_LOCALTIME,
+        a.getField("i") <= b.getField("i"))
+      .when(tag(a) === T_TIME, timeEff(a) <= timeEff(b))
+      .when(tag(a) === T_LOCALDATETIME || tag(a) === T_DATETIME,
+        (a.getField("i") < b.getField("i")) ||
+          (a.getField("i") === b.getField("i") &&
+            a.getField("f") <= b.getField("f")))
       .otherwise(nB)
   }
   def gt(a: Column, b: Column): Column = lt(b, a)
@@ -287,14 +350,31 @@ object Values {
       when(tag(v) === T_ARRAY, 3)
         .when(tag(v) === T_NODE, 1)
         .when(tag(v) === T_EDGE, 2)
+        .when(tag(v) === T_DATETIME, 4)
+        .when(tag(v) === T_LOCALDATETIME, 5)
+        .when(tag(v) === T_DATE, 6)
+        .when(tag(v) === T_TIME, 7)
+        .when(tag(v) === T_LOCALTIME, 8)
+        .when(tag(v) === T_DURATION, 9)
         .when(tag(v) === T_STRING, 11)
         .when(tag(v) === T_BOOL, 12)
         .otherwise(13) // numerics
+    // temporal sort magnitude: the type's primary instant/anchor value
+    // (durations: months-biased approximation; the s text tiebreaks)
+    val tnum =
+      when(tag(v) === T_DATE || tag(v) === T_LOCALTIME,
+        v.getField("i").cast(DoubleType))
+        .when(tag(v) === T_TIME, timeEff(v))
+        .when(tag(v) === T_LOCALDATETIME || tag(v) === T_DATETIME,
+          v.getField("i").cast(DoubleType) + v.getField("f") / 1e9d)
+        .when(tag(v) === T_DURATION,
+          v.getField("i") * 2629746d + v.getField("f") * 86400d)
+        .otherwise(num(v))
     when(v.isNull, lit(null).cast(StructType(Seq(
       StructField("r", IntegerType), StructField("n", DoubleType),
       StructField("s", StringType), StructField("b", BooleanType),
       StructField("a", ArrayType(elemType))))))
-      .otherwise(struct(rank.as("r"), num(v).as("n"),
+      .otherwise(struct(rank.as("r"), tnum.as("n"),
         v.getField("s").as("s"), v.getField("b").as("b"),
         v.getField("arr").as("a")))
   }
@@ -336,9 +416,24 @@ object Values {
   }
   def sub(a: Column, b: Column): Column = arith(a, b, _ - _, _ - _)
   def mul(a: Column, b: Column): Column = arith(a, b, _ * _, _ * _)
-  /** Cypher `/`: int/int is integer division (`numeric_funcs.c:144-203`). */
-  def div(a: Column, b: Column): Column =
-    arith(a, b, (x, y) => (x / y).cast(LongType), _ / _)
+  /** Cypher `/`: int/int is integer division (`numeric_funcs.c:144-203`);
+    * float division by zero is IEEE (0.0/0.0 → NaN, x/0.0 → ±Inf — TCK
+    * Comparison1 [8]) while integer /0 raises. Guarded so ANSI mode's
+    * DIVIDE_BY_ZERO never fires (it would also fire at constant-folding
+    * time for literal 0.0/0.0).
+    */
+  def div(a: Column, b: Column): Column = {
+    def intDiv(x: Column, y: Column) =
+      when(y === 0, raise_error(lit("/ by zero")).cast(LongType))
+        .otherwise((x / nullif(y, lit(0))).cast(LongType))
+    def dblDiv(x: Column, y: Column) =
+      when(y === 0.0d,
+        when(x === 0.0d || isnan(x), lit(Double.NaN))
+          .when(x > 0.0d, lit(Double.PositiveInfinity))
+          .otherwise(lit(Double.NegativeInfinity)))
+        .otherwise(x / nullif(y, lit(0.0d)))
+    arith(a, b, intDiv, dblDiv)
+  }
   def mod(a: Column, b: Column): Column = arith(a, b, _ % _, _ % _)
   def neg(a: Column): Column =
     when(a.isNull, vNull)
@@ -382,6 +477,10 @@ object Values {
         .when(x.getField("t") === T_STRING || x.getField("t") === T_BOXED,
           x.getField("s") === y.getField("s"))
         .when(x.getField("t") === T_BOOL, x.getField("b") === y.getField("b"))
+        .when(x.getField("t") >= T_DATE && x.getField("t") <= T_DURATION,
+          (x.getField("i") <=> y.getField("i")) &&
+            (x.getField("f") <=> y.getField("f")) &&
+            (x.getField("s") <=> y.getField("s")))
         .otherwise(nB)
     def sub1Eq(x: Column, y: Column): Column =
       when(x.isNull || y.isNull, nB)
@@ -397,6 +496,10 @@ object Values {
         .when(x.getField("t") === T_BOOL, x.getField("b") === y.getField("b"))
         .when(x.getField("t") === T_ARRAY,
           listPairEq(x.getField("arr"), y.getField("arr"), sub0Eq))
+        .when(x.getField("t") >= T_DATE && x.getField("t") <= T_DURATION,
+          (x.getField("i") <=> y.getField("i")) &&
+            (x.getField("f") <=> y.getField("f")) &&
+            (x.getField("s") <=> y.getField("s")))
         .otherwise(nB)
     when(a.isNull || b.isNull, nB)
       .when(sIsNum(a) && sIsNum(b), sNum(a) === sNum(b))
@@ -407,6 +510,10 @@ object Values {
       .when(a.getField("t") === T_BOOL, a.getField("b") === b.getField("b"))
       .when(a.getField("t") === T_ARRAY,
         listPairEq(a.getField("arr"), b.getField("arr"), sub1Eq))
+      .when(a.getField("t") >= T_DATE && a.getField("t") <= T_DURATION,
+          (a.getField("i") <=> b.getField("i")) &&
+            (a.getField("f") <=> b.getField("f")) &&
+            (a.getField("s") <=> b.getField("s")))
       .otherwise(nB)
   }
 
@@ -431,6 +538,11 @@ object Values {
       .otherwise(vNull)
 
   // ── rendering (tests / result serving) ────────────────────────────────────
+  /** Canonical temporal rendering (ISO strings, [[TemporalOps.render]]). */
+  def temporalRender(v: Column): Column =
+    org.apache.spark.sql.GraftColumn.column(TemporalFn("render",
+      Seq(org.apache.spark.sql.GraftColumn.expression(v))))
+
   /** Human/debug string form of a variant. */
   def render(v: Column): Column =
     when(v.isNull, lit("null"))
@@ -439,6 +551,7 @@ object Values {
       .when(tag(v) === T_STRING, v.getField("s"))
       .when(tag(v) === T_BOOL, v.getField("b").cast(StringType))
       .when(tag(v) === T_ARRAY, to_json(v.getField("arr")))
+      .when(isTemporal(v), temporalRender(v))
       .otherwise(lit("?"))
 
   // ── JSON encoding (toJSON ≡ reference `src/util/json_encoder.c`) ─────────

@@ -71,22 +71,21 @@ class ScaleOpsSpec extends AnyFunSuite {
   }
 
   test("approx sketches stay within error bounds of exact aggregates") {
-    val li = Tables.lineitem(spark, sfDir)
-    val exact = li.groupBy("l_returnflag")
-      .agg(countDistinct("l_partkey").as("n"),
-        percentile(col("l_extendedprice"), lit(0.5)).as("p50"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
-      .toMap
+    // the queries gate the error bound themselves (oracle-checkable _ok
+    // flags; the sketch values are engine-specific) — assert every flag
     val approxD = SparkEntry.queries("q_approx_distinct")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect()
+    assert(approxD.nonEmpty)
+    approxD.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("parts_ok")), s"HLL parts: $r")
+      assert(r.getBoolean(r.fieldIndex("supps_ok")), s"HLL supps: $r")
+    }
     val approxQ = SparkEntry.queries("q_approx_quantile")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    exact.foreach { case (flag, (n, p50)) =>
-      val relD = math.abs(approxD(flag) - n).toDouble / n
-      assert(relD < 0.05, s"$flag HLL error $relD")
-      // GK sketch with 1000 buckets: generous envelope on the median
-      val relQ = math.abs(approxQ(flag) - p50) / p50
-      assert(relQ < 0.05, s"$flag quantile error $relQ")
+      .collect()
+    assert(approxQ.nonEmpty)
+    approxQ.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("p50_ok")), s"GK p50: $r")
+      assert(r.getBoolean(r.fieldIndex("p99_ok")), s"GK p99: $r")
     }
   }
 

@@ -135,7 +135,18 @@ object Gherkin {
     val cur = new StringBuilder
     var esc = false
     inner.foreach { ch =>
-      if (esc) { cur += ch; esc = false }
+      if (esc) {
+        // Gherkin cell escapes are \| \\ \n ONLY — any other backslash
+        // pair (e.g. the \' inside a TCK string literal) stays verbatim
+        // for the value parser
+        ch match {
+          case '|' => cur += '|'
+          case '\\' => cur += '\\'
+          case 'n' => cur += '\n'
+          case other => cur += '\\'; cur += other
+        }
+        esc = false
+      }
       else if (ch == '\\') esc = true
       else if (ch == '|') { cells += cur.result().trim; cur.clear() }
       else cur += ch
