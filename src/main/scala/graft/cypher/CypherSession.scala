@@ -64,6 +64,68 @@ class CypherSession(val spark: SparkSession) {
   /** Serializes mutating statements (single-writer discipline). */
   private val writeLock = new Object
 
+  // ── checkpoint lifecycle ──────────────────────────────────────────────────
+  // Every eager/lazy localCheckpoint this session causes (graph snapshots,
+  // row-id pins, var-len frontiers, merge id sets, fulltext indexes) is
+  // TRACKED, and superseded blocks are unpersisted — on a long-lived session
+  // the block store stays bounded at ~2 graph generations instead of growing
+  // with every mutation/traversal (≡ Delta vacuuming old table versions).
+  // Rotation is one generation DELAYED so a reader still draining a result
+  // built just before a commit keeps its blocks.
+  private val ckptCur =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+  private var ckptOld =
+    List.empty[org.apache.spark.rdd.RDD[_]]
+
+  /** Track a checkpointed frame for later release. Returns `df`. */
+  private[graft] def track(df: DataFrame): DataFrame = {
+    org.apache.spark.sql.GraftRdd.checkpointedRdd(df).foreach(ckptCur.add)
+    df
+  }
+
+  /** `df.localCheckpoint(eager)` + lifecycle tracking. */
+  private[graft] def trackCkpt(df: DataFrame, eager: Boolean = true): DataFrame =
+    track(df.localCheckpoint(eager))
+
+  /** Unpersist the generation before last, excluding anything the live
+    * snapshot still references (an untouched side skips re-checkpointing,
+    * so a years-old RDD can legitimately back the current graph).
+    */
+  private def rotateCkpts(): Unit = {
+    val live: Set[Int] =
+      Seq(graphStore.nodes, graphStore.edges)
+        .flatMap(org.apache.spark.sql.GraftRdd.referencedRdds)
+        .map(_.id).toSet
+    ckptOld.foreach(r => if (!live.contains(r.id)) r.unpersist(blocking = false))
+    val keep = ckptOld.filter(r => live.contains(r.id))
+    ckptOld = keep
+    var n = ckptCur.poll()
+    val cur = scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    while (n != null) { cur += n; n = ckptCur.poll() }
+    ckptOld = ckptOld ++ cur.toList
+  }
+
+  /** Release EVERY block this session owns (both generations, the live
+    * snapshot, index views, fulltext indexes). Call when the session is
+    * done; subsequent reads against previously returned DataFrames will
+    * recompute-fail, like reading a dropped table.
+    */
+  def release(): Unit = writeLock.synchronized {
+    (ckptOld ++ Seq(graphStore.nodes, graphStore.edges)
+      .flatMap(org.apache.spark.sql.GraftRdd.referencedRdds))
+      .foreach(_.unpersist(blocking = false))
+    ckptOld = Nil
+    var n = ckptCur.poll()
+    while (n != null) { n.unpersist(blocking = false); n = ckptCur.poll() }
+    indexViews.values.foreach(_.unpersist(blocking = false))
+    indexViews = Map.empty
+    ftIndexes.values.foreach { case (_, _, df) =>
+      org.apache.spark.sql.GraftRdd.checkpointedRdd(df)
+        .foreach(_.unpersist(blocking = false))
+    }
+    ftIndexes.clear()
+  }
+
   /** Pending point-write overlay (see [[PointWrite]]); mutated only under
     * [[writeLock]].
     */
@@ -118,7 +180,7 @@ class CypherSession(val spark: SparkSession) {
     // the SAME frame — already materialized, skip the redundant checkpoint
     def ckpt(df: DataFrame, cur: DataFrame, overlaid: Boolean): DataFrame =
       if ((df eq cur) && !overlaid) df
-      else df.localCheckpoint(true)
+      else trackCkpt(df)
     graph = PropertyGraph(
       ckpt(nodes, graph.nodes, pointWrites.nodesOverlaid),
       ckpt(edges, graph.edges, pointWrites.edgesOverlaid))
@@ -176,6 +238,11 @@ class CypherSession(val spark: SparkSession) {
         // the second commit would erase the first (lost update). Reads stay
         // lock-free on the immutable snapshot they grabbed.
         writeLock.synchronized {
+          // statement boundary: blocks checkpointed TWO mutating
+          // statements ago can no longer feed a promptly-consumed result —
+          // release them (per-commit rotation would free pins a statement's
+          // own RETURN still needs)
+          rotateCkpts()
           PointWrite.tryRun(this, pointWrites, ast, allParams)
             .orElse(PointWrite.tryDelete(this, pointWrites, ast, allParams,
               body))
@@ -326,7 +393,12 @@ class CypherSession(val spark: SparkSession) {
         explode(split(lower(col("text")), "[^\\p{L}\\p{N}]+")).as("token"))
       .filter(length(col("token")) > 0)
       .distinct()
-    ftIndexes(label) = (props, graphVersion, toks.localCheckpoint(true))
+    // a rebuild supersedes the previous index checkpoint — release it
+    ftIndexes.get(label).foreach { case (_, _, old) =>
+      org.apache.spark.sql.GraftRdd.checkpointedRdd(old)
+        .foreach(_.unpersist(blocking = false))
+    }
+    ftIndexes(label) = (props, graphVersion, trackCkpt(toks))
   }
 
   private[cypher] def fulltextIndex(label: String): Option[DataFrame] =

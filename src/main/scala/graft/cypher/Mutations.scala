@@ -193,8 +193,9 @@ private[cypher] final class MutationRunner(session: CypherSession) {
       frame.vars.filter(_._2 != KValue).keySet, paths)
     val rid = "__create_rid"
     // materialize the tag: ids must be stable across re-evaluation
-    val tagged = frame.df.withColumn(rid, monotonically_increasing_id())
-      .localCheckpoint(true)
+    val tagged = session.track(frame.df
+      .withColumn(rid, monotonically_increasing_id())
+      .localCheckpoint(true))
     val rows = tagged.count()
 
     // a relationship endpoint bound earlier in the query must resolve for
@@ -265,7 +266,7 @@ private[cypher] final class MutationRunner(session: CypherSession) {
         allowMissingColumns = true)).getOrElse(session.graph.nodes),
       newEdgeDf.map(e => session.graph.edges.unionByName(e,
         allowMissingColumns = true)).getOrElse(session.graph.edges))
-    Frame(df.drop(rid).localCheckpoint(true), vars)
+    Frame(session.track(df.drop(rid).localCheckpoint(true)), vars)
   }
 
   // ════════════════════════════════ SET ════════════════════════════════════
@@ -529,7 +530,7 @@ private[cypher] final class MutationRunner(session: CypherSession) {
     }
     var newNodes = nodes
     nodeIdDfs.reduceOption(_ union _).foreach { rawIds =>
-      val ids = rawIds.distinct().localCheckpoint(true)
+      val ids = session.track(rawIds.distinct().localCheckpoint(true))
       nodesDeleted += ids.count()
       newNodes = newNodes.join(ids, Seq("id"), "left_anti")
       // implicit edge deletion for deleted endpoints
@@ -598,8 +599,9 @@ private[cypher] final class MutationRunner(session: CypherSession) {
     }
     val c = ctx(params)
     val rid = "__merge_rid"
-    val tagged = frame.df.withColumn(rid, monotonically_increasing_id())
-      .localCheckpoint(true)
+    val tagged = session.track(frame.df
+      .withColumn(rid, monotonically_increasing_id())
+      .localCheckpoint(true))
     val seed = Frame(tagged, frame.vars)
     val (matched, _) = translatePath(c, seed, m0.path)
     val matchedRids = matched.df.select(matched.col(rid)).distinct()
@@ -647,6 +649,7 @@ private[cypher] final class MutationRunner(session: CypherSession) {
       .distinct()
       .withColumn("__crid", monotonically_increasing_id())
       .localCheckpoint(true)
+      .transform(session.track)
     val created = distinctKeys.count()
 
     // build created entities on the distinct key set
@@ -733,8 +736,8 @@ private[cypher] final class MutationRunner(session: CypherSession) {
         .filter(v => matched.df.columns.contains(v))
     val matchedOut = matched.df.select(outCols.map(matched.df(_)): _*)
     val createdOut = createdBind.select(outCols.map(createdBind(_)): _*)
-    var result = Frame(matchedOut.unionByName(createdOut)
-      .localCheckpoint(true), newVars)
+    var result = Frame(session.track(matchedOut.unionByName(createdOut)
+      .localCheckpoint(true)), newVars)
 
     if (m.onMatch.nonEmpty && !matched.df.isEmpty) {
       val mf = Frame(matched.df, newVars)

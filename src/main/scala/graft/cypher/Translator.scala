@@ -90,7 +90,7 @@ object Translator {
     */
   private val ShapeArgFns = Set("id", "labels", "type", "startnode",
     "endnode", "property", "point", "nodes", "relationships", "length",
-    "indegree", "outdegree")
+    "indegree", "outdegree", "exists")
 
   def nodeStruct(df: DataFrame): Column =
     struct(df("id").as("id"), df("label").as("label"), df("props").as("props"))
@@ -425,12 +425,19 @@ object Translator {
     * Catalyst's static `sizeInBytes` — no extra job to decide.
     */
   private val PinEagerMaxBytes = BigInt(256L << 20)
-  private def pinRid(df: DataFrame, rid: String): DataFrame = {
+  private def pinRid(ctx: Ctx, df: DataFrame, rid: String): DataFrame = {
     val tagged = df.withColumn(rid, monotonically_increasing_id())
     val est = try tagged.queryExecution.optimizedPlan.stats.sizeInBytes
       catch { case _: Throwable => BigInt(0) }
-    tagged.localCheckpoint(est <= PinEagerMaxBytes)
+    tracked(ctx, tagged.localCheckpoint(est <= PinEagerMaxBytes))
   }
+
+  /** Register a checkpointed frame with the session's block lifecycle (so
+    * superseded pins/frontiers are unpersisted instead of leaking); a
+    * session-less translation keeps the plain checkpoint.
+    */
+  private def tracked(ctx: Ctx, df: DataFrame): DataFrame =
+    ctx.session.map(_.track(df)).getOrElse(df)
 
   /** OPTIONAL MATCH via the row-id trick: tag each input row, run the inner
     * match, left-join the new columns back on the tag (`op_optional.c` +
@@ -438,7 +445,7 @@ object Translator {
     */
   private def translateOptional(ctx: Ctx, frame: Frame, m: Ast.Match): Frame = {
     val rid = freshName("rid")
-    val tagged = pinRid(frame.df, rid)
+    val tagged = pinRid(ctx, frame.df, rid)
     val seed = Frame(tagged, frame.vars)
     val inner = translateMatch(ctx, seed, m.copy(optional = false))
     val newVars = inner.vars.keySet -- frame.vars.keySet
@@ -1000,7 +1007,7 @@ object Translator {
     // eager per-hop checkpoints + early exit: there the frontier usually
     // dies long before maxH and each hop's shuffle is worth cutting.
     val eagerHops = maxH > 4
-    def cut(df: DataFrame): DataFrame = df.localCheckpoint(eagerHops)
+    def cut(df: DataFrame): DataFrame = tracked(ctx, df.localCheckpoint(eagerHops))
     val sources = cut(frame.df
       .select(frame.col(prev).getField("id").as("__vstart"))
       .distinct())
@@ -1154,7 +1161,7 @@ object Translator {
     var f = frame
     found.foreach { case (pc, tmp) =>
       val rid = freshName("rid")
-      val tagged = pinRid(f.df, rid)
+      val tagged = pinRid(ctx, f.df, rid)
       val seed = Frame(tagged, f.vars)
       var (inner, _) = translatePath(ctx, seed, pc.path)
       pc.where.foreach { w => inner = applyWhere(ctx, inner, w) }
@@ -1246,17 +1253,39 @@ object Translator {
           case Ast.Bin("=", a, b) => (a, b)
           case _ => (l0, r0)
         }
-        f = f2.copy(df = f2.df.filter(
-          Values.orderKey(trExpr(ctx, f2, l)) ===
-            Values.orderKey(trExpr(ctx, f2, r))))
+        f = layeredFilter(ctx, f2, List(l, r)) { case (f3, List(l2, r2)) =>
+          f3.df.filter(
+            Values.orderKey(trExpr(ctx, f3, l2)) ===
+              Values.orderKey(trExpr(ctx, f3, r2)))
+        }
       case pred0 =>
         val (fp, pcRw) = resolvePatternComprehensions(ctx, f, Seq(pred0))
         val pred = pcRw(pred0)
         val (f2, rw) = resolveDegrees(ctx, fp, Seq(pred))
-        f = f2.copy(df = f2.df.filter(
-          Values.isTrue(trExpr(ctx, f2, rw(pred)))))
+        f = layeredFilter(ctx, f2, List(rw(pred))) { case (f3, List(p2)) =>
+          f3.df.filter(Values.isTrue(trExpr(ctx, f3, p2)))
+        }
     }
     f
+  }
+
+  /** Filter with evaluation layering: the predicate's nested
+    * sub-expressions hoist into temp projection layers (see
+    * [[layerNested]] — keeps every Catalyst tree one operator deep), the
+    * filter runs over the layered frame, and the temps drop afterwards so
+    * the frame's column set is unchanged. A shallow predicate adds no
+    * layers and takes the exact old plan.
+    */
+  private def layeredFilter(ctx: Ctx, f: Frame, preds: List[Ast.Expr])(
+      build: (Frame, List[Ast.Expr]) => DataFrame): Frame = {
+    val before = f.df.columns
+    val (f3, litems) = layerNested(ctx, f,
+      preds.zipWithIndex.map { case (p, i) => (p, s"__w$i") })
+    val filtered = build(f3, litems.map(_._1))
+    val out =
+      if (filtered.columns.sameElements(before)) filtered
+      else filtered.select(before.map(c => filtered(s"`$c`")).toSeq: _*)
+    f.copy(df = out)
   }
 
   private def containsPattern(e: Ast.Expr): Boolean = e match {
@@ -1281,7 +1310,7 @@ object Translator {
     val rid = freshName("rid")
     // pinRid keeps the rid STABLE across the per-pattern self-joins
     // (recomputation would renumber rows); eager only while small.
-    val tagged = pinRid(frame.df, rid)
+    val tagged = pinRid(ctx, frame.df, rid)
     val flags = scala.collection.mutable.LinkedHashMap[Ast.PathPat, String]()
     def collectPats(e: Ast.Expr): Unit = e match {
       case Ast.PatternPred(p) =>
@@ -1326,7 +1355,7 @@ object Translator {
   private def patternFilter(ctx: Ctx, frame: Frame, p: Ast.PathPat,
       anti: Boolean): Frame = {
     val rid = freshName("rid")
-    val tagged = pinRid(frame.df, rid)
+    val tagged = pinRid(ctx, frame.df, rid)
     val seed = Frame(tagged, frame.vars)
     val (inner, _) = translatePath(ctx, seed, p)
     val keys = inner.df.select(inner.col(rid)).distinct()
@@ -1605,11 +1634,29 @@ object Translator {
       // calls nested in expressions (round(sum(x))/2) are extracted into
       // temp columns, the outer expression runs post-aggregation.
       val keys = litems.filter { case (e, _) => !containsAgg(e) }
-      val aggTemps = scala.collection.mutable.ArrayBuffer[(String, Column)]()
+      // Aggregate ARGUMENTS layer against the pre-agg frame (items holding
+      // aggregates skip the outer layerNested pass — a temp hoisted there
+      // would be invisible across the agg boundary). Without this,
+      // `sum(<nested arithmetic>)` translates at full depth and the variant
+      // combinators' per-op operand fan-out turns the Column tree
+      // exponential (OOM on TCK Return6 [16]). Only the VALUE argument
+      // (position 0) layers; shape-inspected tails (percentile's p) and
+      // entity/leaf args pass through layerNested unchanged.
+      var pre = lframe
+      def layerAggArg(arg: Ast.Expr): Ast.Expr = {
+        val (f2, its) = layerNested(ctx, pre, List((arg, "__aggarg")))
+        pre = f2
+        its.head._1
+      }
+      val aggTemps = scala.collection.mutable.ArrayBuffer[(String, Ast.Expr)]()
       def extract(e: Ast.Expr): Ast.Expr = e match {
         case a if isAggCall(a) =>
           val n = freshName("agg")
-          aggTemps += n -> trAgg(ctx, lframe, a).as(n)
+          val a2 = a match {
+            case Ast.Fn(fn, a0 :: rest, d) => Ast.Fn(fn, layerAggArg(a0) :: rest, d)
+            case other => other
+          }
+          aggTemps += n -> a2
           Ast.Variable(n)
         case Ast.Bin(op, l, r) => Ast.Bin(op, extract(l), extract(r))
         case Ast.Not(x) => Ast.Not(extract(x))
@@ -1634,13 +1681,16 @@ object Translator {
         // key items are already materialized as named groupBy columns
         if (containsAgg(e)) (extract(e), n) else (Ast.Variable(n), n)
       }
-      val keyCols = keys.map { case (e, n) => trAny(ctx, lframe, e).as(n) }
-      val aggCols = aggTemps.toSeq.map(_._2)
+      // translate keys AND aggregates against the final layered frame
+      val keyCols = keys.map { case (e, n) => trAny(ctx, pre, e).as(n) }
+      val aggCols = aggTemps.toSeq.map { case (n, a2) =>
+        trAgg(ctx, pre, a2).as(n)
+      }
       val grouped =
-        if (keys.isEmpty) lframe.df.agg(aggCols.head, aggCols.tail: _*)
-        else lframe.df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+        if (keys.isEmpty) pre.df.agg(aggCols.head, aggCols.tail: _*)
+        else pre.df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
       val postVars: Map[String, Kind] =
-        keys.map { case (e, n) => n -> kindOf(ctx, lframe, e) }.toMap ++
+        keys.map { case (e, n) => n -> kindOf(ctx, pre, e) }.toMap ++
           aggTemps.map(_._1 -> KValue)
       // post-aggregation arithmetic gets its own layering pass
       val (postFrame, ritems) =
@@ -2896,11 +2946,15 @@ object Translator {
         val v = t(fn.args.head)
         when(v.isNull, vNull)
           .when(tag(v) === T_BOOL, v)
-          .when(tag(v) === T_STRING && lower(v.getField("s")) === "true",
-            vBool(lit(true)))
-          .when(tag(v) === T_STRING && lower(v.getField("s")) === "false",
-            vBool(lit(false)))
-          .otherwise(vNull)
+          // a non-convertible STRING yields null; any non-bool/string TYPE
+          // is a runtime TypeError (TCK TypeConversion1 [5])
+          .when(tag(v) === T_STRING,
+            when(lower(v.getField("s")) === "true", vBool(lit(true)))
+              .when(lower(v.getField("s")) === "false", vBool(lit(false)))
+              .otherwise(vNull))
+          .otherwise(vBool(raise_error(lit(
+            "TypeError: InvalidArgumentValue: toBoolean() requires a " +
+              "boolean or a string")).cast(BooleanType)))
       // id-only node stubs: enough for id(startNode(r)) composition; full
       // entity hydration would need a join, which callers do via patterns
       case "startnode" | "endnode" => fn.args.head match {

@@ -25,9 +25,15 @@ object Validate {
   private case object VLit extends Kind
 
   private def isLiteralish(e: Expr): Boolean = e match {
-    case _: LitInt | _: LitFloat | _: LitString | _: LitBool | LitNull =>
-      true
-    case _: ListLit | _: MapLit => true
+    case _: LitInt | _: LitFloat | _: LitString | _: LitBool => true
+    // `null` is a valid (null) entity: `WITH null AS a OPTIONAL MATCH
+    // p = (a)-->()` must type-check (Path1 [1] null-path semantics)
+    case LitNull => false
+    // a list/map built FROM variables may hold entities (the deprecated
+    // `WITH [r1, r2] AS rs MATCH ()-[rs*]->()` list-binding, Match9) —
+    // only an all-literal composite is statically a non-entity value
+    case ListLit(items) => items.forall(isLiteralish)
+    case MapLit(entries) => entries.forall(kv => isLiteralish(kv._2))
     case Neg(x) => isLiteralish(x)
     case Bin(_, l, r) => isLiteralish(l) && isLiteralish(r)
     case _ => false

@@ -59,6 +59,11 @@ object GraphOps {
       minHops: Int, maxHops: Int): DataFrame = {
     require(minHops >= 0 && maxHops >= minHops, s"bad bounds $minHops..$maxHops")
     val e = edges.select(col("src"), col("dst"))
+    // per-hop checkpoints are RELEASED as soon as the next hop's union
+    // materializes — a BFS holds 2 generations of blocks, not maxHops
+    def unpersist(df: DataFrame): Unit =
+      org.apache.spark.sql.GraftRdd.checkpointedRdd(df)
+        .foreach(_.unpersist(blocking = false))
     var visited = sources.select(col("id").as("start"), col("id").as("node"),
       lit(0).as("hops")).localCheckpoint(true)
     var frontier = visited
@@ -69,12 +74,17 @@ object GraphOps {
         .select(frontier("start"), e("dst").as("node"), lit(h).as("hops"))
         .distinct()
       // anti-join against visited: BFS keeps first (= minimal) hop count
+      val prevFrontier = frontier
+      val prevVisited = visited
       frontier = next.join(visited,
           next("start") <=> visited("start") && next("node") <=> visited("node"),
           "left_anti")
         .localCheckpoint(true)
       visited = visited.unionByName(frontier).localCheckpoint(true)
+      if (prevFrontier ne prevVisited) unpersist(prevFrontier)
+      unpersist(prevVisited)
     }
+    if (frontier ne visited) unpersist(frontier)
     visited.filter(col("hops").between(minHops, maxHops))
   }
 
