@@ -76,10 +76,19 @@ class CypherSession(val spark: SparkSession) {
     new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
   private var ckptOld =
     List.empty[org.apache.spark.rdd.RDD[_]]
+  /** A tracked checkpoint ages out after exactly TWO rotations (cur → old →
+    * released); when none are due, the statement boundary skips the
+    * rotation's plan walk entirely — the point-write burst path (no
+    * checkpoints at all) stays at its sub-0.1ms p50.
+    */
+  @volatile private var ckptRotationsDue = 0
 
   /** Track a checkpointed frame for later release. Returns `df`. */
   private[graft] def track(df: DataFrame): DataFrame = {
-    org.apache.spark.sql.GraftRdd.checkpointedRdd(df).foreach(ckptCur.add)
+    org.apache.spark.sql.GraftRdd.checkpointedRdd(df).foreach { r =>
+      ckptCur.add(r)
+      ckptRotationsDue = 2
+    }
     df
   }
 
@@ -242,7 +251,10 @@ class CypherSession(val spark: SparkSession) {
           // statements ago can no longer feed a promptly-consumed result —
           // release them (per-commit rotation would free pins a statement's
           // own RETURN still needs)
-          rotateCkpts()
+          if (ckptRotationsDue > 0) {
+            rotateCkpts()
+            ckptRotationsDue -= 1
+          }
           PointWrite.tryRun(this, pointWrites, ast, allParams)
             .orElse(PointWrite.tryDelete(this, pointWrites, ast, allParams,
               body))

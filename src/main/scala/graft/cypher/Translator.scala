@@ -1847,6 +1847,24 @@ object Translator {
     */
   private def layerNested(ctx: Ctx, frame: Frame,
       items: List[(Ast.Expr, String)]): (Frame, List[(Ast.Expr, String)]) = {
+    val (layers, newItems) = layerPlan(items)
+    var f = frame
+    layers.foreach { layer =>
+      val cols = layer.toSeq.map { case (ex, n) => trExpr(ctx, f, ex).as(n) }
+      f = Frame(f.df.select(f.df.col("*") +: cols: _*),
+        f.vars ++ layer.valuesIterator.map(_ -> (KValue: Kind)))
+    }
+    (f, newItems)
+  }
+
+  /** The planning half of [[layerNested]]: which sub-expressions hoist into
+    * which layer (shared with the in-lambda layering, [[lambdaAcc]], which
+    * applies the same plan as chained `transform` passes instead of
+    * projection selects).
+    */
+  private def layerPlan(items: List[(Ast.Expr, String)])
+      : (Seq[scala.collection.mutable.LinkedHashMap[Ast.Expr, String]],
+        List[(Ast.Expr, String)]) = {
     import scala.collection.mutable
     val layers = mutable.ArrayBuffer[mutable.LinkedHashMap[Ast.Expr, String]]()
 
@@ -1959,13 +1977,39 @@ object Translator {
     val newItems = items.map { case (e, n) =>
       (if (blocked(e)) e else rw(e)._1, n)
     }
-    var f = frame
+    (layers.toSeq, newItems)
+  }
+
+  /** In-lambda evaluation layering for DEEP comprehension/quantifier
+    * bodies: applies a [[layerPlan]] as CHAINED `transform` passes over a
+    * struct accumulator — the widened element rides as `__e`, each hoisted
+    * sub-expression lands as one more struct field — so every Catalyst
+    * lambda stays one operator deep. Without it a nested body like
+    * `[key IN keys(r) | key + '->' + r[key]]` (TCK Merge6 control query)
+    * multiplies its operand trees per level inside ONE lambda — the
+    * variant combinators' type-dispatch fan-out makes the expression
+    * ~15^depth and analysis runs out of memory. Returns the accumulator
+    * array plus a binder producing the translation frame for an
+    * accumulator element.
+    */
+  private def lambdaAcc(ctx: Ctx, frame: Frame, v: String, arr: Column,
+      layers: Seq[scala.collection.mutable.LinkedHashMap[Ast.Expr, String]])
+      : (Column, Column => Frame) = {
+    def bind(y: Column, ns: List[String]): Frame = frame.copy(
+      vars = frame.vars + (v -> KValue) ++ ns.map(_ -> (KValue: Kind)),
+      bindings = frame.bindings + (v -> y.getField("__e")) ++
+        ns.map(n => n -> y.getField(n)))
+    var names = List.empty[String]
+    var acc = transform(arr, x => struct(Values.widen(x).as("__e")))
     layers.foreach { layer =>
-      val cols = layer.toSeq.map { case (ex, n) => trExpr(ctx, f, ex).as(n) }
-      f = Frame(f.df.select(f.df.col("*") +: cols: _*),
-        f.vars ++ layer.valuesIterator.map(_ -> (KValue: Kind)))
+      val prev = names
+      acc = transform(acc, y => struct(
+        (y.getField("__e").as("__e") +: prev.map(n => y.getField(n).as(n))) ++
+          layer.toSeq.map { case (ex, n) =>
+            trExpr(ctx, bind(y, prev), ex).as(n) }: _*))
+      names = prev ++ layer.valuesIterator.toList
     }
-    (f, newItems)
+    (acc, y => bind(y, names))
   }
 
   private def isAggCall(e: Ast.Expr): Boolean = e match {
@@ -2168,7 +2212,18 @@ object Translator {
     trExpr(ctx, Frame(null, Map.empty), e)
 
   // ═══════════════════════════ expressions ═════════════════════════════════
-  def trExpr(ctx: Ctx, frame: Frame, e: Ast.Expr): Column = {
+  def trExpr(ctx: Ctx, frame: Frame, e: Ast.Expr): Column =
+    // Snap every sub-expression result to ONE Catalyst-expression node:
+    // Spark 4's `Column.===` (checkTrivialPredicate → Column.equals)
+    // NORMALIZES both sides on every call, re-walking and re-copying the
+    // whole operand ColumnNode tree — the variant combinators compare tag
+    // fields ~15×/op, so translation cost without the snap is exponential
+    // in expression depth (a one-op lambda body measured 1.9 s, depth 2
+    // took minutes). A snapped node caches `normalized` per instance, so
+    // each operand normalizes once no matter how often it is dispatched on.
+    Values.snap(trExprRaw(ctx, frame, e))
+
+  private def trExprRaw(ctx: Ctx, frame: Frame, e: Ast.Expr): Column = {
     import Values._
     def t(x: Ast.Expr): Column = trExpr(ctx, frame, x)
     e match {
@@ -2575,32 +2630,70 @@ object Translator {
           case _ =>
             // list-valued projections nest (Values.narrow keeps the list
             // branch up to Values.MaxNest levels; beyond raises loudly)
-            val arr = src.getField("arr")
-            val filtered = where match {
-              case Some(p) =>
-                filter(arr,
-                  x => Values.isTrue(lambdaExpr(ctx, frame, v, x, p)))
-              case None => arr
+            val arr0 = src.getField("arr")
+            val roots = where.toList ::: projTo.toList
+            val (layers, rw) = layerPlan(roots.map(e => (e, "")))
+            def bindE(x: Column): Frame = frame.copy(
+              vars = frame.vars + (v -> KValue),
+              bindings = frame.bindings + (v -> x))
+            if (layers.nonEmpty) {
+              // nested body: in-lambda layering (see lambdaAcc)
+              val (acc, bind) = lambdaAcc(ctx, frame, v, arr0, layers)
+              val wIdx = if (where.isDefined) Some(0) else None
+              val pIdx = projTo.map(_ => if (where.isDefined) 1 else 0)
+              val filtered = wIdx match {
+                case Some(i) => filter(acc,
+                  y => Values.isTrue(trExpr(ctx, bind(y), rw(i)._1)))
+                case None => acc
+              }
+              val projected = pIdx match {
+                case Some(i) => transform(filtered,
+                  y => Values.narrow(trExpr(ctx, bind(y), rw(i)._1)))
+                case None => transform(filtered,
+                  y => Values.narrow(y.getField("__e")))
+              }
+              vArr(projected)
+            } else {
+              // shallow body — pre-widen ONCE so the body dispatches on a
+              // LEAF element (binding v → widen(x) would re-embed the widen
+              // tree at every operand reference of the combinator)
+              val arr = transform(arr0, x => Values.widen(x))
+              val filtered = where match {
+                case Some(p) =>
+                  filter(arr,
+                    x => Values.isTrue(trExpr(ctx, bindE(x), p)))
+                case None => arr
+              }
+              val projected = projTo match {
+                case Some(p) =>
+                  transform(filtered, x =>
+                    Values.narrow(trExpr(ctx, bindE(x), p)))
+                case None => transform(filtered, x => Values.narrow(x))
+              }
+              vArr(projected)
             }
-            val projected = projTo match {
-              case Some(p) =>
-                transform(filtered, x =>
-                  Values.narrow(lambdaExpr(ctx, frame, v, x, p)))
-              case None => filtered
-            }
-            vArr(projected)
         }
 
       case Ast.Quantifier(kind, v, list, pred) =>
-        val arr = t(list).getField("arr")
-        def matches(x: Column) =
-          Values.isTrue(lambdaExpr(ctx, frame, v, x, pred))
+        val arr0 = t(list).getField("arr")
+        val (layers, rw) = layerPlan(List((pred, "")))
+        val (src0, match0): (Column, Column => Column) =
+          if (layers.nonEmpty) {
+            val (acc, bind) = lambdaAcc(ctx, frame, v, arr0, layers)
+            (acc, (y: Column) => Values.isTrue(trExpr(ctx, bind(y), rw.head._1)))
+          } else {
+            val arr = transform(arr0, x => Values.widen(x))
+            def bindE(x: Column): Frame = frame.copy(
+              vars = frame.vars + (v -> KValue),
+              bindings = frame.bindings + (v -> x))
+            (arr, (x: Column) => Values.isTrue(trExpr(ctx, bindE(x), pred)))
+          }
         kind match {
-          case "any" => vBool(exists(arr, matches))
-          case "all" => vBool(forall(arr, matches))
-          case "none" => vBool(!exists(arr, matches))
+          case "any" => vBool(exists(src0, match0))
+          case "all" => vBool(forall(src0, match0))
+          case "none" => vBool(!exists(src0, match0))
           case "single" =>
-            vBool(size(filter(arr, x => matches(x))) === 1)
+            vBool(size(filter(src0, x => match0(x))) === 1)
         }
 
       case fn: Ast.Fn => trFn(ctx, frame, fn)

@@ -183,8 +183,18 @@ object Values {
       .otherwise(struct(fields: _*))
   }
 
+  /** Snap a Column to a single Catalyst-expression node. Combinator
+    * type-dispatch (`tag(v) === T_INT` …) triggers Spark 4's
+    * `Column.equals`, which normalizes (copies) both operand trees on
+    * EVERY `===`; a snapped node computes `normalized` once and caches it
+    * per instance, so repeated dispatch on the same operand is O(1).
+    */
+  def snap(c: Column): Column =
+    org.apache.spark.sql.GraftColumn.column(
+      org.apache.spark.sql.GraftColumn.expression(c))
+
   /** Widen a list-element variant to the full variant type. */
-  def widen(c: Column): Column = up(c, MaxNest - 1)
+  def widen(c: Column): Column = snap(up(c, MaxNest - 1))
 
   /** Narrow a full variant to a list element (one nesting level fewer;
     * values already nested to the floor raise).
