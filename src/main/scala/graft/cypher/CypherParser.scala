@@ -446,11 +446,12 @@ object CypherParser extends RegexParsers {
 
   def callClause: Parser[Clause] =
     kw("CALL") ~> rep1sep(anyIdent, ".") ~
-      ("(" ~> repsep(expr, ",") <~ ")") ~
+      opt("(" ~> repsep(expr, ",") <~ ")") ~
       opt(kw("YIELD") ~> rep1sep(anyIdent ~ opt(kw("AS") ~> ident), ",")) ^^ {
       case parts ~ args ~ y =>
-        CallProc(parts.mkString("."), args,
-          y.getOrElse(Nil).map { case c ~ a => (c, a) })
+        CallProc(parts.mkString("."), args.getOrElse(Nil),
+          y.getOrElse(Nil).map { case c ~ a => (c, a) },
+          explicitArgs = args.isDefined)
     }
 
   /** CREATE INDEX ON :Label(prop) / DROP INDEX ON :Label(prop)

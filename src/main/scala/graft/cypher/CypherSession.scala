@@ -201,6 +201,27 @@ class CypherSession(val spark: SparkSession) {
     pointWrites.clear()
   }
 
+  // ═══════════════════════ ad-hoc procedures ═══════════════════════════════
+  /** User-registered table-valued procedures (CALL surface beyond the
+    * reference's compiled-in registry, `src/procedures/procedure.c:29-42`).
+    * Keyed case-insensitively like the built-ins.
+    */
+  private var adHocProcs: Map[String, Procedures.AdHocProc] = Map.empty
+
+  /** Register a procedure from a TCK-style signature
+    * (`test.proc(a :: INTEGER?) :: (out :: STRING?)`) and its defining
+    * table (header = argument+output column names; rows = Scala values).
+    */
+  def registerProcedure(signature: String, header: Seq[String],
+      rows: Seq[Seq[Any]]): Unit = {
+    val (name, args, outs) = Procedures.parseSignature(signature)
+    adHocProcs += name.toLowerCase -> Procedures.AdHocProc(
+      name, args, outs, header.toList, rows.map(_.toList).toList)
+  }
+
+  private[cypher] def adHocProc(name: String): Option[Procedures.AdHocProc] =
+    adHocProcs.get(name.toLowerCase)
+
   /** Query-string → AST LRU cache (≡ the reference's execution-plan cache,
     * `src/commands/execution_ctx.c:79-87`; Catalyst plans re-derive from the
     * AST so caching the parse is the Spark-side equivalent).

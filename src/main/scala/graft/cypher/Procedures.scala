@@ -19,8 +19,139 @@ object Procedures {
 
   type ProcResult = (DataFrame, Map[String, Kind])
 
+  /** A registered table-valued procedure with a typed signature
+    * (the openCypher `CALL` extension surface — the reference compiles
+    * procedures in, `src/procedures/procedure.c:29-42`; here users can
+    * register their own). The defining table's columns cover the argument
+    * AND output names: invocation selects the rows whose argument columns
+    * match the passed values and projects the output columns, preserving
+    * the registration row order.
+    */
+  final case class AdHocProc(name: String,
+      args: List[(String, String)], outs: List[(String, String)],
+      header: List[String], rows: List[List[Any]]) {
+    def colIdx(c: String): Int = {
+      val i = header.indexOf(c)
+      if (i < 0) throw TranslateError(
+        s"procedure $name: defining table lacks column `$c`")
+      i
+    }
+  }
+
+  /** `test.my.proc(name :: STRING?, id :: INTEGER?) :: (out :: STRING?)` */
+  def parseSignature(sig: String): (String, List[(String, String)],
+      List[(String, String)]) = {
+    val m = """^\s*([\w.]+)\s*\((.*?)\)\s*::\s*\((.*?)\)\s*:?\s*$""".r
+    def items(s: String): List[(String, String)] =
+      s.split(",").map(_.trim).filter(_.nonEmpty).toList.map { it =>
+        it.split("::") match {
+          case Array(n, t) => (n.trim, t.trim.stripSuffix("?").toUpperCase)
+          case _ => throw TranslateError(s"bad signature item: $it")
+        }
+      }
+    sig match {
+      case m(name, a, o) => (name, items(a), items(o))
+      case _ => throw TranslateError(s"bad procedure signature: $sig")
+    }
+  }
+
+  /** Declared-type check with numeric assignability (INTEGER ⊆ FLOAT ⊆
+    * NUMBER accept wider/narrower numerics; null satisfies any nullable
+    * `?` type).
+    */
+  private def typeOk(tpe: String, v: Any): Boolean = v match {
+    case null => true
+    case _: Long | _: Int => Set("INTEGER", "FLOAT", "NUMBER", "ANY")(tpe)
+    case _: Double => Set("FLOAT", "NUMBER", "ANY")(tpe)
+    case _: String => Set("STRING", "ANY")(tpe)
+    case _: Boolean => Set("BOOLEAN", "ANY")(tpe)
+    case _ => tpe == "ANY"
+  }
+
+  /** Argument-to-table-cell equality: numerics compare by value across
+    * int/float (a FLOAT? argument declared 42.0 matches the literal 42).
+    */
+  private def argEq(cell: Any, v: Any): Boolean = (cell, v) match {
+    case (null, null) => true
+    case (null, _) | (_, null) => false
+    case (a: Long, b: Long) => a == b
+    case (a: Long, b: Double) => a.toDouble == b
+    case (a: Double, b: Long) => a == b.toDouble
+    case (a: Double, b: Double) => a == b
+    case (a, b) => a == b
+  }
+
+  private def invokeAdHoc(session: CypherSession, p: AdHocProc,
+      args: List[Any]): ProcResult = {
+    if (args.length != p.args.length)
+      throw TranslateError(s"procedure ${p.name} expects " +
+        s"${p.args.length} arguments, got ${args.length}")
+    p.args.zip(args).foreach { case ((an, at), v) =>
+      if (!typeOk(at, v)) throw TranslateError(
+        s"InvalidArgumentType: procedure ${p.name} argument `$an` " +
+          s"expects $at, got $v")
+    }
+    if (p.outs.isEmpty)
+      return (session.spark.emptyDataFrame, Map.empty)
+    val matching =
+      if (p.args.isEmpty) p.rows
+      else p.rows.filter { r =>
+        p.args.zipWithIndex.forall { case ((an, _), i) =>
+          argEq(r(p.colIdx(an)), args(i))
+        }
+      }
+    def rawType(t: String): DataType = t match {
+      case "INTEGER" => LongType
+      case "FLOAT" | "NUMBER" => DoubleType
+      case "BOOLEAN" => BooleanType
+      case _ => StringType
+    }
+    def coerce(v: Any, t: String): Any = (v, t) match {
+      case (null, _) => null
+      case (x: Long, "FLOAT" | "NUMBER") => x.toDouble
+      case (x: Int, "FLOAT" | "NUMBER") => x.toDouble
+      case (x: Int, "INTEGER") => x.toLong
+      case (x, _) => x
+    }
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(p.outs.map { case (n, t) =>
+      StructField(n, rawType(t), nullable = true) })
+    val data = matching.map { r =>
+      org.apache.spark.sql.Row(p.outs.map { case (n, t) =>
+        coerce(r(p.colIdx(n)), t) }: _*)
+    }
+    // LocalRelation: registration row order IS the yield order
+    val raw = session.spark.createDataFrame(data.asJava, schema)
+    def wrap(t: String, c: Column): Column = t match {
+      case "INTEGER" => Values.vInt(c)
+      case "FLOAT" | "NUMBER" => Values.vFloat(c)
+      case "BOOLEAN" => Values.vBool(c)
+      case _ => Values.vStr(c)
+    }
+    (raw.select(p.outs.map { case (n, t) => wrap(t, col(n)).as(n) }: _*),
+      p.outs.map(_._1 -> (KValue: Kind)).toMap)
+  }
+
+  /** Argument names+count of a registered ad-hoc procedure (implicit
+    * argument binding); None for built-ins (all nullary or validated at
+    * invoke).
+    */
+  def signatureArgs(session: CypherSession,
+      name: String): Option[List[String]] =
+    session.adHocProc(name).map(_.args.map(_._1))
+
+  /** Output arity known statically (ad-hoc procs): used to enforce the
+    * in-query YIELD requirement before invocation.
+    */
+  def declaredOuts(session: CypherSession, name: String): Option[Int] =
+    session.adHocProc(name).map(_.outs.length)
+
   def invoke(session: CypherSession, name: String,
       args: List[Any]): ProcResult = {
+    session.adHocProc(name) match {
+      case Some(p) => return invokeAdHoc(session, p, args)
+      case None => ()
+    }
     val g = session.graph
     name.toLowerCase match {
       case "db.labels" =>

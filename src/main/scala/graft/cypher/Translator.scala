@@ -150,7 +150,9 @@ object Translator {
       case u: Ast.Unwind => frame = translateUnwind(ctx, frame, u)
       case w: Ast.With => frame = translateProjection(ctx, frame, w.proj,
         w.where, carryFlats = true)
-      case c: Ast.CallProc => frame = translateCall(ctx, frame, c)
+      case c: Ast.CallProc =>
+        frame = translateCall(ctx, frame, c,
+          standalone = clauses == List(c))
       case r: Ast.Return =>
         frame = translateProjection(ctx, frame, r.proj, None)
       case other =>
@@ -356,11 +358,43 @@ object Translator {
     * variables are already bound — procs are uncorrelated table functions).
     */
   private[cypher] def translateCall(ctx: Ctx, frame: Frame,
-      c: Ast.CallProc): Frame = {
+      c: Ast.CallProc, standalone: Boolean = false): Frame = {
     val session = ctx.session.getOrElse(
       throw TranslateError("CALL requires a CypherSession"))
-    val args = c.args.map(constantAny(ctx, _))
+    // argument passing mode: the parenthesis-free form binds arguments
+    // implicitly from query parameters — standalone calls only (Call2 [4])
+    val args: List[Any] =
+      if (c.explicitArgs) c.args.map(constantAny(ctx, _))
+      else if (!standalone) throw TranslateError(
+        "InvalidArgumentPassingMode: implicit procedure arguments are " +
+          "only allowed in a standalone CALL")
+      else Procedures.signatureArgs(session, c.name).getOrElse(Nil).map { an =>
+        ctx.params.getOrElse(an, throw TranslateError(
+          s"missing implicit argument `$an` for procedure ${c.name}")) match {
+          case i: Int => i.toLong
+          case v => v
+        }
+      }
+    // in-query calls must YIELD every output they use; a call with outputs
+    // and no YIELD is only legal standalone (Call1 [12])
+    if (!standalone && c.yields.isEmpty &&
+      Procedures.declaredOuts(session, c.name).exists(_ > 0))
+      throw TranslateError(s"procedure ${c.name} has outputs: an in-query " +
+        "CALL must YIELD them explicitly")
+    // YIELD must not shadow an already-bound variable (Call1 [15])
+    c.yields.foreach { case (n, a) =>
+      val alias = a.getOrElse(n)
+      if (frame.vars.contains(alias)) throw TranslateError(
+        s"VariableAlreadyBound: `$alias` is already declared")
+    }
     val (df, kinds) = Procedures.invoke(session, c.name, args)
+    if (kinds.isEmpty) {
+      // VOID procedure: in-query it passes rows through untouched; a
+      // standalone call produces an empty result
+      if (c.yields.nonEmpty) throw TranslateError(
+        s"procedure ${c.name} yields no outputs")
+      return if (frame.vars.isEmpty) Frame(df, Map.empty) else frame
+    }
     val (outDf, outKinds) =
       if (c.yields.isEmpty) (df, kinds)
       else {

@@ -82,4 +82,38 @@ class ProcedureSpec extends AnyFunSuite {
     assert(rows(s, "CALL db.indexes() YIELD label RETURN label")
       == Seq(Map("label" -> "Doc")))
   }
+
+  test("ad-hoc procedure: registration, arg filtering, implicit args") {
+    val s = freshSession()
+    s.registerProcedure(
+      "test.my.proc(name :: STRING?, id :: INTEGER?) :: (city :: STRING?)",
+      Seq("name", "id", "city"),
+      Seq(Seq("Ann", 1L, "Malmö"), Seq("Bob", 1L, "Berlin"),
+        Seq("Ann", 2L, "London")))
+    // explicit args select matching rows, in registration order
+    assert(rows(s, "CALL test.my.proc('Ann', 1)")
+      == Seq(Map("city" -> "Malmö")))
+    // standalone implicit args bind from parameters
+    assert(s.rows(s.run("CALL test.my.proc",
+      Map("name" -> "Ann", "id" -> 2L))) == Seq(Map("city" -> "London")))
+    // numeric assignability: FLOAT? accepts an INTEGER literal
+    s.registerProcedure("test.f(x :: FLOAT?) :: (out :: STRING?)",
+      Seq("x", "out"), Seq(Seq(42.0, "ok")))
+    assert(rows(s, "CALL test.f(42)") == Seq(Map("out" -> "ok")))
+    // wrong arg type / count / in-query without YIELD all reject
+    intercept[Exception](rows(s, "CALL test.f(true)"))
+    intercept[Exception](rows(s, "CALL test.f(1, 2)"))
+    intercept[Exception](
+      rows(s, "MATCH (n) CALL test.f(42) RETURN n"))
+    // in-query call fans out per input row once YIELDed
+    s.run("CREATE (:P {v: 1}) CREATE (:P {v: 2})")
+    assert(rows(s,
+      "MATCH (p:P) CALL test.f(42) YIELD out RETURN p.v AS v, out ORDER BY v")
+      == Seq(Map("v" -> 1L, "out" -> "ok"), Map("v" -> 2L, "out" -> "ok")))
+    // VOID procedure passes rows through in-query
+    s.registerProcedure("test.void() :: ()", Seq.empty, Seq.empty)
+    assert(rows(s, "MATCH (p:P) CALL test.void() RETURN count(*) AS c")
+      == Seq(Map("c" -> 2L)))
+    assert(rows(s, "CALL test.void()").isEmpty)
+  }
 }
