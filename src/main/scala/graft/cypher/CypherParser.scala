@@ -257,8 +257,13 @@ object CypherParser extends RegexParsers {
       (_.map { case k ~ v => (k, v) })
 
   def nodePat: Parser[NodePat] =
-    "(" ~> opt(ident) ~ opt(":" ~> anyIdent) ~ opt(propMap) <~ ")" ^^ {
-      case v ~ l ~ p => NodePat(v, l, p.getOrElse(Nil))
+    // multiple labels `(n:A:B)` conjoin; the NodePat keeps them as ONE
+    // ':'-joined ordered string (the node store's label encoding), deduped
+    // preserving written order (`MATCH (n:A:B:A)` ≡ `(n:A:B)`)
+    "(" ~> opt(ident) ~ rep(":" ~> anyIdent) ~ opt(propMap) <~ ")" ^^ {
+      case v ~ ls ~ p => NodePat(v,
+        if (ls.isEmpty) None else Some(ls.distinct.mkString(":")),
+        p.getOrElse(Nil))
     }
 
   private def varLenSpec: Parser[(Int, Option[Int])] =

@@ -493,8 +493,14 @@ class CypherSession(val spark: SparkSession) {
         // MATCH (n[:L]) RETURN count(n)
         case Ast.PathPat(None, Ast.NodePat(v, label, Nil), Nil, false, _) =>
           projCount(proj, v).map { name =>
-            val c = label.map(l => graph.labelCounts.getOrElse(l, 0L))
-              .getOrElse(graph.nodeCount)
+            // label keys are ':'-joined label lists — a :L count sums every
+            // key whose label set contains all requested components
+            val c = label.map { l =>
+              val parts = l.split(":").filter(_.nonEmpty).toSet
+              graph.labelCounts.collect {
+                case (k, n) if parts.subsetOf(k.split(":").toSet) => n
+              }.sum
+            }.getOrElse(graph.nodeCount)
             statRow(c, name)
           }
         // MATCH ()-[r[:T]]->() RETURN count(r)

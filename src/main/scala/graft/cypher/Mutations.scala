@@ -313,13 +313,15 @@ private[cypher] final class MutationRunner(session: CypherSession) {
       case _ => ()
     }
     val c = ctx(params)
-    // label writes (SET n:L / REMOVE n:L) — single-label model: SET on an
-    // unlabeled (or same-labeled) node lands; a second distinct label is a
-    // loud runtime error, not a silent overwrite. REMOVE only clears a
-    // matching label.
+    // label writes (SET n:L / REMOVE n:L): the label column is a
+    // ':'-joined ORDERED label list. Each write appends a missing label /
+    // drops a matching one; multiple writes per node fold in statement
+    // order (SET n:A:B on an unlabeled node yields "A:B").
     val (labelItems, items) = itemsAll.partition(_.key.contains(Ast.LabelKey))
     if (labelItems.nonEmpty) {
-      val writes = labelItems.map { it =>
+      // a SET item may expand to several labels — the ':' parse keeps one
+      // item per label, so statement position is the item index
+      val writes = labelItems.zipWithIndex.map { case (it, idx) =>
         val n = it.target match {
           case Ast.Variable(v) => v
           case other => throw TranslateError(
@@ -330,28 +332,36 @@ private[cypher] final class MutationRunner(session: CypherSession) {
         it.value match {
           case Ast.LitString(l) => frame.df.select(
             frame.col(n).getField("id").as("__id"),
-            lit(l).as("__l"), lit(false).as("__rm"))
+            lit(l).as("__l"), lit(false).as("__rm"), lit(idx).as("__o"))
           case Ast.Fn("__remove_label", List(Ast.LitString(l)), _) =>
             frame.df.select(frame.col(n).getField("id").as("__id"),
-              lit(l).as("__l"), lit(true).as("__rm"))
+              lit(l).as("__l"), lit(true).as("__rm"), lit(idx).as("__o"))
           case other => throw TranslateError(
             s"SET label expects a literal label, got: $other")
         }
       }.reduce(_ unionByName _).filter(col("__id").isNotNull)
-        .dropDuplicates("__id", "__l", "__rm")
+        .dropDuplicates("__id", "__l", "__rm", "__o")
+      // one row per node: its writes ordered by statement position (struct
+      // ordering sorts on the leading __o field)
+      val perNode = writes.groupBy(col("__id"))
+        .agg(array_sort(collect_list(struct(col("__o"), col("__l"),
+          col("__rm")))).as("__ws"))
       val nodes2 = session.graph.nodes
-        .join(writes, col("id") === col("__id"), "left_outer")
-        .withColumn("label",
-          when(col("__l").isNull, col("label"))
-            .when(col("__rm") && col("label") === col("__l"),
-              lit(null).cast(StringType))
-            .when(col("__rm"), col("label"))
-            .when(col("label").isNull || col("label") === col("__l"),
-              col("__l"))
-            .otherwise(raise_error(concat(
-              lit("label conflict: single-label model cannot stack :"),
-              col("__l"), lit(" on :"), col("label")))))
-        .drop("__id", "__l", "__rm")
+        .join(perNode, col("id") === col("__id"), "left_outer")
+        .withColumn("label", {
+          val cur = when(col("label").isNull,
+            array().cast(ArrayType(StringType)))
+            .otherwise(split(col("label"), ":"))
+          val folded = aggregate(col("__ws"), cur, (acc, w) =>
+            when(w.getField("__rm"),
+              filter(acc, x => x =!= w.getField("__l")))
+              .otherwise(when(array_contains(acc, w.getField("__l")), acc)
+                .otherwise(concat(acc, array(w.getField("__l"))))))
+          when(col("__ws").isNull, col("label"))
+            .when(size(folded) === 0, lit(null).cast(StringType))
+            .otherwise(array_join(folded, ":"))
+        })
+        .drop("__id", "__ws")
       propsSet += writes.count()
       session.commit(nodes2, session.graph.edges)
     }
@@ -752,7 +762,9 @@ private[cypher] final class MutationRunner(session: CypherSession) {
     result
   }
 
-  /** Re-join entity props from the committed graph (post ON MATCH/CREATE). */
+  /** Re-join entity props (and node labels — ON CREATE/ON MATCH can SET
+    * labels too) from the committed graph.
+    */
   private def refresh(frame: Frame): Frame = {
     var df = frame.df
     frame.vars.foreach { case (n, kind) =>
@@ -760,10 +772,16 @@ private[cypher] final class MutationRunner(session: CypherSession) {
         val table =
           if (kind == KNode) session.graph.nodes else session.graph.edges
         val fresh = table.select(col("id").as("__fid"),
-          col("props").as("__fp"))
+          col("props").as("__fp"),
+          (if (kind == KNode) col("label")
+           else lit(null).cast(StringType)).as("__fl"))
         df = df.join(fresh, df(n).getField("id") === col("__fid"), "left_outer")
-          .withColumn(n, col(n).withField("props", col("__fp")))
-          .drop("__fid", "__fp")
+          .withColumn(n,
+            if (kind == KNode)
+              col(n).withField("props", col("__fp"))
+                .withField("label", col("__fl"))
+            else col(n).withField("props", col("__fp")))
+          .drop("__fid", "__fp", "__fl")
       }
     }
     Frame(df, frame.vars)

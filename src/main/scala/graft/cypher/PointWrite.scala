@@ -461,7 +461,8 @@ private[cypher] object PointWrite {
     def nodeFilter(np: Ast.NodePat,
         ctx: Translator.Ctx): DataFrame = {
       var d = nodesB
-      np.label.foreach(l => d = d.filter(col("label") === l))
+      np.label.foreach(l =>
+        d = d.filter(Values.labelHas(col("label"), l)))
       np.props.foreach { case (k, e) =>
         d = d.filter(coalesce(scalarEq(element_at(col("props"), k),
           Translator.constantValue(ctx, e)), lit(false)))

@@ -155,7 +155,9 @@ object Procedures {
     val g = session.graph
     name.toLowerCase match {
       case "db.labels" =>
+        // label column = ':'-joined label list — report each component once
         (g.nodes.select(col("label")).where(col("label").isNotNull)
+          .select(explode(split(col("label"), ":")).as("label"))
           .distinct().select(Values.vStr(col("label")).as("label")),
           Map("label" -> KValue))
 

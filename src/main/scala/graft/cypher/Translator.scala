@@ -799,7 +799,7 @@ object Translator {
       // re-matched bound var: apply label/prop predicates as filters
       var df = frame.df
       np.label.foreach(l => df = df.filter(
-        frame.col(name).getField("label") === l))
+        Values.labelHas(frame.col(name).getField("label"), l)))
       np.props.foreach { case (k, e) =>
         df = df.filter(coalesce(Values.eq(
           frame.propCol(name, k).getOrElse(
@@ -877,7 +877,7 @@ object Translator {
       name: String): Frame = {
     var f = f0
     np.label.foreach(l => f = f.copy(df = f.df.filter(
-      f.col(name).getField("label") === l)))
+      Values.labelHas(f.col(name).getField("label"), l))))
     np.props.foreach { case (k, e) =>
       f = f.copy(df = f.df.filter(coalesce(Values.eq(
         f.propCol(name, k).getOrElse(
@@ -2484,21 +2484,36 @@ object Translator {
         val c = t(x).isNull
         vBool(if (negated) !c else c)
 
+      case Ast.HasLabel(inner @ Ast.HasLabel(_, _), label) =>
+        // chained expression-context labels conjoin: `a:A:B` parses as
+        // HasLabel(HasLabel(a,A),B) — rewrite to a:A AND a:B (Graph5 [3])
+        @annotation.tailrec def root(e: Ast.Expr): Ast.Expr = e match {
+          case Ast.HasLabel(t2, _) => root(t2)
+          case t2 => t2
+        }
+        t(Ast.Bin("AND", inner, Ast.HasLabel(root(inner), label)))
+
       case Ast.HasLabel(target, label) =>
-        def ofEntity(e: Column, fld: Column): Column =
+        // node labels are ':'-joined lists → membership; edge types stay
+        // single-valued → equality
+        def ofEntity(e: Column, fld: Column, isEdge: Boolean): Column =
           when(e.isNull, vNull)
-            .otherwise(vBool(coalesce(fld === lit(label), lit(false))))
+            .otherwise(vBool(coalesce(
+              if (isEdge) fld === lit(label)
+              else Values.labelHas(fld, label), lit(false))))
         target match {
           case Ast.Variable(n) if frame.has(n) && frame.vars(n) != KValue =>
             val e = frame.col(n)
-            ofEntity(e, if (frame.vars(n) == KEdge) e.getField("reltype")
-              else e.getField("label"))
+            val isEdge = frame.vars(n) == KEdge
+            ofEntity(e, if (isEdge) e.getField("reltype")
+              else e.getField("label"), isEdge)
           case other =>
             val c = t(other)
             typeOf(frame, other, c) match {
               case Some(s: StructType) if s.fieldNames.contains("props") =>
-                ofEntity(c, if (s.fieldNames.contains("reltype"))
-                  c.getField("reltype") else c.getField("label"))
+                val isEdge = s.fieldNames.contains("reltype")
+                ofEntity(c, if (isEdge)
+                  c.getField("reltype") else c.getField("label"), isEdge)
               case _ =>
                 // variant target: null → null (TCK Graph5 [5]); a boxed
                 // entity answers from its tagged JSON; anything else is a
@@ -2508,7 +2523,8 @@ object Translator {
                   get_json_object(js, "$.reltype"))
                 when(c.isNull, vNull)
                   .when(Values.tag(c) === Values.T_BOXED && lbl.isNotNull,
-                    vBool(lbl === lit(label)))
+                    vBool(Values.labelHas(lbl, label) ||
+                      lbl === lit(label)))
                   .otherwise(vBool(raise_error(lit(
                     "Type mismatch: label predicate on a non-entity"))
                     .cast(BooleanType)))
@@ -2962,12 +2978,33 @@ object Translator {
         val e = entity(fn.args.head)
         when(e.isNull, vNull).otherwise(vInt(e.getField("id")))
       case "labels" =>
-        val e = entity(fn.args.head)
-        // unlabeled node → [] (not [null]); TCK Graph3 [1]
-        when(e.isNull, vNull)
-          .when(e.getField("label").isNull,
-            vArr(array().cast(ArrayType(elemType))))
-          .otherwise(vArr(array(sStr(e.getField("label")))))
+        // unlabeled node → [] (not [null]); TCK Graph3 [1]. Multi-label
+        // nodes list every component in creation order.
+        val eOpt =
+          try Some(entity(fn.args.head))
+          catch { case _: TranslateError => None }
+        eOpt match {
+          case Some(e) =>
+            when(e.isNull, vNull)
+              .when(e.getField("label").isNull,
+                vArr(array().cast(ArrayType(elemType))))
+              .otherwise(vArr(transform(
+                split(e.getField("label"), ":"), x => sStr(x))))
+          case None =>
+            // variant argument (labels() accepts Any, Graph3 [6]): a boxed
+            // NODE answers from its tagged JSON; anything else errors
+            val c = t(fn.args.head)
+            val js = c.getField("s")
+            val lbl = get_json_object(js, "$.label")
+            when(c.isNull, vNull)
+              .when(Values.tag(c) === Values.T_BOXED &&
+                get_json_object(js, "$.t") === lit(Values.T_NODE.toString),
+                when(lbl.isNull, vArr(array().cast(ArrayType(elemType))))
+                  .otherwise(vArr(transform(split(lbl, ":"), x => sStr(x)))))
+              .otherwise(vArr(raise_error(
+                lit("Type mismatch: labels() expects a node"))
+                .cast(ArrayType(elemType))))
+        }
       case "type" =>
         fn.args.head match {
           case Ast.LitNull => vNull
@@ -3213,7 +3250,9 @@ object Translator {
               e.getField("id").cast(StringType),
               lit(", \"labels\": ["),
               when(e.getField("label").isNull, lit(""))
-                .otherwise(Values.jsonStr(e.getField("label"))),
+                .otherwise(array_join(transform(
+                  split(e.getField("label"), ":"),
+                  x => Values.jsonStr(x)), ", ")),
               lit("], "), Values.propsJson(e.getField("props")), lit("}")))
           case Ast.Variable(nv) if frame.vars.get(nv).contains(KEdge) =>
             val e = frame.col(nv)

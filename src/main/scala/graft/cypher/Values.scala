@@ -96,6 +96,22 @@ object Values {
 
   val propsType: DataType = MapType(StringType, variantType)
 
+  /** Multi-label membership: a node's `label` column holds a ':'-joined
+    * ORDERED label list (plain name for the single-label common case — the
+    * reference's own model, docs/cypher_support.md:11; multi-label is
+    * parity-plus for the openCypher surface). True iff the node carries
+    * EVERY component of `l` (`(n:A:B)` patterns conjoin).
+    */
+  def labelHas(fld: Column, l: String): Column =
+    l.split(":").filter(_.nonEmpty).toSeq
+      .map(p => array_contains(split(fld, ":"), p))
+      .reduceOption(_ && _).getOrElse(lit(true)) && fld.isNotNull
+
+  /** The node's label list as a string array ([] when unlabeled). */
+  def labelList(fld: Column): Column =
+    when(fld.isNull, array().cast(ArrayType(StringType)))
+      .otherwise(split(fld, ":"))
+
   def vNull: Column = lit(null).cast(variantType)
 
   private def mk(t: Column, i: Column, f: Column, s: Column, b: Column,

@@ -39,7 +39,12 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
     * to the labels a query touches, not the whole catalog.
     */
   def nodesByLabel(label: String): DataFrame =
-    byLabel.getOrElse(label, nodes.filter(col("label") === label))
+    byLabel.getOrElse(label,
+      // membership, not equality: the label column is a ':'-joined ordered
+      // label list (multi-label nodes), and a `(n:A:B)` pattern conjoins.
+      // Big graphs (GraphBuilder/GraphCsv/GraphStore) carry prebuilt
+      // byLabel views, so this fallback only runs on dynamic graphs.
+      nodes.filter(graft.cypher.Values.labelHas(col("label"), label)))
 
   def edgesByType(reltype: String): DataFrame =
     byReltype.getOrElse(reltype, edges.filter(col("reltype") === reltype))
