@@ -71,8 +71,15 @@ object CypherParser extends RegexParsers {
   }
 
   def floatLit: Parser[Double] =
-    """-?(\d+\.\d+([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?|\d+[eE][+-]?\d+)""".r ^^
-      (_.toDouble)
+    """-?(\d+\.\d+([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?|\d+[eE][+-]?\d+)""".r >>
+      { s =>
+        val d = s.toDouble
+        // a finite literal overflowing double range is a compile-time
+        // error (TCK Literals5 [27] FloatingPointOverflow)
+        if (d.isInfinite)
+          err(s"FloatingPointOverflow: $s does not fit in a float")
+        else success(d)
+      }
   def intLit: Parser[Long] = """-?\d+""".r ^^ (_.toLong)
 
   /** Overflow-checked signed parse at any radix (IntegerOverflow is a
@@ -263,7 +270,7 @@ object CypherParser extends RegexParsers {
     "(" ~> opt(ident) ~ rep(":" ~> anyIdent) ~ opt(propMap) <~ ")" ^^ {
       case v ~ ls ~ p => NodePat(v,
         if (ls.isEmpty) None else Some(ls.distinct.mkString(":")),
-        p.getOrElse(Nil))
+        p.getOrElse(Nil), bracesGiven = p.isDefined)
     }
 
   private def varLenSpec: Parser[(Int, Option[Int])] =

@@ -491,7 +491,7 @@ class CypherSession(val spark: SparkSession) {
       case List(Ast.SingleQuery(List(Ast.Match(false, List(p), None),
           Ast.Return(proj)))) => p match {
         // MATCH (n[:L]) RETURN count(n)
-        case Ast.PathPat(None, Ast.NodePat(v, label, Nil), Nil, false, _) =>
+        case Ast.PathPat(None, Ast.NodePat(v, label, Nil, _), Nil, false, _) =>
           projCount(proj, v).map { name =>
             // label keys are ':'-joined label lists — a :L count sums every
             // key whose label set contains all requested components
@@ -504,9 +504,9 @@ class CypherSession(val spark: SparkSession) {
             statRow(c, name)
           }
         // MATCH ()-[r[:T]]->() RETURN count(r)
-        case Ast.PathPat(None, Ast.NodePat(None, None, Nil),
+        case Ast.PathPat(None, Ast.NodePat(None, None, Nil, _),
             List((Ast.RelPat(rv, types, Nil, 1, None),
-              Ast.NodePat(None, None, Nil))), false, _) if types.size <= 1 =>
+              Ast.NodePat(None, None, Nil, _))), false, _) if types.size <= 1 =>
           projCount(proj, rv).map { name =>
             val c = types.headOption
               .map(t => graph.reltypeCounts.getOrElse(t, 0L))

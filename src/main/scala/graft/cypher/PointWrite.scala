@@ -133,7 +133,7 @@ private[cypher] object PointWrite {
       case List(Ast.SingleQuery(List(
           Ast.Match(false, List(p), Some(c)), Ast.SetClause(its)))) =>
         p match {
-          case Ast.PathPat(None, Ast.NodePat(Some(nv), lbl, Nil), Nil,
+          case Ast.PathPat(None, Ast.NodePat(Some(nv), lbl, Nil, _), Nil,
               false, _) => (nv, lbl, c, its)
           case _ => return None
         }

@@ -1431,6 +1431,7 @@ object Translator {
     case Ast.SliceExpr(t, f, to) => containsAgg(t) ||
       f.exists(containsAgg) || to.exists(containsAgg)
     case Ast.ListLit(xs) => xs.exists(containsAgg)
+    case Ast.MapLit(entries) => entries.exists { case (_, v) => containsAgg(v) }
     case Ast.Not(x) => containsAgg(x)
     case Ast.Neg(x) => containsAgg(x)
     case Ast.IsNull(x, _) => containsAgg(x)
@@ -1651,8 +1652,12 @@ object Translator {
     // expand RETURN *
     val items: List[(Ast.Expr, String)] = proj.items.flatMap {
       case (Ast.Variable("*"), _) =>
-        frame.vars.keys.filter(!_.startsWith("__")).toList.sorted
-          .map(n => (Ast.Variable(n), n))
+        val vs = frame.vars.keys.filter(!_.startsWith("__")).toList.sorted
+        // `MATCH () RETURN *` has nothing to project (TCK Return7 [2]);
+        // `WITH *` (carryFlats) legally passes empty scope through
+        if (vs.isEmpty && !carryFlats) throw TranslateError(
+          "NoVariablesInScope: RETURN * requires variables in scope")
+        vs.map(n => (Ast.Variable(n), n))
       case (e, alias) => List((e, alias.getOrElse(defaultName(e))))
     }
 
@@ -1683,6 +1688,37 @@ object Translator {
         its.head._1
       }
       val aggTemps = scala.collection.mutable.ArrayBuffer[(String, Ast.Expr)]()
+      // non-aggregate subexpressions that read pre-aggregation variables
+      // become implicit grouping keys ({foo: a.name='x', kids: collect(…)},
+      // TCK Return6 [6]) — hoisted whole so the post-agg expression only
+      // sees keys and aggregate temps
+      val keyTemps = scala.collection.mutable.ArrayBuffer[(String, Ast.Expr)]()
+      def refsFrameVar(e: Ast.Expr): Boolean = {
+        var found = false
+        def walk(x: Ast.Expr): Unit = x match {
+          case Ast.Variable(v) if lframe.has(v) => found = true
+          case Ast.Bin(_, l, r) => walk(l); walk(r)
+          case Ast.Not(y) => walk(y)
+          case Ast.Neg(y) => walk(y)
+          case Ast.IsNull(y, _) => walk(y)
+          case Ast.Prop(y, _) => walk(y)
+          case Ast.Fn(_, args, _) => args.foreach(walk)
+          case Ast.CaseExpr(s, w, o) =>
+            s.foreach(walk); w.foreach { case (a, b) => walk(a); walk(b) }
+            o.foreach(walk)
+          case Ast.ListLit(xs) => xs.foreach(walk)
+          case Ast.MapLit(es) => es.foreach(kv => walk(kv._2))
+          case Ast.Subscript(tg, i) => walk(tg); walk(i)
+          case Ast.SliceExpr(tg, a, b) =>
+            walk(tg); a.foreach(walk); b.foreach(walk)
+          case Ast.ListComprehension(_, l, w2, p) =>
+            walk(l); w2.foreach(walk); p.foreach(walk)
+          case Ast.Quantifier(_, _, l, p) => walk(l); walk(p)
+          case _ => ()
+        }
+        walk(e)
+        found
+      }
       def extract(e: Ast.Expr): Ast.Expr = e match {
         case a if isAggCall(a) =>
           val n = freshName("agg")
@@ -1691,6 +1727,10 @@ object Translator {
             case other => other
           }
           aggTemps += n -> a2
+          Ast.Variable(n)
+        case e2 if !containsAgg(e2) && refsFrameVar(e2) =>
+          val n = freshName("key")
+          keyTemps += n -> e2
           Ast.Variable(n)
         case Ast.Bin(op, l, r) => Ast.Bin(op, extract(l), extract(r))
         case Ast.Not(x) => Ast.Not(extract(x))
@@ -1709,6 +1749,8 @@ object Translator {
         case Ast.SliceExpr(tg, f, to) =>
           Ast.SliceExpr(extract(tg), f.map(extract), to.map(extract))
         case Ast.ListLit(xs) => Ast.ListLit(xs.map(extract))
+        case Ast.MapLit(entries) => Ast.MapLit(entries.map { case (k, v) =>
+          (k, extract(v)) })
         case other => other
       }
       val rewritten = litems.map { case (e, n) =>
@@ -1716,15 +1758,17 @@ object Translator {
         if (containsAgg(e)) (extract(e), n) else (Ast.Variable(n), n)
       }
       // translate keys AND aggregates against the final layered frame
-      val keyCols = keys.map { case (e, n) => trAny(ctx, pre, e).as(n) }
+      val keyCols = keys.map { case (e, n) => trAny(ctx, pre, e).as(n) } ++
+        keyTemps.toSeq.map { case (n, e) => trAny(ctx, pre, e).as(n) }
       val aggCols = aggTemps.toSeq.map { case (n, a2) =>
         trAgg(ctx, pre, a2).as(n)
       }
       val grouped =
-        if (keys.isEmpty) pre.df.agg(aggCols.head, aggCols.tail: _*)
+        if (keyCols.isEmpty) pre.df.agg(aggCols.head, aggCols.tail: _*)
         else pre.df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
       val postVars: Map[String, Kind] =
         keys.map { case (e, n) => n -> kindOf(ctx, pre, e) }.toMap ++
+          keyTemps.map { case (n, e) => n -> kindOf(ctx, pre, e) } ++
           aggTemps.map(_._1 -> KValue)
       // post-aggregation arithmetic gets its own layering pass
       val (postFrame, ritems) =
@@ -3039,7 +3083,19 @@ object Translator {
           // null entity (OPTIONAL MATCH miss) → null, not false
           when(frame.col(n).isNull, vNull)
             .otherwise(vBool(t(fn.args.head).isNotNull))
-        case _: Ast.Prop | _: Ast.Subscript =>
+        case Ast.Prop(tgt, key) =>
+          // KEY existence, not value non-nullness: a literal map holding
+          // {name: null} still HAS `name` (TCK Map4 [1]); a null map → null
+          val tc = t(tgt)
+          typeOf(frame, tgt, tc) match {
+            case Some(s: StructType) if isMapStruct(s) =>
+              when(tc.isNull, vNull).otherwise(vBool(lit(
+                s.fieldNames.contains(key) && key != EmptyMapMarker)))
+            case _ =>
+              when(tc.isNull, vNull)
+                .otherwise(vBool(t(fn.args.head).isNotNull))
+          }
+        case _: Ast.Subscript =>
           vBool(t(fn.args.head).isNotNull)
         case other => throw TranslateError(
           s"InvalidArgumentExpression: exists() expects a property " +
@@ -3168,6 +3224,15 @@ object Translator {
           case _ => lit(null).cast(ArrayType(edgeStructType))
         }
       case "length" =>
+        // length() takes a path; a node/relationship argument is a
+        // compile-time type error (TCK Path3 [2]/[3]; size() covers lists)
+        fn.args.head match {
+          case Ast.Variable(n) if frame.has(n) &&
+              (frame.vars(n) == KNode || frame.vars(n) == KEdge) =>
+            throw TranslateError(
+              "InvalidArgumentType: length() expects a path")
+          case _ => ()
+        }
         val c = t(fn.args.head)
         typeOf(frame, fn.args.head, c) match {
           case Some(s: StructType) if s.fieldNames.contains("rels") =>
@@ -3236,8 +3301,14 @@ object Translator {
           split(v.getField("s"), java.util.regex.Pattern.quote(sep)),
           x => sStr(x))))
       case "tostring" =>
+        // lists/maps/entities/paths are invalid (TCK TypeConversion4 [10])
         val v = t(fn.args.head)
-        when(v.isNull, vNull).otherwise(vStr(render(v)))
+        when(v.isNull, vNull)
+          .when(Values.tag(v).isin(Values.T_ARRAY, Values.T_BOXED,
+            Values.T_BOXED_MAP),
+            vStr(raise_error(lit("InvalidArgumentValue: toString() " +
+              "cannot convert a list, map, or entity")).cast(StringType)))
+          .otherwise(vStr(render(v)))
       case "tojson" =>
         // `src/util/json_encoder.c`: entities render as typed objects
         // ("start"/"end" carry the endpoint ids; the reference inlines the
@@ -3289,7 +3360,10 @@ object Translator {
           .when(tag(v) === T_FLOAT, vInt(v.getField("f").cast(LongType)))
           .when(tag(v) === T_STRING && numericStr,
             vInt(s.cast(DoubleType).cast(LongType)))
-          .otherwise(vNull)
+          .when(tag(v) === T_STRING, vNull) // unparseable string → NULL
+          .otherwise(vInt(raise_error( // bool/list/map/entity/path: error
+            lit("InvalidArgumentValue: toInteger() cannot convert " +
+              "a boolean, list, map, or entity")).cast(LongType)))
       case "tofloat" =>
         val v = t(fn.args.head)
         val s = v.getField("s")
@@ -3299,7 +3373,10 @@ object Translator {
           .when(tag(v) === T_INT, vFloat(v.getField("i").cast(DoubleType)))
           .when(tag(v) === T_STRING && numericStr,
             vFloat(s.cast(DoubleType)))
-          .otherwise(vNull)
+          .when(tag(v) === T_STRING, vNull) // unparseable string → NULL
+          .otherwise(vFloat(raise_error(
+            lit("InvalidArgumentValue: toFloat() cannot convert " +
+              "a boolean, list, map, or entity")).cast(DoubleType)))
 
       // list (`list_funcs.c:222-263`)
       case "size" => fn.args.head match {

@@ -23,6 +23,11 @@ object Validate {
   /** value statically known to be a non-entity literal — re-matching it as
     * a node/relationship is a compile-time VariableTypeConflict */
   private case object VLit extends Kind
+  /** value statically known to be a LIST or MAP (possibly of entities) —
+    * legal only in a variable-length relationship position (the Match9
+    * list-binding form); a node position is a VariableTypeConflict
+    * (TCK Match3 [30]) */
+  private case object VListVal extends Kind
 
   private def isLiteralish(e: Expr): Boolean = e match {
     case _: LitInt | _: LitFloat | _: LitString | _: LitBool => true
@@ -63,14 +68,19 @@ object Validate {
           scope.get(v) match {
             case Some(VLit) => fail(
               s"VariableTypeConflict: $v is bound to a value, not a node")
+            case Some(VListVal) => fail(
+              s"VariableTypeConflict: $v is bound to a list/map, " +
+                "not a node")
             case Some(VRel) => fail(
               s"VariableTypeConflict: $v is bound to a relationship")
             case Some(VPath) => fail(
               s"VariableAlreadyBound: $v is already declared as a path")
             case Some(VNode | VValue) if creating =>
               // reusing a bound node inside CREATE is legal only as a
-              // bare endpoint of a relationship pattern (Create1 [11-17])
+              // bare endpoint of a relationship pattern (Create1 [11-17]);
+              // an (even empty) property map re-defines the node
               if (np.label.nonEmpty || np.props.nonEmpty ||
+                  np.bracesGiven ||
                   (singleNodePath && boundBefore.contains(v)))
                 fail(s"VariableAlreadyBound: $v is already declared")
             case _ => ()
@@ -81,6 +91,9 @@ object Validate {
         scope.get(v) match {
           case Some(VLit) => fail(
             s"VariableTypeConflict: $v is bound to a value")
+          case Some(VListVal) if rp.varLen.isEmpty => fail(
+            s"VariableTypeConflict: $v is bound to a list/map (lists " +
+              "bind only in variable-length positions)")
           case Some(VNode) => fail(
             s"VariableTypeConflict: $v is bound to a node")
           case Some(VPath) => fail(
@@ -89,7 +102,8 @@ object Validate {
             s"VariableAlreadyBound: $v is already declared")
           case _ => ()
         }
-        if (scope.get(v) != Some(VValue)) scope += v -> VRel
+        if (scope.get(v) != Some(VValue) && scope.get(v) != Some(VListVal))
+          scope += v -> VRel
       }
       bindNode(p.head, p.tail.isEmpty)
       p.tail.foreach { case (rp, np) => bindRel(rp); bindNode(np, false) }
@@ -127,7 +141,12 @@ object Validate {
         case (Variable(v), alias) =>
           List(alias.getOrElse(v) -> scope.getOrElse(v, VValue))
         case (e, Some(a)) =>
-          List(a -> (if (isLiteralish(e)) VLit else VValue: Kind))
+          val k: Kind = e match {
+            case _ if isLiteralish(e) => VLit
+            case _: ListLit | _: MapLit => VListVal
+            case _ => VValue
+          }
+          List(a -> k)
         case (e, None) => Nil // unaliased expression: text-named value col
       }.toMap
       scope = if (star) scope ++ next else next
@@ -136,6 +155,13 @@ object Validate {
     sq.clauses.foreach {
       case Match(_, paths, _) =>
         val before = scope
+        // a relationship variable binds at most once per MATCH pattern
+        // (TCK Match3 [29]; re-matching across clauses stays legal)
+        paths.flatMap(_.tail.flatMap(_._1.variable))
+          .groupBy(identity).collectFirst {
+            case (v, xs) if xs.size > 1 => v
+          }.foreach(v => fail("RelationshipUniquenessViolation: " +
+            s"relationship variable $v used twice in one pattern"))
         paths.foreach(bindPattern(_, creating = false, before))
       case Create(paths) =>
         val before = scope

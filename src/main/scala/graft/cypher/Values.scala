@@ -477,7 +477,9 @@ object Values {
     // ternary per candidate: any TRUE → true; else any NULL comparison
     // (null elements, lists containing nulls) → null; else false
     val cmp = transform(arr, e => scalarEq(e, xs))
-    when(x.isNull || list.isNull || tag(list) =!= T_ARRAY, nB)
+    when(list.isNotNull && tag(list) === T_ARRAY && size(arr) === 0,
+      lit(false)) // anything IN [] is false, even null (TCK Null3 [7])
+      .when(x.isNull || list.isNull || tag(list) =!= T_ARRAY, nB)
       .when(exists(cmp, c => coalesce(c, lit(false))), lit(true))
       .when(exists(cmp, c => c.isNull), nB)
       .otherwise(lit(false))
