@@ -194,7 +194,8 @@ object CypherParser extends RegexParsers {
       kw("NULL") ^^^ LitNull |
       numberLit |
       stringLit ^^ (LitString(_)) |
-      "$" ~> anyIdent ^^ (Param(_)) |
+      // parameter names may be plain identifiers OR bare integers ($1)
+      "$" ~> (anyIdent | """\d+""".r) ^^ (Param(_)) |
       mapLit |
       listLit |
       "(" ~> expr <~ ")" |
