@@ -32,6 +32,18 @@ object CypherParser extends RegexParsers {
   /** identifiers where keywords are allowed (labels, reltypes, prop keys) */
   def anyIdent: Parser[String] = identRe | "`" ~> """[^`]+""".r <~ "`"
 
+  /** label / relationship-type names: the store encodes a node's labels as
+    * ONE ':'-joined ordered string, so a ':' INSIDE a (backtick-quoted)
+    * single label would silently alias the two-label encoding — reject
+    * loudly at parse time instead.
+    */
+  def labelIdent: Parser[String] = anyIdent ^^ { l =>
+    if (l.contains(":")) throw Ast.ParseRejected(
+      s"SyntaxError: ':' is not supported inside a label or relationship " +
+        s"type name (`$l` collides with the multi-label encoding)")
+    l
+  }
+
   // unrolled-loop patterns: the naive (?:[^'\\]|\\.)* alternation
   // overflows the regex engine's stack on multi-KB literals
   def stringLit: Parser[String] =
@@ -172,7 +184,7 @@ object CypherParser extends RegexParsers {
     "." ~> anyIdent ^^ (k => (e: Expr) => Prop(e, k)) |
       // label predicate in expression context (`n:Person`); chained
       // labels conjoin. NOT inside patterns — those parse via nodePat.
-      ":" ~> anyIdent ^^ (l => (e: Expr) => HasLabel(e, l)) |
+      ":" ~> labelIdent ^^ (l => (e: Expr) => HasLabel(e, l)) |
       kw("IS") ~> kw("NOT") ~> kw("NULL") ^^^ ((e: Expr) => IsNull(e, negated = true)) |
       kw("IS") ~> kw("NULL") ^^^ ((e: Expr) => IsNull(e, negated = false)) |
       ("[" ~> expr ~ opt(".." ~> opt(expr)) <~ "]") ^^ {
@@ -268,7 +280,7 @@ object CypherParser extends RegexParsers {
     // multiple labels `(n:A:B)` conjoin; the NodePat keeps them as ONE
     // ':'-joined ordered string (the node store's label encoding), deduped
     // preserving written order (`MATCH (n:A:B:A)` ≡ `(n:A:B)`)
-    "(" ~> opt(ident) ~ rep(":" ~> anyIdent) ~ opt(propMap) <~ ")" ^^ {
+    "(" ~> opt(ident) ~ rep(":" ~> labelIdent) ~ opt(propMap) <~ ")" ^^ {
       case v ~ ls ~ p => NodePat(v,
         if (ls.isEmpty) None else Some(ls.distinct.mkString(":")),
         p.getOrElse(Nil), bracesGiven = p.isDefined)
@@ -290,7 +302,7 @@ object CypherParser extends RegexParsers {
 
   private def relDetail: Parser[RelPat] =
     "[" ~> opt(ident) ~
-      opt(":" ~> rep1sep(anyIdent, "|" ~ opt(":"))) ~
+      opt(":" ~> rep1sep(labelIdent, "|" ~ opt(":"))) ~
       opt(varLenSpec) ~ opt(propMap) <~ "]" ^^ {
       case v ~ t ~ vl ~ p =>
         RelPat(v, t.getOrElse(Nil), p.getOrElse(Nil), 0, vl)
@@ -405,7 +417,7 @@ object CypherParser extends RegexParsers {
   def setItem: Parser[List[SetItem]] =
     // SET n:Label (single-label model: one write per item; the
     // translator rejects stacked labels on an already-labeled node)
-    ident ~ rep1(":" ~> anyIdent) ^^ { case v ~ labels =>
+    ident ~ rep1(":" ~> labelIdent) ^^ { case v ~ labels =>
       labels.map(l => SetItem(Variable(v), Some(LabelKey), LitString(l)))
     } |
       postfix ~ ("+=" ~> expr) ^? ({
@@ -429,7 +441,7 @@ object CypherParser extends RegexParsers {
     */
   def removeClause: Parser[Clause] =
     kw("REMOVE") ~> rep1sep(
-      ident ~ rep1(":" ~> anyIdent) ^^ { case v ~ labels =>
+      ident ~ rep1(":" ~> labelIdent) ^^ { case v ~ labels =>
         // conditional: the label comes off only if it matches
         labels.map(l => SetItem(Variable(v), Some(LabelKey),
           Fn("__remove_label", List(LitString(l)))))
@@ -472,7 +484,7 @@ object CypherParser extends RegexParsers {
     */
   def indexClause: Parser[Clause] =
     (kw("CREATE") | kw("DROP")) ~ (kw("INDEX") ~> kw("ON") ~> ":" ~>
-      anyIdent) ~ ("(" ~> anyIdent <~ ")") ^^ {
+      labelIdent) ~ ("(" ~> anyIdent <~ ")") ^^ {
       case "CREATE" ~ label ~ prop => CreateIndex(label, prop)
       case _ ~ label ~ prop => DropIndex(label, prop)
     }

@@ -215,12 +215,23 @@ class CypherSession(val spark: SparkSession) {
   def registerProcedure(signature: String, header: Seq[String],
       rows: Seq[Seq[Any]]): Unit = {
     val (name, args, outs) = Procedures.parseSignature(signature)
+    // normalize numeric cells (Int → Long) so boxed argument equality at
+    // invoke time never misses on representation (`(1: Any) == (1L: Any)`
+    // is false on the JVM)
+    def norm(v: Any): Any = v match {
+      case i: Int => i.toLong
+      case other => other
+    }
     adHocProcs += name.toLowerCase -> Procedures.AdHocProc(
-      name, args, outs, header.toList, rows.map(_.toList).toList)
+      name, args, outs, header.toList, rows.map(_.toList.map(norm)).toList)
   }
 
   private[cypher] def adHocProc(name: String): Option[Procedures.AdHocProc] =
     adHocProcs.get(name.toLowerCase)
+
+  /** Registered ad-hoc procedures, for `dbms.procedures()`. */
+  private[cypher] def adHocProcList: Seq[Procedures.AdHocProc] =
+    adHocProcs.values.toSeq.sortBy(_.name)
 
   /** Query-string → AST LRU cache (≡ the reference's execution-plan cache,
     * `src/commands/execution_ctx.c:79-87`; Catalyst plans re-derive from the

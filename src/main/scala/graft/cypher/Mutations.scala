@@ -186,9 +186,28 @@ private[cypher] final class MutationRunner(session: CypherSession) {
     * (base + rowTag*K + slot — distributed id assignment, no driver loop),
     * append to the graph, and extend the frame with the new bindings.
     */
-  private def execCreate(frame: Frame, paths: List[Ast.PathPat],
+  private def execCreate(frame0: Frame, paths: List[Ast.PathPat],
       params: Map[String, Any]): Frame = {
     val c = ctx(params)
+    // a node-position variable bound to a runtime VALUE may hold a boxed
+    // node (an entity pulled back out of a list/map — `nodeList[i]`):
+    // unbox it to a node struct so it acts as a bound endpoint instead of
+    // silently shadowing a fresh node. Non-entity runtime values unbox to
+    // null and hit the null-endpoint error below.
+    var frame = frame0
+    paths.flatMap(p => (p.head :: p.tail.map(_._2)).flatMap(_.variable))
+      .distinct
+      .filter(v => frame0.vars.get(v).contains(KValue))
+      .foreach { v =>
+        val vc = frame.col(v)
+        val unboxed = when(vc.isNull, lit(null).cast(nodeStructType))
+          .when(Values.tag(vc) === Values.T_BOXED &&
+            get_json_object(vc.getField("s"), "$.t") === Values.T_NODE,
+            from_json(vc.getField("s"), nodeStructType))
+          .otherwise(lit(null).cast(nodeStructType))
+        frame = Frame(frame.df.withColumn(v, unboxed),
+          frame.vars + (v -> (KNode: Kind)))
+      }
     val (pn, pe) = planPending(
       frame.vars.filter(_._2 != KValue).keySet, paths)
     val rid = "__create_rid"

@@ -71,14 +71,20 @@ object Procedures {
   /** Argument-to-table-cell equality: numerics compare by value across
     * int/float (a FLOAT? argument declared 42.0 matches the literal 42).
     */
-  private def argEq(cell: Any, v: Any): Boolean = (cell, v) match {
-    case (null, null) => true
-    case (null, _) | (_, null) => false
-    case (a: Long, b: Long) => a == b
-    case (a: Long, b: Double) => a.toDouble == b
-    case (a: Double, b: Long) => a == b.toDouble
-    case (a: Double, b: Double) => a == b
-    case (a, b) => a == b
+  private def argEq(cell: Any, v: Any): Boolean = {
+    def widen(x: Any): Any = x match {
+      case i: Int => i.toLong
+      case other => other
+    }
+    (widen(cell), widen(v)) match {
+      case (null, null) => true
+      case (null, _) | (_, null) => false
+      case (a: Long, b: Long) => a == b
+      case (a: Long, b: Double) => a.toDouble == b
+      case (a: Double, b: Long) => a == b.toDouble
+      case (a: Double, b: Double) => a == b
+      case (a, b) => a == b
+    }
   }
 
   private def invokeAdHoc(session: CypherSession, p: AdHocProc,
@@ -140,11 +146,38 @@ object Procedures {
       name: String): Option[List[String]] =
     session.adHocProc(name).map(_.args.map(_._1))
 
-  /** Output arity known statically (ad-hoc procs): used to enforce the
-    * in-query YIELD requirement before invocation.
+  /** Built-in procedure signatures: (arg names, output (name, type) pairs).
+    * Mirrors the reference's compiled-in registry
+    * (`src/procedures/procedure.c:29-42`); also serves `dbms.procedures()`
+    * (`src/procedures/proc_procedures.c`).
+    */
+  val builtinSignatures: List[(String, List[String], List[(String, String)])] =
+    List(
+      ("db.labels", Nil, List("label" -> "STRING")),
+      ("db.relationshipTypes", Nil, List("relationshipType" -> "STRING")),
+      ("db.propertyKeys", Nil, List("propertyKey" -> "STRING")),
+      ("db.indexes", Nil, List("type" -> "STRING", "label" -> "STRING")),
+      ("dbms.procedures", Nil,
+        List("name" -> "STRING", "signature" -> "STRING",
+          "mode" -> "STRING")),
+      ("algo.pageRank", List("label", "relationshipType"),
+        List("node" -> "NODE", "score" -> "FLOAT")),
+      ("algo.BFS", List("sourceNode", "maxLevel", "relationshipType"),
+        List("node" -> "NODE", "level" -> "INTEGER")),
+      ("db.idx.fulltext.createNodeIndex", List("label", "property"),
+        List("status" -> "STRING")),
+      ("db.idx.fulltext.drop", List("label"), List("status" -> "STRING")),
+      ("db.idx.fulltext.queryNodes", List("label", "query"),
+        List("node" -> "NODE", "score" -> "FLOAT")))
+
+  /** Output arity known statically (ad-hoc AND built-in procs): used to
+    * enforce the in-query YIELD requirement uniformly before invocation.
     */
   def declaredOuts(session: CypherSession, name: String): Option[Int] =
-    session.adHocProc(name).map(_.outs.length)
+    session.adHocProc(name).map(_.outs.length).orElse(
+      builtinSignatures.collectFirst {
+        case (n, _, outs) if n.equalsIgnoreCase(name) => outs.length
+      })
 
   def invoke(session: CypherSession, name: String,
       args: List[Any]): ProcResult = {
@@ -173,6 +206,35 @@ object Procedures {
         (n.unionByName(e).distinct()
           .select(Values.vStr(col("k")).as("propertyKey")),
           Map("propertyKey" -> KValue))
+
+      // `src/procedures/proc_procedures.c`: list the registry — built-ins
+      // plus session-registered ad-hoc procedures, with their signatures
+      case "dbms.procedures" =>
+        val spark = session.spark
+        import scala.jdk.CollectionConverters._
+        def sig(name: String, args: List[String],
+            outs: List[(String, String)]): String =
+          s"$name(${args.mkString(", ")}) :: (${outs.map {
+            case (n, t) => s"$n :: $t" }.mkString(", ")})"
+        val builtins = builtinSignatures.map { case (n, a, o) =>
+          val mode =
+            if (n.startsWith("db.idx.fulltext.") && n != "db.idx.fulltext.queryNodes")
+              "WRITE" else "READ"
+          org.apache.spark.sql.Row(n, sig(n, a, o), mode)
+        }
+        val adhoc = session.adHocProcList.map { p =>
+          org.apache.spark.sql.Row(p.name,
+            sig(p.name, p.args.map(_._1), p.outs), "READ")
+        }
+        val rows = (builtins ++ adhoc).sortBy(_.getString(0))
+        (spark.createDataFrame(rows.asJava, StructType(Seq(
+          StructField("name", StringType),
+          StructField("signature", StringType),
+          StructField("mode", StringType))))
+          .select(Values.vStr(col("name")).as("name"),
+            Values.vStr(col("signature")).as("signature"),
+            Values.vStr(col("mode")).as("mode")),
+          Map("name" -> KValue, "signature" -> KValue, "mode" -> KValue))
 
       case "db.indexes" =>
         val spark = session.spark

@@ -393,7 +393,9 @@ object Translator {
       // standalone call produces an empty result
       if (c.yields.nonEmpty) throw TranslateError(
         s"procedure ${c.name} yields no outputs")
-      return if (frame.vars.isEmpty) Frame(df, Map.empty) else frame
+      // in-query VOID calls pass the frame's rows through untouched (the
+      // frame may legitimately have zero vars — a unit frame mid-query)
+      return if (standalone) Frame(df, Map.empty) else frame
     }
     val (outDf, outKinds) =
       if (c.yields.isEmpty) (df, kinds)
@@ -520,9 +522,39 @@ object Translator {
     val edgeVars = scala.collection.mutable.ArrayBuffer[String]()
     val segs = scala.collection.mutable.ArrayBuffer[PathSeg](NodeSeg(prev))
     val temps = scala.collection.mutable.ArrayBuffer[String]()
+    // pattern-wide relationship uniqueness: id-array columns of every
+    // var-len segment in THIS pattern (each kept until the path ends) —
+    // cross-checked against each other and against single-hop edges below
+    val varSegIdCols = scala.collection.mutable.ArrayBuffer[String]()
     val needAcc = p.pathVar.isDefined || p.shortest
     p.tail.foreach { case (rel, node) =>
       rel.varLen match {
+        // var-len with an ALREADY-BOUND relationship-list variable: not a
+        // free traversal — the edge sequence must EQUAL the bound list
+        // (TCK Match4 [8]); expand then constrain on the id sequence
+        case Some((mn, mx)) if rel.variable.exists(rv =>
+            f.vars.get(rv).exists(k => k == KRelList || k == KValue)) =>
+          val rv = rel.variable.get
+          val boundIds: Column = f.vars(rv) match {
+            case KRelList =>
+              transform(f.col(rv), r => r.getField("id"))
+            case _ => // variant list of boxed edges
+              transform(f.col(rv).getField("arr"), e =>
+                get_json_object(e.getField("s"), "$.id").cast(LongType))
+          }
+          val (f2, acc) = expandVarLen(ctx, f, prev,
+            rel.copy(variable = None), node, mn,
+            mx.getOrElse(unboundedMaxHops(ctx, rel)),
+            keepAcc = needAcc, keepIds = Some(freshName("vids")))
+          val idsCol = acc.idsCol.get
+          f = f2.copy(df = f2.df.filter(col(s"`$idsCol`") === boundIds))
+          varSegIdCols += idsCol
+          temps += idsCol
+          acc.arrs.foreach { case (relsCol, nodesCol) =>
+            segs += VarSeg(relsCol, nodesCol)
+            temps += relsCol
+            temps += nodesCol
+          }
         case None =>
           val (f2, ev) = expandOne(ctx, f, prev, rel, node)
           f = f2
@@ -531,7 +563,9 @@ object Translator {
           segs += NodeSeg(node.variable.getOrElse(nameOf(node)))
         case Some((mn, mx)) =>
           val (f2, acc) = expandVarLen(ctx, f, prev, rel, node, mn,
-            mx.getOrElse(15), keepAcc = needAcc || rel.variable.isDefined)
+            mx.getOrElse(unboundedMaxHops(ctx, rel)),
+            keepAcc = needAcc || rel.variable.isDefined,
+            keepIds = Some(freshName("vids")))
           f = f2
           // the rel variable binds the traversed-edge LIST (Cypher var-len
           // semantics) — register its kind so size()/projection see a raw
@@ -539,13 +573,31 @@ object Translator {
           rel.variable.foreach { rv =>
             f = f.copy(vars = f.vars + (rv -> KRelList))
           }
-          acc.foreach { case (relsCol, nodesCol) =>
+          acc.idsCol.foreach { idsCol =>
+            varSegIdCols += idsCol
+            temps += idsCol
+          }
+          acc.arrs.foreach { case (relsCol, nodesCol) =>
             segs += VarSeg(relsCol, nodesCol)
             if (rel.variable.isEmpty) temps += relsCol
             temps += nodesCol
           }
       }
       prev = node.variable.getOrElse(nameOf(node))
+    }
+    // relationship uniqueness ACROSS segments of one pattern (openCypher
+    // relationship isomorphism; within-segment uniqueness is enforced
+    // during expansion): no single-hop edge inside a var-len segment's
+    // edges, no overlap between two var-len segments
+    varSegIdCols.foreach { idsCol =>
+      edgeVars.foreach { ev =>
+        f = f.copy(df = f.df.filter(!array_contains(
+          col(s"`$idsCol`"), f.col(ev).getField("id"))))
+      }
+    }
+    varSegIdCols.toList.combinations(2).foreach { case List(a, b) =>
+      f = f.copy(df = f.df.filter(
+        !arrays_overlap(col(s"`$a`"), col(s"`$b`"))))
     }
     if (p.shortest) {
       // shortestPath (`path_funcs.c:108-190`: BFS, ONE minimal path per
@@ -1022,9 +1074,31 @@ object Translator {
     * per-hop join shuffles on the frontier key, which successive iterations
     * reuse.
     */
+  /** What a var-len expansion left in the frame: the rels/nodes entity
+    * arrays (when accumulated) and the traversed-edge-ID array column
+    * (when requested — pattern-wide uniqueness / bound-list re-match).
+    */
+  private case class VarLenAcc(arrs: Option[(String, String)],
+      idsCol: Option[String])
+
+  /** Practical cap for an UNBOUNDED var-len expansion: edge uniqueness
+    * bounds any path by the number of candidate edges, so the cap is EXACT
+    * whenever the (type-filtered) edge count is under the 64-hop scale
+    * guard; beyond that the per-hop empty-frontier early exit is the real
+    * terminator and 64 is a declared depth limit (the reference's DFS has
+    * no limit but walks one path at a time, `algorithms/all_paths.c`).
+    */
+  private def unboundedMaxHops(ctx: Ctx, rel: Ast.RelPat): Int = {
+    val ec = rel.types match {
+      case Nil => ctx.graph.edgeCount
+      case ts => ts.map(t => ctx.graph.reltypeCounts.getOrElse(t, 0L)).sum
+    }
+    math.max(1L, math.min(64L, ec)).toInt
+  }
+
   private def expandVarLen(ctx: Ctx, frame: Frame, prev: String,
       rel: Ast.RelPat, node: Ast.NodePat, minH: Int, maxH: Int,
-      keepAcc: Boolean): (Frame, Option[(String, String)]) = {
+      keepAcc: Boolean, keepIds: Option[String] = None): (Frame, VarLenAcc) = {
     val nname = nameOf(node)
     val relsName = rel.variable.getOrElse(freshName("vrels"))
     val nodesName = freshName("vnodes")
@@ -1116,7 +1190,11 @@ object Translator {
         }
         f
       }
-    var df = result.df.drop("__vstart", "__vcur", "__vrelids")
+    var df = result.df.drop("__vstart", "__vcur")
+    val idsCol = keepIds match {
+      case Some(n) => df = df.withColumnRenamed("__vrelids", n); Some(n)
+      case None => df = df.drop("__vrelids"); None
+    }
     val acc =
       if (keepAcc || rel.variable.isDefined) {
         df = df.withColumnRenamed("__vrels", relsName)
@@ -1124,7 +1202,7 @@ object Translator {
         Some((relsName, nodesName))
       } else None
     val vars = result.vars ++ rel.variable.map(_ -> KValue)
-    (Frame(df, vars), acc)
+    (Frame(df, vars), VarLenAcc(acc, idsCol))
   }
 
   /** indegree/outdegree (`entity_funcs.c:186-230`): a per-node degree needs
@@ -1714,6 +1792,7 @@ object Translator {
           case Ast.ListComprehension(_, l, w2, p) =>
             walk(l); w2.foreach(walk); p.foreach(walk)
           case Ast.Quantifier(_, _, l, p) => walk(l); walk(p)
+          case Ast.HasLabel(t, _) => walk(t)
           case _ => ()
         }
         walk(e)
@@ -1751,6 +1830,7 @@ object Translator {
         case Ast.ListLit(xs) => Ast.ListLit(xs.map(extract))
         case Ast.MapLit(entries) => Ast.MapLit(entries.map { case (k, v) =>
           (k, extract(v)) })
+        case Ast.HasLabel(x, l) => Ast.HasLabel(extract(x), l)
         case other => other
       }
       val rewritten = litems.map { case (e, n) =>
@@ -2187,6 +2267,39 @@ object Translator {
             // `head(collect({k: v})`)
             case Some(s: StructType) if isMapStruct(s) =>
               if (distinct) collect_set(raw) else collect_list(raw)
+            // entity/path-valued EXPRESSIONS (startNode(r), nodes(p)[0]):
+            // same raw-struct collect as the Variable branch
+            case Some(s: StructType) if s.fieldNames.contains("props") ||
+                s.fieldNames.contains("nodes") =>
+              if (!distinct) collect_list(raw)
+              else {
+                val arr = collect_list(raw)
+                def key(x: Column): Column =
+                  if (s.fieldNames.contains("nodes")) struct(
+                    transform(x.getField("nodes"),
+                      n => n.getField("id")).as("n"),
+                    transform(x.getField("rels"),
+                      r => r.getField("id")).as("r"))
+                  else x.getField("id")
+                filter(arr, (e, i) =>
+                  array_position(transform(arr, x => key(x)), key(e)) ===
+                    (i + 1).cast(LongType))
+              }
+            // typed entity arrays (`collect(nodes(p))`, `collect(rs)`):
+            // array-of-arrays, elements deterministically ordered by their
+            // id sequence (the reference's scan-order emission — a
+            // partitioned engine loses arrival order at the shuffle)
+            case Some(ArrayType(et: StructType, _))
+                if et.fieldNames.contains("id") =>
+              def key(x: Column): Column =
+                transform(x, e => e.getField("id"))
+              val arr = array_sort(collect_list(raw), (a, b) =>
+                when(key(a) < key(b), -1)
+                  .when(key(a) > key(b), 1).otherwise(0))
+              if (!distinct) arr
+              else filter(arr, (e, i) =>
+                array_position(transform(arr, x => key(x)), key(e)) ===
+                  (i + 1).cast(LongType))
             case _ =>
               val v = Values.narrow(raw)
               // deterministic element order: when the collected expression
@@ -2341,6 +2454,10 @@ object Translator {
           val c = t(item)
           typeOf(frame, item, c) match {
             case Some(st: StructType) if isVariantStruct(st) => narrow(c)
+            case Some(st: StructType) if st.fieldNames.contains("nodes") =>
+              // path value → boxed {nodes, rels} (untagged JSON object —
+              // the boxed-path encoding, see resolvePatternComprehensions)
+              Values.sBoxed(to_json(c))
             case Some(st: StructType) if st.fieldNames.contains("props") =>
               Values.sBoxed(
                 if (st.fieldNames.contains("reltype")) boxEdge(c)
@@ -2427,31 +2544,74 @@ object Translator {
           case Ast.Variable(n) => frame.vars.get(n).contains(KPath)
           case _ => false
         }
-        if ((op == "=" || op == "<>") && isPath(l) && isPath(r)) {
-          // path identity = node+rel id sequences; traversal direction is
-          // not significant (TCK Comparison1 [14]) so the reversed
-          // sequence is the same path
-          val pa = t(l); val pb = t(r)
+        if (op == "=" || op == "<>") {
+          // operand SHAPES (static, lambda-binding aware): 0 variant,
+          // 1 node struct, 2 edge struct, 3 path struct, 4 typed map
+          val cl = t(l); val cr = t(r)
+          def shape(e: Ast.Expr, c: Column): Int =
+            typeOf(frame, e, c) match {
+              case Some(st: StructType) if isVariantStruct(st) => 0
+              case Some(st: StructType) if st.fieldNames.contains("nodes") => 3
+              case Some(st: StructType)
+                  if st.fieldNames.contains("reltype") => 2
+              case Some(st: StructType) if st.fieldNames.contains("props") => 1
+              case Some(st: StructType) if isMapStruct(st) => 4
+              case _ => 0
+            }
+          val sl = shape(l, cl); val sr = shape(r, cr)
           def ids(p: Column, f: String) =
             transform(p.getField(f), x => x.getField("id"))
-          val c =
+          /** path identity = node+rel id sequences; traversal direction is
+            * not significant (TCK Comparison1 [14]) so the reversed
+            * sequence is the same path
+            */
+          def pathEq(pa: Column, pb: Column): Column =
             (ids(pa, "nodes") === ids(pb, "nodes") &&
               ids(pa, "rels") === ids(pb, "rels")) ||
               (ids(pa, "nodes") === reverse(ids(pb, "nodes")) &&
                 ids(pa, "rels") === reverse(ids(pb, "rels")))
-          vBool(if (op == "=") c else !c)
-        } else if ((op == "=" || op == "<>") && isEntity(l) && isEntity(r)) {
-          val c = t(l).getField("id") === t(r).getField("id")
-          if (op == "=") vBool(c) else vBool(!c)
-        } else if (op == "=" || op == "<>") {
-          // schema probe: a side may be a typed map struct (map VALUES)
-          val cl = t(l); val cr = t(r)
-          val dl = dataTypeOf(frame, cl); val dr = dataTypeOf(frame, cr)
-          val eqc =
-            if (dl.exists(isMapStruct) || dr.exists(isMapStruct))
-              mapEq(cl, dl.getOrElse(Values.variantType),
-                cr, dr.getOrElse(Values.variantType))
-            else Values.eq(cl, cr)
+          /** entity struct vs runtime variant: null → null; a BOXED entity
+            * of the same kind compares by id; anything else is false
+            */
+          def entVsVariant(ent: Column, kind: Int, v: Column): Column = {
+            val js = v.getField("s")
+            val jsT = get_json_object(js, "$.t").cast(IntegerType)
+            val jsId = get_json_object(js, "$.id").cast(LongType)
+            val want = if (kind == 2) Values.T_EDGE else Values.T_NODE
+            when(ent.isNull || v.isNull, lit(null).cast(BooleanType))
+              .when(Values.tag(v) === Values.T_BOXED && jsT === want,
+                jsId === ent.getField("id"))
+              .otherwise(lit(false))
+          }
+          /** path struct vs runtime variant: unbox {nodes, rels} JSON. */
+          def pathVsVariant(p: Column, v: Column): Column = {
+            val idsT = ArrayType(StructType(Seq(StructField("id", LongType))))
+            val unboxed = from_json(v.getField("s"), StructType(Seq(
+              StructField("nodes", idsT), StructField("rels", idsT))))
+            when(p.isNull || v.isNull, lit(null).cast(BooleanType))
+              .when(Values.tag(v) === Values.T_BOXED &&
+                unboxed.getField("nodes").isNotNull, pathEq(p, unboxed))
+              .otherwise(lit(false))
+          }
+          val eqc = (sl, sr) match {
+            case (3, 3) => pathEq(cl, cr)
+            case (a, b) if a == b && (a == 1 || a == 2) =>
+              when(cl.isNull || cr.isNull, lit(null).cast(BooleanType))
+                .otherwise(cl.getField("id") === cr.getField("id"))
+            case (a, 0) if a == 1 || a == 2 => entVsVariant(cl, a, cr)
+            case (0, b) if b == 1 || b == 2 => entVsVariant(cr, b, cl)
+            case (3, 0) => pathVsVariant(cl, cr)
+            case (0, 3) => pathVsVariant(cr, cl)
+            case (a, b) if a == 4 || b == 4 =>
+              mapEq(cl, typeOf(frame, l, cl).getOrElse(Values.variantType),
+                cr, typeOf(frame, r, cr).getOrElse(Values.variantType))
+            case (a, b) if a != b =>
+              // node vs edge vs path: distinct kinds are never equal,
+              // null operands stay ternary
+              when(cl.isNull || cr.isNull, lit(null).cast(BooleanType))
+                .otherwise(lit(false))
+            case _ => Values.eq(cl, cr)
+          }
           vBool(if (op == "=") eqc else !eqc)
         } else op match {
           case "OR" => or(t(l), t(r))
@@ -2460,12 +2620,14 @@ object Translator {
           case "<" | "<=" | ">" | ">=" =>
             val (a, b) = (t(l), t(r))
             // entity/path/map-struct operands are not orderable → ternary
-            // null (SI_VALUES_ARE_COMPARABLE DISJOINT)
-            val structOperand = Seq(a, b).exists(c =>
-              dataTypeOf(frame, c).exists {
+            // null (SI_VALUES_ARE_COMPARABLE DISJOINT); lambda-binding
+            // aware so comprehension bodies over entity lists hit it too
+            val structOperand = Seq((l, a), (r, b)).exists { case (e, c) =>
+              typeOf(frame, e, c).exists {
                 case st: StructType if !isVariantStruct(st) => true
                 case _ => false
-              })
+              }
+            }
             if (structOperand) vNull
             else vBool(op match {
               case "<" => lt(a, b)
@@ -2474,7 +2636,22 @@ object Translator {
               case ">=" => gte(a, b)
             })
           case "+" =>
-            val (a, b) = (t(l), t(r))
+            // typed entity/path arrays (collect(n), nodes(p)) concatenate
+            // with variant lists — box their elements into the variant
+            // encoding first ([a] + collect(n) + [b], TCK Match4 [4])
+            def variantize(e: Ast.Expr, c: Column): Column =
+              typeOf(frame, e, c) match {
+                case Some(ArrayType(et: StructType, _))
+                    if et.fieldNames.contains("props") =>
+                  Values.vArr(transform(c, x => Values.sBoxed(
+                    if (et.fieldNames.contains("reltype")) boxEdge(x)
+                    else boxNode(x))))
+                case Some(ArrayType(et: StructType, _))
+                    if et.fieldNames.contains("nodes") =>
+                  Values.vArr(transform(c, x => Values.sBoxed(to_json(x))))
+                case _ => c
+              }
+            val (a, b) = (variantize(l, t(l)), variantize(r, t(r)))
             when(Values.isTemporal(a) || Values.isTemporal(b),
               temporalFn("add", a, b)).otherwise(add(a, b))
           case "-" =>

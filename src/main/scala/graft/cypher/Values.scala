@@ -367,43 +367,98 @@ object Values {
   def gt(a: Column, b: Column): Column = lt(b, a)
   def gte(a: Column, b: Column): Column = lte(b, a)
 
-  /** Global-order sort key (`value.h:19-41` enum ranks): sortable struct —
-    * (typeRank, numeric, string, bool). ORDER BY ASC puts NULL last (enum
-    * T_NULL highest) → pair with asc_nulls_last/desc_nulls_first.
+  /** Global-order type rank (openCypher CIP total order ≡ `value.h:19-41`
+    * enum: MAP < NODE < RELATIONSHIP < LIST < PATH < temporals < STRING <
+    * BOOLEAN < NUMBER < NULL). BOXED values (entities/maps/paths inside
+    * variants) rank by the tag inside their JSON encoding — an untagged
+    * JSON object is a boxed path (`{"nodes":…,"rels":…}`).
     */
-  def orderKey(v: Column): Column = {
-    val rank =
-      when(tag(v) === T_ARRAY, 3)
-        .when(tag(v) === T_NODE, 1)
-        .when(tag(v) === T_EDGE, 2)
-        .when(tag(v) === T_DATETIME, 4)
-        .when(tag(v) === T_LOCALDATETIME, 5)
-        .when(tag(v) === T_DATE, 6)
-        .when(tag(v) === T_TIME, 7)
-        .when(tag(v) === T_LOCALTIME, 8)
-        .when(tag(v) === T_DURATION, 9)
-        .when(tag(v) === T_STRING, 11)
-        .when(tag(v) === T_BOOL, 12)
-        .otherwise(13) // numerics
-    // temporal sort magnitude: the type's primary instant/anchor value
-    // (durations: months-biased approximation; the s text tiebreaks)
-    val tnum =
-      when(tag(v) === T_DATE || tag(v) === T_LOCALTIME,
-        v.getField("i").cast(DoubleType))
-        .when(tag(v) === T_TIME, timeEff(v))
-        .when(tag(v) === T_LOCALDATETIME || tag(v) === T_DATETIME,
-          v.getField("i").cast(DoubleType) + v.getField("f") / 1e9d)
-        .when(tag(v) === T_DURATION,
-          v.getField("i") * 2629746d + v.getField("f") * 86400d)
-        .otherwise(num(v))
-    when(v.isNull, lit(null).cast(StructType(Seq(
-      StructField("r", IntegerType), StructField("n", DoubleType),
-      StructField("s", StringType), StructField("b", BooleanType),
-      StructField("a", ArrayType(elemType))))))
-      .otherwise(struct(rank.as("r"), tnum.as("n"),
-        v.getField("s").as("s"), v.getField("b").as("b"),
-        v.getField("arr").as("a")))
+  private def rankOf(v: Column): Column = {
+    val bt = get_json_object(v.getField("s"), "$.t").cast(IntegerType)
+    when(tag(v) === T_BOXED,
+      when(bt === T_BOXED_MAP, 0)
+        .when(bt === T_NODE, 1)
+        .when(bt === T_EDGE, 2)
+        .when(bt === T_ARRAY, 3)
+        .otherwise(4)) // path
+      .when(tag(v) === T_NODE, 1)
+      .when(tag(v) === T_EDGE, 2)
+      .when(tag(v) === T_ARRAY, 3)
+      .when(tag(v) === T_DATETIME, 5)
+      .when(tag(v) === T_LOCALDATETIME, 6)
+      .when(tag(v) === T_DATE, 7)
+      .when(tag(v) === T_TIME, 8)
+      .when(tag(v) === T_LOCALTIME, 9)
+      .when(tag(v) === T_DURATION, 10)
+      .when(tag(v) === T_STRING, 11)
+      .when(tag(v) === T_BOOL, 12)
+      .otherwise(13) // numerics
   }
+
+  /** Within-rank numeric sort magnitude: the numeric value itself,
+    * temporals' primary instant/anchor (durations: months-biased
+    * approximation; the s text tiebreaks), boxed entities' id.
+    */
+  private def numOf(v: Column): Column =
+    when(tag(v) === T_DATE || tag(v) === T_LOCALTIME,
+      v.getField("i").cast(DoubleType))
+      .when(tag(v) === T_TIME, timeEff(v))
+      .when(tag(v) === T_LOCALDATETIME || tag(v) === T_DATETIME,
+        v.getField("i").cast(DoubleType) + v.getField("f") / 1e9d)
+      .when(tag(v) === T_DURATION,
+        v.getField("i") * 2629746d + v.getField("f") * 86400d)
+      .when(tag(v) === T_BOXED,
+        get_json_object(v.getField("s"), "$.id").cast(DoubleType))
+      .otherwise(num(v))
+
+  /** Rank a NULL sorts with inside a composite (list element): above every
+    * value type, so `[1, null]` < `[null, 1]` and DESC is the exact
+    * reverse (Spark's own array ordering would put null elements FIRST).
+    */
+  val NullRank = 14
+
+  /** Sort-key struct type with `d` levels of list-element nesting. */
+  private def keyType(d: Int): StructType = {
+    val base = Seq(
+      StructField("r", IntegerType), StructField("n", DoubleType),
+      StructField("s", StringType), StructField("b", BooleanType))
+    StructType(
+      if (d <= 0) base
+      else base :+ StructField("a", ArrayType(keyType(d - 1))))
+  }
+
+  /** Recursive order key: list elements map to keys themselves (null
+    * element → rank [[NullRank]]), so the lexicographic array comparison
+    * Spark applies IS the Cypher list order with nulls greatest.
+    */
+  private def orderKeyAt(v: Column, d: Int): Column = {
+    val base = Seq(rankOf(v).as("r"), numOf(v).as("n"),
+      v.getField("s").as("s"), v.getField("b").as("b"))
+    val withArr =
+      if (d <= 0) base
+      else base :+ transform(v.getField("arr"),
+        e => orderKeyAt(e, d - 1)).as("a")
+    val nullKey =
+      if (d <= 0) Seq(lit(NullRank).as("r"),
+        lit(null).cast(DoubleType).as("n"),
+        lit(null).cast(StringType).as("s"),
+        lit(null).cast(BooleanType).as("b"))
+      else Seq(lit(NullRank).as("r"), lit(null).cast(DoubleType).as("n"),
+        lit(null).cast(StringType).as("s"),
+        lit(null).cast(BooleanType).as("b"),
+        lit(null).cast(ArrayType(keyType(d - 1))).as("a"))
+    when(v.isNull, struct(nullKey: _*)).otherwise(struct(withArr: _*))
+  }
+
+  /** Global-order sort key (`value.h:19-41` enum ranks): sortable struct —
+    * (typeRank, numeric, string, bool, element keys). ORDER BY ASC puts a
+    * NULL VALUE last (enum T_NULL highest) → pair with
+    * asc_nulls_last/desc_nulls_first; null ELEMENTS inside lists rank
+    * [[NullRank]] inside the key itself.
+    */
+  def orderKey(v: Column): Column =
+    when(v.isNull, lit(null).cast(keyType(MaxNest)))
+      .otherwise(orderKeyAt(v, MaxNest))
 
   // ── ternary boolean ops ───────────────────────────────────────────────────
   /** Extract SQL boolean (null-preserving); non-bool variants → null. */
