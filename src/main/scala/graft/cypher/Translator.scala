@@ -206,6 +206,9 @@ object Translator {
       case Ast.Prop(Ast.Variable(n), k) =>
         acc(n) = acc.getOrElse(n, Set.empty) + k
       case Ast.PatternPred(p) => pathPat(p)
+      // foreachExpr walks the comprehension's where/projection but not its
+      // pattern — register the inner pattern's `{k: v}` property reads here
+      case Ast.PatternComprehension(p, _, _) => pathPat(p)
       case _ => ()
     }
     def pathPat(p: Ast.PathPat): Unit = {
@@ -287,6 +290,17 @@ object Translator {
       case Ast.ListComprehension(_, l, w, p) =>
         expr(l); w.foreach(expr); p.foreach(expr)
       case Ast.Quantifier(_, _, l, p) => expr(l); expr(p)
+      case Ast.PatternComprehension(p, w, pr) =>
+        // a named-path comprehension ([p = (n)-->() | p]) materializes its
+        // entities into path arrays — pin the whole pattern full, like any
+        // named path; otherwise only pattern-prop exprs + body matter
+        if (p.pathVar.isDefined) markPath(p)
+        p.head.props.foreach(kv => expr(kv._2))
+        p.tail.foreach { case (rp, np) =>
+          rp.props.foreach(kv => expr(kv._2))
+          np.props.foreach(kv => expr(kv._2))
+        }
+        w.foreach(expr); expr(pr)
       case _ => ()
     }
     def markPath(p: Ast.PathPat): Unit = {
@@ -1257,28 +1271,61 @@ object Translator {
       exprs: Seq[Ast.Expr]): (Frame, Ast.Expr => Ast.Expr) = {
     val found =
       scala.collection.mutable.LinkedHashMap[Ast.PatternComprehension, String]()
-    // top-level occurrences only (an inner comprehension evaluates inside
-    // its parent's sub-match, not against this frame)
-    def walk(e: Ast.Expr): Unit = e match {
-      case pc: Ast.PatternComprehension =>
-        found.getOrElseUpdate(pc, freshName("pcmp")); ()
-      case other => Ast.foreachExpr(other) {
-        case pc: Ast.PatternComprehension if !(other eq pc) =>
-          found.getOrElseUpdate(pc, freshName("pcmp")); ()
+    // comprehensions referencing an enclosing LAMBDA variable (list
+    // comprehension / quantifier binder) can't be hoisted against the frame
+    // — they resolve per lambda element via a head-id → list map (below):
+    // pc → (map column name, lambda-bound head variable)
+    val lambdaFound = scala.collection.mutable
+      .LinkedHashMap[Ast.PatternComprehension, (String, String)]()
+    // every variable a comprehension mentions (pattern vars included)
+    def pcRefs(pc: Ast.PatternComprehension): Set[String] = {
+      val vs = scala.collection.mutable.Set[String]()
+      def ex(e: Ast.Expr): Unit = Ast.foreachExpr(e) {
+        case Ast.Variable(n) => vs += n
         case _ => ()
       }
+      pc.path.head.variable.foreach(vs += _)
+      pc.path.head.props.foreach(kv => ex(kv._2))
+      pc.path.tail.foreach { case (rp, np) =>
+        rp.variable.foreach(vs += _); np.variable.foreach(vs += _)
+        rp.props.foreach(kv => ex(kv._2)); np.props.foreach(kv => ex(kv._2))
+      }
+      pc.where.foreach(ex); ex(pc.projection)
+      vs.toSet
     }
-    exprs.foreach(walk)
-    if (found.isEmpty) return (frame, identity[Ast.Expr] _)
-    var f = frame
-    found.foreach { case (pc, tmp) =>
-      val rid = freshName("rid")
-      val tagged = pinRid(ctx, f.df, rid)
-      val seed = Frame(tagged, f.vars)
-      var (inner, _) = translatePath(ctx, seed, pc.path)
-      pc.where.foreach { w => inner = applyWhere(ctx, inner, w) }
-      val c = trExpr(ctx, inner, pc.projection)
-      val elem = typeOf(inner, pc.projection, c) match {
+    // top-level occurrences only (an inner comprehension evaluates inside
+    // its parent's sub-match, not against this frame); lambda binders are
+    // tracked so a comprehension headed by the lambda variable is routed
+    // to the map-lookup plan (TCK Pattern3 [11])
+    def walk(e: Ast.Expr, bound: Set[String]): Unit = e match {
+      case pc: Ast.PatternComprehension =>
+        val lam = pcRefs(pc) intersect bound
+        if (lam.isEmpty) { found.getOrElseUpdate(pc, freshName("pcmp")); () }
+        else {
+          val hv = pc.path.head.variable
+          if (!hv.exists(h => lam == Set(h))) throw TranslateError(
+            "pattern comprehension may reference an enclosing lambda " +
+              s"variable only as its pattern head (got ${lam.mkString(", ")})")
+          lambdaFound.getOrElseUpdate(pc, (freshName("pcmap"), hv.get)); ()
+        }
+      case Ast.ListComprehension(v, l, w, p) =>
+        walk(l, bound); (w.toSeq ++ p.toSeq).foreach(walk(_, bound + v))
+      case Ast.Quantifier(_, v, l, p) => walk(l, bound); walk(p, bound + v)
+      case other => Ast.childExprs(other).foreach(walk(_, bound))
+    }
+    exprs.foreach(walk(_, Set.empty))
+    if (found.isEmpty && lambdaFound.isEmpty)
+      return (frame, identity[Ast.Expr] _)
+    // element value + deterministic intra-list order key for one translated
+    // sub-match (shared by the frame-correlated and lambda plans); nested
+    // comprehensions in the projection resolve against the sub-match frame
+    def elemOf(inner0: Frame, pc: Ast.PatternComprehension)
+        : (Frame, Column, Column) = {
+      val (inner, prw) =
+        resolvePatternComprehensions(ctx, inner0, Seq(pc.projection))
+      val proj = prw(pc.projection)
+      val c = trExpr(ctx, inner, proj)
+      val elem = typeOf(inner, proj, c) match {
         case Some(st: StructType) if isVariantStruct(st) => Values.narrow(c)
         case Some(st: StructType) if st.fieldNames.contains("nodes") =>
           Values.sBoxed(to_json(c)) // path value → boxed {nodes, rels}
@@ -1296,6 +1343,16 @@ object Translator {
         }).filter(n => inner.vars.get(n).exists(k => k == KNode || k == KEdge))
         .map(n => -inner.col(n).getField("id"))
       val key = if (idCols.isEmpty) array(lit(0L)) else array(idCols: _*)
+      (inner, elem, key)
+    }
+    var f = frame
+    found.foreach { case (pc, tmp) =>
+      val rid = freshName("rid")
+      val tagged = pinRid(ctx, f.df, rid)
+      val seed = Frame(tagged, f.vars)
+      var (inner0, _) = translatePath(ctx, seed, pc.path)
+      pc.where.foreach { w => inner0 = applyWhere(ctx, inner0, w) }
+      val (inner, elem, key) = elemOf(inner0, pc)
       val collected = inner.df
         .groupBy(inner.col(rid).as(rid))
         .agg(collect_list(struct(key.as("k"), elem.as("v"))).as("__pcl"))
@@ -1307,9 +1364,32 @@ object Translator {
         .drop(rid)
       f = Frame(joined, f.vars + (tmp -> KValue))
     }
+    lambdaFound.foreach { case (pc, (tmp, hv)) =>
+      // the comprehension's value depends only on the head entity: match
+      // the pattern ONCE with the head free, group per head id, and ship
+      // the id → list map to every row (broadcast singleton). Bounded by
+      // the pattern's total match count — the same rows a per-element
+      // re-match would produce, materialized once instead of per row.
+      val unit = ctx.graph.nodes.sparkSession.range(1).toDF("__pc_unit")
+      var (inner0, _) = translatePath(ctx, Frame(unit, Map.empty), pc.path)
+      pc.where.foreach { w => inner0 = applyWhere(ctx, inner0, w) }
+      val (inner, elem, key) = elemOf(inner0, pc)
+      val grouped = inner.df
+        .groupBy(inner.col(hv).getField("id").as("__pc_hid"))
+        .agg(collect_list(struct(key.as("k"), elem.as("v"))).as("__pcl"))
+        .select(col("__pc_hid"),
+          transform(array_sort(col("__pcl")), x => x.getField("v"))
+            .as("__pc_lst"))
+      val mapDf = grouped.agg(map_from_entries(
+        collect_list(struct(col("__pc_hid"), col("__pc_lst")))).as(tmp))
+      f = Frame(f.df.crossJoin(broadcast(mapDf)), f.vars + (tmp -> KValue))
+    }
     val rewrite = (e: Ast.Expr) => Ast.transformExpr(e) {
       case pc: Ast.PatternComprehension if found.contains(pc) =>
         Ast.Variable(found(pc))
+      case pc: Ast.PatternComprehension if lambdaFound.contains(pc) =>
+        val (tmp, hv) = lambdaFound(pc)
+        Ast.PcLookup(tmp, Ast.Fn("id", List(Ast.Variable(hv))))
     }
     (f, rewrite)
   }
@@ -2424,6 +2504,13 @@ object Translator {
       case Ast.LitBool(v) => vBool(lit(v))
       case Ast.LitNull => vNull
       case Ast.Param(name) => paramValue(ctx, name)
+      case Ast.PcLookup(mv, keyE) =>
+        // hoisted lambda-correlated pattern comprehension (see
+        // resolvePatternComprehensions): per-element lookup into the
+        // broadcast head-id → element-list map; unmatched/null head → []
+        val k = t(keyE)
+        vArr(coalesce(element_at(frame.col(mv), k.getField("i")),
+          array().cast(ArrayType(Values.elemType))))
       case Ast.ListLit(items) if items.nonEmpty && items.forall(isPureLit) =>
         // all-literal list: fold to ONE Catalyst Literal driver-side.
         // Per-element array(when(...struct...)) trees make the generated
