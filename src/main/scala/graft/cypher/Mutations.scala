@@ -26,6 +26,13 @@ private[cypher] final class MutationRunner(session: CypherSession) {
   private var propsSet = 0L
   private var nodesDeleted = 0L
   private var relsDeleted = 0L
+  // first id this statement allocated (captured at the first CREATE/MERGE,
+  // where the base is computed anyway) — lets DELETE net out entities the
+  // same statement created (TCK Delete4 [3] "no side effects")
+  private var stmtNodeBase = Long.MaxValue
+  private var stmtEdgeBase = Long.MaxValue
+  // bare variables DELETEd so far: later property/label reads must raise
+  private val deletedVars = scala.collection.mutable.Set[String]()
 
   private def ctx(params: Map[String, Any]) =
     Ctx(session.graph, params, Some(session))
@@ -42,14 +49,16 @@ private[cypher] final class MutationRunner(session: CypherSession) {
       case m: Ast.Match => frame = translateMatch(ctx(params), frame, m)
       case u: Ast.Unwind => frame = translateUnwind(ctx(params), frame, u)
       case w: Ast.With =>
+        checkDeletedAccess(Some(w.proj), w.where)
         frame = translateProjection(ctx(params), frame, w.proj, w.where,
           carryFlats = true)
       case c: Ast.CallProc => frame = translateCall(ctx(params), frame, c)
       case c: Ast.Create => frame = execCreate(frame, c.paths, params)
       case s: Ast.SetClause => frame = execSet(frame, s.items, params)
-      case d: Ast.Delete => frame = execDelete(frame, d)
+      case d: Ast.Delete => frame = execDelete(frame, d, params)
       case mg: Ast.Merge => frame = execMerge(frame, mg, params)
       case r: Ast.Return =>
+        checkDeletedAccess(Some(r.proj), None)
         returned = Some(
           translateProjection(ctx(params), frame, r.proj, None).df)
       case _: Ast.CreateIndex | _: Ast.DropIndex =>
@@ -100,6 +109,33 @@ private[cypher] final class MutationRunner(session: CypherSession) {
     }
     flush()
     out.toList
+  }
+
+  /** Reading the properties/labels/type of an entity this statement already
+    * DELETEd raises EntityNotFound (TCK Return2 [15]-[17]); returning the
+    * bare (stale) entity row stays legal, matching the reference.
+    */
+  private def checkDeletedAccess(proj: Option[Ast.Projection],
+      where: Option[Ast.Expr]): Unit = {
+    if (deletedVars.isEmpty) return
+    def raiseIt(): Nothing = throw TranslateError(
+      "EntityNotFound: attempted to access a deleted entity " +
+        "(DeletedEntityAccess)")
+    def scan(e: Ast.Expr): Unit = Ast.foreachExpr(e) {
+      case Ast.Prop(Ast.Variable(n), _) if deletedVars(n) => raiseIt()
+      // type(r) of a deleted relationship stays readable (Return2 [14]);
+      // only property/label reads raise
+      case Ast.Fn(f, List(Ast.Variable(n)), _) if deletedVars(n) &&
+        Set("labels", "properties")(f.toLowerCase) =>
+        raiseIt()
+      case Ast.HasLabel(Ast.Variable(n), _) if deletedVars(n) => raiseIt()
+      case _ => ()
+    }
+    proj.foreach { pr =>
+      pr.items.foreach(i => scan(i._1))
+      pr.orderBy.foreach(si => scan(si.expr))
+    }
+    where.foreach(scan)
   }
 
   private def statsDf: DataFrame = {
@@ -233,6 +269,8 @@ private[cypher] final class MutationRunner(session: CypherSession) {
 
     val nodeBase = session.nodeIdBase
     val edgeBase = session.edgeIdBase
+    if (stmtNodeBase == Long.MaxValue) stmtNodeBase = nodeBase
+    if (stmtEdgeBase == Long.MaxValue) stmtEdgeBase = edgeBase
     def nodeId(slot: Int): Column =
       lit(nodeBase) + col(rid) * pn.size + slot
     def edgeId(slot: Int): Column =
@@ -517,12 +555,92 @@ private[cypher] final class MutationRunner(session: CypherSession) {
   }
 
   // ═══════════════════════════════ DELETE ══════════════════════════════════
+  /** Boxed-path JSON shape (only the ids matter for deletion). */
+  private val pathIdsType = StructType(Seq(
+    StructField("nodes", ArrayType(StructType(Seq(
+      StructField("id", LongType))))),
+    StructField("rels", ArrayType(StructType(Seq(
+      StructField("id", LongType)))))))
+
   /** DELETE / DETACH DELETE (`op_delete.c`): edges first, then nodes, with
     * implicit deletion of edges touching deleted nodes — all anti-joins.
+    * Targets may be arbitrary expressions evaluating to entities
+    * (`DELETE friends[$i]`, `DELETE m.key`, `DELETE nodes(p)[0]` — the
+    * reference evaluates operands in `op_delete.c` too); entities pulled
+    * back out of lists/maps arrive as boxed tagged-JSON variants and
+    * dispatch on their runtime tag.
     */
-  private def execDelete(frame: Frame, d: Ast.Delete): Frame = {
+  private def execDelete(frame: Frame, d: Ast.Delete,
+      params: Map[String, Any]): Frame = {
+    val c = ctx(params)
     val nodeIdDfs = scala.collection.mutable.ArrayBuffer[DataFrame]()
     val edgeIdDfs = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def addVariant(vc: Column): Unit = {
+      // runtime dispatch: boxed node / boxed edge / boxed path / null.
+      // Non-entity runtime values are silently no-ops (the static
+      // non-variant case below still rejects obvious non-entities).
+      val js = when(Values.tag(vc) === Values.T_BOXED, vc.getField("s"))
+      val t = get_json_object(js, "$.t")
+      nodeIdDfs += frame.df
+        .select(js.as("js"), t.as("t"))
+        .filter(col("t") === Values.T_NODE.toString)
+        .select(get_json_object(col("js"), "$.id").cast(LongType).as("id"))
+        .filter(col("id").isNotNull)
+      edgeIdDfs += frame.df
+        .select(js.as("js"), t.as("t"))
+        .filter(col("t") === Values.T_EDGE.toString)
+        .select(get_json_object(col("js"), "$.id").cast(LongType).as("id"))
+        .filter(col("id").isNotNull)
+      // boxed path: {"nodes":[…],"rels":[…]} (no "t" tag)
+      val pathJs = frame.df
+        .select(js.as("js"), t.as("t"))
+        .filter(col("t").isNull &&
+          get_json_object(col("js"), "$.nodes").isNotNull)
+        .select(from_json(col("js"), pathIdsType).as("p"))
+      nodeIdDfs += pathJs.select(explode(col("p.nodes")).as("x"))
+        .select(col("x.id").as("id")).filter(col("id").isNotNull)
+      edgeIdDfs += pathJs.select(explode(col("p.rels")).as("x"))
+        .select(col("x.id").as("id")).filter(col("id").isNotNull)
+    }
+    def addExpr(e: Ast.Expr): Unit = {
+      // static rejection of shapes that can NEVER yield an entity —
+      // compile-time SyntaxError per openCypher (Delete1 [8], Delete2 [5],
+      // Delete6 [2]); container lookups / function calls stay runtime-typed
+      e match {
+        case _: Ast.HasLabel => throw TranslateError(
+          "InvalidDelete: DELETE cannot remove a label")
+        case _: Ast.Bin | _: Ast.Not | _: Ast.Neg | _: Ast.IsNull |
+          _: Ast.LitInt | _: Ast.LitFloat | _: Ast.LitString |
+          _: Ast.LitBool | _: Ast.Quantifier | _: Ast.PatternPred =>
+          throw TranslateError(
+            s"InvalidArgumentType: DELETE target must be an entity: $e")
+        case _ => ()
+      }
+      val vc = trExpr(c, frame, e)
+      typeOf(frame, e, vc) match {
+        case Some(st: StructType) if st.fieldNames.contains("nodes") =>
+          nodeIdDfs += frame.df.select(explode(vc.getField("nodes")).as("x"))
+            .select(col("x.id").as("id")).filter(col("id").isNotNull)
+          edgeIdDfs += frame.df.select(explode(vc.getField("rels")).as("x"))
+            .select(col("x.id").as("id")).filter(col("id").isNotNull)
+        case Some(st: StructType) if st.fieldNames.contains("props") =>
+          val dst = if (st.fieldNames.contains("reltype")) edgeIdDfs
+            else nodeIdDfs
+          dst += frame.df.select(vc.getField("id").as("id"))
+            .filter(col("id").isNotNull)
+        case Some(st: StructType) if Translator.isVariantStruct(st) =>
+          addVariant(vc)
+        case Some(ArrayType(et: StructType, _))
+            if et.fieldNames.contains("props") =>
+          // typed entity array (collect(n) temp): delete every element
+          val dst = if (et.fieldNames.contains("reltype")) edgeIdDfs
+            else nodeIdDfs
+          dst += frame.df.select(explode(vc).as("x"))
+            .select(col("x.id").as("id")).filter(col("id").isNotNull)
+        case _ =>
+          throw TranslateError(s"DELETE target must be an entity: $e")
+      }
+    }
     d.exprs.foreach {
       case Ast.Variable(n) => frame.vars.get(n) match {
         // null entities (OPTIONAL MATCH misses) are no-ops, not deletions
@@ -535,22 +653,32 @@ private[cypher] final class MutationRunner(session: CypherSession) {
         case Some(KPath) =>
           // DELETE p deletes the path's nodes and relationships
           // (explode of a NULL path's arrays emits no rows — null-safe)
-          val c = frame.col(n)
-          nodeIdDfs += frame.df.select(explode(c.getField("nodes")).as("x"))
+          val pc = frame.col(n)
+          nodeIdDfs += frame.df.select(explode(pc.getField("nodes")).as("x"))
             .select(col("x.id").as("id")).filter(col("id").isNotNull)
-          edgeIdDfs += frame.df.select(explode(c.getField("rels")).as("x"))
+          edgeIdDfs += frame.df.select(explode(pc.getField("rels")).as("x"))
             .select(col("x.id").as("id")).filter(col("id").isNotNull)
         case Some(KRelList) =>
           edgeIdDfs += frame.df
             .select(explode(frame.col(n)).as("x"))
             .select(col("x.id").as("id")).filter(col("id").isNotNull)
+        case Some(KValue) => addVariant(frame.col(n))
         case _ => throw TranslateError(s"DELETE target must be an entity: $n")
       }
-      case other => throw TranslateError(s"DELETE target must be a variable: $other")
+      case other => addExpr(other)
     }
+    // record bare-variable targets so later clauses reading their
+    // properties/labels raise EntityNotFound (TCK Return2 [15]-[17])
+    deletedVars ++= d.exprs.collect { case Ast.Variable(n)
+      if frame.vars.get(n).exists(k => k == KNode || k == KEdge) => n }
     val nodes = session.graph.nodes
     val edges = session.graph.edges
     val edgeCount = edges.count()
+    // netting created-then-deleted entities (TCK Delete4 [3] expects a
+    // CREATE+DELETE of the same node to report NO side effects): ids at or
+    // above the statement-start watermark were created by this statement
+    val nodeWatermark = if (nodesCreated > 0) stmtNodeBase else Long.MaxValue
+    val edgeWatermark = if (relsCreated > 0) stmtEdgeBase else Long.MaxValue
 
     var newEdges = edges
     edgeIdDfs.reduceOption(_ union _).foreach { ids =>
@@ -560,15 +688,26 @@ private[cypher] final class MutationRunner(session: CypherSession) {
     var newNodes = nodes
     nodeIdDfs.reduceOption(_ union _).foreach { rawIds =>
       val ids = session.track(rawIds.distinct().localCheckpoint(true))
-      nodesDeleted += ids.count()
+      val total = ids.count()
+      val createdHere = if (nodeWatermark == Long.MaxValue) 0L
+        else ids.filter(col("id") >= nodeWatermark).count()
+      nodesCreated -= createdHere
+      nodesDeleted += total - createdHere
       newNodes = newNodes.join(ids, Seq("id"), "left_anti")
       // implicit edge deletion for deleted endpoints
       newEdges = newEdges
         .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
         .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
     }
+    val createdEdgesBefore = if (edgeWatermark == Long.MaxValue) 0L
+      else edges.filter(col("id") >= edgeWatermark).count()
     session.commit(newNodes, newEdges)
-    relsDeleted += edgeCount - session.graph.edges.count()
+    val createdEdgesAfter = if (edgeWatermark == Long.MaxValue) 0L
+      else session.graph.edges.filter(col("id") >= edgeWatermark).count()
+    val createdEdgesDel = createdEdgesBefore - createdEdgesAfter
+    relsCreated -= createdEdgesDel
+    relsDeleted +=
+      (edgeCount - session.graph.edges.count()) - createdEdgesDel
     frame
   }
 
@@ -684,6 +823,8 @@ private[cypher] final class MutationRunner(session: CypherSession) {
     // build created entities on the distinct key set
     val nodeBase = session.nodeIdBase
     val edgeBase = session.edgeIdBase
+    if (stmtNodeBase == Long.MaxValue) stmtNodeBase = nodeBase
+    if (stmtEdgeBase == Long.MaxValue) stmtEdgeBase = edgeBase
     var ck = distinctKeys
     val boundIdOf = boundEndpoints.zipWithIndex
       .map { case (v, i) => v -> col(s"__kb_$i") }.toMap

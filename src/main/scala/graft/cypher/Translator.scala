@@ -1643,7 +1643,8 @@ object Translator {
     }
 
   /** [[staticTypeOf]] first (lambda-safe), then the frame schema. */
-  private def typeOf(frame: Frame, e: Ast.Expr, c: Column): Option[DataType] =
+  private[cypher] def typeOf(frame: Frame, e: Ast.Expr,
+      c: Column): Option[DataType] =
     staticTypeOf(frame, e).orElse(dataTypeOf(frame, c))
 
   private[cypher] def isVariantStruct(dt: DataType): Boolean = dt match {
