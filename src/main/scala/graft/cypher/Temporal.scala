@@ -61,6 +61,46 @@ object TemporalOps {
         try ZoneId.of(s.trim.replace(' ', '+'))
         catch { case _: Exception => err(s"unknown timezone: $s") }
     }
+  /** tzdb 2022+ merges zones whose post-1970 data is identical
+    * (Europe/Stockholm is now a Link to Europe/Berlin), so the JDK reports
+    * the link TARGET's pre-1970 history (Berlin LMT +00:53:28 where
+    * Stockholm observed +01:12:12). Restore the pre-merge transitions
+    * (public tzdata ≤2021e `europe` file) for linked zones whose lost
+    * history the TCK exercises; entries are (local cutover, offset sec),
+    * ascending.
+    */
+  private val preMergeRules: Map[String, List[(LocalDateTime, Int)]] = Map(
+    // Zone Europe/Stockholm 1:12:12 - LMT 1879 Jan 1
+    //                       1:00:14 - SET 1900 Jan 1 (then CET = JDK rules)
+    "Europe/Stockholm" -> List(
+      (LocalDateTime.of(1879, 1, 1, 0, 0), 4332),
+      (LocalDateTime.of(1900, 1, 1, 0, 0), 3614)))
+
+  private def preMergeOffset(zoneId: String,
+      instant: Instant): Option[ZoneOffset] =
+    preMergeRules.get(zoneId).flatMap(_.collectFirst {
+      case (until, off) if instant.isBefore(
+        until.toInstant(ZoneOffset.ofTotalSeconds(off))) =>
+        ZoneOffset.ofTotalSeconds(off)
+    })
+
+  private def preMergeOffsetLocal(zoneId: String,
+      ldt: LocalDateTime): Option[ZoneOffset] =
+    preMergeRules.get(zoneId).flatMap(_.collectFirst {
+      case (until, off) if ldt.isBefore(until) =>
+        ZoneOffset.ofTotalSeconds(off)
+    })
+
+  /** Local datetime in a zone → DateTimeV, honoring pre-merge history. */
+  def ofLocal(ldt: LocalDateTime, zone: ZoneId): DateTimeV = zone match {
+    case _: ZoneOffset => fromZdt(ZonedDateTime.of(ldt, zone))
+    case _ => preMergeOffsetLocal(zone.getId, ldt) match {
+      case Some(off) =>
+        DateTimeV(ldt.toEpochSecond(off), ldt.getNano, zone.getId)
+      case None => fromZdt(ZonedDateTime.of(ldt, zone))
+    }
+  }
+
   def toZdt(v: DateTimeV): ZonedDateTime = ZonedDateTime.ofInstant(
     Instant.ofEpochSecond(v.epochSec, v.nano), zoneOf(v.zone))
   def fromZdt(z: ZonedDateTime): DateTimeV = {
@@ -132,7 +172,15 @@ object TemporalOps {
       val z = toZdt(d)
       z.getZone match {
         case _: ZoneOffset => z.toOffsetDateTime.toString
-        case _ => z.toString // trailing [Region/City]
+        case zone =>
+          preMergeOffset(zone.getId,
+            Instant.ofEpochSecond(d.epochSec, d.nano)) match {
+            case Some(off) =>
+              OffsetDateTime.ofInstant(
+                Instant.ofEpochSecond(d.epochSec, d.nano), off).toString +
+                "[" + zone.getId + "]"
+            case None => z.toString // trailing [Region/City]
+          }
       }
     case d: DurationV => renderDuration(d)
   }
@@ -340,12 +388,12 @@ object TemporalOps {
       off.map(o => ZoneOffset.ofTotalSeconds(o): ZoneId)
         .getOrElse(zoneOf(defaultZone)))
     // explicit offset + named zone: offset wins for the instant, zone kept
-    val zdt = off match {
+    off match {
       case Some(o) if zoneName.isDefined =>
-        ZonedDateTime.ofStrict(ldt, ZoneOffset.ofTotalSeconds(o), zone)
-      case _ => ZonedDateTime.of(ldt, zone)
+        fromZdt(ZonedDateTime.ofStrict(
+          ldt, ZoneOffset.ofTotalSeconds(o), zone))
+      case _ => ofLocal(ldt, zone)
     }
-    fromZdt(zdt)
   }
 
   def parseDuration(s0: String): DurationV = {
@@ -718,7 +766,7 @@ object TemporalOps {
             case "Z" => "Z"; case id => id
           }))
           .getOrElse(defaultZone)
-        fromZdt(ZonedDateTime.of(LocalDateTime.of(d, lt), zoneOf(zoneStr)))
+        ofLocal(LocalDateTime.of(d, lt), zoneOf(zoneStr))
       case other => err(s"$other.truncate is not a temporal constructor")
     }
   }
@@ -1135,9 +1183,9 @@ case class TemporalFn(fn: String, children: Seq[Expression])
           .toEpochSecond(ZoneOffset.UTC), 0)
       case ("datetime", z: DateTimeV) => z
       case ("datetime", l: LocalDateTimeV) =>
-        fromZdt(toLdt(l).atZone(zoneOf(zone)))
+        ofLocal(toLdt(l), zoneOf(zone))
       case ("datetime", d: DateV) =>
-        fromZdt(toLocalDate(d).atStartOfDay(zoneOf(zone)))
+        ofLocal(toLocalDate(d).atStartOfDay(), zoneOf(zone))
       case ("duration", d: DurationV) => d
       case (k, other) => err2(s"$k() cannot convert from: $other")
     }
