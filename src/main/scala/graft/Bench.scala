@@ -95,14 +95,21 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
     }
+    // Warm gets the SAME median+spread treatment as cold: the r7 round
+    // reported a single warm sample per query, and a 2x one-sample swing on
+    // q_cypher_expand (0.467 -> 0.962s) was read as a code regression — the
+    // physical plans were byte-identical between rounds (EXPLAIN diff
+    // empty); the swing was measurement noise a median would have absorbed.
+    val WarmRuns = 3
     val results = headline.map { n =>
       val colds = (1 to ColdRuns).map { _ => isolate(); timed(n) }.sorted
-      val warm = timed(n)
-      (n, colds, warm)
+      val warms = (1 to WarmRuns).map { _ => timed(n) }.sorted
+      (n, colds, warms)
     }.filterNot { case (n, _, _) => failedQueries.contains(n) }
     val cold = results.map { case (n, cs, _) => n -> cs(cs.length / 2) }
     val spread = results.map { case (n, cs, _) => (n, cs.head, cs.last) }
-    val warm = results.map { case (n, _, w) => n -> w }
+    val warm = results.map { case (n, _, ws) => n -> ws(ws.length / 2) }
+    val warmSpread = results.map { case (n, _, ws) => (n, ws.head, ws.last) }
 
     def js(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
@@ -117,13 +124,16 @@ object Bench {
     // (reduce_count.c — no scan). Our serving path (CypherSession.serve):
     // per-(query, graphVersion) memoized result row — the reference's
     // plan-cache + stats-read composition. 32 threads.
-    val countQps: Double =
+    // Three independent 2s windows -> median + spread, same adjudication
+    // logic as query timings (the r5->r7 count_qps "drift" 14.5M -> 13.4M
+    // was a single-window measurement with no variance data).
+    def countQpsWindow(): Double =
       try {
         val sess = new graft.cypher.CypherSession(spark)
         sess.setGraph(graft.graph.GraphBuilder.tpchStored(spark, sfDir))
         val q = "MATCH (c:Customer) RETURN count(c) AS c"
         sess.serve(q) // warm the stats + parse + served-row cache
-        val runFor = 3e9.toLong
+        val runFor = 2e9.toLong
         val t0 = System.nanoTime()
         val n = new java.util.concurrent.atomic.AtomicLong
         val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -147,6 +157,8 @@ object Bench {
         if (failed.get()) 0.0
         else n.get() * 1e9 / (System.nanoTime() - t0)
       } catch { case _: Throwable => 0.0 }
+    val countQpsRuns = (1 to 3).map(_ => countQpsWindow()).sorted
+    val countQps = countQpsRuns(countQpsRuns.length / 2)
     // Mutation KPIs (BASELINE updates_baseline / edge-deletion lines):
     // point update on a single-node graph, explicit edge delete and
     // implicit (node) delete on a connected graph. Each mutation commits a
@@ -157,7 +169,16 @@ object Bench {
     def p50(samples: Seq[Double]): Double = {
       val s = samples.sorted; if (s.isEmpty) 0.0 else s(s.length / 2)
     }
-    def mutationBench(): (Double, Double, Double, Double) =
+    def minMax(samples: Seq[Double]): (Double, Double) =
+      if (samples.isEmpty) (0.0, 0.0) else (samples.min, samples.max)
+    // updTrend = p50(last third) / p50(first third) of the update samples,
+    // in statement order: a value well above 1 means per-statement cost
+    // GROWS within a session (snapshot-lineage/bookkeeping accumulation), a
+    // value near 1 means the level is environment, not accumulation.
+    case class MutStats(updP50: Double, updQps: Double, updSpread: (Double,
+        Double), updTrend: Double, edelP50: Double, edelSpread: (Double,
+        Double), ndelP50: Double, ndelSpread: (Double, Double))
+    def mutationBench(): MutStats =
       try {
         val sess = new graft.cypher.CypherSession(spark)
         sess.run("CREATE (:U {v: 0})")
@@ -168,7 +189,7 @@ object Bench {
           .head("i").asInstanceOf[Long]
         val upd = s"MATCH (n) WHERE id(n) = $nid SET n.v = n.v + 1"
         sess.run(upd) // warm plan/JIT
-        val updTimes = (1 to 15).map { _ =>
+        val updTimes = (1 to 30).map { _ =>
           val t0 = System.nanoTime()
           sess.run(upd)
           (System.nanoTime() - t0) / 1e6
@@ -176,8 +197,12 @@ object Bench {
         // the whole point is that the updates actually LAND
         val vNow = sess.rows(sess.run("MATCH (n:U) RETURN n.v AS v"))
           .head("v").asInstanceOf[Long]
-        require(vNow == 16L, s"update KPI no-op: n.v = $vNow, expected 16")
+        require(vNow == 31L, s"update KPI no-op: n.v = $vNow, expected 31")
         val updQps = 1000.0 / math.max(p50(updTimes), 1e-9)
+        val third = updTimes.length / 3
+        val updTrend =
+          p50(updTimes.takeRight(third)) / math.max(p50(updTimes.take(third)),
+            1e-9)
 
         val sess2 = new graft.cypher.CypherSession(spark)
         sess2.run("UNWIND range(0, 200) AS i CREATE (:N {v: i})-[:R {w: i}]->(:M {v: i})")
@@ -194,18 +219,26 @@ object Bench {
           sess2.run(ndel, Map("i" -> i.toLong))
           (System.nanoTime() - t0) / 1e6
         }
-        (p50(updTimes), updQps, p50(edelTimes), p50(ndelTimes))
+        MutStats(p50(updTimes), updQps, minMax(updTimes), updTrend,
+          p50(edelTimes), minMax(edelTimes), p50(ndelTimes),
+          minMax(ndelTimes))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] mutation bench failed: ${e.getMessage}")
-        (0.0, 0.0, 0.0, 0.0)
+        MutStats(0, 0, (0, 0), 0, 0, (0, 0), 0, (0, 0))
       }
-    val (updP50, updQps, edelP50, ndelP50) = mutationBench()
+    val m = mutationBench()
     val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def sp(p: (Double, Double)): String = f"[${p._1}%.3f,${p._2}%.3f]"
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_runs":$ColdRuns,"queries":${js(
         cold)},"cold_spread":${jsSpread(
         spread)},"failed":$failedJson,"warm_total":$warmTotal%.3f,"warm":${js(
-        warm)},"count_qps":$countQps%.1f,"update_p50_ms":$updP50%.1f,"update_qps":$updQps%.1f,"delete_edge_p50_ms":$edelP50%.1f,"delete_node_p50_ms":$ndelP50%.1f,"sf":"$sfDir"}""")
+        warm)},"warm_spread":${jsSpread(
+        warmSpread)},"count_qps":$countQps%.1f,"count_qps_runs":[${countQpsRuns
+        .map(v => f"$v%.1f").mkString(",")}],"update_p50_ms":${m.updP50}%.1f,"update_qps":${m.updQps}%.1f,"update_spread_ms":${sp(
+        m.updSpread)},"update_trend":${m.updTrend}%.2f,"delete_edge_p50_ms":${m.edelP50}%.1f,"delete_edge_spread_ms":${sp(
+        m.edelSpread)},"delete_node_p50_ms":${m.ndelP50}%.1f,"delete_node_spread_ms":${sp(
+        m.ndelSpread)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch plan-dump diagnostic: prints the formatted physical plan and a
+  * per-phase timing for the named bench queries (not part of the driver
+  * contract).
+  */
+object DiagPlan {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val names = args.toSeq match {
+      case Nil => Seq("q_cypher_expand", "q_cypher_edge_props")
+      case xs => xs
+    }
+    val g = graft.graph.GraphBuilder.tpchStored(spark, sfDir)
+    g.labelCounts; g.reltypeCounts
+    names.foreach { n =>
+      println(s"=== $n ===")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      // warm execution timing (plan cache already populated)
+      df.write.format("noop").mode("overwrite").save()
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"[diagplan] $n warm$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+    }
+    spark.stop()
+  }
+}
