@@ -33,4 +33,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // temporal set, 8 concurrent workers sharing one local SparkContext)
   // peaks past 8g on codegen + concurrent scenario graphs
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // A long bench/test session generates hundreds of janino classes (one
+  // per distinct plan shape); the JDK17 default 240m code cache fills and
+  // HotSpot stops compiling — codegen'd loops then run INTERPRETED, which
+  // showed up as the 5x cold-run bistability on q_dedup_minhash in rounds
+  // 6-8. 512m keeps the whole session's nmethods resident. On a real
+  // cluster this is a spark.executor.extraJavaOptions setting.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
+) ++ (
+  // CODEGEN_STRICT=1: make any codegen compile failure FATAL instead of
+  // silently falling back to interpreted execution — attribution runs for
+  // hunting fallback-causing plan shapes (a fallback is a perf bug at
+  // scale: the plan loses whole-stage codegen exactly on the hot path).
+  if (sys.env.get("CODEGEN_STRICT").contains("1"))
+    Seq("-Dspark.sql.codegen.factoryMode=CODEGEN_ONLY",
+      "-Dspark.sql.codegen.fallback=false")
+  else Seq.empty
 )

@@ -157,8 +157,10 @@ object Bench {
         if (failed.get()) 0.0
         else n.get() * 1e9 / (System.nanoTime() - t0)
       } catch { case _: Throwable => 0.0 }
-    val countQpsRuns = (1 to 3).map(_ => countQpsWindow()).sorted
-    val countQps = countQpsRuns(countQpsRuns.length / 2)
+    // keep execution order in the emitted runs array (drift adjudication);
+    // sort only for the median
+    val countQpsRuns = (1 to 3).map(_ => countQpsWindow())
+    val countQps = countQpsRuns.sorted.apply(countQpsRuns.length / 2)
     // Mutation KPIs (BASELINE updates_baseline / edge-deletion lines):
     // point update on a single-node graph, explicit edge delete and
     // implicit (node) delete on a connected graph. Each mutation commits a
@@ -229,16 +231,39 @@ object Bench {
     val m = mutationBench()
     val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     def sp(p: (Double, Double)): String = f"[${p._1}%.3f,${p._2}%.3f]"
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_runs":$ColdRuns,"queries":${js(
-        cold)},"cold_spread":${jsSpread(
-        spread)},"failed":$failedJson,"warm_total":$warmTotal%.3f,"warm":${js(
-        warm)},"warm_spread":${jsSpread(
-        warmSpread)},"count_qps":$countQps%.1f,"count_qps_runs":[${countQpsRuns
+    // JVM code-cache telemetry: exhaustion here turns codegen'd loops into
+    // interpreter runs (the r6-r8 q_dedup_minhash cold bistability) — record
+    // the high-water mark so a recurrence is attributable from the artifact
+    import scala.jdk.CollectionConverters._
+    val codeCache = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+      .map(p => "\"" + p.getName.replace("CodeHeap '", "").replace("'", "") +
+        "\":" + (p.getPeakUsage.getUsed >> 20))
+      .mkString("{", ",", "}")
+    val kpis =
+      f""""count_qps":$countQps%.1f,"count_qps_runs":[${countQpsRuns
         .map(v => f"$v%.1f").mkString(",")}],"update_p50_ms":${m.updP50}%.1f,"update_qps":${m.updQps}%.1f,"update_spread_ms":${sp(
         m.updSpread)},"update_trend":${m.updTrend}%.2f,"delete_edge_p50_ms":${m.edelP50}%.1f,"delete_edge_spread_ms":${sp(
         m.edelSpread)},"delete_node_p50_ms":${m.ndelP50}%.1f,"delete_node_spread_ms":${sp(
-        m.ndelSpread)},"sf":"$sfDir"}""")
+        m.ndelSpread)},"code_cache_peak_mb":$codeCache,"sf":"$sfDir""""
+    // Full artifact (cold+warm medians AND spreads) goes to a file: the
+    // driver captures only the TAIL of stdout, and the all-in-one line
+    // exceeded its buffer every round (BENCH_r*.json "parsed": null with
+    // the cold section truncated away). The PRINTED line is a compact
+    // subset sized to survive the capture window.
+    val detail =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_runs":$ColdRuns,"queries":${js(
+        cold)},"cold_spread":${jsSpread(
+        spread)},"failed":$failedJson,"warm_total":$warmTotal%.3f,"warm":${js(
+        warm)},"warm_spread":${jsSpread(warmSpread)},$kpis}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_DETAIL.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (detail + "\n").getBytes("UTF-8"))
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_runs":$ColdRuns,"queries":${js(
+        cold)},"failed":$failedJson,"warm_total":$warmTotal%.3f,$kpis,"detail":"$detailPath"}""")
     spark.stop()
   }
 }

@@ -78,13 +78,14 @@ object Dedup {
     */
   def shingleHashesRaw(docs: DataFrame, k: Int = 3): DataFrame = {
     graft.plans.GraftExtensions.ensureFunctions(docs.sparkSession)
-    val toks = TextOps.tokens(col("text"))
-    val grams = transform(
-      sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(k))))
-    parallelized(docs).select(col("doc_id"), explode(grams).as("shingle"))
-      .select(col("doc_id"),
-        call_function("graft_polyhash", col("shingle")).as("sh"))
+    // one codegen'd expression for the whole tokenize→window→hash pass —
+    // see [[graft.plans.ShingleHashes]] for why the composed
+    // transform(...)/concat_ws/slice pipeline (value-identical) is not
+    // used: higher-order functions are CodegenFallback and re-tokenized
+    // per window position
+    parallelized(docs).select(col("doc_id"),
+      explode(call_function("graft_shingle_hashes", col("text"), lit(k)))
+        .as("sh"))
   }
 
   /** splitmix64 — deterministic per-hash-function affine constants. */

@@ -251,6 +251,30 @@ object GraftExtensions {
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           PolyHash(exprs.head))
     }
+    val shId = new org.apache.spark.sql.catalyst.FunctionIdentifier(
+      "graft_shingle_hashes")
+    if (!reg.functionExists(shId)) {
+      reg.registerFunction(shId,
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+        shingleBuilder)
+    }
+  }
+
+  /** `graft_shingle_hashes(text, k)` — k must be an integer literal (it is
+    * baked into the generated code).
+    */
+  private[plans] val shingleBuilder
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression = { exprs =>
+    val k = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
+        v.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_shingle_hashes: k must be an integer literal, got $other")
+    }
+    ShingleHashes(exprs.head, k)
   }
 }
 
@@ -276,5 +300,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[PolyHash].getName, "graft_polyhash"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PolyHash(exprs.head)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "graft_shingle_hashes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      GraftExtensions.shingleBuilder))
   }
 }

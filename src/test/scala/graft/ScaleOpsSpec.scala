@@ -13,6 +13,39 @@ import org.scalatest.funsuite.AnyFunSuite
 class ScaleOpsSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("graft_shingle_hashes ≡ the composed transform/concat_ws/polyhash " +
+      "pipeline (incl. edge cases)") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.ensureFunctions(spark)
+    // real corpus + adversarial shapes: empty, whitespace-only, leading
+    // non-space whitespace (trim keeps it; the split yields a leading empty
+    // token), fewer tokens than k, exactly k, non-ASCII (ICU lowercase),
+    // repeated whitespace runs, and a null
+    val edge = Seq(
+      (9000001L, ""), (9000002L, "   "), (9000003L, "\t leading tab"),
+      (9000004L, "one"), (9000005L, "two words"),
+      (9000006L, "exactly three tokens"),
+      (9000007L, "ÅÄÖ Straße ΣΊΣΥΦΟΣ İstanbul"),
+      (9000008L, "a  b\t\tc\n\nd   e"), (9000009L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).unionByName(edge)
+    for (k <- Seq(1, 3, 5)) {
+      val toks = graft.text.TextOps.tokens(col("text"))
+      val grams = transform(
+        sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(k))))
+      val legacy = corpus.select(col("doc_id"), explode(grams).as("g"))
+        .select(col("doc_id"),
+          call_function("graft_polyhash", col("g")).as("sh"))
+      val native = corpus.select(col("doc_id"), explode(
+        call_function("graft_shingle_hashes", col("text"), lit(k))).as("sh"))
+      // multiset equality (repeats matter for the min-fold consumers)
+      assert(native.exceptAll(legacy).isEmpty &&
+        legacy.exceptAll(native).isEmpty, s"k=$k diverged")
+    }
+  }
+
   test("salted join is result-identical to the plain join under a hot key") {
     import spark.implicits._
     // 'hot' carries 90% of the fact rows — the shape salting exists for
