@@ -229,6 +229,62 @@ object Bench {
         MutStats(0, 0, (0, 0), 0, 0, (0, 0), 0, (0, 0))
       }
     val m = mutationBench()
+    // ── scale-factor escalation (10× the bench SF) ────────────────────────
+    // Converts the audited 100TB design claims (bucketed expand, capped
+    // LSH candidates, broadcast bounds) into measured evidence: the same
+    // queries run cold against a derived 10×-replicated dataset
+    // (ScaleData — disjoint key spaces, fan-outs and near-dup density
+    // preserved) and the artifact carries sf1/sf0.1 scaling ratios. A
+    // candidate-bounded operator should scale ~linearly (ratio ≲ 10×
+    // data-bound, less when fixed per-query overhead dominates at sf0.1).
+    val Sf1Copies = 10
+    val sf1Queries = Seq(
+      "q1_agg", "q_cypher_expand", "q_cypher_varlen", "q_cypher_agg",
+      "q_dedup_minhash", "q_knn_cosine", "q_bm25", "q_text_bpe_tokens",
+      "q_salted_join", "q_graph_pagerank").filter(SparkEntry.queries.keySet)
+    case class Sf1(queries: Seq[(String, Double)],
+        spread: Seq[(String, Double, Double)], ratio: Seq[(String, Double)],
+        genSec: Double)
+    val sf1: Option[Sf1] =
+      if (sys.env.get("SPARK_GRAFT_SF1").contains("0")) None
+      else try {
+        val dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/sf1")
+        val tGen0 = System.nanoTime()
+        if (!new java.io.File(s"$dir/lineitem.parquet").exists())
+          ScaleData.generate(spark, sfDir, dir, Sf1Copies)
+        val genSec = (System.nanoTime() - tGen0) / 1e9
+        // graph stats for the sf1 store are load time, not query time
+        try {
+          val g = graft.graph.GraphBuilder.tpchStored(spark, dir)
+          g.labelCounts; g.reltypeCounts
+        } catch { case _: Throwable => () }
+        def run1(n: String): Unit =
+          SparkEntry.queries(n)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+        sf1Queries.foreach(n => try run1(n) catch { case _: Throwable => () })
+        val rs = sf1Queries.flatMap { n =>
+          val cs = (1 to ColdRuns).flatMap { _ =>
+            isolate()
+            val t0 = System.nanoTime()
+            try { run1(n); Some((System.nanoTime() - t0) / 1e9) }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] sf1 $n failed: ${e.getMessage}")
+              None
+            }
+          }.sorted
+          if (cs.length == ColdRuns) Some((n, cs)) else None
+        }
+        val baseCold = cold.toMap
+        Some(Sf1(
+          rs.map { case (n, cs) => n -> cs(cs.length / 2) },
+          rs.map { case (n, cs) => (n, cs.head, cs.last) },
+          rs.flatMap { case (n, cs) => baseCold.get(n).map(b =>
+            n -> cs(cs.length / 2) / math.max(b, 1e-9)) },
+          genSec))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sf1 section failed: ${e.getMessage}")
+        None
+      }
     val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     def sp(p: (Double, Double)): String = f"[${p._1}%.3f,${p._2}%.3f]"
     // JVM code-cache telemetry: exhaustion here turns codegen'd loops into
@@ -252,18 +308,24 @@ object Bench {
     // exceeded its buffer every round (BENCH_r*.json "parsed": null with
     // the cold section truncated away). The PRINTED line is a compact
     // subset sized to survive the capture window.
+    val sf1Detail = sf1.map(s =>
+      f""","sf1":{"copies":$Sf1Copies,"gen_sec":${s.genSec}%.1f,"queries":${js(
+        s.queries)},"cold_spread":${jsSpread(s.spread)},"ratio_vs_base":${js(
+        s.ratio)}}""").getOrElse("")
+    val sf1Compact = sf1.map(s =>
+      s""","sf1_ratio":${js(s.ratio)}""").getOrElse("")
     val detail =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_runs":$ColdRuns,"queries":${js(
         cold)},"cold_spread":${jsSpread(
         spread)},"failed":$failedJson,"warm_total":$warmTotal%.3f,"warm":${js(
-        warm)},"warm_spread":${jsSpread(warmSpread)},$kpis}"""
+        warm)},"warm_spread":${jsSpread(warmSpread)},$kpis$sf1Detail}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "BENCH_DETAIL.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_runs":$ColdRuns,"queries":${js(
-        cold)},"failed":$failedJson,"warm_total":$warmTotal%.3f,$kpis,"detail":"$detailPath"}""")
+        cold)},"failed":$failedJson,"warm_total":$warmTotal%.3f,$kpis$sf1Compact,"detail":"$detailPath"}""")
     spark.stop()
   }
 }

@@ -249,6 +249,11 @@ class CypherSession(val spark: SparkSession) {
         case Right(q) => q
         case Left(err) => throw Translator.TranslateError(err)
       }
+      // semantic validation is a pure function of the AST — run it once
+      // per unique query string here so point-write statements (tens of
+      // thousands/s through [[run]]) don't re-walk the tree per execution;
+      // only validated ASTs enter the cache
+      Validate.check(ast)
       astCache.put(query, ast)
       ast
     }
@@ -262,8 +267,7 @@ class CypherSession(val spark: SparkSession) {
     // on conflict (client API over wire syntax)
     val (prefix, body) = CypherParser.splitParams(query)
     val allParams = if (prefix.isEmpty) params else prefix ++ params
-    val ast = parse(body)
-    Validate.check(ast)
+    val ast = parse(body) // validated on first parse (see [[parse]])
     ast.parts.head.clauses match {
       case List(Ast.CreateIndex(label, prop)) =>
         require(ast.parts.size == 1, "index DDL cannot be UNIONed")

@@ -246,6 +246,25 @@ private[cypher] final class MutationRunner(session: CypherSession) {
       }
     val (pn, pe) = planPending(
       frame.vars.filter(_._2 != KValue).keySet, paths)
+    // Literal fast path: a standalone CREATE (unit input row, no bound
+    // vars) whose props are all literals — the TCK movie graph and "Many
+    // CREATE clauses" shape (100s of fused clauses) — builds the new
+    // entities DRIVER-SIDE as a LocalRelation. The general path would emit
+    // one struct expression per entity into a single projection: at ~1000
+    // entities that generated method exceeds Janino's 64KB limit, whole-
+    // stage codegen falls back to interpreted eval, and the plan costs
+    // minutes. The reference buffers creates driver-side for the same
+    // reason (shared/create_functions.c). Data parallelism is irrelevant
+    // here: the input is literally ONE row of constants.
+    //
+    // vars.isEmpty alone is NOT a unit-row proof: `MATCH () CREATE ()`
+    // binds nothing yet carries one row PER MATCH (CREATE must create one
+    // node per input row — TCK Create3 [2]). The plan must literally be
+    // the translator's unit relation (Project over Range(0,1)).
+    if (frame.vars.isEmpty && isUnitRelation(frame.df) &&
+        pn.forall(_.pat.props.forall(p => isPureLit(p._2))) &&
+        pe.forall(_.rel.props.forall(p => isPureLit(p._2))))
+      return execCreateLiteral(pn, pe)
     val rid = "__create_rid"
     // materialize the tag: ids must be stable across re-evaluation
     val tagged = session.track(frame.df
@@ -324,6 +343,68 @@ private[cypher] final class MutationRunner(session: CypherSession) {
       newEdgeDf.map(e => session.graph.edges.unionByName(e,
         allowMissingColumns = true)).getOrElse(session.graph.edges))
     Frame(session.track(df.drop(rid).localCheckpoint(true)), vars)
+  }
+
+  /** True iff the frame's plan is the translator's pristine unit input —
+    * a projection straight over a single-element Range — i.e. CREATE is
+    * the statement's first cardinality-carrying clause. Any preceding
+    * MATCH/UNWIND/WITH produces a different plan shape (even when it
+    * binds no variables) and must take the per-input-row general path.
+    */
+  private def isUnitRelation(df: DataFrame): Boolean =
+    df.queryExecution.logical match {
+      case org.apache.spark.sql.catalyst.plans.logical.Project(_,
+          r: org.apache.spark.sql.catalyst.plans.logical.Range) =>
+        r.numElements == BigInt(1)
+      case _ => false
+    }
+
+  /** [[execCreate]]'s all-literal driver-side path: new entities become
+    * `Row`s in a LocalRelation (no per-entity Catalyst expressions at all),
+    * ids are `base + slot` (the rid term is 0 on the unit row).
+    */
+  private def execCreateLiteral(pn: List[PendingNode],
+      pe: List[PendingEdge]): Frame = {
+    import scala.jdk.CollectionConverters._
+    val nodeBase = session.nodeIdBase
+    val edgeBase = session.edgeIdBase
+    if (stmtNodeBase == Long.MaxValue) stmtNodeBase = nodeBase
+    if (stmtEdgeBase == Long.MaxValue) stmtEdgeBase = edgeBase
+    def propsMap(props: List[(String, Ast.Expr)]): Any =
+      scala.collection.immutable.ListMap(props.flatMap {
+        case (k, e) => Option(litRow(e, Values.MaxNest)).map(k -> _)
+      }: _*)
+    val idOf = pn.map(n => n.name -> (nodeBase + n.slot)).toMap
+    val nodeRows = pn.map(n =>
+      Row(nodeBase + n.slot, n.pat.label.orNull, propsMap(n.pat.props)))
+    val edgeRows = pe.map(e =>
+      Row(edgeBase + e.slot, idOf(e.srcVar), idOf(e.dstVar),
+        e.rel.types.head, propsMap(e.rel.props)))
+    val newNodes =
+      if (pn.isEmpty) None
+      else Some(spark.createDataFrame(nodeRows.asJava, nodeStructType))
+    val newEdges =
+      if (pe.isEmpty) None
+      else Some(spark.createDataFrame(edgeRows.asJava, edgeStructType))
+    nodesCreated += pn.size
+    relsCreated += pe.size
+    session.commit(
+      newNodes.map(n => session.graph.nodes.unionByName(n,
+        allowMissingColumns = true)).getOrElse(session.graph.nodes),
+      newEdges.map(e => session.graph.edges.unionByName(e,
+        allowMissingColumns = true)).getOrElse(session.graph.edges))
+    // downstream frame: ONE local row with each created entity bound as a
+    // struct column (same bindings the expression path produces); a
+    // LocalRelation of literals is already re-evaluation-stable, so no
+    // checkpoint is needed
+    val frameSchema = StructType(
+      pn.map(n => StructField(n.name, nodeStructType)) ++
+        pe.map(e => StructField(e.name, edgeStructType)))
+    val frameRow = Row.fromSeq(nodeRows ++ edgeRows)
+    val df = spark.createDataFrame(List(frameRow).asJava, frameSchema)
+    Frame(df,
+      pn.map(_.name -> (KNode: Kind)).toMap ++
+        pe.map(_.name -> (KEdge: Kind)))
   }
 
   // ════════════════════════════════ SET ════════════════════════════════════

@@ -980,7 +980,7 @@ object TemporalOps {
   * hot path (see [[TemporalOps]] doc).
   */
 case class TemporalFn(fn: String, children: Seq[Expression])
-  extends Expression with CodegenFallback {
+  extends Expression with CodegenFallback with graft.plans.GraftThrowing {
   import TemporalOps._
 
   override def dataType: DataType = fn match {

@@ -515,9 +515,54 @@ object Translator {
   /** var-len segment: accumulated rels/nodes array columns. */
   private case class VarSeg(relsCol: String, nodesCol: String) extends PathSeg
 
+  /** Anchor-selection heuristic (≡ `traverse_order.c:217-239`, which
+    * scores pattern arrangements by label frequency and filter coverage):
+    * a chain pattern is traversed from whichever END is cheaper to seed —
+    * an already-bound variable beats any scan, a labeled+filtered scan
+    * beats a labeled scan beats an all-node scan, ties broken by the
+    * graph's per-label counts. Implemented as a pattern REVERSAL (flip
+    * each hop's direction) before the left-to-right translator runs, so
+    * every downstream operator (expand joins, var-len frontiers) is
+    * untouched. Uses statistics only when the graph has them computed
+    * ([[graft.graph.PropertyGraph.statsPeek]]) — a cold read never pays a
+    * counting job for a heuristic. Named paths keep pattern order (path
+    * assembly is order-sensitive); shortestPath has its own planner.
+    */
+  private def reorderPath(ctx: Ctx, frame: Frame,
+      p: Ast.PathPat): Ast.PathPat = {
+    if (p.shortest || p.allShortest || p.pathVar.isDefined ||
+      p.tail.isEmpty) return p
+    ctx.graph.statsPeek match {
+      case None => p
+      case Some((labels, _)) =>
+        val total = math.max(labels.values.sum, 1L)
+        def score(np: Ast.NodePat): Double = {
+          val name = np.variable.getOrElse(nameOf(np))
+          if (frame.vars.contains(name)) 0.0 // bound: already materialized
+          else {
+            val base = np.label.map(l =>
+              labels.getOrElse(l, 0L).toDouble).getOrElse(total.toDouble)
+            // each constant prop equality ~ decimates (the reference
+            // scores filtered anchors above unfiltered the same way)
+            base * math.pow(0.1, np.props.count(p => isConst(p._2)))
+          }
+        }
+        val last = p.tail.last._2
+        if (score(last) < score(p.head)) {
+          val nodes = p.head +: p.tail.map(_._2) // n0 .. nk
+          val revTail = p.tail.indices.reverse.map { i =>
+            val r = p.tail(i)._1
+            (r.copy(direction = -r.direction), nodes(i))
+          }.toList
+          Ast.PathPat(None, last, revTail)
+        } else p
+    }
+  }
+
   /** Translate one path; returns frame + edge var names (for uniqueness). */
   private[cypher] def translatePath(ctx: Ctx, frame: Frame,
-      p: Ast.PathPat): (Frame, List[String]) = {
+      p0: Ast.PathPat): (Frame, List[String]) = {
+    val p = reorderPath(ctx, frame, p0)
     if (p.shortest)
       require(p.tail.size == 1 && p.tail.head._1.varLen.isDefined,
         "shortestPath needs a single variable-length relationship pattern")

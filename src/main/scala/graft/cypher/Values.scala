@@ -226,10 +226,33 @@ object Values {
       .when(tag(v) === T_FLOAT, v.getField("f"))
 
   // ── equality & comparison (ternary logic) ────────────────────────────────
+  // The ternary-logic trees below reference their operands ~30 times; a
+  // non-trivial operand (`element_at(props, k)` under a disjunctive WHERE,
+  // after predicate pushdown inlines the scan's flat-column alias) would
+  // otherwise be re-generated at every reference — the MatchWhere1 [10]
+  // TCK shape produced 1.8 MB of Java and fell past Janino's 64 KB method
+  // limit into interpreted eval. [[graft.plans.ConditionCseRule]] (preCBO,
+  // i.e. AFTER pushdown can no longer undo it) let-binds the repeated
+  // subtrees via Catalyst's `With`/CommonExpressionDef.
+
   /** Cypher `=`: null if either operand null; numerics cross-compare; same
     * type compares natively; differing types → false.
+    *
+    * Dispatches to the native [[graft.plans.VariantEq]] expression — each
+    * operand is evaluated ONCE and the ~30-branch ternary compare is one
+    * JIT method instead of a Column tree that re-expands its operands at
+    * every reference (the MatchWhere1 [10] 64 KB-overflow shape). The
+    * composed tree lives on in [[eqTree]] as the executable specification:
+    * VariantEqSpec asserts the two agree on a generated value corpus.
     */
   def eq(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumn
+    GraftColumn.column(graft.plans.VariantEq(
+      GraftColumn.expression(a), GraftColumn.expression(b)))
+  }
+
+  /** The composed-Column reference implementation of [[eq]] (see there). */
+  def eqTree(a: Column, b: Column): Column = {
     val bothInt = tag(a) === T_INT && tag(b) === T_INT
     val bothFloat = tag(a) === T_FLOAT && tag(b) === T_FLOAT
     val bothNum = isNum(a) && isNum(b)
@@ -606,11 +629,16 @@ object Values {
     val i = idx.getField("i")
     val n = size(arr)
     val pos = when(i >= 0, i + 1).otherwise(n + i + 1) // element_at is 1-based
-    // try_element_at: codegen subexpression elimination may hoist the
-    // access out of the bounds guard, and ANSI element_at throws on OOB
+    // `get` (0-based, null-on-out-of-range): codegen subexpression
+    // elimination may hoist the access out of the bounds guard, so the
+    // access itself must never throw (rules out ANSI element_at). NOT
+    // try_element_at: its generated code, when extracted into a
+    // subexpression function, references the parent method's isNull local
+    // ("isNull_N is not an rvalue" Janino error) and the whole projection
+    // fell back to interpreted eval (TCK Map1 [1] shape).
     when(l.isNull || idx.isNull || tag(l) =!= T_ARRAY, vNull)
       .when(pos < 1 || pos > n, vNull)
-      .otherwise(widen(try_element_at(arr, pos.cast(IntegerType))))
+      .otherwise(widen(get(arr, (pos - 1).cast(IntegerType))))
   }
 
   /** size() of list or string. */

@@ -90,6 +90,14 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
 
   def labelCounts: Map[String, Long] = stats._1
   def reltypeCounts: Map[String, Long] = stats._2
+
+  /** Statistics if ALREADY computed for this graph version, else None —
+    * consumers that only want to OPPORTUNISTICALLY use stats (join-order
+    * heuristics) must not trigger the counting job on a cold read path.
+    */
+  private[graft] def statsPeek
+      : Option[(Map[String, Long], Map[String, Long])] =
+    synchronized(statsCache)
   def nodeCount: Long = labelCounts.values.sum
   def edgeCount: Long = reltypeCounts.values.sum
 

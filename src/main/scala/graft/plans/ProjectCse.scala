@@ -1,10 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-/** Common-subexpression elimination for Project nodes.
+/** Common-subexpression elimination for Project nodes and Filter
+  * conditions.
   *
   * The Cypher translator composes variant-typed expressions whose operands
   * are referenced several times per operator (`Values.arith` reads each
@@ -29,6 +30,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *     non-cheap and multiply referenced.
   *   - exprs capturing lambda variables or subqueries are skipped.
   */
+/** Marker for engine expressions that can RAISE at eval time on inputs
+  * their surrounding CASE guards exclude (e.g. the temporal kernel raising
+  * on a non-temporal variant). [[ProjectCseRule]] must never hoist a
+  * subtree containing one out of its guard — eager evaluation would raise
+  * on rows the guard was protecting (first found by FuzzSpec:
+  * `'a' + toString(i % 3)` duplicated `render(v)` through the concat, the
+  * hoist ran `TemporalFn("render")` on plain ints, and the query failed).
+  */
+trait GraftThrowing { self: Expression => }
+
 object ProjectCseRule extends Rule[LogicalPlan] {
 
   private val MinSize = 4 // expression-tree node count worth hoisting
@@ -50,6 +61,12 @@ object ProjectCseRule extends Rule[LogicalPlan] {
     cur
   }
 
+  // NOTE on Filter conditions: an alias-hoisting CSE for filters (tried in
+  // round 9) is ALWAYS undone — the "Pushdown Filters from PartitionPruning"
+  // batch re-runs PushDownPredicates after every preCBO rule and inlines
+  // the hoisted aliases back into the condition. Filter-side explosions are
+  // instead fixed structurally ([[VariantEq]]: operands of the variant
+  // ternary compare evaluate once by construction).
   private def splitOnce(plan: LogicalPlan): LogicalPlan = plan.transform {
     case p @ Project(projectList, child) =>
       val candidates = collectRepeats(projectList, child)
@@ -124,9 +141,11 @@ object ProjectCseRule extends Rule[LogicalPlan] {
         case _: PlanExpression[_] => true
         case _: aggregate.AggregateExpression => true
         // eager evaluation of a hoisted CSE is only sound for non-throwing
-        // expressions — raise_error/assert_true live under conditional
-        // guards precisely so they DON'T run on every row
+        // expressions — raise_error/assert_true (and engine expressions
+        // marked GraftThrowing) live under conditional guards precisely so
+        // they DON'T run on every row
         case _: RaiseError | _: AssertTrue => true
+        case _: GraftThrowing => true
         case _ => false
       }
 }

@@ -1,0 +1,27 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Standalone entry point for [[graft.ScaleData]] (the bench invokes the
+  * generator directly when `target/sf1` is absent; this tool pre-generates
+  * it out-of-band).
+  *
+  * Run: sbt "Test/runMain graft.tools.MakeSf [copies]" (default 10)
+  */
+object MakeSf {
+  def main(args: Array[String]): Unit = {
+    val copies = args.headOption.flatMap(a =>
+      scala.util.Try(a.toInt).toOption).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.ScaleData.generate(spark, "/root/testdata/sf0.1", "target/sf1",
+      copies)
+    spark.stop()
+  }
+}
