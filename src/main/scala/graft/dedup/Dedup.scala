@@ -186,8 +186,21 @@ object Dedup {
     (exploded, "band" +: keyNames)
   }
 
+  /** Default Σ bucket² skew guard, ON out of the box: a 100 TB corpus with
+    * mass boilerplate duplication WILL produce degenerate band buckets, and
+    * an uncapped default turns the candidate self-join quadratic exactly
+    * when the data is worst. 1000 members/bucket bounds any single bucket's
+    * contribution to ≤ ~500k candidate pairs while sitting orders of
+    * magnitude above organic bucket sizes (sf0.1 p100 is single digits);
+    * members of a dropped bucket still meet in the (bands − 1) other bands
+    * unless they are boilerplate-identical — which exact dedup upstream
+    * removes more cheaply. Pass `maxBucketSize = Int.MaxValue` for the
+    * explicit uncapped escape hatch.
+    */
+  val DefaultMaxBucketSize: Int = 1000
+
   def lshCandidates(signatures: DataFrame, numHashes: Int = 64,
-      bands: Int = 16, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      bands: Int = 16, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val (exploded, joinKeys) = bandBuckets(signatures, numHashes, bands)
     // Σ bucket² skew guard for the self-join: a degenerate bucket (mass
     // boilerplate duplication collapsing thousands of docs onto one band
@@ -216,7 +229,7 @@ object Dedup {
     */
   def minHashDedup(docs: DataFrame, threshold: Double = 0.5,
       numHashes: Int = 64, bands: Int = 16, k: Int = 3,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     // Two independent shingle passes beat one shared distinct table:
     // the signature pass feeds min-aggregation straight off the explode
     // (no distinct shuffle — duplicates fold in the map-side partial min),
@@ -366,7 +379,7 @@ object Dedup {
     */
   def embeddingNearDups(vectors: DataFrame, threshold: Double,
       bits: Int = 8, tables: Int = 8,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     graft.plans.GraftExtensions.ensureFunctions(vectors.sparkSession)
     import graft.similarity.Similarity._
     val all = lshBuckets(vectors, bits, tables)

@@ -236,7 +236,10 @@ object PipelineQueries {
       // shingle hash (graft_polyhash ≡ the double polynomial fold), same
       // affine signature constants (Dedup.minHashConstants), band buckets
       // keyed by the raw signature tuple, exact-Jaccard verify ≥ 0.3.
-      minhashSql(cap = None)) { (s, dir) =>
+      // The gate exercises the PRODUCTION path: the default Σ bucket² skew
+      // cap is ON (Dedup.DefaultMaxBucketSize) and the oracle replicates it
+      // with the same QUALIFY window-count predicate.
+      minhashSql(cap = Some(Dedup.DefaultMaxBucketSize))) { (s, dir) =>
       // MinHash(64) + LSH(16 bands × 4) candidates → exact-Jaccard ≥ 0.3,
       // hash-checked against the SQL replication above; DedupSpec
       // additionally checks candidate recall vs brute-force Jaccard.

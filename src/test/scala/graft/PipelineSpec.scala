@@ -43,10 +43,17 @@ class PipelineSpec extends AnyFunSuite {
       (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu"))
     val d = (boiler ++ pair).toDF("doc_id", "text")
     val sigs = Dedup.minHashSignatures(d, 64, 3)
-    val uncapped = Dedup.lshCandidates(sigs, 64, 16)
+    val uncapped = Dedup.lshCandidates(sigs, 64, 16,
+        maxBucketSize = Int.MaxValue) // explicit escape hatch
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val capped = Dedup.lshCandidates(sigs, 64, 16, maxBucketSize = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the DEFAULT is capped (100 TB posture): verify it equals the
+    // explicit-uncapped result whenever no bucket exceeds the default cap
+    // (42 docs here, cap 1000 — the common non-degenerate case)
+    val default = Dedup.lshCandidates(sigs, 64, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(default == uncapped)
     assert(uncapped.contains((100L, 101L)) && uncapped.size > 780)
     // cap kills the 40-doc cluster's ~780 pairs, keeps the ordinary pair
     assert(capped == Set((100L, 101L)))
