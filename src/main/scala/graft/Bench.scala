@@ -191,7 +191,13 @@ object Bench {
           .head("i").asInstanceOf[Long]
         val upd = s"MATCH (n) WHERE id(n) = $nid SET n.v = n.v + 1"
         sess.run(upd) // warm plan/JIT
-        val updTimes = (1 to 30).map { _ =>
+        // 150 samples: long enough to span two point-write compaction
+        // cycles (CompactEvery=64), so the trend measures steady-state
+        // accumulation including the periodic snapshot commits — 30
+        // samples at ~30µs/op made the thirds ratio pure timer noise
+        // (r8: 1.00, r9: 1.11 on near-identical code)
+        val UpdSamples = 150
+        val updTimes = (1 to UpdSamples).map { _ =>
           val t0 = System.nanoTime()
           sess.run(upd)
           (System.nanoTime() - t0) / 1e6
@@ -199,7 +205,8 @@ object Bench {
         // the whole point is that the updates actually LAND
         val vNow = sess.rows(sess.run("MATCH (n:U) RETURN n.v AS v"))
           .head("v").asInstanceOf[Long]
-        require(vNow == 31L, s"update KPI no-op: n.v = $vNow, expected 31")
+        require(vNow == UpdSamples + 1L,
+          s"update KPI no-op: n.v = $vNow, expected ${UpdSamples + 1}")
         val updQps = 1000.0 / math.max(p50(updTimes), 1e-9)
         val third = updTimes.length / 3
         val updTrend =

@@ -534,8 +534,9 @@ object Translator {
       p.tail.isEmpty) return p
     ctx.graph.statsPeek match {
       case None => p
-      case Some((labels, _)) =>
+      case Some((labels, reltypes)) =>
         val total = math.max(labels.values.sum, 1L)
+        val totalEdges = math.max(reltypes.values.sum, 1L)
         def score(np: Ast.NodePat): Double = {
           val name = np.variable.getOrElse(nameOf(np))
           if (frame.vars.contains(name)) 0.0 // bound: already materialized
@@ -547,8 +548,21 @@ object Translator {
             base * math.pow(0.1, np.props.count(p => isConst(p._2)))
           }
         }
+        // relation-operand selectivity (the reference scores relation
+        // operands alongside node labels, traverse_order_utils.c:16-37 /
+        // traverse_order.c:217-239): the FIRST hop expanded from an anchor
+        // multiplies the frontier by that hop's edge population, so an
+        // anchor followed by a rare reltype beats an equal-sized anchor
+        // followed by a common one. Untyped hops select the whole edge
+        // table (selectivity 1).
+        def relSel(r: Ast.RelPat): Double =
+          if (r.types.isEmpty) 1.0
+          else math.min(1.0, r.types.map(t =>
+            reltypes.getOrElse(t, 0L)).sum.toDouble / totalEdges)
         val last = p.tail.last._2
-        if (score(last) < score(p.head)) {
+        val fwd = score(p.head) * relSel(p.tail.head._1)
+        val rev = score(last) * relSel(p.tail.last._1)
+        if (rev < fwd) {
           val nodes = p.head +: p.tail.map(_._2) // n0 .. nk
           val revTail = p.tail.indices.reverse.map { i =>
             val r = p.tail(i)._1
@@ -946,36 +960,44 @@ object Translator {
     */
   private def edgeView(ctx: Ctx, rel: Ast.RelPat,
       keepProps: Boolean = false): DataFrame = {
-    var e = ctx.graph.edgesByTypes(rel.types)
-    rel.props.foreach { case (k, expr) =>
-      e = e.filter(coalesce(Values.eq(
-        element_at(col("props"), k), constantValue(ctx, expr)), lit(false)))
-    }
     // flat accessed-property columns at the scan (same as nodeScan)
     val flatNames = rel.variable.toSeq.flatMap { rn =>
       ctx.propUse.getOrElse(rn, Set.empty).toSeq.sorted.map(k =>
         (k, propColName(rn, k)))
     }
-    val flats = flatNames.map { case (k, n) =>
-      element_at(col("props"), k).as(n)
-    }
-    val flatCols = flatNames.map { case (_, n) => col(s"`$n`") }
     val propsCol =
       if (keepProps || rel.variable.exists(ctx.needsProps)) col("props")
       else lit(null).cast(Values.propsType)
-    val base = e.select(Seq(struct(col("id"), col("src"), col("dst"),
-      col("reltype"), propsCol.as("props")).as("__edge"),
-      col("src").as("__from"), col("dst").as("__to")) ++ flats: _*)
-    def swapped = base.select(Seq(col("__edge"),
-      col("__to").as("__from"), col("__from").as("__to")) ++ flatCols: _*)
-      .select(Seq(col("__edge"), col("__from"),
-        col("__to")) ++ flatCols: _*)
+    // one orientation over one source table: `rev` swaps the traversal
+    // columns AT THE SCAN (not by renaming a built view), so a dst-bucketed
+    // transpose source keeps its bucketing visible under the `__from` alias
+    // and the expansion join stays co-located
+    def orient(src: DataFrame, rev: Boolean): DataFrame = {
+      var e = src
+      rel.props.foreach { case (k, expr) =>
+        e = e.filter(coalesce(Values.eq(
+          element_at(col("props"), k), constantValue(ctx, expr)), lit(false)))
+      }
+      val flats = flatNames.map { case (k, n) =>
+        element_at(col("props"), k).as(n)
+      }
+      e.select(Seq(struct(col("id"), col("src"), col("dst"),
+        col("reltype"), propsCol.as("props")).as("__edge"),
+        (if (rev) col("dst") else col("src")).as("__from"),
+        (if (rev) col("src") else col("dst")).as("__to")) ++ flats: _*)
+    }
+    lazy val base = orient(ctx.graph.edgesByTypes(rel.types), rev = false)
+    // reverse orientation: the stored dst-bucketed transpose copy when the
+    // graph carries one (zero-Exchange `<-` expansion), else the same
+    // forward table column-swapped (one exchange at scale)
+    lazy val rbase = orient(ctx.graph.edgesByTypesRev(rel.types)
+      .getOrElse(ctx.graph.edgesByTypes(rel.types)), rev = true)
     rel.direction match {
       case 1 => base
-      case -1 => swapped
+      case -1 => rbase
       // undirected: both orientations, but a SELF-LOOP has only one
       // distinct traversal (the reference matches it once, not twice)
-      case 0 => base.unionByName(swapped.where(col("__from") =!= col("__to")))
+      case 0 => base.unionByName(rbase.where(col("__from") =!= col("__to")))
     }
   }
 

@@ -40,9 +40,14 @@ object GraphStore {
       .saveAsTable(s"${name}_edges_rev")
   }
 
-  /** Load a stored graph; `edges` is the src-bucketed copy. */
+  /** Load a stored graph; `edges` is the src-bucketed copy and `edgesRev`
+    * the dst-bucketed transpose — the translator's reverse expansions
+    * then co-locate without a shuffle.
+    */
   def load(spark: SparkSession, name: String): PropertyGraph =
-    PropertyGraph(spark.table(s"${name}_nodes"), spark.table(s"${name}_edges"))
+    PropertyGraph(spark.table(s"${name}_nodes"),
+      spark.table(s"${name}_edges"),
+      edgesRev = Some(spark.table(s"${name}_edges_rev")))
 
   /** The dst-bucketed transpose copy, for reverse (`<-`) expansion. */
   def loadReverse(spark: SparkSession, name: String) =

@@ -29,7 +29,15 @@ import org.apache.spark.sql.functions._
   */
 final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
     byLabel: Map[String, DataFrame] = Map.empty,
-    byReltype: Map[String, DataFrame] = Map.empty) {
+    byReltype: Map[String, DataFrame] = Map.empty,
+    /** The dst-bucketed transpose copy when the graph is backed by a
+      * [[GraphStore]] (≡ the reference's stored transposed matrices,
+      * `graph.h:72-73`): reverse (`<-`) expansion joins co-locate on it
+      * without a shuffle. None on dynamic/mutated graphs — the translator
+      * then falls back to a column swap of `edges` (same values, one
+      * exchange at scale).
+      */
+    edgesRev: Option[DataFrame] = None) {
 
   /** Per-label scan. When the graph carries a prebuilt per-label view
     * (GraphBuilder supplies the pre-union source tables — the analogue of
@@ -57,6 +65,14 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
     else if (reltypes.forall(byReltype.contains))
       reltypes.map(byReltype).reduce(_ unionByName _)
     else edges.filter(col("reltype").isin(reltypes: _*))
+
+  /** The transpose copy filtered to `reltypes`, when the graph carries one
+    * (a reltype filter preserves the dst bucketing, so reverse expansion
+    * joins stay co-located).
+    */
+  def edgesByTypesRev(reltypes: Seq[String]): Option[DataFrame] =
+    edgesRev.map(r =>
+      if (reltypes.isEmpty) r else r.filter(col("reltype").isin(reltypes: _*)))
 
   /** Out-degree per node (reference `entity_funcs.c:186-230` outdegree). */
   def outDegrees: DataFrame =

@@ -290,21 +290,89 @@ case class VariantEq(left: Expression, right: Expression)
     else compute(a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
   }
 
+  /** Codegen: the scalar tag pairs (int/float/mixed-numeric/string/bool —
+    * the overwhelming majority of runtime compares) are INLINE primitive
+    * Java, branch-for-branch the [[topEq]] semantics; only composite and
+    * temporal tags (arrays, boxed, dates, durations, same-null-tag struct
+    * equivalence) pay the boxed per-row [[compute]] call. This keeps the
+    * hot path free of virtual dispatch and Boolean boxing while the cold
+    * branches reuse the interpreted kernel (one source of truth for the
+    * recursive cases; VariantEqSpec pins inline ≡ tree on a value corpus).
+    */
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
     val self = ctx.addReferenceObj("veq", this, classOf[VariantEq].getName)
     val a = left.genCode(ctx)
     val b = right.genCode(ctx)
+    val x = ctx.freshName("veqx"); val y = ctx.freshName("veqy")
+    val tx = ctx.freshName("veqtx"); val ty = ctx.freshName("veqty")
+    val ir = ctx.freshName("veqir"); val fr = ctx.freshName("veqfr")
+    val ia = ctx.freshName("veqia"); val fb = ctx.freshName("veqfb")
     val r = ctx.freshName("veqr")
+    val row = "org.apache.spark.sql.catalyst.InternalRow"
+    // field ordinals / tags as code text (the block interpolator takes
+    // strings and ExprValues, not raw Ints)
+    val (fT, fI, fF, fS, fB) =
+      (T.toString, I.toString, F.toString, S.toString, B.toString)
+    val (tInt, tFloat, tString, tBool, tBoxed) = (TInt.toString,
+      TFloat.toString, TString.toString, TBool.toString, TBoxed.toString)
     ev.copy(code = code"""
       |${a.code}
       |${b.code}
       |boolean ${ev.isNull} = true;
       |boolean ${ev.value} = false;
       |if (!${a.isNull} && !${b.isNull}) {
-      |  java.lang.Boolean $r = $self.compute(${a.value}, ${b.value});
-      |  if ($r != null) { ${ev.isNull} = false; ${ev.value} = $r; }
+      |  $row $x = ${a.value};
+      |  $row $y = ${b.value};
+      |  int $tx = $x.isNullAt($fT) ? -1 : $x.getInt($fT);
+      |  int $ty = $y.isNullAt($fT) ? -1 : $y.getInt($fT);
+      |  if (($tx == $tInt || $tx == $tFloat) &&
+      |      ($ty == $tInt || $ty == $tFloat)) {
+      |    if (($tx == $tFloat && !$x.isNullAt($fF) &&
+      |         Double.isNaN($x.getDouble($fF))) ||
+      |        ($ty == $tFloat && !$y.isNullAt($fF) &&
+      |         Double.isNaN($y.getDouble($fF)))) {
+      |      ${ev.isNull} = false; // NaN equals nothing, incl. itself
+      |    } else if ($tx == $tInt && $ty == $tInt) {
+      |      if (!$x.isNullAt($fI) && !$y.isNullAt($fI)) {
+      |        ${ev.isNull} = false;
+      |        ${ev.value} = $x.getLong($fI) == $y.getLong($fI);
+      |      }
+      |    } else if ($tx == $tFloat && $ty == $tFloat) {
+      |      if (!$x.isNullAt($fF) && !$y.isNullAt($fF)) {
+      |        ${ev.isNull} = false;
+      |        ${ev.value} = $x.getDouble($fF) == $y.getDouble($fF);
+      |      }
+      |    } else {
+      |      $row $ir = $tx == $tInt ? $x : $y;
+      |      $row $fr = $tx == $tInt ? $y : $x;
+      |      if (!$ir.isNullAt($fI) && !$fr.isNullAt($fF)) {
+      |        long $ia = $ir.getLong($fI);
+      |        double $fb = $fr.getDouble($fF);
+      |        ${ev.isNull} = false;
+      |        // exact round-trip equality, saturation-guarded at 2^63
+      |        ${ev.value} = Math.abs($fb) <= 9.223372036854775e18 &&
+      |          ((double) $ia) == $fb && $ia == (long) $fb;
+      |      }
+      |    }
+      |  } else if ($tx != $ty) {
+      |    ${ev.isNull} = false; // cross-type (incl. one null tag) -> false
+      |  } else if ($tx == $tString || $tx == $tBoxed) {
+      |    if (!$x.isNullAt($fS) && !$y.isNullAt($fS)) {
+      |      ${ev.isNull} = false;
+      |      ${ev.value} = $x.getUTF8String($fS).equals($y.getUTF8String($fS));
+      |    }
+      |  } else if ($tx == $tBool) {
+      |    if (!$x.isNullAt($fB) && !$y.isNullAt($fB)) {
+      |      ${ev.isNull} = false;
+      |      ${ev.value} = $x.getBoolean($fB) == $y.getBoolean($fB);
+      |    }
+      |  } else {
+      |    // composite/temporal tags: the interpreted recursive kernel
+      |    java.lang.Boolean $r = $self.compute($x, $y);
+      |    if ($r != null) { ${ev.isNull} = false; ${ev.value} = $r; }
+      |  }
       |}
       """.stripMargin)
   }

@@ -35,6 +35,39 @@ class GraphStoreSpec extends AnyFunSuite {
           .join(rev, loaded.nodes("id") === rev("dst"))
         val revPlan = revExpand.queryExecution.executedPlan.toString
         assert(!revPlan.contains("Exchange"), s"reverse expand shuffled:\n$revPlan")
+
+        // the TRANSLATOR's orientation shape: traversal columns aliased at
+        // the scan (__from = dst on the rev copy) must keep the bucketing
+        // visible through the alias — the join stays exchange-free
+        val oriented = rev.select(col("dst").as("__from"), col("id"))
+        val viaAlias = loaded.nodes
+          .join(oriented, loaded.nodes("id") === oriented("__from"))
+        val aliasPlan = viaAlias.queryExecution.executedPlan.toString
+        assert(!aliasPlan.contains("Exchange"),
+          s"aliased reverse expand shuffled:\n$aliasPlan")
+
+        // end-to-end: a Cypher reverse traversal over the stored graph
+        // reads the transpose table (edgesRev plumbing), forward reads the
+        // src copy
+        assert(loaded.edgesRev.isDefined)
+        val sess = new graft.cypher.CypherSession(spark)
+        sess.setGraph(loaded)
+        val revQ = sess.run(
+          "MATCH (n:Nation)<-[:IN_NATION]-(c:Customer) RETURN count(c) AS n")
+        val revQPlan = revQ.queryExecution.optimizedPlan.toString
+        assert(revQPlan.contains("gs_tpch_edges_rev"),
+          s"reverse cypher expansion did not read the transpose table:\n" +
+            revQPlan.take(3000))
+        val fwdQ = sess.run(
+          "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) RETURN count(c) AS n")
+        assert(!fwdQ.queryExecution.optimizedPlan.toString
+          .contains("gs_tpch_edges_rev"))
+        // both orientations agree with the in-memory graph's edge count
+        val en = g.edges.filter(col("reltype") === "IN_NATION")
+        val cn = g.nodes.filter(col("label") === "Customer")
+        val expected = en.join(cn, en("src") === cn("id"), "left_semi").count()
+        assert(sess.rows(revQ).head("n") == expected)
+        assert(sess.rows(fwdQ).head("n") == expected)
       } finally {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
       }

@@ -45,6 +45,37 @@ class PlanProbeSpec extends AnyFunSuite {
       s"anchor not reordered to the selective label:\n${plan.take(4000)}")
   }
 
+  test("rel-type-selective anchor: equal end labels, chain seeds from the " +
+      "rare-reltype end (traverse_order relation-operand scoring)") {
+    val sess = new graft.cypher.CypherSession(spark)
+    // equal-sized end labels: node scoring alone cannot pick a side
+    sess.run("UNWIND range(0, 19) AS i CREATE (:EndA {v: i})")
+    sess.run("UNWIND range(0, 19) AS i CREATE (:EndB {v: i})")
+    // COMMON dominates the edge population; RARE is a handful
+    sess.run(
+      """UNWIND range(0, 199) AS i
+        |CREATE (:FillA {v: i})-[:COMMON]->(:FillB {v: i})""".stripMargin)
+    sess.run(
+      """MATCH (a:EndA), (b:EndB) WHERE a.v = b.v AND a.v < 3
+        |CREATE (a)-[:COMMON]->(m:MidX {v: a.v}), (m)-[:RARE]->(b)"""
+        .stripMargin)
+    sess.graph.labelCounts; sess.graph.reltypeCounts
+    // pattern order anchors at EndA whose first hop is COMMON (200+ edges);
+    // the reversed order seeds EndB whose first hop is RARE (3 edges)
+    val df = sess.run(
+      "MATCH (a:EndA)-[:COMMON]->(m:MidX)-[:RARE]->(z:EndB) " +
+        "RETURN id(a) AS a")
+    assert(df.count() == 3)
+    val plan = df.queryExecution.optimizedPlan.treeString
+    val endA = plan.indexOf("EndA")
+    val endB = plan.indexOf("EndB")
+    assert(endA >= 0 && endB >= 0, s"labels not visible in plan:\n$plan")
+    // left-deep expand tree prints the ANCHOR scan first: the reversal must
+    // seed from EndB (rare first hop), leaving EndA as the last hop
+    assert(endB < endA,
+      s"anchor not reordered to the rare-reltype end:\n${plan.take(4000)}")
+  }
+
   test("cypher scan projections read only native key columns") {
     val df = SparkEntry.queries("q_cypher_two_hop")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

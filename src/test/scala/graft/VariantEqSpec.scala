@@ -98,13 +98,38 @@ class VariantEqSpec extends AnyFunSuite {
       col("a_kind"), col("b_kind"), col("a_i"), col("b_i"),
       col("a_f"), col("b_f")).localCheckpoint(true)
     val va = vdf("va"); val vb = vdf("vb")
+    // construct the native expression DIRECTLY: Values.eq now dispatches
+    // adaptively and would route attribute operands to eqTree, making the
+    // comparison vacuous
+    import org.apache.spark.sql.GraftColumn
+    val native = GraftColumn.column(graft.plans.VariantEq(
+      GraftColumn.expression(va), GraftColumn.expression(vb)))
     val cmp = vdf.select(
-      Values.eq(va, vb).as("native"),
+      native.as("native"),
       Values.eqTree(va, vb).as("tree"),
       col("a_kind"), col("b_kind"), col("a_i"), col("b_i"),
       col("a_f"), col("b_f"))
     val bad = cmp.filter(!(col("native") <=> col("tree"))).collect()
     assert(bad.isEmpty,
       s"${bad.length} disagreements; first: ${bad.take(3).mkString(" | ")}")
+  }
+
+  test("eq dispatch: cheap operands fold to the tree, map probes go native") {
+    import spark.implicits._
+    val df = Seq((5L, Map("k" -> 5L))).toDF("x", "m")
+    // both operands cheap (attribute + statically-tagged literal): the
+    // dispatcher must keep the foldable tree — no variant_eq in the plan
+    val cheap = df.select(Values.eq(Values.vInt(col("x")),
+      Values.vInt(lit(5))).as("r"))
+    assert(!cheap.queryExecution.optimizedPlan.toString.contains("variant_eq"),
+      "cheap-operand eq did not fold to the tree")
+    // a map probe operand (real generated code per reference) must take the
+    // native single-evaluation expression
+    val probe = df.select(Values.eq(
+      Values.vInt(element_at(col("m"), "k")), Values.vInt(lit(5))).as("r"))
+    assert(probe.queryExecution.analyzed.toString.contains("variant_eq"),
+      "map-probe eq did not dispatch to the native expression")
+    assert(cheap.collect().head.getBoolean(0) === true)
+    assert(probe.collect().head.getBoolean(0) === true)
   }
 }

@@ -9,6 +9,7 @@ the Spark-written parquet (columns sorted by name, rows sorted, exact value
 compare). Prints PASS/FAIL per query.
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -33,12 +34,18 @@ def norm(v):
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # driver testdata is a single parquet FILE per table; Spark-written
+        # scale data (ScaleData -> target/sf1) is a DIRECTORY of part files
+        path = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    results = {}
     npass = nfail = 0
     for name, sql in sorted(oracles.items()):
         try:
@@ -50,19 +57,31 @@ def main():
             srows = sc.fetchall()
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "err": str(e)[:300]}
             nfail += 1
             continue
         if sorted(ocols) != sorted(scols):
             print(f"FAIL {name}: cols oracle={sorted(ocols)} spark={sorted(scols)}")
+            results[name] = {"rows_match": len(orows) == len(srows),
+                             "schema_match": False, "hash_match": False,
+                             "err": None}
             nfail += 1
             continue
         c1, r1 = canon(orows, ocols)
         c2, r2 = canon(srows, scols)
         if len(r1) != len(r2):
             print(f"FAIL {name}: rowcount oracle={len(r1)} spark={len(r2)}")
+            results[name] = {"rows_match": False, "schema_match": True,
+                             "hash_match": False, "err": None,
+                             "spark_rows": len(r2), "oracle_rows": len(r1)}
             nfail += 1
             continue
         bad = [(a, b) for a, b in zip(r1, r2) if a != b]
+        ok = not bad
+        results[name] = {"rows_match": True, "schema_match": True,
+                         "hash_match": ok, "err": None,
+                         "spark_rows": len(r2), "oracle_rows": len(r1)}
         if bad:
             print(f"FAIL {name}: {len(bad)} mismatched rows; first: "
                   f"oracle={bad[0][0]} spark={bad[0][1]}")
@@ -71,6 +90,9 @@ def main():
             print(f"PASS {name} ({len(r1)} rows)")
             npass += 1
     print(f"== {npass} pass, {nfail} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
     sys.exit(1 if nfail else 0)
 
 
