@@ -189,7 +189,20 @@ class CypherSession(val spark: SparkSession) {
     // the SAME frame — already materialized, skip the redundant checkpoint
     def ckpt(df: DataFrame, cur: DataFrame, overlaid: Boolean): DataFrame =
       if ((df eq cur) && !overlaid) df
-      else trackCkpt(df)
+      else {
+        // a SMALL snapshot (Catalyst size estimate, no job) checkpoints
+        // into few partitions: every subsequent point-write resolution is
+        // a full sweep of these blocks, and 32 near-empty tasks cost more
+        // scheduling than data (the delete-edge KPI's whole p50). Large
+        // graphs keep their partitioning — the estimate errs 1000× before
+        // a 4 MB cap misclassifies anything that needs parallel scans.
+        val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val d =
+          if (est < 4L * 1024 * 1024 &&
+            df.queryExecution.toRdd.getNumPartitions > 4) df.coalesce(4)
+          else df
+        trackCkpt(d)
+      }
     graph = PropertyGraph(
       ckpt(nodes, graph.nodes, pointWrites.nodesOverlaid),
       ckpt(edges, graph.edges, pointWrites.edgesOverlaid))

@@ -236,19 +236,21 @@ object Dedup {
     // and the verify pass re-shingles only the candidate docs (LSH keeps
     // that set small). The candidate set is materialized eagerly — it's
     // referenced by several subtrees of the verify job (doc semi-filter,
-    // intersection join, final assembly) — and released after the (small)
-    // verified-pair result is checkpointed, keeping executor storage flat
-    // across many invocations.
+    // intersection join, final assembly). localCheckpoint (not
+    // cache+count): the verify job then reads a STABLE LogicalRDD leaf —
+    // no cache-lookup layer, no recomputable lineage, and AQE does not
+    // re-plan the candidate subtree per consumer (one fewer moving part in
+    // the cold path the r6–r9 benches measured as bistable). Blocks are
+    // released after the (small) verified-pair result is checkpointed, so
+    // executor storage stays flat across many invocations.
     val cands = lshCandidates(
       minHashSignatures(docs, numHashes, k), numHashes, bands,
-      maxBucketSize).cache()
-    cands.count()
-    // materialize the (small) verified-pair result while the candidate
-    // cache is live, then release it
+      maxBucketSize).localCheckpoint(true)
     val result = jaccard(docs, cands, k)
       .filter(col("jaccard") >= threshold)
       .localCheckpoint(true)
-    cands.unpersist()
+    org.apache.spark.sql.GraftRdd.checkpointedRdd(cands)
+      .foreach(_.unpersist(false))
     result
   }
 
