@@ -238,64 +238,26 @@ object Values {
   /** Cypher `=`: null if either operand null; numerics cross-compare; same
     * type compares natively; differing types → false.
     *
-    * Adaptive dispatch (r10, after the r9 warm regression): the composed
-    * [[eqTree]] references each operand ~30 times, which is FREE when the
-    * operand is a flat attribute / statically-tagged constructor — Catalyst
-    * collapses `GetStructField(CreateNamedStruct(lit tag, …))` per branch
-    * and the whole compare folds to a handful of inlined flat-column
-    * compares (the common `n.prop = const` filter after scan-level prop
-    * flattening). It is CATASTROPHIC when the operand is non-trivial
-    * (`element_at(props, k)` re-generated ~30×: the TCK MatchWhere1 [10]
-    * disjunctive-WHERE shape produced 1.8 MB of Java, fell past Janino's
-    * 64 KB method limit, and ran interpreted). So: cheap operands keep the
-    * foldable tree; anything else goes to the native
-    * [[graft.plans.VariantEq]] expression, which evaluates each operand
-    * exactly once inside one JIT method. VariantEqSpec asserts the two
-    * implementations agree on a generated value corpus.
+    * Dispatches to the native [[graft.plans.VariantEq]] expression — each
+    * operand is evaluated ONCE and the compare is one JIT method whose
+    * scalar tag pairs are inline primitive codegen (no boxing, no virtual
+    * dispatch on the hot branches). The composed-tree alternative
+    * references each operand ~30 times: an adaptive construction-time
+    * dispatch to the tree for "cheap" operands was tried in round 10 and
+    * REVERTED — an attribute operand is routinely a scan-level alias for
+    * `element_at(props, k)` that `PushDownPredicates` re-inlines at every
+    * reference, and the fuzz corpus measured 87 queries falling past
+    * Janino's 64 KB limit into interpreted eval (the exact disease the
+    * native expression cures; r9 baseline: 0). Cheapness at Column-build
+    * time cannot see what pushdown will substitute later, so the
+    * structural single-evaluation guarantee wins. The composed tree lives
+    * on in [[eqTree]] as the executable specification: VariantEqSpec
+    * asserts the two agree on a generated value corpus.
     */
   def eq(a: Column, b: Column): Column = {
     import org.apache.spark.sql.GraftColumn
-    val ea = GraftColumn.expression(a)
-    val eb = GraftColumn.expression(b)
-    if (cheapOperand(ea) && cheapOperand(eb)) eqTree(a, b)
-    else GraftColumn.column(graft.plans.VariantEq(ea, eb))
-  }
-
-  /** True iff re-generating this operand ~30 times inside [[eqTree]] is
-    * harmless: every node is either free at codegen time (attribute /
-    * literal / struct-field hop) or folds away under
-    * `SimplifyExtractValueOps` + constant folding (the `when(isNull,
-    * null).otherwise(named_struct(lit tag, …))` variant constructors).
-    * Map probes (`element_at`), JSON paths, lambdas, arithmetic — anything
-    * with real generated code — fails the test and takes the native
-    * single-evaluation path. Node-count cap backstops pathological nesting.
-    */
-  private def cheapOperand(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
-    import org.apache.spark.sql.catalyst.expressions._
-    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedExtractValue}
-    var n = 0
-    def ok(x: Expression): Boolean = {
-      n += 1
-      if (n > 64) false
-      else x match {
-        case _: Literal | _: AttributeReference | _: BoundReference |
-          _: UnresolvedAttribute => true
-        case g: GetStructField => ok(g.child)
-        // .getField on a not-yet-resolved column: struct access in every
-        // translator shape (map probes go through element_at, a function)
-        case u: UnresolvedExtractValue =>
-          u.extraction.isInstanceOf[Literal] && ok(u.child)
-        case al: Alias => ok(al.child)
-        case c: Cast => ok(c.child)
-        case s: CreateNamedStruct => s.children.forall(ok)
-        case w: CaseWhen => w.children.forall(ok)
-        case i: If => i.children.forall(ok)
-        case _: IsNull | _: IsNotNull | _: Not | _: And | _: Or |
-          _: EqualTo | _: Coalesce => x.children.forall(ok)
-        case _ => false
-      }
-    }
-    ok(e)
+    GraftColumn.column(graft.plans.VariantEq(
+      GraftColumn.expression(a), GraftColumn.expression(b)))
   }
 
   /** The composed-Column reference implementation of [[eq]] (see there). */

@@ -114,21 +114,19 @@ class VariantEqSpec extends AnyFunSuite {
       s"${bad.length} disagreements; first: ${bad.take(3).mkString(" | ")}")
   }
 
-  test("eq dispatch: cheap operands fold to the tree, map probes go native") {
+  test("eq always takes the native single-evaluation expression") {
     import spark.implicits._
     val df = Seq((5L, Map("k" -> 5L))).toDF("x", "m")
-    // both operands cheap (attribute + statically-tagged literal): the
-    // dispatcher must keep the foldable tree — no variant_eq in the plan
+    // EVERY operand shape routes native — construction-time "cheapness"
+    // cannot see that an attribute is a scan alias PushDownPredicates will
+    // re-inline per tree reference (87 fuzz queries fell to interpreted
+    // eval under an adaptive tree dispatch; see Values.eq scaladoc)
     val cheap = df.select(Values.eq(Values.vInt(col("x")),
       Values.vInt(lit(5))).as("r"))
-    assert(!cheap.queryExecution.optimizedPlan.toString.contains("variant_eq"),
-      "cheap-operand eq did not fold to the tree")
-    // a map probe operand (real generated code per reference) must take the
-    // native single-evaluation expression
+    assert(cheap.queryExecution.analyzed.toString.contains("variant_eq"))
     val probe = df.select(Values.eq(
       Values.vInt(element_at(col("m"), "k")), Values.vInt(lit(5))).as("r"))
-    assert(probe.queryExecution.analyzed.toString.contains("variant_eq"),
-      "map-probe eq did not dispatch to the native expression")
+    assert(probe.queryExecution.analyzed.toString.contains("variant_eq"))
     assert(cheap.collect().head.getBoolean(0) === true)
     assert(probe.collect().head.getBoolean(0) === true)
   }
