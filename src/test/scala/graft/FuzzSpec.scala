@@ -148,6 +148,14 @@ class FuzzSpec extends AnyFunSuite {
     }
     assert(queries.size >= Cases * 95 / 100, "generator mostly total")
     sess // force graph setup on the main thread
+    // Codegen-fallback gate: a Janino overflow silently demotes a query to
+    // interpreted eval — correct results, catastrophic at scale. Running
+    // the corpus with fallback DISABLED turns any such demotion into a
+    // test failure (round 10: an adaptive eq dispatch put 87/1000 corpus
+    // queries into interpreted eval while every value-level test stayed
+    // green; this gate is what would have caught it).
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
     val failures = new ConcurrentLinkedQueue[String]()
     val pool = Executors.newFixedThreadPool(8)
     queries.foreach { q =>
@@ -183,7 +191,12 @@ class FuzzSpec extends AnyFunSuite {
       })
     }
     pool.shutdown()
-    assert(pool.awaitTermination(15, TimeUnit.MINUTES), "fuzz pool timed out")
+    val done = pool.awaitTermination(15, TimeUnit.MINUTES)
+    prevFallback match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+    assert(done, "fuzz pool timed out")
     import scala.jdk.CollectionConverters._
     val fs = failures.asScala.toSeq
     assert(fs.isEmpty,
