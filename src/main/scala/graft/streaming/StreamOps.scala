@@ -182,7 +182,8 @@ object StreamOps {
     * `threshold` verified on the docs' shingle sets.
     */
   final class IncrementalDedup(threshold: Double = 0.5,
-      numHashes: Int = 64, bands: Int = 16, k: Int = 3) {
+      numHashes: Int = 64, bands: Int = 16, k: Int = 3,
+      maxBucketSize: Int = graft.dedup.Dedup.DefaultMaxBucketSize) {
     import graft.dedup.Dedup
     private var bucketStore: Option[DataFrame] = None
     private var shingleStore: Option[DataFrame] = None
@@ -212,8 +213,21 @@ object StreamOps {
       // candidates: new docs vs the store (cross-batch) ∪ within-batch
       val store = bucketStore.map(_.unionByName(newBuckets))
         .getOrElse(newBuckets)
+      // the batch path's Σ bucket² skew guard, incremental form: once a
+      // band bucket's STORE population exceeds the cap, this and later
+      // batches stop pairing through it (earlier batches' verified pairs
+      // stand — an append-only pair log cannot retroactively un-pair, so
+      // the guard is monotone rather than global like Dedup.lshCandidates)
+      val guarded =
+        if (maxBucketSize == Int.MaxValue) store
+        else {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(joinKeys.map(col): _*)
+          store.withColumn("__bn", count(lit(1)).over(w))
+            .filter(col("__bn") <= maxBucketSize).drop("__bn")
+        }
       // canonicalize (a=min, b=max): a stored doc may carry the LARGER id
-      val cands = store.withColumnRenamed("doc_id", "a")
+      val cands = guarded.withColumnRenamed("doc_id", "a")
         .join(newBuckets.withColumnRenamed("doc_id", "b"), joinKeys)
         .filter(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("a"),

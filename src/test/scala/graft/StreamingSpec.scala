@@ -98,6 +98,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchPairs.nonEmpty)
   }
 
+  test("incremental dedup bucket cap: degenerate buckets stop pairing, " +
+    "ordinary pairs survive") {
+    import spark.implicits._
+    // 30 boilerplate copies (one degenerate bucket per band) + one
+    // ordinary near-dup pair, split across 3 batches
+    val boiler = (1L to 30L).map(i => (i, "the same boilerplate text " * 10))
+    val pair = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu"))
+    val d = (boiler ++ pair).toDF("doc_id", "text")
+    val inc = new StreamOps.IncrementalDedup(0.3, maxBucketSize = 8)
+    (0 to 2).foreach(i => inc.ingest(d.filter(col("doc_id") % 3 === i)))
+    val pairs = inc.nearDups.map(p => (p._1, p._2)).toSet
+    // the ordinary pair verifies; the boilerplate cluster is capped well
+    // below its 435 all-pairs (the monotone guard admits only the pairs
+    // formed while its buckets were still under the cap)
+    assert(pairs.contains((100L, 101L)))
+    val boilerPairs = pairs.count { case (a, b) => a <= 30 && b <= 30 }
+    assert(boilerPairs < 60, s"cap did not bound boilerplate pairs: $boilerPairs")
+  }
+
   test("multimodal features: deterministic stub decode, histogram sums to n_bytes") {
     val feats = Multimodal.extractFeatures(
       Multimodal.mediaFromDocs(Tables.documents(spark, sfDir)))
