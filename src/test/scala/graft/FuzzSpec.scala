@@ -109,7 +109,16 @@ class FuzzSpec extends AnyFunSuite {
         Gen.oneOf(vars).map(v => s"$v.num"),
         Gen.oneOf(vars).map(v => s"$v.name"),
         Gen.oneOf(vars).map(v => s"id($v)"),
-        Gen.oneOf(vars).map(v => s"labels($v)")).flatMap(g => g))
+        Gen.oneOf(vars).map(v => s"labels($v)"),
+        // arithmetic / conditional projections: variant arithmetic kernels
+        // and CASE under the zero-fallback codegen gate
+        Gen.zip(Gen.oneOf(vars), Gen.oneOf(vars)).map {
+          case (a, b) => s"$a.num + $b.num * 2"
+        },
+        Gen.oneOf(vars).map(v =>
+          s"CASE WHEN $v.num > 4 THEN 'hi' ELSE $v.name END"),
+        Gen.oneOf(vars).map(v => s"coalesce($v.num, -1)"),
+        Gen.oneOf(vars).map(v => s"size($v.name)")).flatMap(g => g))
     items = rawItems.zipWithIndex.map { case (it, i) => s"$it AS c$i" }
     orderBy <- Gen.option(
       Gen.choose(0, rawItems.size - 1).map(i => s"c$i"))

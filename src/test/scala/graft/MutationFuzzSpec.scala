@@ -73,6 +73,12 @@ class MutationFuzzSpec extends AnyFunSuite {
     1 -> genK.map(k => SetMark(
       s"MATCH (n:M) WHERE n.num = $k SET n += {tag: 't$k'}",
       s"n.tag = 't$k' AND n.num = $k", k)),
+    1 -> genK.map(k => SetMark(
+      s"MATCH ()-[r:R]->() WHERE r.w = $k SET r.seen = $k",
+      s"__edge_pred r.seen = $k AND r.w = $k", k)),
+    1 -> genK.map(k => SetMark(
+      s"MATCH (n:N) WHERE n.num = $k SET n.mark = null",
+      s"__removed n.mark IS NULL AND n.num = $k", k)),
     2 -> genK.map(k => DeleteEdge(
       s"MATCH ()-[r:R]->() WHERE r.w = $k DELETE r", s"r.w = $k")),
     1 -> genK.map(k => DetachNode(
@@ -124,6 +130,27 @@ class MutationFuzzSpec extends AnyFunSuite {
               s"re-MERGE created ${st2.nc} nodes / ${st2.rc} rels")
             assert(nodeCount(s) == nodes && edgeCount(s) == edges,
               "re-MERGE changed counts")
+          case SetMark(_, pred, _) if pred.startsWith("__edge_pred ") =>
+            // edge SET visibility: the written edge property is readable
+            // through a relationship pattern on the same session
+            val p = pred.stripPrefix("__edge_pred ")
+            val vis = s.rows(s.run(
+              s"MATCH ()-[r:R]->() WHERE $p RETURN count(r) AS n"))
+              .head("n").asInstanceOf[Long]
+            assert(st.ps >= vis,
+              s"properties_set ${st.ps} < visible edge-marked rows $vis")
+          case SetMark(_, pred, _) if pred.startsWith("__removed ") =>
+            // SET n.p = null REMOVES the property: every matched node must
+            // read the property as NULL immediately after
+            val p = pred.stripPrefix("__removed ")
+            val matched = s.rows(s.run(
+              s"MATCH (n:N) WHERE ${p.replaceFirst("n\\.mark IS NULL AND ", "")} " +
+                "RETURN count(n) AS n")).head("n").asInstanceOf[Long]
+            val nulled = s.rows(s.run(
+              s"MATCH (n:N) WHERE $p RETURN count(n) AS n"))
+              .head("n").asInstanceOf[Long]
+            assert(nulled == matched,
+              s"property removal not visible: $nulled of $matched null")
           case SetMark(_, pred, _) =>
             // invariant 4: the SET is visible to an immediate read, and
             // properties_set covered every matched row
