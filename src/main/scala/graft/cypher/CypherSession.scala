@@ -196,11 +196,12 @@ class CypherSession(val spark: SparkSession) {
         // scheduling than data (the delete-edge KPI's whole p50). Large
         // graphs keep their partitioning — the estimate errs 1000× before
         // a 4 MB cap misclassifies anything that needs parallel scans.
+        // No partition-count probe: under AQE, `toRdd` would materialize
+        // exchange stages whose work the checkpoint then re-runs, and
+        // coalesce never INCREASES a partition count, so it is a plan-only
+        // no-op when the frame is already narrow.
         val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-        val d =
-          if (est < 4L * 1024 * 1024 &&
-            df.queryExecution.toRdd.getNumPartitions > 4) df.coalesce(4)
-          else df
+        val d = if (est < 4L * 1024 * 1024) df.coalesce(4) else df
         trackCkpt(d)
       }
     graph = PropertyGraph(

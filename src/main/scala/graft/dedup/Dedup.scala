@@ -199,23 +199,29 @@ object Dedup {
     */
   val DefaultMaxBucketSize: Int = 1000
 
+  /** The Σ bucket² skew guard, shared by every LSH candidate join (batch
+    * minhash, embedding LSH, the incremental streaming store): rows whose
+    * bucket (the `keys` tuple) holds more than `cap` members are dropped
+    * WHOLE — a degenerate bucket (mass boilerplate collapsing thousands of
+    * docs onto one key) would otherwise turn the candidate join quadratic.
+    * Dropped members are overwhelmingly exact/boilerplate duplicates that
+    * exactDedup collapses upstream, and every pair keeps its other bands'
+    * chances to collide. One shared implementation: the three call sites
+    * must stay bit-identical to the SQL oracle's QUALIFY replication.
+    */
+  def capBuckets(rows: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    if (cap == Int.MaxValue) rows
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+      rows.withColumn("__bn", count(lit(1)).over(w))
+        .filter(col("__bn") <= cap).drop("__bn")
+    }
+
   def lshCandidates(signatures: DataFrame, numHashes: Int = 64,
       bands: Int = 16, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val (exploded, joinKeys) = bandBuckets(signatures, numHashes, bands)
-    // Σ bucket² skew guard for the self-join: a degenerate bucket (mass
-    // boilerplate duplication collapsing thousands of docs onto one band
-    // key) turns the join quadratic in that bucket. Capped buckets are
-    // dropped whole — their members are overwhelmingly exact/boilerplate
-    // duplicates that exactDedup should collapse upstream, and every doc
-    // pair still has (bands − 1) other chances to collide.
-    val buckets =
-      if (maxBucketSize == Int.MaxValue) exploded
-      else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(joinKeys.map(col): _*)
-        exploded.withColumn("__bn", count(lit(1)).over(w))
-          .filter(col("__bn") <= maxBucketSize).drop("__bn")
-      }
+    val buckets = capBuckets(exploded, joinKeys, maxBucketSize)
     val l = buckets.withColumnRenamed("doc_id", "a")
     val r = buckets.withColumnRenamed("doc_id", "b")
     l.join(r, joinKeys)
@@ -387,14 +393,7 @@ object Dedup {
     val all = lshBuckets(vectors, bits, tables)
     // same Σ bucket² guard as lshCandidates: drop degenerate buckets
     // (e.g. zero vectors hashing identically across tables)
-    val buckets =
-      if (maxBucketSize == Int.MaxValue) all
-      else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("table"), col("bucket"))
-        all.withColumn("__bn", count(lit(1)).over(w))
-          .filter(col("__bn") <= maxBucketSize).drop("__bn")
-      }
+    val buckets = capBuckets(all, Seq("table", "bucket"), maxBucketSize)
     val cands = buckets.select(col("table"), col("bucket"),
         col("vec_id").as("a"))
       .join(buckets.select(col("table"), col("bucket"),

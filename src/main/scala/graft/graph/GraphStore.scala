@@ -29,7 +29,15 @@ object GraphStore {
 
   /** Persist `g` as `<name>_{nodes,edges,edges_rev}` bucketed tables. */
   def save(g: PropertyGraph, name: String, buckets: Int = 64): Unit = {
+    // nodes are additionally PARTITIONED by label (the PropertyGraph
+    // scaladoc's "label is a partition column" scale contract): a label
+    // scan then prunes to that label's directories before any row is read
+    // — the stored analogue of the reference's per-label matrices. Label
+    // cardinality is bounded (':'-joined ordered label sets), and the id
+    // bucketing nests inside each partition directory, so expand joins
+    // keep their co-location.
     g.nodes.write.mode(SaveMode.Overwrite).format("parquet")
+      .partitionBy("label")
       .bucketBy(buckets, "id").sortBy("id")
       .saveAsTable(s"${name}_nodes")
     g.edges.write.mode(SaveMode.Overwrite).format("parquet")
@@ -44,10 +52,19 @@ object GraphStore {
     * the dst-bucketed transpose — the translator's reverse expansions
     * then co-locate without a shuffle.
     */
-  def load(spark: SparkSession, name: String): PropertyGraph =
-    PropertyGraph(spark.table(s"${name}_nodes"),
+  def load(spark: SparkSession, name: String): PropertyGraph = {
+    // partitionBy moves `label` to the END of the stored schema; restore
+    // the engine's positional contract (id, label, props, extras…) — the
+    // projection is alias-free, so partition pruning and the id bucketing
+    // pass straight through it
+    val t = spark.table(s"${name}_nodes")
+    val lead = Seq("id", "label", "props").filter(t.columns.contains)
+    val nodes = t.select(
+      (lead ++ t.columns.filterNot(lead.contains)).map(t.apply): _*)
+    PropertyGraph(nodes,
       spark.table(s"${name}_edges"),
       edgesRev = Some(spark.table(s"${name}_edges_rev")))
+  }
 
   /** The dst-bucketed transpose copy, for reverse (`<-`) expansion. */
   def loadReverse(spark: SparkSession, name: String) =

@@ -311,11 +311,18 @@ object PipelineQueries {
 
     QueryDef(
       "q_dedup_embed_lsh",
+      // bucketsf: the QUALIFY replication of the production bucket cap
+      // (Dedup.capBuckets with DefaultMaxBucketSize) — oracle and engine
+      // run the same guarded candidate set
       s"""WITH buckets AS (
          |${lshBucketsSql(6, 8)}),
+         |bucketsf AS (
+         |  SELECT * FROM buckets
+         |  QUALIFY count(*) OVER (PARTITION BY tbl, bucket)
+         |          <= ${Dedup.DefaultMaxBucketSize}),
          |cand AS (
          |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
-         |  FROM buckets l JOIN buckets r
+         |  FROM bucketsf l JOIN bucketsf r
          |    ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
          |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
          |      FROM embeddings)
@@ -552,9 +559,11 @@ object PipelineQueries {
       // Transitive closure of the MinHash near-dup pairs (recursive CTE) →
       // canonical (smallest) doc id per cluster; mirrors GraphX connected
       // components over the verified pair graph.
+      // the pair source replicates the CAPPED production path, matching
+      // nearDupClusters -> minHashDedup's DefaultMaxBucketSize guard
       s"""WITH RECURSIVE pairs AS (
          |  SELECT a, b FROM (
-         |${minhashSql(cap = None)})),
+         |${minhashSql(cap = Some(Dedup.DefaultMaxBucketSize))})),
          |und AS (SELECT a AS x, b AS y FROM pairs
          |        UNION SELECT b, a FROM pairs),
          |reach AS (

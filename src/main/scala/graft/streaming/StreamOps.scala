@@ -218,14 +218,7 @@ object StreamOps {
       // batches stop pairing through it (earlier batches' verified pairs
       // stand — an append-only pair log cannot retroactively un-pair, so
       // the guard is monotone rather than global like Dedup.lshCandidates)
-      val guarded =
-        if (maxBucketSize == Int.MaxValue) store
-        else {
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(joinKeys.map(col): _*)
-          store.withColumn("__bn", count(lit(1)).over(w))
-            .filter(col("__bn") <= maxBucketSize).drop("__bn")
-        }
+      val guarded = Dedup.capBuckets(store, joinKeys, maxBucketSize)
       // canonicalize (a=min, b=max): a stored doc may carry the LARGER id
       val cands = guarded.withColumnRenamed("doc_id", "a")
         .join(newBuckets.withColumnRenamed("doc_id", "b"), joinKeys)

@@ -165,6 +165,7 @@ class FuzzSpec extends AnyFunSuite {
     // green; this gate is what would have caught it).
     val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
     val failures = new ConcurrentLinkedQueue[String]()
     val pool = Executors.newFixedThreadPool(8)
     queries.foreach { q =>
@@ -200,16 +201,20 @@ class FuzzSpec extends AnyFunSuite {
       })
     }
     pool.shutdown()
-    val done = pool.awaitTermination(15, TimeUnit.MINUTES)
-    prevFallback match {
-      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
-      case None => spark.conf.unset("spark.sql.codegen.fallback")
-    }
-    assert(done, "fuzz pool timed out")
+    assert(pool.awaitTermination(15, TimeUnit.MINUTES), "fuzz pool timed out")
     import scala.jdk.CollectionConverters._
     val fs = failures.asScala.toSeq
     assert(fs.isEmpty,
       s"${fs.size}/${queries.size} fuzz cases failed; first 5:\n" +
         fs.take(5).mkString("\n\n"))
+    } finally {
+      // the session is SHARED with every later suite: a leaked
+      // fallback=false would turn benign codegen overflows elsewhere into
+      // hard failures
+      prevFallback match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
   }
 }

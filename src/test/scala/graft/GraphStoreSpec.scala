@@ -77,6 +77,21 @@ class GraphStoreSpec extends AnyFunSuite {
         .select(element_at(col("props"), "name").getField("s"))
         .orderBy(col("id")).limit(1).head().getString(0)
       assert(name != null && name.nonEmpty)
+
+      // label scans PRUNE PARTITIONS: the stored nodes table is
+      // partitioned by label, and the engine's label-membership predicate
+      // (labelHas — array_contains over the split list) references only
+      // the partition column, so it lands in PartitionFilters and no
+      // other label's directories are read
+      val labelScan = loaded.nodesByLabel("Nation")
+      val scanPlan = labelScan.queryExecution.executedPlan.toString
+      val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+        .findFirstMatchIn(scanPlan).map(_.group(1)).getOrElse("")
+      assert(pf.contains("label"),
+        s"label predicate not pushed to partition pruning:\n" +
+          scanPlan.take(3000))
+      assert(labelScan.count() ==
+        g.nodes.filter(col("label") === "Nation").count())
     } finally GraphStore.drop(spark, "gs_tpch")
   }
 }

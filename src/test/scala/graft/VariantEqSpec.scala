@@ -98,9 +98,9 @@ class VariantEqSpec extends AnyFunSuite {
       col("a_kind"), col("b_kind"), col("a_i"), col("b_i"),
       col("a_f"), col("b_f")).localCheckpoint(true)
     val va = vdf("va"); val vb = vdf("vb")
-    // construct the native expression DIRECTLY: Values.eq now dispatches
-    // adaptively and would route attribute operands to eqTree, making the
-    // comparison vacuous
+    // construct the native expression DIRECTLY rather than through
+    // Values.eq, so this corpus keeps pinning native ≡ tree even if eq's
+    // routing ever changes again (round 10 briefly dispatched adaptively)
     import org.apache.spark.sql.GraftColumn
     val native = GraftColumn.column(graft.plans.VariantEq(
       GraftColumn.expression(va), GraftColumn.expression(vb)))

@@ -94,6 +94,11 @@ def main():
         else:
             print(f"PASS {name} ({len(r1)} rows)")
             npass += 1
+    if not results:
+        # every oracle was skipped: a crashed/empty dump (or a misspelled
+        # SPARK_GRAFT_VERIFY_ONLY) must not read as a green gate
+        print("== 0 queries compared: no result dirs found — FAIL ==")
+        sys.exit(1)
     print(f"== {npass} pass, {nfail} fail ==")
     if json_out:
         with open(json_out, "w") as f:
