@@ -365,11 +365,16 @@ object PipelineQueries {
 
     QueryDef(
       "q_ann_lsh",
+      // bucketsf mirrors the production bucket cap (Dedup.capBuckets)
       s"""WITH buckets AS (
          |${lshBucketsSql(8, 8)}),
+         |bucketsf AS (
+         |  SELECT * FROM buckets
+         |  QUALIFY count(*) OVER (PARTITION BY tbl, bucket)
+         |          <= ${Dedup.DefaultMaxBucketSize}),
          |cand0 AS (
          |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
-         |  FROM buckets l JOIN buckets r
+         |  FROM bucketsf l JOIN bucketsf r
          |    ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
          |cand AS (SELECT a, b FROM cand0
          |         UNION ALL SELECT b AS a, a AS b FROM cand0),

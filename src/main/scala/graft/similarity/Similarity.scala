@@ -202,9 +202,16 @@ object Similarity {
     * force in PipelineSpec.
     */
   def annTopK(vectors: DataFrame, k: Int, bits: Int = 8,
-      tables: Int = 8): DataFrame = {
+      tables: Int = 8,
+      maxBucketSize: Int = graft.dedup.Dedup.DefaultMaxBucketSize)
+      : DataFrame = {
     graft.plans.GraftExtensions.ensureFunctions(vectors.sparkSession)
-    val buckets = lshBuckets(vectors, bits, tables)
+    // same Σ bucket² guard as every other LSH candidate join (a degenerate
+    // bucket — e.g. zero vectors identical across tables — would make the
+    // self-join quadratic); members keep their other tables' chances
+    val buckets = graft.dedup.Dedup.capBuckets(
+      lshBuckets(vectors, bits, tables), Seq("table", "bucket"),
+      maxBucketSize)
     val l = buckets.select(col("table"), col("bucket"), col("vec_id").as("a"))
     val r = buckets.select(col("table"), col("bucket"), col("vec_id").as("b"))
     val cands = l.join(r, Seq("table", "bucket"))
