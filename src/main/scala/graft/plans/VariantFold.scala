@@ -88,7 +88,7 @@ object VariantFoldRule extends Rule[LogicalPlan] {
   }
 
   private def foldMapLookup(e: ElementAt): Option[Expression] =
-    (e.left, e.right) match {
+    (stripNullFilter(e.left), e.right) match {
       case (CreateMap(kvs, _), key: Literal) =>
         val pairs = kvs.grouped(2).collect { case Seq(k, v) => (k, v) }.toSeq
         if (pairs.forall(_._1.isInstanceOf[Literal])) {
@@ -102,6 +102,19 @@ object VariantFoldRule extends Rule[LogicalPlan] {
         } else None
       case _ => None
     }
+
+  /** `map_filter(m, (k,v) -> isnotnull(v))` is an identity for LOOKUPS: a
+    * key the filter removes had a null value, and a missing-key lookup is
+    * null too (≡ PROPERTY_NOTFOUND). GraphStore's restored props views
+    * wrap their lazy CreateMap this way so whole-map consumers see the
+    * original key set; stripping the wrapper here lets per-key lookups
+    * fold to the underlying storage column.
+    */
+  private def stripNullFilter(m: Expression): Expression = m match {
+    case MapFilter(inner, LambdaFunction(IsNotNull(v), args, _))
+        if args.lastOption.exists(v.semanticEquals) => inner
+    case other => other
+  }
 
   // ── runtime-fact engine (rewrite 3/4) ─────────────────────────────────────
   /** (expr, value): `expr` is known to evaluate to `value` in this scope. */
@@ -124,7 +137,10 @@ object VariantFoldRule extends Rule[LogicalPlan] {
     case And(a, b) => nullFree(a) && nullFree(b)
     case Or(a, b) => nullFree(a) && nullFree(b)
     case Not(a) => nullFree(a)
-    case _ => false
+    // Catalyst nullability is an upper bound on null production: a
+    // non-nullable expression (isnan, array_contains over non-null input,
+    // …) never evaluates to NULL
+    case _ => !e.nullable
   }
 
   private def subst(e: Expression, facts0: Facts): Expression = {
@@ -158,6 +174,12 @@ object VariantFoldRule extends Rule[LogicalPlan] {
     var els = cw.elseValue
     val i = bs.indexWhere(_._1 == Literal.TrueLiteral)
     if (i >= 0) { els = Some(bs(i)._2); bs = bs.take(i) }
+    // a TRAILING branch whose value equals the else value is a no-op
+    // whatever its condition evaluates to (true → same value; false or
+    // null → falls through to else → same value)
+    while (bs.nonEmpty && els.exists(e =>
+        e.deterministic && e.semanticEquals(bs.last._2)))
+      bs = bs.init
     (bs, els) match {
       case (Seq(), Some(e)) => e
       case (Seq(), None) => Literal.create(null, cw.dataType)
@@ -193,12 +215,17 @@ object VariantFoldRule extends Rule[LogicalPlan] {
       bs = bs.filterNot(_._1 == Literal.FalseLiteral)
       val i = bs.indexWhere(_._1 == Literal.TrueLiteral)
       if (i >= 0) { els = bs(i)._2; bs = bs.take(i) }
-      // peel leading `WHEN <null-check> THEN false` into IsNotNull conjuncts:
-      // CASE WHEN isnull(x) THEN false ELSE p ≡ isnotnull(x) AND p
+      // peel leading `WHEN <null-free cond> THEN false` into negated
+      // conjuncts: CASE WHEN isnull(x) THEN false ELSE p ≡ isnotnull(x)
+      // AND p; CASE WHEN isnan(x) THEN false ELSE p ≡ NOT isnan(x) AND p.
+      // Splitting into an AND lets the pushable conjuncts reach the
+      // parquet scan (the CASE as a whole never pushes).
       val conjuncts = scala.collection.mutable.ArrayBuffer[Expression]()
       while (bs.nonEmpty && bs.head._2 == Literal.FalseLiteral &&
-          notNullOperands(bs.head._1).nonEmpty) {
-        conjuncts ++= notNullOperands(bs.head._1).map(IsNotNull(_))
+          (notNullOperands(bs.head._1).nonEmpty || nullFree(bs.head._1))) {
+        val ops = notNullOperands(bs.head._1)
+        if (ops.nonEmpty) conjuncts ++= ops.map(IsNotNull(_))
+        else conjuncts += Not(bs.head._1)
         bs = bs.tail
       }
       val core: Expression =

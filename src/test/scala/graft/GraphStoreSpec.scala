@@ -58,10 +58,19 @@ class GraphStoreSpec extends AnyFunSuite {
         assert(revQPlan.contains("gs_tpch_edges_rev"),
           s"reverse cypher expansion did not read the transpose table:\n" +
             revQPlan.take(3000))
+        // the restored graph carries the stored statistics snapshot, so the
+        // translator may legally REVERSE a syntactically-forward pattern to
+        // anchor at the smaller label (Nation) — and must then read the
+        // transpose copy; either orientation must use a stored edge table
         val fwdQ = sess.run(
           "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) RETURN count(c) AS n")
-        assert(!fwdQ.queryExecution.optimizedPlan.toString
-          .contains("gs_tpch_edges_rev"))
+        val fwdPlan = fwdQ.queryExecution.optimizedPlan.toString
+        assert(fwdPlan.contains("gs_tpch_edges"), // _edges or _edges_rev
+          s"forward cypher expansion did not read a stored edge table:\n" +
+            fwdPlan.take(3000))
+        // restored statistics serve counts without a counting job
+        assert(loaded.statsPeek.isDefined,
+          "restored graph did not seed the stored statistics snapshot")
         // both orientations agree with the in-memory graph's edge count
         val en = g.edges.filter(col("reltype") === "IN_NATION")
         val cn = g.nodes.filter(col("label") === "Customer")
@@ -93,5 +102,49 @@ class GraphStoreSpec extends AnyFunSuite {
       assert(labelScan.count() ==
         g.nodes.filter(col("label") === "Nation").count())
     } finally GraphStore.drop(spark, "gs_tpch")
+  }
+
+  test("typed-column projection: property access over a restored graph " +
+      "folds to a pruned flat parquet column") {
+    val g = GraphBuilder.tpch(spark, sfDir)
+    GraphStore.save(g, "gs_typed", buckets = 4)
+    try {
+      val loaded = GraphStore.load(spark, "gs_typed")
+      val sess = new graft.cypher.CypherSession(spark)
+      sess.setGraph(loaded)
+      val q = sess.run(
+        """MATCH (o:Order) WHERE o.totalprice > 300000
+          |RETURN o.orderkey AS ok""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString
+      // the monomorphic FLOAT key was stored as a flat double column and
+      // the filter folded to a native comparison pushed into the scan
+      assert(plan.contains("PushedFilters: [IsNotNull(_p_totalprice)") ||
+        plan.contains("GreaterThan(_p_totalprice"),
+        s"totalprice filter not pushed to the parquet scan:\n${plan.take(3000)}")
+      val read = "ReadSchema: struct<([^>]*)>".r
+        .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+      assert(read.contains("_p_totalprice") && read.contains("_p_orderkey") &&
+        !read.contains("_p_status") && !read.contains("props"),
+        s"scan did not prune to the accessed typed columns: $read")
+      // no generic variant map survives in the optimized plan
+      assert(!q.queryExecution.optimizedPlan.toString.contains("map_filter"),
+        "whole props map materialized for a per-key access")
+      // values agree with the in-memory graph
+      val memSess = new graft.cypher.CypherSession(spark)
+      memSess.setGraph(g)
+      val expect = memSess.rows(memSess.run(
+        """MATCH (o:Order) WHERE o.totalprice > 300000
+          |RETURN o.orderkey AS ok""".stripMargin))
+        .map(_("ok").asInstanceOf[Long]).sorted
+      assert(sess.rows(q).map(_("ok").asInstanceOf[Long]).sorted == expect)
+
+      // whole-map consumers see the ORIGINAL key set (absent keys are not
+      // resurrected as nulls by the global storage schema)
+      val keysOfNation = sess.rows(sess.run(
+        "MATCH (n:Nation) RETURN keys(n) AS ks LIMIT 1"))
+        .head("ks").asInstanceOf[Seq[String]].toSet
+      assert(keysOfNation == Set("nationkey", "name"),
+        s"restored Nation key set wrong: $keysOfNation")
+    } finally GraphStore.drop(spark, "gs_typed")
   }
 }
