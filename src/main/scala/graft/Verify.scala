@@ -46,6 +46,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // manifest of ATTEMPTED queries: the comparer fails any attempted query
+    // whose result dir is missing (a dump that crashed after writing a
+    // subset must not read as a green gate) and records names skipped by
+    // SPARK_GRAFT_VERIFY_ONLY instead of silently ignoring them
+    val attempted = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      attempted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -555,10 +555,15 @@ object Translator {
         // anchor followed by a rare reltype beats an equal-sized anchor
         // followed by a common one. Untyped hops select the whole edge
         // table (selectivity 1).
+        // floor at one edge's worth: a reltype absent from the stats
+        // snapshot (stale stats after mutation) must not zero BOTH ends'
+        // scores — a 0.0 × 0.0 tie would disable the reversal the
+        // node-count comparison alone would have made
         def relSel(r: Ast.RelPat): Double =
           if (r.types.isEmpty) 1.0
           else math.min(1.0, r.types.map(t =>
-            reltypes.getOrElse(t, 0L)).sum.toDouble / totalEdges)
+            math.max(reltypes.getOrElse(t, 0L), 1L)).sum.toDouble /
+            totalEdges)
         val last = p.tail.last._2
         val fwd = score(p.head) * relSel(p.tail.head._1)
         val rev = score(last) * relSel(p.tail.last._1)

@@ -214,9 +214,57 @@ object Dedup {
     else {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keys.map(col): _*)
+      ensureCapListener(rows.sparkSession)
       rows.withColumn("__bn", count(lit(1)).over(w))
+        // no silent caps: count what the guard drops, piggy-backed on the
+        // consuming job (observe = zero extra jobs/scans), surfaced by the
+        // session listener below and the cumulative counter
+        .observe(s"graft_cap_buckets_${capSeq.incrementAndGet()}",
+          sum(when(col("__bn") > cap, 1L).otherwise(0L)).as("dropped_rows"),
+          count(lit(1)).as("total_rows"))
         .filter(col("__bn") <= cap).drop("__bn")
     }
+
+  /** Cumulative rows dropped by [[capBuckets]] in this JVM. Updated
+    * asynchronously (listener-bus delivery) after each consuming job. */
+  val cappedRowsDropped = new java.util.concurrent.atomic.AtomicLong
+
+  private val capSeq = new java.util.concurrent.atomic.AtomicLong
+  private val capListenerSessions =
+    scala.collection.concurrent.TrieMap[org.apache.spark.sql.SparkSession,
+      Unit]()
+
+  /** Once per session: surface every capBuckets drop count (the skew
+    * guard's only lossy action) — a WARN log line per invocation that
+    * dropped rows, plus the cumulative counter for programmatic checks.
+    */
+  private def ensureCapListener(
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    capListenerSessions.getOrElseUpdate(spark, {
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("graft_cap_buckets")) {
+                val dropped = row.getLong(row.fieldIndex("dropped_rows"))
+                if (dropped > 0) {
+                  cappedRowsDropped.addAndGet(dropped)
+                  val total = row.getLong(row.fieldIndex("total_rows"))
+                  org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(
+                    s"capBuckets skew guard dropped $dropped of $total " +
+                      "bucket rows (over-cap buckets; members keep their " +
+                      "other bands' collision chances)")
+                }
+              }
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+      ()
+    })
 
   def lshCandidates(signatures: DataFrame, numHashes: Int = 64,
       bands: Int = 16, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {

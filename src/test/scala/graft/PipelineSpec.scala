@@ -57,6 +57,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(uncapped.contains((100L, 101L)) && uncapped.size > 780)
     // cap kills the 40-doc cluster's ~780 pairs, keeps the ordinary pair
     assert(capped == Set((100L, 101L)))
+    // no silent caps: the drop is surfaced through the cumulative metric
+    // (delivered asynchronously on the listener bus — poll with a bound)
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (Dedup.cappedRowsDropped.get() == 0 &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    assert(Dedup.cappedRowsDropped.get() > 0,
+      "capBuckets dropped rows without reporting a metric")
   }
 
   test("exact dedup keeps one doc per distinct text") {

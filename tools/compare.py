@@ -45,13 +45,28 @@ def main():
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    # manifest.json (written by Verify) lists the ATTEMPTED queries: an
+    # attempted query with no result dir is a FAILURE (a dump that crashed
+    # after writing a subset must not read as green), while queries excluded
+    # by SPARK_GRAFT_VERIFY_ONLY are recorded as skipped, not ignored.
+    manifest_path = f"{outdir}/manifest.json"
+    attempted = set(json.load(open(manifest_path))) \
+        if os.path.exists(manifest_path) else None
     results = {}
+    skipped = []
     npass = nfail = 0
     for name, sql in sorted(oracles.items()):
-        # partial dumps (SPARK_GRAFT_VERIFY_ONLY, the sf1 gate) carry the
-        # full oracle map but only the dumped queries' result dirs — only
-        # compare what was dumped
         if not os.path.isdir(f"{outdir}/{name}"):
+            if attempted is None or name not in attempted:
+                # partial dump (SPARK_GRAFT_VERIFY_ONLY, the sf1 gate):
+                # deliberately not dumped
+                skipped.append(name)
+                continue
+            print(f"FAIL {name}: attempted but no result dir written")
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False,
+                             "err": "attempted but no result dir"}
+            nfail += 1
             continue
         try:
             oc = con.execute(sql)
@@ -99,8 +114,10 @@ def main():
         # SPARK_GRAFT_VERIFY_ONLY) must not read as a green gate
         print("== 0 queries compared: no result dirs found — FAIL ==")
         sys.exit(1)
-    print(f"== {npass} pass, {nfail} fail ==")
+    print(f"== {npass} pass, {nfail} fail, {len(skipped)} skipped ==")
     if json_out:
+        if skipped:
+            results["_skipped"] = sorted(skipped)
         with open(json_out, "w") as f:
             json.dump(results, f, indent=1, sort_keys=True)
     sys.exit(1 if nfail else 0)
