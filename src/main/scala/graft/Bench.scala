@@ -182,6 +182,9 @@ object Bench {
         Double), ndelP50: Double, ndelSpread: (Double, Double))
     def mutationBench(): MutStats =
       try {
+        // settle the heap first: a GC pause inside the sampling loops is
+        // the dominant source of spurious tail samples at ~20 ms/op scale
+        System.gc()
         val sess = new graft.cypher.CypherSession(spark)
         sess.run("CREATE (:U {v: 0})")
         // resolve the REAL node id (distributed id assignment is partition-
@@ -190,7 +193,14 @@ object Bench {
         val nid = sess.rows(sess.run("MATCH (n:U) RETURN id(n) AS i"))
           .head("i").asInstanceOf[Long]
         val upd = s"MATCH (n) WHERE id(n) = $nid SET n.v = n.v + 1"
-        sess.run(upd) // warm plan/JIT
+        // 1000 unsampled warm statements: ONE warm execution left the
+        // first timed run paying C1/C2 compilation of the overlay path
+        // inside its samples — per-run p50s then disagreed ~3× purely on
+        // JIT state (the r10 update_qps 25k-vs-41k swing). The warm loop
+        // spans ~15 compaction cycles, so tiered compilation sees the
+        // whole steady-state path, not just the overlay insert.
+        val WarmUpd = 1000
+        (1 to WarmUpd).foreach(_ => sess.run(upd))
         // 150 samples: long enough to span two point-write compaction
         // cycles (CompactEvery=64), so the trend measures steady-state
         // accumulation including the periodic snapshot commits — 30
@@ -205,8 +215,8 @@ object Bench {
         // the whole point is that the updates actually LAND
         val vNow = sess.rows(sess.run("MATCH (n:U) RETURN n.v AS v"))
           .head("v").asInstanceOf[Long]
-        require(vNow == UpdSamples + 1L,
-          s"update KPI no-op: n.v = $vNow, expected ${UpdSamples + 1}")
+        require(vNow == UpdSamples + WarmUpd.toLong,
+          s"update KPI no-op: n.v = $vNow, expected ${UpdSamples + WarmUpd}")
         val updQps = 1000.0 / math.max(p50(updTimes), 1e-9)
         val third = updTimes.length / 3
         val updTrend =
@@ -217,13 +227,19 @@ object Bench {
         sess2.run("UNWIND range(0, 200) AS i CREATE (:N {v: i})-[:R {w: i}]->(:M {v: i})")
         val edel = "MATCH (:N {v: $i})-[e:R]->() DELETE e"
         val ndel = "MATCH (n:M {v: $i}) DELETE n"
-        sess2.run(edel, Map("i" -> 0L)); sess2.run(ndel, Map("i" -> 0L))
-        val edelTimes = (1 to 10).map { i =>
+        // 3 warm statements each: the first parameterized execution builds
+        // + codegens the cached resolve plans, the next ones settle JIT
+        (0 to 2).foreach { i =>
+          sess2.run(edel, Map("i" -> i.toLong))
+          sess2.run(ndel, Map("i" -> i.toLong))
+        }
+        System.gc()
+        val edelTimes = (3 to 17).map { i =>
           val t0 = System.nanoTime()
           sess2.run(edel, Map("i" -> i.toLong))
           (System.nanoTime() - t0) / 1e6
         }
-        val ndelTimes = (1 to 10).map { i =>
+        val ndelTimes = (3 to 17).map { i =>
           val t0 = System.nanoTime()
           sess2.run(ndel, Map("i" -> i.toLong))
           (System.nanoTime() - t0) / 1e6
@@ -235,7 +251,62 @@ object Bench {
         System.err.println(s"[bench] mutation bench failed: ${e.getMessage}")
         MutStats(0, 0, (0, 0), 0, 0, (0, 0), 0, (0, 0))
       }
-    val m = mutationBench()
+    // Three INDEPENDENT mutation-bench runs (fresh sessions and graphs):
+    // r10 shipped a single run whose update_qps disagreed 1.6× with
+    // another run of the same binary — a one-sample headline number is
+    // unadjudicable across rounds. The reported scalar KPIs are the
+    // across-run MEDIANS; the *_runs arrays carry every run (gate on the
+    // min), and the spreads are the across-run envelope.
+    val MutRuns = 3
+    val mutRuns = (1 to MutRuns).map(_ => mutationBench())
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted; if (s.isEmpty) 0.0 else s(s.length / 2)
+    }
+    def envelope(ps: Seq[(Double, Double)]): (Double, Double) =
+      (ps.map(_._1).min, ps.map(_._2).max)
+    val m = MutStats(
+      med(mutRuns.map(_.updP50)), med(mutRuns.map(_.updQps)),
+      envelope(mutRuns.map(_.updSpread)), med(mutRuns.map(_.updTrend)),
+      med(mutRuns.map(_.edelP50)), envelope(mutRuns.map(_.edelSpread)),
+      med(mutRuns.map(_.ndelP50)), envelope(mutRuns.map(_.ndelSpread)))
+    // ── bulk ingest (GRAPH.BULK analogue at bench SF) ────────────────────
+    // The production load path end-to-end: build the property graph from
+    // the relational tables, compute statistics, and write the bucketed +
+    // label-partitioned typed-column store (key/type discovery, three
+    // bucketed table writes incl. the transpose copy, stats snapshot).
+    // Gate: the restored graph serves a stats-count and an expand query
+    // with the same results as the in-memory form.
+    case class BulkStats(rows: Long, sec: Double, restoreOk: Boolean)
+    val bulk: Option[BulkStats] =
+      if (sys.env.get("SPARK_GRAFT_BULK").contains("0")) None
+      else try {
+        val g = graft.graph.GraphBuilder.tpchStored(spark, sfDir)
+        val rows = g.nodeCount + g.edgeCount
+        val t0 = System.nanoTime()
+        graft.graph.GraphStore.save(g, "bench_bulk", buckets = 32)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val restored = graft.graph.GraphStore.load(spark, "bench_bulk")
+        val sess = new graft.cypher.CypherSession(spark)
+        sess.setGraph(restored)
+        val cnt = sess.rows(sess.run(
+          "MATCH (n) RETURN count(n) AS c")).head("c").asInstanceOf[Long]
+        val expand = sess.run(
+          """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+            |RETURN count(c) AS c""".stripMargin)
+        val expandN = sess.rows(expand).head("c").asInstanceOf[Long]
+        val memSess = new graft.cypher.CypherSession(spark)
+        memSess.setGraph(g)
+        val expectN = memSess.rows(memSess.run(
+          """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+            |RETURN count(c) AS c""".stripMargin)).head("c")
+          .asInstanceOf[Long]
+        graft.graph.GraphStore.drop(spark, "bench_bulk")
+        Some(BulkStats(rows, sec,
+          cnt == g.nodeCount && expandN == expectN))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] bulk ingest failed: ${e.getMessage}")
+        None
+      }
     // ── scale-factor escalation (10× the bench SF) ────────────────────────
     // Converts the audited 100TB design claims (bucketed expand, capped
     // LSH candidates, broadcast bounds) into measured evidence: the same
@@ -292,6 +363,62 @@ object Bench {
         System.err.println(s"[bench] sf1 section failed: ${e.getMessage}")
         None
       }
+    // ── 100× scale probe (sf10 when the bench SF is 0.1) ─────────────────
+    // The brief's bar is "would survive 100×", and sf1 only demonstrates
+    // 10×. The 5 most shuffle-heavy headline queries run once, cold,
+    // against a 100-copy replication (disjoint key spaces, same fan-outs
+    // and near-dup density — ScaleData). One cold run each under a section
+    // runtime budget: this is a survival + sublinearity probe (ratio vs
+    // the sf0.1 cold median; data is 100×, so ratio ≲ 100 means sublinear,
+    // the target is ≲ 40×), not a median-grade timing.
+    val Sf10Copies = 100
+    val sf10Queries = Seq("q_cypher_expand", "q_dedup_minhash",
+      "q_graph_pagerank", "q_bm25", "q_salted_join")
+      .filter(SparkEntry.queries.keySet)
+    val Sf10BudgetSec = 900.0
+    case class Sf10(queries: Seq[(String, Double)],
+        ratio: Seq[(String, Double)], genSec: Double, skipped: Seq[String])
+    val sf10: Option[Sf10] =
+      if (sys.env.get("SPARK_GRAFT_SF10").contains("0")) None
+      else try {
+        val dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "target/sf10")
+        val tGen0 = System.nanoTime()
+        if (!new java.io.File(s"$dir/lineitem.parquet").exists())
+          ScaleData.generate(spark, sfDir, dir, Sf10Copies)
+        val genSec = (System.nanoTime() - tGen0) / 1e9
+        try {
+          val g = graft.graph.GraphBuilder.tpchStored(spark, dir)
+          g.labelCounts; g.reltypeCounts
+        } catch { case _: Throwable => () }
+        val tSec0 = System.nanoTime()
+        val done = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+        val skipped = scala.collection.mutable.ArrayBuffer[String]()
+        sf10Queries.foreach { n =>
+          if ((System.nanoTime() - tSec0) / 1e9 > Sf10BudgetSec) skipped += n
+          else {
+            isolate()
+            val t0 = System.nanoTime()
+            try {
+              SparkEntry.queries(n)(spark, dir)
+                .write.format("noop").mode("overwrite").save()
+              done += n -> (System.nanoTime() - t0) / 1e9
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] sf10 $n failed: ${e.getMessage}")
+              skipped += n
+            }
+          }
+        }
+        if (skipped.nonEmpty) // no silent caps
+          System.err.println(s"[bench] sf10 skipped: ${skipped.mkString(",")}")
+        val baseCold = cold.toMap
+        Some(Sf10(done.toSeq,
+          done.toSeq.flatMap { case (n, s) =>
+            baseCold.get(n).map(b => n -> s / math.max(b, 1e-9)) },
+          genSec, skipped.toSeq))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sf10 section failed: ${e.getMessage}")
+        None
+      }
     val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     def sp(p: (Double, Double)): String = f"[${p._1}%.3f,${p._2}%.3f]"
     // JVM code-cache telemetry: exhaustion here turns codegen'd loops into
@@ -304,12 +431,20 @@ object Bench {
       .map(p => "\"" + p.getName.replace("CodeHeap '", "").replace("'", "") +
         "\":" + (p.getPeakUsage.getUsed >> 20))
       .mkString("{", ",", "}")
+    def runsArr(f: MutStats => Double): String =
+      mutRuns.map(r => "%.1f".format(f(r))).mkString("[", ",", "]")
+    val bulkJson = bulk.map(b =>
+      f""","bulk_ingest":{"rows":${b.rows},"sec":${b.sec}%.1f,"rows_per_sec":${b.rows / math.max(
+        b.sec, 1e-9)}%.0f,"restore_query_ok":${b.restoreOk}}""").getOrElse("")
     val kpis =
       f""""count_qps":$countQps%.1f,"count_qps_runs":[${countQpsRuns
-        .map(v => f"$v%.1f").mkString(",")}],"update_p50_ms":${m.updP50}%.1f,"update_qps":${m.updQps}%.1f,"update_spread_ms":${sp(
-        m.updSpread)},"update_trend":${m.updTrend}%.2f,"delete_edge_p50_ms":${m.edelP50}%.1f,"delete_edge_spread_ms":${sp(
-        m.edelSpread)},"delete_node_p50_ms":${m.ndelP50}%.1f,"delete_node_spread_ms":${sp(
-        m.ndelSpread)},"code_cache_peak_mb":$codeCache,"sf":"$sfDir""""
+        .map(v => f"$v%.1f").mkString(",")}],"update_p50_ms":${m.updP50}%.1f,"update_qps":${m.updQps}%.1f,"update_qps_runs":${runsArr(
+        _.updQps)},"update_spread_ms":${sp(
+        m.updSpread)},"update_trend":${m.updTrend}%.2f,"delete_edge_p50_ms":${m.edelP50}%.1f,"delete_edge_p50_runs":${runsArr(
+        _.edelP50)},"delete_edge_spread_ms":${sp(
+        m.edelSpread)},"delete_node_p50_ms":${m.ndelP50}%.1f,"delete_node_p50_runs":${runsArr(
+        _.ndelP50)},"delete_node_spread_ms":${sp(
+        m.ndelSpread)}$bulkJson,"code_cache_peak_mb":$codeCache,"sf":"$sfDir""""
     // Full artifact (cold+warm medians AND spreads) goes to a file: the
     // driver captures only the TAIL of stdout, and the all-in-one line
     // exceeded its buffer every round (BENCH_r*.json "parsed": null with
@@ -321,18 +456,24 @@ object Bench {
         s.ratio)}}""").getOrElse("")
     val sf1Compact = sf1.map(s =>
       s""","sf1_ratio":${js(s.ratio)}""").getOrElse("")
+    val sf10Json = sf10.map(s =>
+      f""","sf10":{"copies":$Sf10Copies,"gen_sec":${s.genSec}%.1f,"queries":${js(
+        s.queries)},"ratio_vs_base":${js(s.ratio)},"skipped":${s.skipped
+        .map("\"" + _ + "\"").mkString("[", ",", "]")}}""").getOrElse("")
     val detail =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_runs":$ColdRuns,"queries":${js(
         cold)},"cold_spread":${jsSpread(
         spread)},"failed":$failedJson,"warm_total":$warmTotal%.3f,"warm":${js(
-        warm)},"warm_spread":${jsSpread(warmSpread)},$kpis$sf1Detail}"""
+        warm)},"warm_spread":${jsSpread(warmSpread)},$kpis$sf1Detail$sf10Json}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "BENCH_DETAIL.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
+    val sf10Compact = sf10.map(s =>
+      s""","sf10_ratio":${js(s.ratio)}""").getOrElse("")
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_runs":$ColdRuns,"queries":${js(
-        cold)},"failed":$failedJson,"warm_total":$warmTotal%.3f,$kpis$sf1Compact,"detail":"$detailPath"}""")
+        cold)},"failed":$failedJson,"warm_total":$warmTotal%.3f,$kpis$sf1Compact$sf10Compact,"detail":"$detailPath"}""")
     spark.stop()
   }
 }

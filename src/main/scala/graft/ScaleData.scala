@@ -32,8 +32,22 @@ object ScaleData {
   val OffSmall = 10000000L // custkey/suppkey/partkey/user_id/vec_id space
   val OffBig = 1000000000L // orderkey/event_id/doc_id space
 
+  /** Small-key offset valid for up to 100 copies: GraphBuilder's node-id
+    * bases are 1e8 apart (`CUST_BASE=0`, `ORDER_BASE=1e8`, …), so per-copy
+    * custkeys must stay below 1e8 — at the default `OffSmall` (1e7) copy
+    * 10's custkeys would land inside the Order id range and the derived
+    * graph would silently merge nodes. 1e6 keeps 100 copies × 15k-key base
+    * tables disjoint AND below every base boundary.
+    */
+  val OffSmall100 = 1000000L
+
   def generate(spark: SparkSession, src: String, out: String,
-      copies: Int): Unit = {
+      copies: Int): Unit =
+    generate(spark, src, out, copies,
+      if (copies > 10) OffSmall100 else OffSmall)
+
+  def generate(spark: SparkSession, src: String, out: String,
+      copies: Int, offSmall: Long): Unit = {
 
     def rep(t: String)(shift: (DataFrame, Long) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$t.parquet")
@@ -53,21 +67,21 @@ object ScaleData {
       println(s"[scaledata] $t -> $out (unscaled dim)")
     }
     rep("customer")((df, c) => df
-      .withColumn("c_custkey", col("c_custkey") + lit(c * OffSmall)))
+      .withColumn("c_custkey", col("c_custkey") + lit(c * offSmall)))
     rep("supplier")((df, c) => df
-      .withColumn("s_suppkey", col("s_suppkey") + lit(c * OffSmall)))
+      .withColumn("s_suppkey", col("s_suppkey") + lit(c * offSmall)))
     rep("part")((df, c) => df
-      .withColumn("p_partkey", col("p_partkey") + lit(c * OffSmall)))
+      .withColumn("p_partkey", col("p_partkey") + lit(c * offSmall)))
     rep("orders")((df, c) => df
       .withColumn("o_orderkey", col("o_orderkey") + lit(c * OffBig))
-      .withColumn("o_custkey", col("o_custkey") + lit(c * OffSmall)))
+      .withColumn("o_custkey", col("o_custkey") + lit(c * offSmall)))
     rep("lineitem")((df, c) => df
       .withColumn("l_orderkey", col("l_orderkey") + lit(c * OffBig))
-      .withColumn("l_partkey", col("l_partkey") + lit(c * OffSmall))
-      .withColumn("l_suppkey", col("l_suppkey") + lit(c * OffSmall)))
+      .withColumn("l_partkey", col("l_partkey") + lit(c * offSmall))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(c * offSmall)))
     rep("events")((df, c) => df
       .withColumn("event_id", col("event_id") + lit(c * OffBig))
-      .withColumn("user_id", col("user_id") + lit(c * OffSmall)))
+      .withColumn("user_id", col("user_id") + lit(c * offSmall)))
     rep("documents")((df, c) =>
       (if (c == 0L) df
        else df.withColumn("text",
@@ -88,6 +102,6 @@ object ScaleData {
            (v, i) => v * (lit(1.0f) +
              (pmod(i + lit(c * 31), lit(13)) - lit(6)).cast("float") *
                lit(0.015f)))))
-        .withColumn("vec_id", col("vec_id") + lit(c * OffSmall)))
+        .withColumn("vec_id", col("vec_id") + lit(c * offSmall)))
   }
 }
