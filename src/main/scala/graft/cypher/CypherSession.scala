@@ -140,6 +140,13 @@ class CypherSession(val spark: SparkSession) {
     */
   private val pointWrites = new PointWrite.State
 
+  /** Test/diagnostic visibility into the point-write overlay: (live
+    * pending rows, estimated pending bytes, WAL segments written this
+    * epoch) — the byte-bound/spill contract is asserted through this.
+    */
+  private[graft] def pointOverlayInfo: (Int, Long, Int) =
+    (pointWrites.pending.size, pointWrites.pendingBytes, pointWrites.walSeq)
+
   /** A point write landed in the pending map: bump the version and defer
     * the overlay view build to the next read.
     */

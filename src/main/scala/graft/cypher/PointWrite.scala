@@ -24,7 +24,24 @@ import org.apache.spark.sql.types._
   */
 private[cypher] object PointWrite {
 
-  private val CompactEvery = 64
+  /** Overlay BYTE bound (not an op count): when the driver-held pending
+    * map's estimated footprint crosses this, it spills to a local
+    * write-ahead parquet segment and the map empties — sustained point
+    * writes hold a FLAT driver footprint instead of growing per op or
+    * paying a full-graph snapshot every N statements. The at-scale
+    * analogue is the Delta write-ahead table this overlay miniaturizes:
+    * spill = WAL append/compact, snapshot commit = MERGE INTO. Override
+    * with spark conf `graft.pointwrite.maxOverlayBytes`.
+    */
+  private val DefaultMaxOverlayBytes = 1L << 20
+
+  /** Deletion vectors stay driver-held (bare longs — they gate the
+    * resolve dedup and stats accounting, so they cannot leave the driver
+    * without a per-op membership job); past this many ids the overlay
+    * folds into a real snapshot commit instead (the safety valve — a
+    * delete burst this size is batch work, not point work).
+    */
+  private val MaxDeletionIds = 1000000
 
   /** One buffered row: the schema-shaped Row for the overlay relation plus
     * its decoded props (so a rewrite of a hot key never re-decodes).
@@ -56,14 +73,35 @@ private[cypher] object PointWrite {
       * the `src∈ids ∨ dst∈ids` resolve over `edgeBase`.
       */
     var touchPlan: Option[(graft.plans.ParamBox, CachedResolve)] = None
+    /** Write-ahead spill of the pending map (see [[DefaultMaxOverlayBytes]]):
+      * parquet-backed upsert rows that shadow `base` and are shadowed by
+      * the live `pending`/`deletedNodes`. `walDir` holds every segment
+      * written this epoch (superseded segments may still back read plans
+      * in flight, so files are only removed at commit/clear).
+      */
+    var walNodes: Option[DataFrame] = None
+    var walDir: Option[java.nio.file.Path] = None
+    var walSeq: Int = 0
+    /** Estimated driver bytes held by `pending` (maintained per upsert). */
+    var pendingBytes: Long = 0L
     def size: Int = pending.size + deletedNodes.size + deletedEdges.size
-    def nodesOverlaid: Boolean = pending.nonEmpty || deletedNodes.nonEmpty
+    def nodesOverlaid: Boolean = pending.nonEmpty || deletedNodes.nonEmpty ||
+      walNodes.nonEmpty
     def edgesOverlaid: Boolean = deletedEdges.nonEmpty
     def clear(): Unit = {
       base = None; edgeBase = None; pending.clear()
       deletedNodes.clear(); deletedEdges.clear()
       stats = None; hasDeletes = false
       deletePlans.clear(); touchPlan = None
+      walNodes = None; pendingBytes = 0L; walSeq = 0
+      walDir.foreach { d =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () } // temp-dir GC is best-effort
+      }
+      walDir = None
     }
   }
 
@@ -196,12 +234,69 @@ private[cypher] object PointWrite {
     val newRow = Row(id, curLabel, newProps)
 
     if (st.base.isEmpty) st.base = Some(session.graph.nodes)
-    st.pending(id) = Pending(newRow, props)
+    st.pending.get(id).foreach(old =>
+      st.pendingBytes -= estimateBytes(old)) // rewrite of a hot key
+    val p = Pending(newRow, props)
+    st.pending(id) = p
+    st.pendingBytes += estimateBytes(p)
     session.markPointWrite() // overlay view builds lazily on next read
-    if (st.pending.size >= CompactEvery) {
-      session.commit(session.graph.nodes, session.graph.edges) // clears st
-    }
+    if (st.pendingBytes > maxOverlayBytes(session)) spill(session, st)
     Some(stats(session, items.size))
+  }
+
+  private def maxOverlayBytes(session: CypherSession): Long =
+    session.spark.conf.getOption("graft.pointwrite.maxOverlayBytes")
+      .map(_.toLong).getOrElse(DefaultMaxOverlayBytes)
+
+  /** Rough driver footprint of one buffered row (JVM object headers +
+    * string payloads); only has to be order-of-magnitude right to bound
+    * the overlay.
+    */
+  private def estimateBytes(p: Pending): Long =
+    96L + p.props.iterator.map { case (k, v) =>
+      40L + 2L * k.length + estimateValue(v)
+    }.sum
+
+  private def estimateValue(v: Any): Long = v match {
+    case null => 8L
+    case s: String => 48L + 2L * s.length
+    case xs: Seq[_] => 48L + xs.iterator.map(estimateValue).sum
+    case m: scala.collection.Map[_, _] =>
+      64L + m.iterator.map { case (k, x) =>
+        estimateValue(k) + estimateValue(x)
+      }.sum
+    case _ => 24L
+  }
+
+  /** Spill the pending map into the epoch's write-ahead parquet: merge
+    * with the previous WAL segment (new rows shadow old by id), write a
+    * NEW segment file, re-point the WAL view, empty the driver map. One
+    * small Spark job per spill, amortized over the ops that filled the
+    * byte bound; superseded segment files stay on disk until commit (a
+    * read plan in flight may still reference them).
+    */
+  private def spill(session: CypherSession, st: State): Unit = {
+    import scala.jdk.CollectionConverters._
+    val spark = session.spark
+    val dir = st.walDir.getOrElse {
+      val d = java.nio.file.Files.createTempDirectory("graft-wal-")
+      st.walDir = Some(d); d
+    }
+    val newRows = spark.createDataFrame(
+      st.pending.values.map(_.row).toList.asJava, session.nodeSchema)
+    val merged = st.walNodes match {
+      case Some(w) =>
+        w.join(newRows.select(col("id")), Seq("id"), "left_anti")
+          .unionByName(newRows)
+      case None => newRows
+    }
+    val f = dir.resolve(s"wal-${st.walSeq}").toString
+    st.walSeq += 1
+    merged.coalesce(4).write.mode("overwrite").parquet(f)
+    st.walNodes = Some(spark.read.parquet(f))
+    st.pending.clear()
+    st.pendingBytes = 0L
+    session.markPointWrite()
   }
 
   /** Point DELETE fast path: a single MATCH + DELETE of one bound
@@ -327,7 +422,9 @@ private[cypher] object PointWrite {
       }
     }
     session.markPointWrite()
-    if (st.size >= CompactEvery)
+    // deletion-vector safety valve: ids past this volume are batch work —
+    // fold the overlay into a real snapshot (clears the vectors)
+    if (st.deletedNodes.size + st.deletedEdges.size >= MaxDeletionIds)
       session.commit(session.graph.nodes, session.graph.edges)
     delStats(session, nDel, eDel)
   }
@@ -412,8 +509,8 @@ private[cypher] object PointWrite {
   private def cachedDelete(session: CypherSession, st: State, m: Ast.Match,
       dv: String, params: Map[String, Any],
       queryKey: String): Option[DataFrame] = {
-    // pending SET rows are invisible to plans over the stable base
-    if (st.pending.nonEmpty) return None
+    // pending/spilled SET rows are invisible to plans over the stable base
+    if (st.pending.nonEmpty || st.walNodes.nonEmpty) return None
     if (m.where.nonEmpty) return None
     val path = m.paths match {
       case List(p @ Ast.PathPat(None, _, _, false, false)) => p
@@ -624,12 +721,25 @@ private[cypher] object PointWrite {
     */
   def materialize(session: CypherSession, st: State,
       cur: PropertyGraph): PropertyGraph = {
-    if (st.pending.isEmpty && !st.hasDeletes) return cur
+    if (st.pending.isEmpty && !st.hasDeletes && st.walNodes.isEmpty)
+      return cur
     import scala.jdk.CollectionConverters._
     var nodes = st.base.getOrElse(cur.nodes)
     val nodeMask = (st.deletedNodes ++ st.pending.keys).toSeq
+    // spilled upsert rows shadow the base (anti join against the WAL's id
+    // column — WAL is overlay-sized, so this broadcasts), and are in turn
+    // shadowed by the live pending map and the deletion vector
+    st.walNodes.foreach { w =>
+      nodes = nodes.join(w.select(col("id")), Seq("id"), "left_anti")
+    }
     if (nodeMask.nonEmpty)
       nodes = nodes.filter(!col("id").isin(nodeMask: _*))
+    st.walNodes.foreach { w =>
+      val wClean =
+        if (nodeMask.isEmpty) w
+        else w.filter(!col("id").isin(nodeMask: _*))
+      nodes = nodes.unionByName(wClean)
+    }
     if (st.pending.nonEmpty)
       nodes = nodes.unionByName(session.spark.createDataFrame(
         st.pending.values.map(_.row).toList.asJava, session.nodeSchema))

@@ -183,6 +183,110 @@ class MutationFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent writers on ONE session: racing point writes + general " +
+    "mutations serialize without lost updates") {
+    // the single-writer discipline (reference `cmd_query.c:156-170`: one
+    // graph, many clients, writers serialized) fuzzed with REAL thread
+    // interleavings: 8 threads × 32 statements against one session, mixing
+    // the point-write overlay (SET by id, point DELETE), general commits
+    // (CREATE folds the overlay into a snapshot mid-race), and a SHARED
+    // MERGE pattern (atomicity: racing merges of the same key must create
+    // exactly one node). Assertions are interleaving-independent.
+    val s = new CypherSession(spark)
+    s.run("UNWIND range(0, 3) AS i CREATE (:Hot {v: 0, slot: i})")
+    val hotIds = s.rows(s.run("MATCH (h:Hot) RETURN h.slot AS s, id(h) AS i"))
+      .map(r => r("s").asInstanceOf[Long] -> r("i").asInstanceOf[Long])
+      .toMap
+    val T = 8
+    val OpsPerThread = 32 // ≥ 256 interleaved statements
+    sealed trait COp
+    case class Inc(slot: Long) extends COp
+    case class CreateOwn(i: Int) extends COp
+    case class DeleteOwn(i: Int) extends COp // deletes own earlier create
+    case class SharedMerge(k: Int) extends COp
+    val genOp: Gen[COp] = Gen.frequency(
+      5 -> Gen.choose(0L, 3L).map(Inc),
+      3 -> Gen.choose(0, 1000).map(CreateOwn),
+      1 -> Gen.const(DeleteOwn(0)),
+      2 -> Gen.choose(0, 2).map(SharedMerge))
+    val params = Gen.Parameters.default
+    val plans: Seq[(Int, Seq[COp])] = (0 until T).map { t =>
+      (t, (0 until OpsPerThread).flatMap(i =>
+        genOp.apply(params, Seed(7000L * t + i))))
+    }
+    val failures = new ConcurrentLinkedQueue[String]()
+    val pool = Executors.newFixedThreadPool(T)
+    val results = new ConcurrentLinkedQueue[(Int, Int, Int)]() // t, created, deleted
+    plans.foreach { case (t, ops) =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          var created = List.empty[Int]
+          var nCreated = 0
+          var nDeleted = 0
+          ops.zipWithIndex.foreach { case (op, i) =>
+            try op match {
+              case Inc(slot) =>
+                s.run(s"MATCH (n) WHERE id(n) = ${hotIds(slot)} " +
+                  "SET n.v = n.v + 1")
+              case CreateOwn(k) =>
+                s.run(s"CREATE (:C$t {i: ${t * 100000 + i}, k: $k})")
+                created ::= t * 100000 + i
+                nCreated += 1
+              case DeleteOwn(_) => created match {
+                case h :: rest =>
+                  s.run(s"MATCH (n:C$t {i: $h}) DELETE n")
+                  created = rest
+                  nDeleted += 1
+                case Nil => ()
+              }
+              case SharedMerge(k) =>
+                s.run(s"MERGE (:Shared {k: $k})")
+            } catch {
+              case e: Throwable => failures.add(
+                s"thread $t op $i $op -> ${Option(e.getMessage)
+                  .getOrElse(e.getClass.getName).take(200)}")
+            }
+          }
+          results.add((t, nCreated, nDeleted))
+        }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(15, TimeUnit.MINUTES),
+      "concurrent fuzz pool timed out")
+    import scala.jdk.CollectionConverters._
+    assert(failures.isEmpty, s"${failures.size} racing statements failed; " +
+      s"first 3:\n${failures.asScala.take(3).mkString("\n")}")
+    // no lost updates: every Inc landed exactly once per its slot
+    val incs = plans.flatMap(_._2).collect { case Inc(sl) => sl }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vNow = s.rows(s.run("MATCH (h:Hot) RETURN h.slot AS s, h.v AS v"))
+      .map(r => r("s").asInstanceOf[Long] -> r("v").asInstanceOf[Long])
+      .toMap
+    incs.foreach { case (slot, n) =>
+      assert(vNow(slot) == n, s"slot $slot: ${vNow(slot)} != $n increments")
+    }
+    // racing MERGEs of one key created exactly one node per distinct key
+    val sharedKeys = plans.flatMap(_._2).collect { case SharedMerge(k) => k }
+      .toSet
+    val sharedCount = s.rows(s.run(
+      "MATCH (x:Shared) RETURN count(x) AS c")).head("c")
+    assert(sharedCount == sharedKeys.size.toLong,
+      s"shared MERGE atomicity: $sharedCount nodes for " +
+        s"${sharedKeys.size} keys")
+    // per-thread net creates (interleaving-independent: own label)
+    results.asScala.foreach { case (t, nc, nd) =>
+      val n = s.rows(s.run(s"MATCH (n:C$t) RETURN count(n) AS c")).head("c")
+      assert(n == (nc - nd).toLong, s"thread $t: $n != ${nc - nd}")
+    }
+    // statistics ≡ data after the race: stats-served count vs full scan
+    val scanN = s.rows(s.run("MATCH (n) RETURN count(n) AS c")).head("c")
+      .asInstanceOf[Long]
+    val model = 4L + sharedKeys.size +
+      results.asScala.map { case (_, nc, nd) => (nc - nd).toLong }.sum
+    assert(scanN == model, s"post-race node count $scanN != model $model")
+  }
+
   test(s"mutation fuzz: $Cases sessions x $StepsPerCase generated " +
     "statements, statistics == graph delta") {
     val params = Gen.Parameters.default

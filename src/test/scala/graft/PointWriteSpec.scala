@@ -42,6 +42,57 @@ class PointWriteSpec extends AnyFunSuite {
     assert(s.rows(s.run("MATCH (n:U) RETURN n.z AS z")).head("z") == 26L)
   }
 
+  test("byte-bounded overlay spills to the write-ahead parquet and stays flat") {
+    val prev = spark.conf.getOption("graft.pointwrite.maxOverlayBytes")
+    spark.conf.set("graft.pointwrite.maxOverlayBytes", "4096")
+    try {
+      val s = new CypherSession(spark)
+      s.run("UNWIND range(1, 200) AS i CREATE (:W {v: i, pad: 'xxxxxxxxxxxxxxxx'})")
+      val ids = s.rows(s.run("MATCH (w:W) RETURN id(w) AS i, w.v AS v"))
+        .map(r => (r("i").asInstanceOf[Long], r("v").asInstanceOf[Long]))
+      var maxPending = 0L
+      var maxBytes = 0L
+      // two passes over 200 distinct keys: the first fills and spills,
+      // the second REWRITES spilled keys (WAL shadowing)
+      (1 to 2).foreach { pass =>
+        ids.foreach { case (id, _) =>
+          s.run(s"MATCH (n) WHERE id(n) = $id SET n.v = n.v + 1000")
+          val (np, nb, _) = s.pointOverlayInfo
+          maxPending = math.max(maxPending, np.toLong)
+          maxBytes = math.max(maxBytes, nb)
+        }
+      }
+      val (_, _, segs) = s.pointOverlayInfo
+      assert(segs > 0, "byte bound never triggered a WAL spill")
+      // FLAT driver footprint: the pending map never grows past the byte
+      // bound's worth of rows (~4KB / ~200B-row), nowhere near the 400 ops
+      assert(maxBytes <= 4096 + 1024, s"pending bytes grew to $maxBytes")
+      assert(maxPending < 50, s"pending rows grew to $maxPending")
+      // every write landed, including rewrites of spilled keys
+      val sum = s.rows(s.run("MATCH (w:W) RETURN sum(w.v) AS s")).head("s")
+      assert(sum == ids.map(_._2 + 2000).sum,
+        s"spilled overlay lost writes: $sum")
+      // untouched props survive the WAL round trip
+      assert(s.rows(s.run("MATCH (w:W) RETURN w.pad AS p LIMIT 1"))
+        .head("p") == "xxxxxxxxxxxxxxxx")
+      // deletes and general mutations compose with a spilled overlay
+      val delId = ids.head._1
+      s.run(s"MATCH (n) WHERE id(n) = $delId DELETE n")
+      assert(s.rows(s.run("MATCH (w:W) RETURN count(w) AS c"))
+        .head("c") == 199L)
+      s.run("MATCH (w:W) SET w.z = w.v + 1") // general path folds the WAL
+      val (p2, b2, s2) = s.pointOverlayInfo
+      assert(p2 == 0 && b2 == 0L && s2 == 0, "commit did not clear the WAL")
+      assert(s.rows(s.run("MATCH (w:W) WHERE w.z = w.v + 1 RETURN count(w) AS c"))
+        .head("c") == 199L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("graft.pointwrite.maxOverlayBytes", v)
+        case None => spark.conf.unset("graft.pointwrite.maxOverlayBytes")
+      }
+    }
+  }
+
   test("point DELETE via deletion vectors") {
     val s = new CypherSession(spark)
     s.run("UNWIND range(0, 30) AS i CREATE (:N {v: i})-[:R {w: i}]->(:M {v: i})")
