@@ -199,6 +199,33 @@ object Dedup {
     */
   val DefaultMaxBucketSize: Int = 1000
 
+  /** Sentinel: derive the bucket cap from the corpus size at call time
+    * (the default for the top-level dedup/ANN entry points — see
+    * [[autoCapFor]]).
+    */
+  val AutoBucketSize: Int = -1
+
+  /** Corpus-derived bucket cap: `max(1000, ⌈√n⌉)`. A bucket of size √n
+    * contributes ≤ n/2 candidate pairs, so each degenerate bucket's work
+    * stays LINEAR in the corpus instead of quadratic — the cap scales
+    * with the data rather than being a constant someone tuned at one SF.
+    * The 1000 floor keeps every corpus below 10⁶ docs on the historical
+    * constant (and therefore bit-identical to the QUALIFY oracles, which
+    * replicate the cap as a literal); past 10⁶ the cap grows as √n, so a
+    * 10¹⁰-doc corpus caps buckets at 10⁵ — each bounded to ~5·10⁹ pairs
+    * of work spread across the cluster, not a single hot quadratic key.
+    */
+  def autoCapFor(nDocs: Long): Int =
+    math.max(DefaultMaxBucketSize,
+      math.ceil(math.sqrt(math.max(nDocs, 0L).toDouble)).toInt)
+
+  /** Resolve [[AutoBucketSize]] against a lazily-counted corpus size
+    * (`count` only evaluates when the sentinel is passed — explicit caps
+    * never pay the counting job).
+    */
+  private[graft] def resolveCap(cap: Int, count: => Long): Int =
+    if (cap == AutoBucketSize) autoCapFor(count) else cap
+
   /** The Σ bucket² skew guard, shared by every LSH candidate join (batch
     * minhash, embedding LSH, the incremental streaming store): rows whose
     * bucket (the `keys` tuple) holds more than `cap` members are dropped
@@ -283,7 +310,10 @@ object Dedup {
     */
   def minHashDedup(docs: DataFrame, threshold: Double = 0.5,
       numHashes: Int = 64, bands: Int = 16, k: Int = 3,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+      maxBucketSize: Int = AutoBucketSize): DataFrame = {
+    // corpus-derived cap (≡ the historical 1000 below 10⁶ docs); the
+    // count is a column-less scan — metadata-cheap on parquet/Delta
+    val cap = resolveCap(maxBucketSize, docs.count())
     // Two independent shingle passes beat one shared distinct table:
     // the signature pass feeds min-aggregation straight off the explode
     // (no distinct shuffle — duplicates fold in the map-side partial min),
@@ -299,7 +329,7 @@ object Dedup {
     // executor storage stays flat across many invocations.
     val cands = lshCandidates(
       minHashSignatures(docs, numHashes, k), numHashes, bands,
-      maxBucketSize).localCheckpoint(true)
+      cap).localCheckpoint(true)
     val result = jaccard(docs, cands, k)
       .filter(col("jaccard") >= threshold)
       .localCheckpoint(true)
@@ -435,13 +465,15 @@ object Dedup {
     */
   def embeddingNearDups(vectors: DataFrame, threshold: Double,
       bits: Int = 8, tables: Int = 8,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+      maxBucketSize: Int = AutoBucketSize): DataFrame = {
     graft.plans.GraftExtensions.ensureFunctions(vectors.sparkSession)
     import graft.similarity.Similarity._
     val all = lshBuckets(vectors, bits, tables)
     // same Σ bucket² guard as lshCandidates: drop degenerate buckets
-    // (e.g. zero vectors hashing identically across tables)
-    val buckets = capBuckets(all, Seq("table", "bucket"), maxBucketSize)
+    // (e.g. zero vectors hashing identically across tables); cap derived
+    // from the corpus size unless given explicitly
+    val buckets = capBuckets(all, Seq("table", "bucket"),
+      resolveCap(maxBucketSize, vectors.count()))
     val cands = buckets.select(col("table"), col("bucket"),
         col("vec_id").as("a"))
       .join(buckets.select(col("table"), col("bucket"),

@@ -203,15 +203,16 @@ object Similarity {
     */
   def annTopK(vectors: DataFrame, k: Int, bits: Int = 8,
       tables: Int = 8,
-      maxBucketSize: Int = graft.dedup.Dedup.DefaultMaxBucketSize)
+      maxBucketSize: Int = graft.dedup.Dedup.AutoBucketSize)
       : DataFrame = {
     graft.plans.GraftExtensions.ensureFunctions(vectors.sparkSession)
     // same Σ bucket² guard as every other LSH candidate join (a degenerate
     // bucket — e.g. zero vectors identical across tables — would make the
-    // self-join quadratic); members keep their other tables' chances
+    // self-join quadratic); members keep their other tables' chances.
+    // Cap derived from corpus size unless given explicitly (Dedup.autoCapFor)
     val buckets = graft.dedup.Dedup.capBuckets(
       lshBuckets(vectors, bits, tables), Seq("table", "bucket"),
-      maxBucketSize)
+      graft.dedup.Dedup.resolveCap(maxBucketSize, vectors.count()))
     val l = buckets.select(col("table"), col("bucket"), col("vec_id").as("a"))
     val r = buckets.select(col("table"), col("bucket"), col("vec_id").as("b"))
     val cands = l.join(r, Seq("table", "bucket"))

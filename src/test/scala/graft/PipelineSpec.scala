@@ -66,6 +66,14 @@ class PipelineSpec extends AnyFunSuite {
       "capBuckets dropped rows without reporting a metric")
   }
 
+  test("auto bucket cap: historical 1000 floor below 1e6 docs, sqrt beyond") {
+    assert(Dedup.autoCapFor(0) == 1000)
+    assert(Dedup.autoCapFor(999999) == 1000) // every test SF stays here —
+    // the QUALIFY oracles' literal 1000 remains bit-identical
+    assert(Dedup.autoCapFor(4000000) == 2000)
+    assert(Dedup.autoCapFor(10000000000L) == 100000)
+  }
+
   test("exact dedup keeps one doc per distinct text") {
     val kept = Dedup.exactDedup(docs)
     assert(kept.count() == docs.select(md5(col("text"))).distinct().count())
