@@ -130,6 +130,21 @@ class Graft(val spark: SparkSession) {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  /** GRAPH.EXPLAIN, reference wire shape: the operator tree rendered with
+    * the reference's op names and indentation (`cmd_explain.c` /
+    * `execution_plan_debug.c`) so flow-test plan assertions
+    * (`tests/flow/test_optimizations_plan.py`) port verbatim. Mirrors the
+    * translator's real decisions (statistics-driven anchor reversal, id
+    * seeks, bound-variable chaining); [[explain]] stays the Spark-native
+    * deep form (the physical Catalyst plan that actually executes).
+    */
+  def explainOps(graph: String, cypher: String): String = {
+    val s = session(graph)
+    val ast = parse(s, cypher)
+    if (Graft.isMutation(ast)) Graft.mutationPlan(ast)
+    else PlanRender.render(s, ast)
+  }
+
   /** GRAPH.PROFILE — EXECUTES the query (reference parity:
     * `execution_plan.c:435-463` wraps ops with timers and runs the plan,
     * mutations included) and returns the physical operator tree annotated

@@ -528,7 +528,7 @@ object Translator {
     * counting job for a heuristic. Named paths keep pattern order (path
     * assembly is order-sensitive); shortestPath has its own planner.
     */
-  private def reorderPath(ctx: Ctx, frame: Frame,
+  private[cypher] def reorderPath(ctx: Ctx, frame: Frame,
       p: Ast.PathPat): Ast.PathPat = {
     if (p.shortest || p.allShortest || p.pathVar.isDefined ||
       p.tail.isEmpty) return p
@@ -1650,7 +1650,7 @@ object Translator {
   }
 
   // ═══════════════════════════ WITH / RETURN ═══════════════════════════════
-  private def containsAgg(e: Ast.Expr): Boolean = e match {
+  private[cypher] def containsAgg(e: Ast.Expr): Boolean = e match {
     case Ast.CountStar => true
     case Ast.Fn(n, args, _) =>
       AggFns.contains(n) || args.exists(containsAgg)
