@@ -196,16 +196,17 @@ object Bench {
         // 1000 unsampled warm statements: ONE warm execution left the
         // first timed run paying C1/C2 compilation of the overlay path
         // inside its samples — per-run p50s then disagreed ~3× purely on
-        // JIT state (the r10 update_qps 25k-vs-41k swing). The warm loop
-        // spans ~15 compaction cycles, so tiered compilation sees the
-        // whole steady-state path, not just the overlay insert.
+        // JIT state (the r10 update_qps 25k-vs-41k swing). Note the
+        // workload is a single hot key, so the pending map stays at one
+        // entry and never spills or commits — this KPI measures the
+        // steady hot-write overlay path (as it always has; the byte-
+        // bounded spill path is measured by DiagSustained/PointWriteSpec).
         val WarmUpd = 1000
         (1 to WarmUpd).foreach(_ => sess.run(upd))
-        // 150 samples: long enough to span two point-write compaction
-        // cycles (CompactEvery=64), so the trend measures steady-state
-        // accumulation including the periodic snapshot commits — 30
-        // samples at ~30µs/op made the thirds ratio pure timer noise
-        // (r8: 1.00, r9: 1.11 on near-identical code)
+        // 150 samples: the trend (last-third / first-third p50 ratio)
+        // measures steady-state accumulation — 30 samples at ~30µs/op
+        // made the thirds ratio pure timer noise (r8: 1.00, r9: 1.11 on
+        // near-identical code)
         val UpdSamples = 150
         val updTimes = (1 to UpdSamples).map { _ =>
           val t0 = System.nanoTime()
@@ -259,16 +260,13 @@ object Bench {
     // min), and the spreads are the across-run envelope.
     val MutRuns = 3
     val mutRuns = (1 to MutRuns).map(_ => mutationBench())
-    def med(xs: Seq[Double]): Double = {
-      val s = xs.sorted; if (s.isEmpty) 0.0 else s(s.length / 2)
-    }
     def envelope(ps: Seq[(Double, Double)]): (Double, Double) =
       (ps.map(_._1).min, ps.map(_._2).max)
     val m = MutStats(
-      med(mutRuns.map(_.updP50)), med(mutRuns.map(_.updQps)),
-      envelope(mutRuns.map(_.updSpread)), med(mutRuns.map(_.updTrend)),
-      med(mutRuns.map(_.edelP50)), envelope(mutRuns.map(_.edelSpread)),
-      med(mutRuns.map(_.ndelP50)), envelope(mutRuns.map(_.ndelSpread)))
+      p50(mutRuns.map(_.updP50)), p50(mutRuns.map(_.updQps)),
+      envelope(mutRuns.map(_.updSpread)), p50(mutRuns.map(_.updTrend)),
+      p50(mutRuns.map(_.edelP50)), envelope(mutRuns.map(_.edelSpread)),
+      p50(mutRuns.map(_.ndelP50)), envelope(mutRuns.map(_.ndelSpread)))
     // ── bulk ingest (GRAPH.BULK analogue at bench SF) ────────────────────
     // The production load path end-to-end: build the property graph from
     // the relational tables, compute statistics, and write the bucketed +

@@ -48,6 +48,18 @@ object ScaleData {
 
   def generate(spark: SparkSession, src: String, out: String,
       copies: Int, offSmall: Long): Unit = {
+    // loud guard instead of silent key collisions: per-copy small-key
+    // spaces must stay below GraphBuilder's 1e8 id-base stride, and base
+    // keys must fit inside one copy's offset window (driver testdata keys
+    // are ≤20k; anything larger needs a bigger offSmall scheme)
+    require(copies.toLong * offSmall <= 100000000L,
+      s"copies ($copies) x offSmall ($offSmall) crosses the 1e8 " +
+        "GraphBuilder id-base stride - replicated keys would collide")
+    val maxBase = spark.read.parquet(s"$src/customer.parquet")
+      .agg(max(col("c_custkey"))).head.getLong(0)
+    require(maxBase < offSmall,
+      s"base custkeys reach $maxBase >= offSmall $offSmall - copies " +
+        "would overlap")
 
     def rep(t: String)(shift: (DataFrame, Long) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$t.parquet")

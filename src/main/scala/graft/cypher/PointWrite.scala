@@ -39,9 +39,13 @@ private[cypher] object PointWrite {
     * resolve dedup and stats accounting, so they cannot leave the driver
     * without a per-op membership job); past this many ids the overlay
     * folds into a real snapshot commit instead (the safety valve — a
-    * delete burst this size is batch work, not point work).
+    * delete burst this size is batch work, not point work). Sized so the
+    * read view's `¬ id IN (vector)` mask stays a cheap plan: the
+    * optimizer converts the big In to an O(1)-per-row InSet, but the
+    * LITERAL list is still built per materialize — 64k longs is a few MB
+    * of transient expression tree, a 1M-id list would be hundreds.
     */
-  private val MaxDeletionIds = 1000000
+  private val MaxDeletionIds = 65536
 
   /** One buffered row: the schema-shaped Row for the overlay relation plus
     * its decoded props (so a rewrite of a hot key never re-decodes).
@@ -395,7 +399,11 @@ private[cypher] object PointWrite {
         val id = r.getLong(0)
         if (!st.deletedNodes.contains(id)) {
           st.deletedNodes += id
-          st.pending.remove(id)
+          // keep the byte accounting in step with the map (a SET/DELETE
+          // alternation would otherwise drift pendingBytes upward and
+          // fire phantom spills)
+          st.pending.remove(id).foreach(p =>
+            st.pendingBytes -= estimateBytes(p))
           nDel += 1
           st.stats = dec(st.stats, nodeSide = true,
             Option(r.getString(1)).getOrElse(""))

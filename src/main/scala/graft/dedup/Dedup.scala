@@ -221,7 +221,10 @@ object Dedup {
 
   /** Resolve [[AutoBucketSize]] against a lazily-counted corpus size
     * (`count` only evaluates when the sentinel is passed — explicit caps
-    * never pay the counting job).
+    * never pay the counting job). The count is metadata-cheap on a bare
+    * parquet/Delta scan; callers feeding a DERIVED frame (filters, joins)
+    * re-execute that upstream plan for the count and should pass an
+    * explicit cap instead.
     */
   private[graft] def resolveCap(cap: Int, count: => Long): Int =
     if (cap == AutoBucketSize) autoCapFor(count) else cap

@@ -189,13 +189,21 @@ object GraphStore {
       else t.withColumn(partitionCol, col(partitionCol).cast(StringType))
     val propsCol =
       if (!hadProps) Nil
+      // pre-v2 table (or a no-key graph saved with a materialized map):
+      // the stored table already carries a real `props` column — pass it
+      // through rather than synthesizing a duplicate
+      else if (t2.columns.contains("props")) Nil
       else if (metas.isEmpty) Seq(map().cast(Values.propsType).as("props"))
       else Seq(map_filter(
         map(metas.flatMap(m =>
           Seq(lit(m.key), rebuildValue(col(m.colname), m.tag))): _*),
         // absent key ⇔ null storage column: drop the entry so whole-map
         // consumers (properties(n), keys(n)) see the original key set;
-        // per-key lookups fold through this filter (VariantFoldRule)
+        // per-key lookups fold through this filter (VariantFoldRule).
+        // A genuinely null-VALUED entry is also canonicalized away here —
+        // deliberate reference parity: a null property does not exist
+        // (`value.h` SI_VALID_PROPERTY_VALUE excludes null; lookups
+        // already return PROPERTY_NOTFOUND ≡ null either way)
         (_, v) => v.isNotNull).as("props"))
     val hidden = metas.map(_.colname).toSet
     val leadPresent = lead.filter(t2.columns.contains)

@@ -104,6 +104,31 @@ class GraphStoreSpec extends AnyFunSuite {
     } finally GraphStore.drop(spark, "gs_tpch")
   }
 
+  test("pre-v2 stored tables (materialized props map, no meta) load unchanged") {
+    import org.apache.spark.sql.SaveMode
+    val g = GraphBuilder.tpch(spark, sfDir)
+    // simulate the v1 layout: frames written directly, props as a
+    // materialized map column, no _meta table
+    g.nodes.write.mode(SaveMode.Overwrite).format("parquet")
+      .partitionBy("label").bucketBy(4, "id").sortBy("id")
+      .saveAsTable("gs_v1_nodes")
+    g.edges.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(4, "src").sortBy("src").saveAsTable("gs_v1_edges")
+    g.edges.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(4, "dst").sortBy("dst").saveAsTable("gs_v1_edges_rev")
+    try {
+      val loaded = GraphStore.load(spark, "gs_v1")
+      // exactly ONE props column (no synthesized duplicate), values read
+      assert(loaded.nodes.columns.count(_ == "props") == 1,
+        loaded.nodes.columns.mkString(","))
+      assert(loaded.nodes.count() == g.nodes.count())
+      val name = loaded.nodes.filter(col("label") === "Nation")
+        .select(element_at(col("props"), "name").getField("s"))
+        .limit(1).head().getString(0)
+      assert(name != null && name.nonEmpty)
+    } finally GraphStore.drop(spark, "gs_v1")
+  }
+
   test("typed-column projection: property access over a restored graph " +
       "folds to a pruned flat parquet column") {
     val g = GraphBuilder.tpch(spark, sfDir)

@@ -116,10 +116,13 @@ def main():
         sys.exit(1)
     print(f"== {npass} pass, {nfail} fail, {len(skipped)} skipped ==")
     if json_out:
-        if skipped:
-            results["_skipped"] = sorted(skipped)
         with open(json_out, "w") as f:
             json.dump(results, f, indent=1, sort_keys=True)
+        if skipped:
+            # sibling file keeps the main artifact a uniform per-query map
+            # (consumers iterate its values as records)
+            with open(json_out + ".skipped.json", "w") as f:
+                json.dump(sorted(skipped), f)
     sys.exit(1 if nfail else 0)
 
 
