@@ -86,6 +86,15 @@ private[cypher] object PointWrite {
     var walNodes: Option[DataFrame] = None
     var walDir: Option[java.nio.file.Path] = None
     var walSeq: Int = 0
+    /** Epoch-cached id-seek plans for the SET fast path's current-row
+      * lookup (the reference's index point seek): (source frame the plan
+      * was built from, id box, resolve). `walLookup` additionally keys on
+      * the WAL segment it was built against.
+      */
+    var baseLookup: Option[(DataFrame, graft.plans.ParamBox,
+      CachedResolve)] = None
+    var walLookup: Option[(DataFrame, graft.plans.ParamBox,
+      CachedResolve)] = None
     /** Estimated driver bytes held by `pending` (maintained per upsert). */
     var pendingBytes: Long = 0L
     def size: Int = pending.size + deletedNodes.size + deletedEdges.size
@@ -97,6 +106,7 @@ private[cypher] object PointWrite {
       deletedNodes.clear(); deletedEdges.clear()
       stats = None; hasDeletes = false
       deletePlans.clear(); touchPlan = None
+      baseLookup = None; walLookup = None
       walNodes = None; pendingBytes = 0L; walSeq = 0
       walDir.foreach { d =>
         try {
@@ -204,11 +214,15 @@ private[cypher] object PointWrite {
       case _ => false
     }) return None
 
-    // current row: pending overlay first, else a point lookup
+    // current row: pending overlay first, deletion vector, then a point
+    // lookup — epoch-cached id seek where the graph shape allows, fresh
+    // overlay-view plan otherwise
     val (curLabel, curProps) = st.pending.get(id) match {
       case Some(p) => (p.row.get(1), p.props)
       case None =>
-        val hits = session.graph.nodes.filter(col("id") === id).take(2)
+        if (st.deletedNodes.contains(id)) return Some(stats(session, 0))
+        val hits = lookupById(session, st, id).getOrElse(
+          session.graph.nodes.filter(col("id") === id).take(2))
         if (hits.length != 1) {
           if (hits.isEmpty) return Some(stats(session, 0)) // matched nothing
           return None // duplicate id: not point-shaped, general path
@@ -246,6 +260,61 @@ private[cypher] object PointWrite {
     session.markPointWrite() // overlay view builds lazily on next read
     if (st.pendingBytes > maxOverlayBytes(session)) spill(session, st)
     Some(stats(session, items.size))
+  }
+
+  private lazy val seekSchema = StructType(Seq(
+    StructField("id", LongType), StructField("label", StringType),
+    StructField("props", Values.propsType)))
+  private lazy val seekFromInternal =
+    org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(seekSchema)
+
+  /** Epoch-cached point lookup of a node row by id over the stable base
+    * (plus the WAL segment when the overlay has spilled — WAL rows shadow
+    * base rows): the resolve plan is built ONCE per epoch and the id is
+    * bound per execution through a ParamBox, the same pattern as the
+    * cached point deletes — the reference's index point seek, one cheap
+    * job instead of a fresh plan+collect per cold key. None ⇒ the graph
+    * is not in canonical (id, label, props) shape; the caller falls back
+    * to a fresh overlay-view lookup.
+    */
+  private def lookupById(session: CypherSession, st: State,
+      id: Long): Option[Array[Row]] = {
+    import graft.plans.{ParamBox, ParamRef}
+    if (st.base.isEmpty) st.base = Some(session.graph.nodes)
+    val base = st.base.get
+    val shapeOk = base.columns.take(3).sameElements(
+      Seq("id", "label", "props")) &&
+      base.schema("id").dataType == LongType &&
+      base.schema("label").dataType == StringType &&
+      base.schema("props").dataType == Values.propsType
+    if (!shapeOk) return None
+    def mkPlan(src: DataFrame): (DataFrame, ParamBox, CachedResolve) = {
+      val b = new ParamBox("__seek_id")
+      val c = org.apache.spark.sql.GraftColumn.column(ParamRef(b, LongType))
+      (src, b, new CachedResolve(
+        src.select(col("id"), col("label"), col("props"))
+          .filter(col("id") === c), 2))
+    }
+    def toExternal(
+        rows: Array[org.apache.spark.sql.catalyst.InternalRow]) =
+      rows.map(r => seekFromInternal(r).asInstanceOf[Row])
+    val walHit: Option[Array[Row]] = st.walNodes.map { w =>
+      val (_, wb, wp) = st.walLookup match {
+        case Some(t @ (s, _, _)) if s eq w => t
+        case _ => val t = mkPlan(w); st.walLookup = Some(t); t
+      }
+      wb.value = id
+      toExternal(wp.collectRows())
+    }.filter(_.nonEmpty)
+    walHit.orElse {
+      val (_, bb, bp) = st.baseLookup match {
+        case Some(t @ (s, _, _)) if s eq base => t
+        case _ => val t = mkPlan(base); st.baseLookup = Some(t); t
+      }
+      bb.value = id
+      Some(toExternal(bp.collectRows()))
+    }
   }
 
   private def maxOverlayBytes(session: CypherSession): Long =
