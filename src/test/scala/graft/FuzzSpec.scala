@@ -150,6 +150,56 @@ class FuzzSpec extends AnyFunSuite {
       s"RETURN ${q.items.mkString(", ")}"
   }
 
+  test("store round-trip: restored typed-column graph answers the fuzz " +
+    "corpus identically to the in-memory graph") {
+    // the GraphStore unfold/rebuild path (typed native columns, literal
+    // re-baked tags, map_filter props view) fenced BROADLY: 100 generated
+    // pattern/predicate/projection trees must return the same multiset of
+    // rows from the restored graph as from the live one — including the
+    // prop-less nodes (null storage columns ⇒ absent keys) and IS NULL
+    // predicates over them
+    val params = Gen.Parameters.default
+    val queries = (0 until 100).flatMap(i => genQ.apply(params, Seed(42L + i)))
+    sess // force graph setup
+    graft.graph.GraphStore.save(sess.graph, "fuzz_store", buckets = 4)
+    try {
+      val stored = new CypherSession(spark)
+      stored.setGraph(graft.graph.GraphStore.load(spark, "fuzz_store"))
+      def canon(s: CypherSession, q: String): Seq[String] =
+        s.rows(s.run(q)).map(_.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString("|")).sorted
+      val failures = new ConcurrentLinkedQueue[String]()
+      val pool = Executors.newFixedThreadPool(8)
+      queries.foreach { q =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            val t = text(q)
+            try {
+              val mem = canon(sess, t)
+              val st = canon(stored, t)
+              assert(mem == st,
+                s"rows diverge: mem ${mem.size} vs stored ${st.size}; " +
+                  s"first diff: ${mem.diff(st).headOption.orElse(
+                    st.diff(mem).headOption)}")
+            } catch {
+              case e: Throwable => failures.add(s"$t\n  -> ${Option(
+                e.getMessage).getOrElse(e.getClass.getName).linesIterator
+                .take(2).mkString(" / ").take(300)}")
+            }
+          }
+        })
+      }
+      pool.shutdown()
+      assert(pool.awaitTermination(15, TimeUnit.MINUTES),
+        "store-equivalence pool timed out")
+      import scala.jdk.CollectionConverters._
+      val fs = failures.asScala.toSeq
+      assert(fs.isEmpty,
+        s"${fs.size}/${queries.size} store-equivalence cases failed; " +
+          s"first 5:\n${fs.take(5).mkString("\n\n")}")
+    } finally graft.graph.GraphStore.drop(spark, "fuzz_store")
+  }
+
   test(s"fuzz: $Cases random query trees x 5 metamorphic invariants") {
     val params = Gen.Parameters.default
     val queries = (0 until Cases).flatMap { i =>
