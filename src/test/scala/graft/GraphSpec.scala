@@ -50,4 +50,14 @@ class GraphSpec extends AnyFunSuite {
     assert(pr.count() == g.nodes.count())
     assert(pr.filter(col("pagerank") <= 0).isEmpty)
   }
+
+  test("pageRankDf (Catalyst power iteration) matches GraphX at 6dp") {
+    val a = GraphOps.pageRank(g, 0.15, 5)
+      .select(col("id"), round(col("pagerank"), 6).as("r"))
+    val b = GraphOps.pageRankDf(g, 0.15, 5)
+      .select(col("id"), round(col("pagerank"), 6).as("r"))
+    assert(a.join(b, Seq("id"))
+      .filter(a("r") =!= b("r")).isEmpty, "rank divergence")
+    assert(b.count() == g.nodes.count())
+  }
 }
