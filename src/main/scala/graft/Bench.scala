@@ -274,10 +274,38 @@ object Bench {
     // bucketed table writes incl. the transpose copy, stats snapshot).
     // Gate: the restored graph serves a stats-count and an expand query
     // with the same results as the in-memory form.
-    case class BulkStats(rows: Long, sec: Double, restoreOk: Boolean)
+    case class BulkStats(rows: Long, sec: Double, restoreOk: Boolean,
+        csvRows: Long, csvSec: Double, csvOk: Boolean)
     val bulk: Option[BulkStats] =
       if (sys.env.get("SPARK_GRAFT_BULK").contains("0")) None
       else try {
+        // CSV bulk-loader flow (GRAPH.BULK CSV shape: per-label node CSVs,
+        // endpoint-key edge CSV) at the bench SF — id allocation by
+        // distributed rank, endpoint resolution by key join, validation on
+        val csvDir = "target/bench_csv"
+        if (!new java.io.File(s"$csvDir/customer").exists()) {
+          Tables.customer(spark, sfDir).write.mode("overwrite")
+            .option("header", "true").csv(s"$csvDir/customer")
+          Tables.orders(spark, sfDir).write.mode("overwrite")
+            .option("header", "true").csv(s"$csvDir/orders")
+        }
+        import graft.graph.GraphCsv.{EdgeCsv, NodeCsv}
+        val tc0 = System.nanoTime()
+        val gCsv = graft.graph.GraphCsv.fromCsv(spark,
+          Seq(NodeCsv(s"$csvDir/customer", "Customer", "c_custkey"),
+            NodeCsv(s"$csvDir/orders", "Order", "o_orderkey")),
+          Seq(EdgeCsv(s"$csvDir/orders", "PLACED",
+            "Customer", "o_custkey", "Order", "o_orderkey")))
+        val csvRows = gCsv.nodes.count() + gCsv.edges.count()
+        val csvSec = (System.nanoTime() - tc0) / 1e9
+        val csvSess = new graft.cypher.CypherSession(spark)
+        csvSess.setGraph(gCsv)
+        val csvExpand = csvSess.rows(csvSess.run(
+          """MATCH (c:Customer)-[:PLACED]->(o:Order)
+            |RETURN count(o) AS c""".stripMargin)).head("c")
+          .asInstanceOf[Long]
+        val ordersN = Tables.orders(spark, sfDir).count()
+        val csvOk = csvExpand == ordersN
         val g = graft.graph.GraphBuilder.tpchStored(spark, sfDir)
         val rows = g.nodeCount + g.edgeCount
         val t0 = System.nanoTime()
@@ -300,7 +328,8 @@ object Bench {
           .asInstanceOf[Long]
         graft.graph.GraphStore.drop(spark, "bench_bulk")
         Some(BulkStats(rows, sec,
-          cnt == g.nodeCount && expandN == expectN))
+          cnt == g.nodeCount && expandN == expectN,
+          csvRows, csvSec, csvOk))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] bulk ingest failed: ${e.getMessage}")
         None
@@ -433,7 +462,8 @@ object Bench {
       mutRuns.map(r => "%.1f".format(f(r))).mkString("[", ",", "]")
     val bulkJson = bulk.map(b =>
       f""","bulk_ingest":{"rows":${b.rows},"sec":${b.sec}%.1f,"rows_per_sec":${b.rows / math.max(
-        b.sec, 1e-9)}%.0f,"restore_query_ok":${b.restoreOk}}""").getOrElse("")
+        b.sec, 1e-9)}%.0f,"restore_query_ok":${b.restoreOk},"csv_rows":${b.csvRows},"csv_sec":${b.csvSec}%.1f,"csv_rows_per_sec":${b.csvRows / math.max(
+        b.csvSec, 1e-9)}%.0f,"csv_query_ok":${b.csvOk}}""").getOrElse("")
     val kpis =
       f""""count_qps":$countQps%.1f,"count_qps_runs":[${countQpsRuns
         .map(v => f"$v%.1f").mkString(",")}],"update_p50_ms":${m.updP50}%.1f,"update_qps":${m.updQps}%.1f,"update_qps_runs":${runsArr(
