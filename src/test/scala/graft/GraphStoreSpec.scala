@@ -104,6 +104,45 @@ class GraphStoreSpec extends AnyFunSuite {
     } finally GraphStore.drop(spark, "gs_tpch")
   }
 
+  test("multi-label and numeric-looking labels survive the store round trip") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    // ':'-joined multi-label nodes plus a label that partition-column type
+    // inference would load as a NUMBER (legal via backtick identifiers)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("label", StringType),
+      StructField("props", graft.cypher.Values.propsType)))
+    val mkProps = (v: Long) => Map("v" ->
+      Row(graft.cypher.Values.T_INT, v, null, null, null, null))
+    val nodes = spark.createDataFrame(List(
+      Row(1L, "A", mkProps(1L)), Row(2L, "A:B", mkProps(2L)),
+      Row(3L, "B", mkProps(3L)), Row(4L, "2024", mkProps(4L))).asJava,
+      schema)
+    val edges = spark.createDataFrame(List(
+      Row(10L, 1L, 2L, "R", Map.empty[String, Row])).asJava,
+      StructType(Seq(
+        StructField("id", LongType), StructField("src", LongType),
+        StructField("dst", LongType), StructField("reltype", StringType),
+        StructField("props", graft.cypher.Values.propsType))))
+    GraphStore.save(graft.graph.PropertyGraph(nodes, edges), "gs_ml",
+      buckets = 2)
+    try {
+      val loaded = GraphStore.load(spark, "gs_ml")
+      // label restored as STRING even when every value looks numeric-able
+      assert(loaded.nodes.schema("label").dataType ==
+        org.apache.spark.sql.types.StringType)
+      // membership semantics: (n:B) matches both the plain and the
+      // multi-label node; the composite partition value round-trips
+      assert(loaded.nodesByLabel("B").count() == 2)
+      assert(loaded.nodesByLabel("A:B").count() == 1)
+      assert(loaded.nodesByLabel("2024").count() == 1)
+      val v = loaded.nodesByLabel("2024")
+        .select(element_at(col("props"), "v").getField("i")).head().getLong(0)
+      assert(v == 4L)
+    } finally GraphStore.drop(spark, "gs_ml")
+  }
+
   test("pre-v2 stored tables (materialized props map, no meta) load unchanged") {
     import org.apache.spark.sql.SaveMode
     val g = GraphBuilder.tpch(spark, sfDir)
