@@ -233,7 +233,16 @@ private[cypher] object PointWrite {
             k -> (if (r == null) null else session.decodeVariant(r))
           }.toMap).getOrElse(Map.empty[String, Any]))
     }
-    if (label.exists(l => curLabel != l))
+    // ':'-membership semantics, same as Values.labelHas: a node labeled
+    // "A:B" matches (n:B) — exact string equality would silently drop the
+    // write on multi-label nodes
+    def labelMatches(node: Any, want: String): Boolean = node match {
+      case s: String =>
+        val parts = s.split(":").toSet
+        want.split(":").filter(_.nonEmpty).forall(parts)
+      case _ => false
+    }
+    if (label.exists(l => !labelMatches(curLabel, l)))
       return Some(stats(session, 0))
 
     var props: Map[String, Any] = curProps
@@ -260,6 +269,25 @@ private[cypher] object PointWrite {
     session.markPointWrite() // overlay view builds lazily on next read
     if (st.pendingBytes > maxOverlayBytes(session)) spill(session, st)
     Some(stats(session, items.size))
+  }
+
+  /** True iff every given box is still referenced by a ParamRef in the
+    * OPTIMIZED plan. Catalyst eagerly folds filters over LocalRelations
+    * (`ConvertToLocalRelation`), and ParamRef is deterministic by design —
+    * so a plan over a driver-local frame gets the box's CURRENT (null)
+    * binding baked in at build time and would serve empty results for
+    * every later binding. Any cached parameterized resolve must pass this
+    * check or fall back to fresh per-execution plans.
+    */
+  private def paramsSurvive(df: DataFrame,
+      boxes: Iterable[graft.plans.ParamBox]): Boolean = {
+    if (boxes.isEmpty) return true
+    val seen = scala.collection.mutable.HashSet[graft.plans.ParamBox]()
+    df.queryExecution.optimizedPlan.foreach(_.expressions.foreach(_.foreach {
+      case graft.plans.ParamRef(b, _) => seen += b
+      case _ => ()
+    }))
+    boxes.forall(seen.contains)
   }
 
   private lazy val seekSchema = StructType(Seq(
@@ -289,31 +317,45 @@ private[cypher] object PointWrite {
       base.schema("label").dataType == StringType &&
       base.schema("props").dataType == Values.propsType
     if (!shapeOk) return None
-    def mkPlan(src: DataFrame): (DataFrame, ParamBox, CachedResolve) = {
+    def mkPlan(src: DataFrame): Option[(DataFrame, ParamBox,
+        CachedResolve)] = {
       val b = new ParamBox("__seek_id")
       val c = org.apache.spark.sql.GraftColumn.column(ParamRef(b, LongType))
-      (src, b, new CachedResolve(
-        src.select(col("id"), col("label"), col("props"))
-          .filter(col("id") === c), 2))
+      val df = src.select(col("id"), col("label"), col("props"))
+        .filter(col("id") === c)
+      // a driver-local base folds the unbound box away — unusable as a
+      // cached plan (see paramsSurvive); fall back to fresh lookups
+      if (!paramsSurvive(df, Seq(b))) None
+      else Some((src, b, new CachedResolve(df, 2)))
     }
     def toExternal(
         rows: Array[org.apache.spark.sql.catalyst.InternalRow]) =
       rows.map(r => seekFromInternal(r).asInstanceOf[Row])
-    val walHit: Option[Array[Row]] = st.walNodes.map { w =>
-      val (_, wb, wp) = st.walLookup match {
-        case Some(t @ (s, _, _)) if s eq w => t
-        case _ => val t = mkPlan(w); st.walLookup = Some(t); t
+    def cached(slot: () => Option[(DataFrame, ParamBox, CachedResolve)],
+        set: Option[(DataFrame, ParamBox, CachedResolve)] => Unit,
+        src: DataFrame): Option[(ParamBox, CachedResolve)] =
+      slot() match {
+        case Some((s, b, p)) if s eq src => Some((b, p))
+        case _ =>
+          val t = mkPlan(src)
+          set(t)
+          t.map { case (_, b, p) => (b, p) }
       }
+    val walPlan = st.walNodes.flatMap(w =>
+      cached(() => st.walLookup, st.walLookup = _, w))
+    if (st.walNodes.nonEmpty && walPlan.isEmpty) return None // unusable
+    val walHit: Option[Array[Row]] = walPlan.map { case (wb, wp) =>
       wb.value = id
       toExternal(wp.collectRows())
     }.filter(_.nonEmpty)
-    walHit.orElse {
-      val (_, bb, bp) = st.baseLookup match {
-        case Some(t @ (s, _, _)) if s eq base => t
-        case _ => val t = mkPlan(base); st.baseLookup = Some(t); t
-      }
-      bb.value = id
-      Some(toExternal(bp.collectRows()))
+    walHit match {
+      case some @ Some(_) => some
+      case None =>
+        cached(() => st.baseLookup, st.baseLookup = _, base).map {
+          case (bb, bp) =>
+            bb.value = id
+            toExternal(bp.collectRows())
+        }
     }
   }
 
@@ -644,16 +686,23 @@ private[cypher] object PointWrite {
       d
     }
 
+    def boxesFor(boxes: Map[String, graft.plans.ParamBox],
+        ps: List[(String, Ast.Expr)]): Iterable[graft.plans.ParamBox] =
+      ps.flatMap { case (_, e) => paramNames(e) }.toSet.flatMap(
+        (n: String) => boxes.get(n))
+
     path.tail match {
       case Nil => // node delete: MATCH (n[:L] {…}) DELETE n
         if (!head.variable.contains(dv) || !propsOk(head.props)) return None
         val boxes = mkBoxes(head.props)
         val ctx = Translator.Ctx(session.graph, Map.empty, Some(session),
           paramBoxes = boxes)
+        val ndf = nodeFilter(head, ctx).select(col("id"), col("label"))
+        // a driver-local base folds unbound boxes away at build time —
+        // the plan would serve the first binding forever; general path
+        if (!paramsSurvive(ndf, boxesFor(boxes, head.props))) return None
         Some(DeletePlan(nodesB, edgesB, boxes, isNode = true,
-          Some(new CachedResolve(
-            nodeFilter(head, ctx).select(col("id"), col("label")),
-            MaxPointIds)),
+          Some(new CachedResolve(ndf, MaxPointIds)),
           Nil, None))
 
       case List((rel, dstN)) => // edge delete: MATCH (…)-[e:T {…}]-(…) DELETE e
@@ -673,12 +722,17 @@ private[cypher] object PointWrite {
         val arrT = ArrayType(LongType, containsNull = false)
         def contains(b: ParamBox, c: Column): Column =
           array_contains(GraftColumn.column(ParamRef(b, arrT)), c)
-        val headEnd = if (constrained(head))
-          Some((new ParamBox("__ids_head"), new CachedResolve(
-            nodeFilter(head, ctx).select(col("id")), EndpointCap))) else None
-        val dstEnd = if (constrained(dstN))
-          Some((new ParamBox("__ids_dst"), new CachedResolve(
-            nodeFilter(dstN, ctx).select(col("id")), EndpointCap))) else None
+        def endpoint(np: Ast.NodePat, name: String)
+            : Option[(ParamBox, CachedResolve)] =
+          if (!constrained(np)) None
+          else {
+            val df = nodeFilter(np, ctx).select(col("id"))
+            if (!paramsSurvive(df, boxesFor(boxes, np.props)))
+              return None // driver-local base: general path (see above)
+            Some((new ParamBox(name), new CachedResolve(df, EndpointCap)))
+          }
+        val headEnd = endpoint(head, "__ids_head")
+        val dstEnd = endpoint(dstN, "__ids_dst")
         var e = edgesB
         rel.types match {
           case Nil => ()
@@ -710,10 +764,15 @@ private[cypher] object PointWrite {
               dstSide.map { case (b, _) => contains(b, col("dst")) }).flatten)
         }
         cond.foreach(c => e = e.filter(c))
+        val edf = e.select(col("id"), col("reltype"))
+        // edge resolve references the rel-prop boxes AND the endpoint id
+        // arrays — all must survive optimization (driver-local edge bases
+        // fold them away; general path handles those correctly)
+        if (!paramsSurvive(edf, boxesFor(boxes, rel.props) ++
+            Seq(headEnd, dstEnd).flatten.map(_._1))) return None
         Some(DeletePlan(nodesB, edgesB, boxes, isNode = false, None,
           Seq(headEnd, dstEnd).flatten,
-          Some(new CachedResolve(
-            e.select(col("id"), col("reltype")), MaxPointIds))))
+          Some(new CachedResolve(edf, MaxPointIds))))
 
       case _ => None // multi-hop: not point-shaped
     }
@@ -758,11 +817,13 @@ private[cypher] object PointWrite {
         val b = new ParamBox("__touch_ids")
         val c = org.apache.spark.sql.GraftColumn.column(
           ParamRef(b, ArrayType(LongType, containsNull = false)))
-        val p = new CachedResolve(st.edgeBase.get
+        val df = st.edgeBase.get
           .filter(array_contains(c, col("src")) ||
             array_contains(c, col("dst")))
-          .select(col("id"), col("reltype")), MaxPointIds)
-        val tp = (b, p)
+          .select(col("id"), col("reltype"))
+        // driver-local edge base: the unbound box folds away — general path
+        if (!paramsSurvive(df, Seq(b))) return None
+        val tp = (b, new CachedResolve(df, MaxPointIds))
         st.touchPlan = Some(tp)
         tp
       }

@@ -137,6 +137,7 @@ object GraphOps {
     */
   def pageRankDf(graph: PropertyGraph, resetProb: Double = 0.15,
       iters: Int = 20): DataFrame = {
+    require(iters >= 1, s"pageRankDf needs at least one iteration ($iters)")
     def release(df: DataFrame): Unit =
       org.apache.spark.sql.GraftRdd.checkpointedRdd(df)
         .foreach(_.unpersist(false))
@@ -186,8 +187,13 @@ object GraphOps {
         lit(1 - resetProb) * coalesce(col("__m"), lit(0.0))).as("__r"))
       .localCheckpoint(true)
     prevCkpt.foreach(release)
-    val n = ranks.count().toDouble
-    val total = ranks.agg(sum(col("__r"))).head.getDouble(0)
+    // one finalization job: count + sum together (empty graph ⇒ null sum
+    // ⇒ normalize by 1, yielding the correct empty frame)
+    val stats = ranks.agg(count(lit(1)).as("n"), sum(col("__r")).as("t"))
+      .head
+    val n = stats.getLong(0).toDouble
+    val total = if (stats.isNullAt(1) || stats.getDouble(1) == 0.0) 1.0
+      else stats.getDouble(1)
     release(contrib)
     ranks.select(col("id"), (col("__r") * n / total).as("pagerank"))
   }

@@ -162,6 +162,11 @@ class FuzzSpec extends AnyFunSuite {
     val queries = (0 until 100).flatMap(i => genQ.apply(params, Seed(42L + i)))
     sess // force graph setup
     graft.graph.GraphStore.save(sess.graph, "fuzz_store", buckets = 4)
+    // same zero-fallback gate as the metamorphic corpus: the stored view's
+    // map_filter/typed-column plans must not silently demote to
+    // interpreted eval (the suite's standing invariant)
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
       val stored = new CypherSession(spark)
       stored.setGraph(graft.graph.GraphStore.load(spark, "fuzz_store"))
@@ -197,7 +202,13 @@ class FuzzSpec extends AnyFunSuite {
       assert(fs.isEmpty,
         s"${fs.size}/${queries.size} store-equivalence cases failed; " +
           s"first 5:\n${fs.take(5).mkString("\n\n")}")
-    } finally graft.graph.GraphStore.drop(spark, "fuzz_store")
+    } finally {
+      prevFallback match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+      graft.graph.GraphStore.drop(spark, "fuzz_store")
+    }
   }
 
   test(s"fuzz: $Cases random query trees x 5 metamorphic invariants") {

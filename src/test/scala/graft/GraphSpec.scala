@@ -51,13 +51,17 @@ class GraphSpec extends AnyFunSuite {
     assert(pr.filter(col("pagerank") <= 0).isEmpty)
   }
 
-  test("pageRankDf (Catalyst power iteration) matches GraphX at 6dp") {
+  test("pageRankDf (Catalyst power iteration) matches GraphX within 1e-6") {
+    // tolerance, not equality of rounded values: the two engines sum
+    // contributions in different orders, so a rank within float noise of
+    // a x.xxxxxx5 boundary would round differently and flake
     val a = GraphOps.pageRank(g, 0.15, 5)
-      .select(col("id"), round(col("pagerank"), 6).as("r"))
+      .select(col("id"), col("pagerank").as("ra"))
     val b = GraphOps.pageRankDf(g, 0.15, 5)
-      .select(col("id"), round(col("pagerank"), 6).as("r"))
+      .select(col("id"), col("pagerank").as("rb"))
     assert(a.join(b, Seq("id"))
-      .filter(a("r") =!= b("r")).isEmpty, "rank divergence")
+      .filter(abs(col("ra") - col("rb")) > 1e-6).isEmpty,
+      "rank divergence beyond 1e-6")
     assert(b.count() == g.nodes.count())
   }
 }

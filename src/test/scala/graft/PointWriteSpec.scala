@@ -42,6 +42,34 @@ class PointWriteSpec extends AnyFunSuite {
     assert(s.rows(s.run("MATCH (n:U) RETURN n.z AS z")).head("z") == 26L)
   }
 
+  test("point SET matches multi-label nodes by ':'-membership, not equality") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val s = new CypherSession(spark)
+    val nodes = spark.createDataFrame(List(
+      Row(1L, "A:B", Map("v" ->
+        Row(graft.cypher.Values.T_INT, 7L, null, null, null, null)))).asJava,
+      StructType(Seq(
+        StructField("id", LongType), StructField("label", StringType),
+        StructField("props", graft.cypher.Values.propsType))))
+    val edges = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](),
+      StructType(Seq(
+        StructField("id", LongType), StructField("src", LongType),
+        StructField("dst", LongType), StructField("reltype", StringType),
+        StructField("props", graft.cypher.Values.propsType))))
+    s.setGraph(graft.graph.PropertyGraph(nodes, edges))
+    // (n:B) must match the "A:B" node on the point path (labelHas
+    // semantics), and a non-member label must be a clean no-op
+    val st = s.rows(s.run("MATCH (n:B) WHERE id(n) = 1 SET n.v = 9"))
+    assert(st.head("properties_set") == 1L, st.head)
+    assert(s.rows(s.run("MATCH (n:A) RETURN n.v AS v")).head("v") == 9L)
+    val miss = s.rows(s.run("MATCH (n:C) WHERE id(n) = 1 SET n.v = 0"))
+    assert(miss.head("properties_set") == 0L)
+    assert(s.rows(s.run("MATCH (n:B) RETURN n.v AS v")).head("v") == 9L)
+  }
+
   test("byte-bounded overlay spills to the write-ahead parquet and stays flat") {
     val prev = spark.conf.getOption("graft.pointwrite.maxOverlayBytes")
     spark.conf.set("graft.pointwrite.maxOverlayBytes", "4096")
