@@ -81,6 +81,15 @@ class GraphStoreSpec extends AnyFunSuite {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
       }
 
+      // one sorted file per (partition dir, bucket): an unshuffled
+      // bucketed write sprays a file per bucket PER INPUT TASK, whose
+      // file-open overhead measurably dominated serving at 10× scale
+      val custDir = new java.io.File("spark-warehouse/gs_tpch_nodes/label=Customer")
+      if (custDir.isDirectory) {
+        val parts = custDir.listFiles.count(_.getName.endsWith(".parquet"))
+        assert(parts <= 4, s"bucketed write sprayed $parts files for 4 buckets")
+      }
+
       // property values survive the round trip
       val name = loaded.nodes.filter(col("label") === "Nation")
         .select(element_at(col("props"), "name").getField("s"))
