@@ -296,10 +296,24 @@ object Dedup {
       ()
     })
 
+  /** Lazy form: the bucket self-join recomputes the signature pipeline on
+    * BOTH sides (Catalyst plans a lazy self-join as two full subtrees).
+    * [[minHashDedup]] avoids the double compute by materializing the
+    * capped buckets once with an owned block lifecycle — callers composing
+    * lshCandidates directly should do the same when the signature pass is
+    * the dominant cost.
+    */
   def lshCandidates(signatures: DataFrame, numHashes: Int = 64,
       bands: Int = 16, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val (exploded, joinKeys) = bandBuckets(signatures, numHashes, bands)
-    val buckets = capBuckets(exploded, joinKeys, maxBucketSize)
+    bucketSelfJoin(capBuckets(exploded, joinKeys, maxBucketSize), joinKeys)
+  }
+
+  /** Candidate pairs from a banded-bucket frame: `(a, b)` sharing any
+    * bucket tuple, deduplicated.
+    */
+  private def bucketSelfJoin(buckets: DataFrame,
+      joinKeys: Seq[String]): DataFrame = {
     val l = buckets.withColumnRenamed("doc_id", "a")
     val r = buckets.withColumnRenamed("doc_id", "b")
     l.join(r, joinKeys)
@@ -330,14 +344,23 @@ object Dedup {
     // the cold path the r6–r9 benches measured as bistable). Blocks are
     // released after the (small) verified-pair result is checkpointed, so
     // executor storage stays flat across many invocations.
-    val cands = lshCandidates(
-      minHashSignatures(docs, numHashes, k), numHashes, bands,
-      cap).localCheckpoint(true)
+    // materialize the capped buckets ONCE before the self-join: a lazy
+    // self-join plans the whole shingle→minhash→explode→cap pipeline as
+    // two independent subtrees (measured: zero ReusedExchange — the heavy
+    // signature pass ran twice). The banded frame is corpus×bands rows
+    // (linear), far cheaper to hold briefly than to recompute the pass.
+    def release(df: DataFrame): Unit =
+      org.apache.spark.sql.GraftRdd.checkpointedRdd(df)
+        .foreach(_.unpersist(false))
+    val (exploded, joinKeys) = bandBuckets(
+      minHashSignatures(docs, numHashes, k), numHashes, bands)
+    val buckets = capBuckets(exploded, joinKeys, cap).localCheckpoint(true)
+    val cands = bucketSelfJoin(buckets, joinKeys).localCheckpoint(true)
+    release(buckets) // the self-join is spent; candidates are the leaf
     val result = jaccard(docs, cands, k)
       .filter(col("jaccard") >= threshold)
       .localCheckpoint(true)
-    org.apache.spark.sql.GraftRdd.checkpointedRdd(cands)
-      .foreach(_.unpersist(false))
+    release(cands)
     result
   }
 
