@@ -229,6 +229,38 @@ object Dedup {
   private[graft] def resolveCap(cap: Int, count: => Long): Int =
     if (cap == AutoBucketSize) autoCapFor(count) else cap
 
+  /** Corpus size for cap derivation WITHOUT re-executing derived upstream
+    * plans. The cap only needs one significant digit (`max(1000, ⌈√n⌉)`),
+    * so: an exact `count()` only on scan-shaped plans (projection over a
+    * relation — metadata-served by parquet/Delta, no row reads); any
+    * derived plan (filters, joins, generators) uses Catalyst's propagated
+    * size statistics instead — `sizeInBytes / row width`, the same
+    * estimate Spark's own broadcast planning trusts. At 100 TB a filtered
+    * dedup input would otherwise pay a FULL extra pass of the upstream
+    * plan just to pick a cap. PipelineSpec asserts the derived path runs
+    * zero jobs.
+    */
+  private[graft] def capCount(df: DataFrame): Long = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan, Project}
+    val plan = df.queryExecution.optimizedPlan
+    def scanOnly(p: LogicalPlan): Boolean = p match {
+      case pr: Project => scanOnly(pr.child)
+      case _: LeafNode => true
+      case _ => false
+    }
+    plan.stats.rowCount.map(_.toLong).getOrElse {
+      if (scanOnly(plan)) df.count()
+      else {
+        val width = math.max(plan.output.map(_.dataType.defaultSize).sum, 1)
+        (plan.stats.sizeInBytes / width).toLong
+      }
+    }
+  }
+
+  /** [[resolveCap]] with the job-free [[capCount]] corpus size. */
+  private[graft] def resolveCapFor(cap: Int, docs: DataFrame): Int =
+    if (cap == AutoBucketSize) autoCapFor(capCount(docs)) else cap
+
   /** The Σ bucket² skew guard, shared by every LSH candidate join (batch
     * minhash, embedding LSH, the incremental streaming store): rows whose
     * bucket (the `keys` tuple) holds more than `cap` members are dropped
@@ -260,9 +292,10 @@ object Dedup {
   val cappedRowsDropped = new java.util.concurrent.atomic.AtomicLong
 
   private val capSeq = new java.util.concurrent.atomic.AtomicLong
-  private val capListenerSessions =
-    scala.collection.concurrent.TrieMap[org.apache.spark.sql.SparkSession,
-      Unit]()
+  // WEAK keys: a long-lived JVM cycling many sessions must not pin every
+  // stopped SparkSession via the registration map
+  private val capListenerSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, Unit]())
 
   /** Once per session: surface every capBuckets drop count (the skew
     * guard's only lossy action) — a WARN log line per invocation that
@@ -270,7 +303,7 @@ object Dedup {
     */
   private def ensureCapListener(
       spark: org.apache.spark.sql.SparkSession): Unit =
-    capListenerSessions.getOrElseUpdate(spark, {
+    capListenerSessions.computeIfAbsent(spark, { _ =>
       spark.listenerManager.register(
         new org.apache.spark.sql.util.QueryExecutionListener {
           override def onSuccess(funcName: String,
@@ -278,10 +311,17 @@ object Dedup {
               durationNs: Long): Unit =
             qe.observedMetrics.foreach { case (name, row) =>
               if (name.startsWith("graft_cap_buckets")) {
-                val dropped = row.getLong(row.fieldIndex("dropped_rows"))
+                // a zero-row consuming job observes sum(...) = NULL — read
+                // null-safe (a getLong would NPE inside the listener bus
+                // and silently lose the metric)
+                def longAt(field: String): Long = {
+                  val i = row.fieldIndex(field)
+                  if (row.isNullAt(i)) 0L else row.getLong(i)
+                }
+                val dropped = longAt("dropped_rows")
                 if (dropped > 0) {
                   cappedRowsDropped.addAndGet(dropped)
-                  val total = row.getLong(row.fieldIndex("total_rows"))
+                  val total = longAt("total_rows")
                   org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(
                     s"capBuckets skew guard dropped $dropped of $total " +
                       "bucket rows (over-cap buckets; members keep their " +
@@ -328,9 +368,10 @@ object Dedup {
   def minHashDedup(docs: DataFrame, threshold: Double = 0.5,
       numHashes: Int = 64, bands: Int = 16, k: Int = 3,
       maxBucketSize: Int = AutoBucketSize): DataFrame = {
-    // corpus-derived cap (≡ the historical 1000 below 10⁶ docs); the
-    // count is a column-less scan — metadata-cheap on parquet/Delta
-    val cap = resolveCap(maxBucketSize, docs.count())
+    // corpus-derived cap (≡ the historical 1000 below 10⁶ docs); exact
+    // metadata count on scan-shaped inputs, Catalyst size estimate on
+    // derived frames — never an extra pass of the upstream plan
+    val cap = resolveCapFor(maxBucketSize, docs)
     // Two independent shingle passes beat one shared distinct table:
     // the signature pass feeds min-aggregation straight off the explode
     // (no distinct shuffle — duplicates fold in the map-side partial min),
@@ -450,11 +491,22 @@ object Dedup {
     * pairs bounded by a self-join on the top `prefixBits` bits (a cheap
     * 1-band LSH; identical high bits is a necessary-ish condition the spec
     * validates against brute force).
+    *
+    * The prefix self-join routes through the shared Σ bucket² skew guard
+    * like every other LSH candidate join: a boilerplate-heavy corpus
+    * (near-identical docs → identical signatures → identical prefixes)
+    * would otherwise go quadratic on one prefix key. Unlike banded
+    * MinHash a dropped prefix bucket has no "other bands" to recover in —
+    * but its members are signature-identical boilerplate that exact dedup
+    * upstream collapses more cheaply, and the QUALIFY oracle replicates
+    * the cap bit-identically.
     */
   def simHashPairs(docs: DataFrame, maxDist: Int = 8,
-      prefixBits: Int = 16): DataFrame = {
-    val sig = simHash(docs)
-      .withColumn("prefix", shiftright(col("simhash"), SimHashBits - prefixBits))
+      prefixBits: Int = 16, maxBucketSize: Int = AutoBucketSize): DataFrame = {
+    val sig = capBuckets(
+      simHash(docs).withColumn("prefix",
+        shiftright(col("simhash"), SimHashBits - prefixBits)),
+      Seq("prefix"), resolveCapFor(maxBucketSize, docs))
     val l = sig.select(col("prefix"), col("doc_id").as("a"),
       col("simhash").as("sig_a"))
     val r = sig.select(col("prefix"), col("doc_id").as("b"),
@@ -499,7 +551,7 @@ object Dedup {
     // (e.g. zero vectors hashing identically across tables); cap derived
     // from the corpus size unless given explicitly
     val buckets = capBuckets(all, Seq("table", "bucket"),
-      resolveCap(maxBucketSize, vectors.count()))
+      resolveCapFor(maxBucketSize, vectors))
     val cands = buckets.select(col("table"), col("bucket"),
         col("vec_id").as("a"))
       .join(buckets.select(col("table"), col("bucket"),

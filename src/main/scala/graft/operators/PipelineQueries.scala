@@ -259,7 +259,10 @@ object PipelineQueries {
       "q_dedup_simhash",
       // SQL replication of the SimHash pipeline: same portable token hash
       // (double polynomial fold ≡ graft_polyhash), 62 per-bit +1/−1 sums,
-      // 16-bit-prefix blocking, hamming ≤ 16 via bit_count(xor).
+      // 16-bit-prefix blocking, hamming ≤ 16 via bit_count(xor). sigf
+      // replicates the production prefix-bucket cap (Dedup.capBuckets with
+      // the corpus-derived default — the same QUALIFY predicate as every
+      // other LSH gate).
       {
         val bitSums = (0 until Dedup.SimHashBits).map { b =>
           s"sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
@@ -282,15 +285,20 @@ object PipelineQueries {
            |sig AS (
            |  SELECT doc_id, $sigExpr AS simhash,
            |         ($sigExpr) >> ${Dedup.SimHashBits - 16} AS prefix
-           |  FROM sums)
+           |  FROM sums),
+           |sigf AS (
+           |  SELECT * FROM sig
+           |  QUALIFY count(*) OVER (PARTITION BY prefix)
+           |          <= ${Dedup.DefaultMaxBucketSize})
            |SELECT l.doc_id AS a, r.doc_id AS b,
            |       CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS dist
-           |FROM sig l JOIN sig r
+           |FROM sigf l JOIN sigf r
            |  ON l.prefix = r.prefix AND l.doc_id < r.doc_id
            |WHERE bit_count(xor(l.simhash, r.simhash)) <= 16""".stripMargin
       }) { (s, dir) =>
       // SimHash-62 near-dup pairs, 16-bit-prefix blocking, hamming ≤ 16,
-      // hash-checked against the SQL replication above.
+      // hash-checked against the SQL replication above (incl. the prefix
+      // bucket cap — corpus-derived ≡ 1000 on every test SF).
       Dedup.simHashPairs(Tables.documents(s, dir), 16, 16)
     },
 

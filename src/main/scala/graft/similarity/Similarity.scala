@@ -212,7 +212,7 @@ object Similarity {
     // Cap derived from corpus size unless given explicitly (Dedup.autoCapFor)
     val buckets = graft.dedup.Dedup.capBuckets(
       lshBuckets(vectors, bits, tables), Seq("table", "bucket"),
-      graft.dedup.Dedup.resolveCap(maxBucketSize, vectors.count()))
+      graft.dedup.Dedup.resolveCapFor(maxBucketSize, vectors))
     val l = buckets.select(col("table"), col("bucket"), col("vec_id").as("a"))
     val r = buckets.select(col("table"), col("bucket"), col("vec_id").as("b"))
     val cands = l.join(r, Seq("table", "bucket"))

@@ -66,6 +66,54 @@ class PipelineSpec extends AnyFunSuite {
       "capBuckets dropped rows without reporting a metric")
   }
 
+  test("simhash prefix cap: boilerplate cluster no longer quadratic") {
+    import spark.implicits._
+    // 30 identical docs: identical signatures → identical prefixes → one
+    // degenerate prefix bucket (would contribute ~435 pairs uncapped);
+    // plus one ordinary near-identical pair that must survive the cap
+    val boiler = (1L to 30L).map(i => (i, "common boilerplate header " * 8))
+    val pair = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4 +
+        "mu"))
+    val d = (boiler ++ pair).toDF("doc_id", "text")
+    val uncapped = Dedup.simHashPairs(d, 16, 16, maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((100L, 101L)) && uncapped.size > 400)
+    val capped = Dedup.simHashPairs(d, 16, 16, maxBucketSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 30-doc bucket is dropped WHOLE; the ordinary pair survives
+    assert(capped == Set((100L, 101L)))
+    // default (auto) cap = 1000 on a tiny corpus: identical to uncapped
+    val default = Dedup.simHashPairs(d, 16, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(default == uncapped)
+  }
+
+  test("capCount: derived input derives the cap with zero jobs") {
+    // a FILTERED frame must not re-execute its upstream plan for the cap
+    val derived = docs.filter(col("doc_id") >= 0)
+      .join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val n = Dedup.capCount(derived)
+      Thread.sleep(1000) // listener-bus delivery grace before the zero check
+      assert(jobs.get() == 0, s"capCount ran ${jobs.get()} jobs on a derived plan")
+      assert(n > 0)
+      // estimate only needs one significant digit: the auto cap it yields
+      // must equal the exact corpus's (both under the 1e6 floor here)
+      assert(Dedup.autoCapFor(n) == Dedup.autoCapFor(docs.count()))
+    } finally spark.sparkContext.removeSparkListener(l)
+    // scan-shaped input still gets the EXACT metadata count
+    assert(Dedup.capCount(docs) == docs.count())
+  }
+
   test("auto bucket cap: historical 1000 floor below 1e6 docs, sqrt beyond") {
     assert(Dedup.autoCapFor(0) == 1000)
     assert(Dedup.autoCapFor(999999) == 1000) // every test SF stays here —
