@@ -45,6 +45,91 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Per-query measurement isolation (shared by every cold section): drop
+    // cached plans, SQL-cached data and leftover checkpoint blocks from
+    // EARLIER queries, and settle the heap — so a cold number is the
+    // query's own full cost, not a tax from a neighbour's leftovers.
+    def isolate(): Unit = {
+      SparkEntry.clearPlanCache(spark)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
+    }
+
+    // ── 100× scale probe (sf10 when the bench SF is 0.1) ─────────────────
+    // Runs FIRST, in the still-clean JVM: r11's artifact measured this
+    // section LAST, inside a JVM carrying the leftovers of the full bench
+    // + sf1 + bulk ingest, and its single cold runs swung 3-5× above
+    // isolated same-binary runs (46× vs 9.3× on minhash — adjudicated as
+    // bench context, not code, by frozen-binary A/B). Here each query gets
+    // Sf10Runs isolated cold runs and the artifact carries the per-query
+    // run arrays plus the median — the same adjudication surface as every
+    // other section. Ratios vs the sf0.1 cold medians are attached at emit
+    // time. This is still a survival + sublinearity probe (data is 100×,
+    // ratio target ≲ 40×), now on a measurement that reflects the code.
+    val Sf10Copies = 100
+    val Sf10Runs = 3
+    val sf10Queries = Seq("q_cypher_expand", "q_dedup_minhash",
+      "q_graph_pagerank", "q_bm25", "q_salted_join")
+      .filter(SparkEntry.queries.keySet)
+    val Sf10BudgetSec = 900.0
+    case class Sf10(runs: Seq[(String, Seq[Double])], genSec: Double,
+        skipped: Seq[String]) {
+      def medians: Seq[(String, Double)] =
+        runs.map { case (n, rs) =>
+          val s = rs.sorted; (n, s(s.length / 2))
+        }
+    }
+    val sf10: Option[Sf10] =
+      if (sys.env.get("SPARK_GRAFT_SF10").contains("0")) None
+      else try {
+        val dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "target/sf10")
+        val tGen0 = System.nanoTime()
+        if (!new java.io.File(s"$dir/lineitem.parquet").exists())
+          ScaleData.generate(spark, sfDir, dir, Sf10Copies)
+        val genSec = (System.nanoTime() - tGen0) / 1e9
+        // graph + statistics for the sf10 store are load time, not query
+        // time (the data-at-rest the section queries)
+        try {
+          val g = graft.graph.GraphBuilder.tpchStored(spark, dir)
+          g.labelCounts; g.reltypeCounts
+        } catch { case _: Throwable => () }
+        val tSec0 = System.nanoTime()
+        def overBudget: Boolean =
+          (System.nanoTime() - tSec0) / 1e9 > Sf10BudgetSec
+        val done = scala.collection.mutable.ArrayBuffer[(String, Seq[Double])]()
+        val skipped = scala.collection.mutable.ArrayBuffer[String]()
+        sf10Queries.foreach { n =>
+          val rs = scala.collection.mutable.ArrayBuffer[Double]()
+          var failed = false
+          // a query keeps its completed runs when the budget trips mid-
+          // query (a 1-run median is weaker but still adjudicable; the
+          // truncation is visible in the artifact's runs array length)
+          while (rs.length < Sf10Runs && !failed && !overBudget) {
+            isolate()
+            val t0 = System.nanoTime()
+            try {
+              SparkEntry.queries(n)(spark, dir)
+                .write.format("noop").mode("overwrite").save()
+              rs += (System.nanoTime() - t0) / 1e9
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] sf10 $n failed: ${e.getMessage}")
+              failed = true
+            }
+          }
+          if (rs.nonEmpty && !failed) done += n -> rs.toSeq
+          else skipped += n
+        }
+        if (skipped.nonEmpty) // no silent caps
+          System.err.println(s"[bench] sf10 skipped: ${skipped.mkString(",")}")
+        Some(Sf10(done.toSeq, genSec, skipped.toSeq))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sf10 section failed: ${e.getMessage}")
+        None
+      }
+    // scrub the sf10 section's leftovers before anything else is measured
+    isolate()
+
     // Materialize the stored property graph + its statistics for the bench SF
     // outside the timed region: the graph is the engine's data-at-rest (like
     // the testdata parquet itself); building it is load time, not query time.
@@ -78,23 +163,12 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    // Per-query measurement isolation: before each cold run, drop cached
-    // plans, SQL-cached data and leftover checkpoint blocks from EARLIER
-    // queries, and settle the heap — so the cold number is the query's own
-    // full cost (translate + optimize + recompute every intermediate), not
-    // a tax from a neighbour's leftovers. Each query runs COLD_RUNS
-    // isolated cold times and reports the MEDIAN plus min/max spread — one
-    // cold sample per round made regression vs machine noise unadjudicable
-    // (r4→r5 showed 15-64% phantom swings on untouched code). `warm` is the
-    // immediate re-invocation with the engine's plan cache populated
-    // (steady-state serving shape).
+    // Each query runs COLD_RUNS isolated cold times and reports the MEDIAN
+    // plus min/max spread — one cold sample per round made regression vs
+    // machine noise unadjudicable (r4→r5 showed 15-64% phantom swings on
+    // untouched code). `warm` is the immediate re-invocation with the
+    // engine's plan cache populated (steady-state serving shape).
     val ColdRuns = 3
-    def isolate(): Unit = {
-      SparkEntry.clearPlanCache(spark)
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      System.gc()
-    }
     // Warm gets the SAME median+spread treatment as cold: the r7 round
     // reported a single warm sample per query, and a 2x one-sample swing on
     // q_cypher_expand (0.467 -> 0.962s) was read as a code regression — the
@@ -401,62 +475,14 @@ object Bench {
         System.err.println(s"[bench] sf1 section failed: ${e.getMessage}")
         None
       }
-    // ── 100× scale probe (sf10 when the bench SF is 0.1) ─────────────────
-    // The brief's bar is "would survive 100×", and sf1 only demonstrates
-    // 10×. The 5 most shuffle-heavy headline queries run once, cold,
-    // against a 100-copy replication (disjoint key spaces, same fan-outs
-    // and near-dup density — ScaleData). One cold run each under a section
-    // runtime budget: this is a survival + sublinearity probe (ratio vs
-    // the sf0.1 cold median; data is 100×, so ratio ≲ 100 means sublinear,
-    // the target is ≲ 40×), not a median-grade timing.
-    val Sf10Copies = 100
-    val sf10Queries = Seq("q_cypher_expand", "q_dedup_minhash",
-      "q_graph_pagerank", "q_bm25", "q_salted_join")
-      .filter(SparkEntry.queries.keySet)
-    val Sf10BudgetSec = 900.0
-    case class Sf10(queries: Seq[(String, Double)],
-        ratio: Seq[(String, Double)], genSec: Double, skipped: Seq[String])
-    val sf10: Option[Sf10] =
-      if (sys.env.get("SPARK_GRAFT_SF10").contains("0")) None
-      else try {
-        val dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "target/sf10")
-        val tGen0 = System.nanoTime()
-        if (!new java.io.File(s"$dir/lineitem.parquet").exists())
-          ScaleData.generate(spark, sfDir, dir, Sf10Copies)
-        val genSec = (System.nanoTime() - tGen0) / 1e9
-        try {
-          val g = graft.graph.GraphBuilder.tpchStored(spark, dir)
-          g.labelCounts; g.reltypeCounts
-        } catch { case _: Throwable => () }
-        val tSec0 = System.nanoTime()
-        val done = scala.collection.mutable.ArrayBuffer[(String, Double)]()
-        val skipped = scala.collection.mutable.ArrayBuffer[String]()
-        sf10Queries.foreach { n =>
-          if ((System.nanoTime() - tSec0) / 1e9 > Sf10BudgetSec) skipped += n
-          else {
-            isolate()
-            val t0 = System.nanoTime()
-            try {
-              SparkEntry.queries(n)(spark, dir)
-                .write.format("noop").mode("overwrite").save()
-              done += n -> (System.nanoTime() - t0) / 1e9
-            } catch { case e: Throwable =>
-              System.err.println(s"[bench] sf10 $n failed: ${e.getMessage}")
-              skipped += n
-            }
-          }
-        }
-        if (skipped.nonEmpty) // no silent caps
-          System.err.println(s"[bench] sf10 skipped: ${skipped.mkString(",")}")
-        val baseCold = cold.toMap
-        Some(Sf10(done.toSeq,
-          done.toSeq.flatMap { case (n, s) =>
-            baseCold.get(n).map(b => n -> s / math.max(b, 1e-9)) },
-          genSec, skipped.toSeq))
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] sf10 section failed: ${e.getMessage}")
-        None
-      }
+    // sf10 ran first (clean JVM); attach its medians, run arrays and the
+    // ratios vs the sf0.1 cold medians computed above
+    val sf10Medians = sf10.map(_.medians).getOrElse(Nil)
+    val sf10Ratio = {
+      val baseCold = cold.toMap
+      sf10Medians.flatMap { case (n, s) =>
+        baseCold.get(n).map(b => n -> s / math.max(b, 1e-9)) }
+    }
     val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     def sp(p: (Double, Double)): String = f"[${p._1}%.3f,${p._2}%.3f]"
     // JVM code-cache telemetry: exhaustion here turns codegen'd loops into
@@ -495,10 +521,15 @@ object Bench {
         s.ratio)}}""").getOrElse("")
     val sf1Compact = sf1.map(s =>
       s""","sf1_ratio":${js(s.ratio)}""").getOrElse("")
-    val sf10Json = sf10.map(s =>
-      f""","sf10":{"copies":$Sf10Copies,"gen_sec":${s.genSec}%.1f,"queries":${js(
-        s.queries)},"ratio_vs_base":${js(s.ratio)},"skipped":${s.skipped
-        .map("\"" + _ + "\"").mkString("[", ",", "]")}}""").getOrElse("")
+    val sf10Json = sf10.map { s =>
+      val runsJson = s.runs.map { case (n, rs) =>
+        "\"" + n + "\":" + rs.map(v => f"$v%.3f").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      f""","sf10":{"copies":$Sf10Copies,"runs_per_query":$Sf10Runs,"gen_sec":${s.genSec}%.1f,"queries":${js(
+        sf10Medians)},"runs":$runsJson,"ratio_vs_base":${js(
+        sf10Ratio)},"skipped":${s.skipped
+        .map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    }.getOrElse("")
     val detail =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_runs":$ColdRuns,"queries":${js(
         cold)},"cold_spread":${jsSpread(
@@ -508,8 +539,8 @@ object Bench {
       "BENCH_DETAIL.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
-    val sf10Compact = sf10.map(s =>
-      s""","sf10_ratio":${js(s.ratio)}""").getOrElse("")
+    val sf10Compact = sf10.map(_ =>
+      s""","sf10_ratio":${js(sf10Ratio)}""").getOrElse("")
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_runs":$ColdRuns,"queries":${js(
         cold)},"failed":$failedJson,"warm_total":$warmTotal%.3f,$kpis$sf1Compact$sf10Compact,"detail":"$detailPath"}""")
