@@ -390,17 +390,17 @@ object Dedup {
     // two independent subtrees (measured: zero ReusedExchange — the heavy
     // signature pass ran twice). The banded frame is corpus×bands rows
     // (linear), far cheaper to hold briefly than to recompute the pass.
-    def release(df: DataFrame): Unit =
-      org.apache.spark.sql.GraftRdd.checkpointedRdd(df)
-        .foreach(_.unpersist(false))
+    // Materialization honors graft.Checkpoints' resilience knob: the
+    // default localCheckpoint is non-resilient (executor loss kills the
+    // query); clusters set graft.checkpoint.reliable=true.
+    import graft.Checkpoints.{materialize, release}
     val (exploded, joinKeys) = bandBuckets(
       minHashSignatures(docs, numHashes, k), numHashes, bands)
-    val buckets = capBuckets(exploded, joinKeys, cap).localCheckpoint(true)
-    val cands = bucketSelfJoin(buckets, joinKeys).localCheckpoint(true)
+    val buckets = materialize(capBuckets(exploded, joinKeys, cap))
+    val cands = materialize(bucketSelfJoin(buckets, joinKeys))
     release(buckets) // the self-join is spent; candidates are the leaf
-    val result = jaccard(docs, cands, k)
-      .filter(col("jaccard") >= threshold)
-      .localCheckpoint(true)
+    val result = materialize(jaccard(docs, cands, k)
+      .filter(col("jaccard") >= threshold))
     release(cands)
     result
   }

@@ -52,20 +52,22 @@ object GraphOps {
     *     iterations reuse the partitioning)
     *   - drop already-visited (start,node) pairs — keeps frontiers minimal
     *     (BFS level-synchronous semantics, ≡ reference's all_neighbors mode)
-    *   - localCheckpoint to cut lineage (on a cluster: checkpoint dir);
+    *   - [[graft.Checkpoints.materialize]] to cut lineage (localCheckpoint
+    *     by default; `graft.checkpoint.reliable=true` for executor-loss
+    *     resilience on real clusters);
     *     without it the plan doubles per hop and Catalyst analysis blows up.
     */
   def varLenExpand(sources: DataFrame, edges: DataFrame,
       minHops: Int, maxHops: Int): DataFrame = {
     require(minHops >= 0 && maxHops >= minHops, s"bad bounds $minHops..$maxHops")
+    import graft.Checkpoints.{materialize, release}
     val e = edges.select(col("src"), col("dst"))
     // per-hop checkpoints are RELEASED as soon as the next hop's union
-    // materializes — a BFS holds 2 generations of blocks, not maxHops
-    def unpersist(df: DataFrame): Unit =
-      org.apache.spark.sql.GraftRdd.checkpointedRdd(df)
-        .foreach(_.unpersist(blocking = false))
-    var visited = sources.select(col("id").as("start"), col("id").as("node"),
-      lit(0).as("hops")).localCheckpoint(true)
+    // materializes — a BFS holds 2 generations of blocks, not maxHops.
+    // materialize = localCheckpoint (non-resilient: executor loss kills
+    // the query) or a reliable checkpoint under graft.Checkpoints' knob.
+    var visited = materialize(sources.select(col("id").as("start"),
+      col("id").as("node"), lit(0).as("hops")))
     var frontier = visited
     var h = 0
     while (h < maxHops && !frontier.isEmpty) {
@@ -76,15 +78,14 @@ object GraphOps {
       // anti-join against visited: BFS keeps first (= minimal) hop count
       val prevFrontier = frontier
       val prevVisited = visited
-      frontier = next.join(visited,
+      frontier = materialize(next.join(visited,
           next("start") <=> visited("start") && next("node") <=> visited("node"),
-          "left_anti")
-        .localCheckpoint(true)
-      visited = visited.unionByName(frontier).localCheckpoint(true)
-      if (prevFrontier ne prevVisited) unpersist(prevFrontier)
-      unpersist(prevVisited)
+          "left_anti"))
+      visited = materialize(visited.unionByName(frontier))
+      if (prevFrontier ne prevVisited) release(prevFrontier)
+      release(prevVisited)
     }
-    if (frontier ne visited) unpersist(frontier)
+    if (frontier ne visited) release(frontier)
     visited.filter(col("hops").between(minHops, maxHops))
   }
 
@@ -138,19 +139,17 @@ object GraphOps {
   def pageRankDf(graph: PropertyGraph, resetProb: Double = 0.15,
       iters: Int = 20): DataFrame = {
     require(iters >= 1, s"pageRankDf needs at least one iteration ($iters)")
-    def release(df: DataFrame): Unit =
-      org.apache.spark.sql.GraftRdd.checkpointedRdd(df)
-        .foreach(_.unpersist(false))
+    import graft.Checkpoints.{materialize, release}
     val edges = graph.edges.select(col("src"), col("dst"))
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("__c"))
     // contribution table, HASH-PARTITIONED BY src once: localCheckpoint
     // preserves outputPartitioning, so every iteration's join shuffles
     // ONLY the (small) message vector to meet it — the GraphX trade
-    // (partition the graph once, move messages) in Catalyst terms
-    val contrib = edges.join(outdeg, "src")
+    // (partition the graph once, move messages) in Catalyst terms.
+    // materialize honors graft.Checkpoints' resilience knob.
+    val contrib = materialize(edges.join(outdeg, "src")
       .select(col("src"), col("dst"), col("__c"))
-      .repartition(col("src"))
-      .localCheckpoint(true)
+      .repartition(col("src")))
     // iterate on the MESSAGE vector m_k(v) = Σ_{u→v} r_k(u)/outdeg(u)
     // instead of the full rank vector: rank_k(src) reconstructs as
     // reset + (1−reset)·coalesce(m_k(src), 0) — a vertex absent from m_k
@@ -172,7 +171,7 @@ object GraphOps {
         .groupBy(col("dst"))
         .agg(sum(col("__r") / col("__c")).as("__m"))
       if (k % 4 == 0 || k == iters) {
-        val ck = next.localCheckpoint(true)
+        val ck = materialize(next)
         prevCkpt.foreach(release)
         prevCkpt = Some(ck)
         next = ck
@@ -185,17 +184,17 @@ object GraphOps {
         verts("id") === col("__mid"), "left")
       .select(verts("id"), (lit(resetProb) +
         lit(1 - resetProb) * coalesce(col("__m"), lit(0.0))).as("__r"))
-      .localCheckpoint(true)
+    val ranksCk = materialize(ranks)
     prevCkpt.foreach(release)
     // one finalization job: count + sum together (empty graph ⇒ null sum
     // ⇒ normalize by 1, yielding the correct empty frame)
-    val stats = ranks.agg(count(lit(1)).as("n"), sum(col("__r")).as("t"))
+    val stats = ranksCk.agg(count(lit(1)).as("n"), sum(col("__r")).as("t"))
       .head
     val n = stats.getLong(0).toDouble
     val total = if (stats.isNullAt(1) || stats.getDouble(1) == 0.0) 1.0
       else stats.getDouble(1)
     release(contrib)
-    ranks.select(col("id"), (col("__r") * n / total).as("pagerank"))
+    ranksCk.select(col("id"), (col("__r") * n / total).as("pagerank"))
   }
 
   /** Connected components over a bare (src, dst) pair list; vertices are

@@ -192,9 +192,12 @@ object StreamOps {
     // accumulate on the driver (at scale: a Delta table append per batch)
     private var pairStore: Option[DataFrame] = None
 
-    /** Release the RDD blocks behind a superseded localCheckpoint so
+    /** Release the RDD blocks behind a superseded materialization so
       * executor storage stays flat across batches (each batch's new store
       * re-checkpoints the union; the old checkpoint is then dead weight).
+      * Materialization goes through [[graft.Checkpoints]] — stores rotate
+      * via localCheckpoint by default, or reliable checkpoints under the
+      * graft.checkpoint.reliable knob (executor-loss resilience).
       */
     private def release(df: DataFrame): Unit =
       df.queryExecution.analyzed.collect {
@@ -203,13 +206,14 @@ object StreamOps {
 
     /** Process one micro-batch of (doc_id, text) rows. */
     def ingest(batch: DataFrame): Unit = {
+      import graft.Checkpoints.materialize
       val spark = batch.sparkSession
-      val sh = Dedup.shingleHashes(batch, k).localCheckpoint(true)
+      val sh = materialize(Dedup.shingleHashes(batch, k))
       val sigs = Dedup.minHashSignatures(batch, numHashes, k, pre = Some(sh))
       // same banding as the batch path (shared helper keeps the incremental
       // candidate set bit-identical to Dedup.lshCandidates)
       val (bucketRows, joinKeys) = Dedup.bandBuckets(sigs, numHashes, bands)
-      val newBuckets = bucketRows.localCheckpoint(true)
+      val newBuckets = materialize(bucketRows)
       // candidates: new docs vs the store (cross-batch) ∪ within-batch
       val store = bucketStore.map(_.unionByName(newBuckets))
         .getOrElse(newBuckets)
@@ -239,10 +243,10 @@ object StreamOps {
             .as("jaccard"))
         .filter(col("jaccard") >= threshold)
       val (oldB, oldS, oldP) = (bucketStore, shingleStore, pairStore)
-      pairStore = Some(pairStore.map(_.unionByName(verified))
-        .getOrElse(verified).localCheckpoint(true))
-      bucketStore = Some(store.localCheckpoint(true))
-      shingleStore = Some(allShingles.localCheckpoint(true))
+      pairStore = Some(materialize(pairStore.map(_.unionByName(verified))
+        .getOrElse(verified)))
+      bucketStore = Some(materialize(store))
+      shingleStore = Some(materialize(allShingles))
       oldB.foreach(release); oldS.foreach(release); oldP.foreach(release)
     }
 

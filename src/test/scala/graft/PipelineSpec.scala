@@ -114,6 +114,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.capCount(docs) == docs.count())
   }
 
+  test("reliable-checkpoint knob: dedup + BFS results identical under it") {
+    import graft.Checkpoints
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    val base = Dedup.minHashDedup(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val g = graft.graph.PropertyGraph.eventChain(spark, sfDir)
+    val srcs = g.nodes.select(col("id")).limit(20)
+    val baseBfs = graft.graph.GraphOps.varLenExpand(srcs, g.edges, 1, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    spark.conf.set(Checkpoints.ReliableConf, "true")
+    spark.conf.set(Checkpoints.DirConf, dir)
+    try {
+      val rel = Dedup.minHashDedup(docs, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rel == base)
+      val relBfs = graft.graph.GraphOps.varLenExpand(srcs, g.edges, 1, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(relBfs == baseBfs)
+      // the knob actually engaged: reliable checkpoint files were written
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator().asScala.count(java.nio.file.Files.isRegularFile(_))
+      assert(files > 0, "reliable mode wrote no checkpoint files")
+    } finally {
+      spark.conf.unset(Checkpoints.ReliableConf)
+      spark.conf.unset(Checkpoints.DirConf)
+    }
+  }
+
   test("auto bucket cap: historical 1000 floor below 1e6 docs, sqrt beyond") {
     assert(Dedup.autoCapFor(0) == 1000)
     assert(Dedup.autoCapFor(999999) == 1000) // every test SF stays here —
