@@ -511,7 +511,16 @@ class CypherSession(val spark: SparkSession) {
         .select(Values.vInt(lit(c)).as(name)))
   }
 
-  private def countFastPath(ast: Ast.Query): Option[DataFrame] = {
+  /** Some((target, alias)) when `ast` is a stats-servable count — the
+    * reference's `optimizations/reduce_count.c` shapes: `MATCH (n[:L])
+    * RETURN count(n|*)` (Left(labelOpt)) and `MATCH ()-[r[:T|:U]]->()
+    * RETURN count(r|*)` (Right(types)). Shape test only (no statistics
+    * touched) — shared by the serving fast path and by PlanRender, whose
+    * EXPLAIN then shows Results+Project with no scan/traverse/aggregate,
+    * the exact plan the reference's flow tests assert.
+    */
+  private[cypher] def statsCountTarget(ast: Ast.Query)
+      : Option[(Either[Option[String], List[String]], String)] = {
     def projCount(proj: Ast.Projection, countee: Option[String]):
         Option[String] = proj match {
       case Ast.Projection(false, List((item, alias)), Nil, None, None) =>
@@ -528,32 +537,36 @@ class CypherSession(val spark: SparkSession) {
           Ast.Return(proj)))) => p match {
         // MATCH (n[:L]) RETURN count(n)
         case Ast.PathPat(None, Ast.NodePat(v, label, Nil, _), Nil, false, _) =>
-          projCount(proj, v).map { name =>
-            // label keys are ':'-joined label lists — a :L count sums every
-            // key whose label set contains all requested components
-            val c = label.map { l =>
-              val parts = l.split(":").filter(_.nonEmpty).toSet
-              graph.labelCounts.collect {
-                case (k, n) if parts.subsetOf(k.split(":").toSet) => n
-              }.sum
-            }.getOrElse(graph.nodeCount)
-            statRow(c, name)
-          }
-        // MATCH ()-[r[:T]]->() RETURN count(r)
+          projCount(proj, v).map(name => (Left(label), name))
+        // MATCH ()-[r[:T|:U]]->() RETURN count(r) — multi-type sums the
+        // per-type statistics like the reference's reduce_count
         case Ast.PathPat(None, Ast.NodePat(None, None, Nil, _),
             List((Ast.RelPat(rv, types, Nil, 1, None),
-              Ast.NodePat(None, None, Nil, _))), false, _) if types.size <= 1 =>
-          projCount(proj, rv).map { name =>
-            val c = types.headOption
-              .map(t => graph.reltypeCounts.getOrElse(t, 0L))
-              .getOrElse(graph.edgeCount)
-            statRow(c, name)
-          }
+              Ast.NodePat(None, None, Nil, _))), false, _) =>
+          projCount(proj, rv).map(name => (Right(types), name))
         case _ => None
       }
       case _ => None
     }
   }
+
+  private def countFastPath(ast: Ast.Query): Option[DataFrame] =
+    statsCountTarget(ast).map {
+      case (Left(label), name) =>
+        // label keys are ':'-joined label lists — a :L count sums every
+        // key whose label set contains all requested components
+        val c = label.map { l =>
+          val parts = l.split(":").filter(_.nonEmpty).toSet
+          graph.labelCounts.collect {
+            case (k, n) if parts.subsetOf(k.split(":").toSet) => n
+          }.sum
+        }.getOrElse(graph.nodeCount)
+        statRow(c, name)
+      case (Right(Nil), name) => statRow(graph.edgeCount, name)
+      case (Right(types), name) =>
+        statRow(types.map(t => graph.reltypeCounts.getOrElse(t, 0L)).sum,
+          name)
+    }
 
   /** Decode a result DataFrame into Scala values (tests / client serving):
     * variants → Long/Double/String/Boolean/Seq/null; entities → Map.

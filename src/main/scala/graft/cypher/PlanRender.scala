@@ -25,6 +25,11 @@ private[cypher] object PlanRender {
   }
 
   def render(session: CypherSession, ast: Ast.Query): String = {
+    // stats-served count (reduce_count.c): the answer comes from graph
+    // statistics — no scan, no traverse, no aggregate in the plan
+    // (test_optimizations_plan.py tests 01-10 assert exactly this)
+    if (session.statsCountTarget(ast).isDefined)
+      return "Results\n    Project"
     val parts = ast.parts.map(renderPart(session, _))
     val tree = parts match {
       case List(single) => Op("Results", children = List(single))
@@ -144,21 +149,87 @@ private[cypher] object PlanRender {
 
     part.clauses.foreach {
       case m: Ast.Match =>
-        var sub: Option[Op] = None
+        // branches: independent pattern streams within this MATCH, each
+        // with its variable scope — the unit the reference's
+        // optimizations work on (filter placement over minimal branch
+        // groups, Cartesian Product splitting, Value Hash Join). The
+        // upstream pipeline participates as a branch of its own (a
+        // consecutive MATCH in the same scope joins/chains against it,
+        // exactly like a comma-separated pattern).
+        var branches = Vector.empty[(Op, Set[String])]
+        if (!m.optional) current.foreach { c =>
+          branches :+= ((c, bound))
+          current = None
+        }
         m.paths.foreach { p =>
-          val shares = (p.head.variable.toSet ++
-            p.tail.flatMap { case (r, n) => r.variable ++ n.variable })
-            .exists(bound)
+          val pVars = (p.head.variable.toSeq ++ p.tail.flatMap {
+            case (r, n) => r.variable ++ n.variable }).toSet
           val ops = pathOps(p, m.where)
-          sub = sub match {
-            case None => Some(ops)
-            case Some(prev) =>
-              if (shares) Some(chainOnto(ops, prev))
-              else Some(Op("Cartesian Product", children = List(prev, ops)))
+          branches.indexWhere(_._2.intersect(pVars).nonEmpty) match {
+            case -1 => branches :+= ((ops, pVars))
+            case i =>
+              val (bt, bv) = branches(i)
+              branches = branches.updated(i, (chainOnto(ops, bt), bv ++ pVars))
           }
         }
-        var tree = sub.getOrElse(Op("Argument"))
-        m.where.foreach(_ => tree = Op("Filter", children = List(tree)))
+        // filter compaction (reduce true filters, `optimizations/
+        // compact_filters.c`): constant-TRUE conjuncts build no Filter op;
+        // constant-false ones stay (reference keeps them — test20)
+        val conjs = m.where.map(splitAnd).getOrElse(Nil)
+          .filterNot(c => constBool(c).contains(true))
+        var topConjs = List.empty[Ast.Expr]
+        conjs.foreach { c =>
+          val cv = exprVars(c)
+          val hit = branches.indices.filter(i =>
+            branches(i)._2.intersect(cv).nonEmpty)
+          def wrap(i: Int): Unit = {
+            val (bt, bv) = branches(i)
+            branches = branches.updated(i,
+              (Op("Filter", children = List(bt)), bv))
+          }
+          def mergeInvolved(name: String, is: Seq[Int],
+              filter: Boolean): Unit = {
+            val kids = is.map(branches(_)._1).toList
+            val vars = is.map(branches(_)._2).reduce(_ ++ _)
+            var merged = Op(name, children = kids)
+            if (filter) merged = Op("Filter", children = List(merged))
+            val keep = branches.indices.filterNot(is.contains(_))
+            val at = is.min
+            branches = (branches.zipWithIndex.take(at).collect {
+              case (b, i) if keep.contains(i) => b
+            } :+ ((merged, vars))) ++
+              branches.zipWithIndex.drop(at).collect {
+                case (b, i) if keep.contains(i) && i != at => b
+              }
+          }
+          c match {
+            case _ if hit.isEmpty => topConjs :+= c
+            case _ if hit.size == 1 => wrap(hit.head)
+            // cross-branch equality ⇒ Value Hash Join (op_value_hash_join
+            // .c via optimizations/apply_join.c): the translator's
+            // filter-into-join — Catalyst plans the equi-join, never the
+            // cross product
+            case Ast.Bin("=", l, r) if hit.size == 2 && {
+                val (lv, rv) = (exprVars(l), exprVars(r))
+                val lIn = branches.indices.filter(i =>
+                  branches(i)._2.intersect(lv).nonEmpty)
+                val rIn = branches.indices.filter(i =>
+                  branches(i)._2.intersect(rv).nonEmpty)
+                lIn.size == 1 && rIn.size == 1 && lIn != rIn
+              } =>
+              mergeInvolved("Value Hash Join", hit, filter = false)
+            // a conjunct spanning branches groups them under ONE n-ary
+            // Cartesian Product with the Filter directly above (the
+            // reference's CP splitting keeps unrelated streams outside)
+            case _ => mergeInvolved("Cartesian Product", hit, filter = true)
+          }
+        }
+        var tree = branches.map(_._1).toList match {
+          case Nil => Op("Argument")
+          case List(single) => single
+          case several => Op("Cartesian Product", children = several)
+        }
+        if (topConjs.nonEmpty) tree = Op("Filter", children = List(tree))
         if (m.optional) {
           tree = Op("Optional", children = List(tree))
           current.foreach(c => tree = Op("Apply", children = List(c, tree)))
@@ -170,6 +241,7 @@ private[cypher] object PlanRender {
         }
         stack(tree)
       case u: Ast.Unwind =>
+        bound += u.alias
         stack(Op("Unwind", u.alias, current.toList))
       case w: Ast.With =>
         val agg = w.proj.items.exists { case (e, _) =>
@@ -191,6 +263,54 @@ private[cypher] object PlanRender {
         stack(Op(other.getClass.getSimpleName, children = current.toList))
     }
     current.getOrElse(Op("Argument"))
+  }
+
+  private def splitAnd(e: Ast.Expr): List[Ast.Expr] = e match {
+    case Ast.Bin("AND", l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => List(other)
+  }
+
+  private def exprVars(e: Ast.Expr): Set[String] = {
+    val out = scala.collection.mutable.Set[String]()
+    Ast.foreachExpr(e) {
+      case Ast.Variable(n) => out += n
+      case _ => ()
+    }
+    out.toSet
+  }
+
+  /** Constant-fold a boolean predicate over literals — the rendering
+    * analogue of the reference's filter compaction (a conjunct that folds
+    * to TRUE builds no Filter op; FALSE ones stay, matching
+    * `test_optimizations_plan.py` tests 19/20/24).
+    */
+  private def constBool(e: Ast.Expr): Option[Boolean] = e match {
+    case Ast.LitBool(b) => Some(b)
+    case Ast.Not(x) => constBool(x).map(!_)
+    case Ast.Bin("AND", l, r) =>
+      for (a <- constBool(l); b <- constBool(r)) yield a && b
+    case Ast.Bin("OR", l, r) =>
+      for (a <- constBool(l); b <- constBool(r)) yield a || b
+    case Ast.Bin(op @ ("=" | "<>" | "<" | "<=" | ">" | ">="), l, r) =>
+      (constNum(l), constNum(r)) match {
+        case (Some(a), Some(b)) => Some(op match {
+          case "=" => a == b
+          case "<>" => a != b
+          case "<" => a < b
+          case "<=" => a <= b
+          case ">" => a > b
+          case ">=" => a >= b
+        })
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def constNum(e: Ast.Expr): Option[Double] = e match {
+    case Ast.LitInt(v) => Some(v.toDouble)
+    case Ast.LitFloat(v) => Some(v)
+    case Ast.Neg(x) => constNum(x).map(-_)
+    case _ => None
   }
 
   /** Chain `upper`'s deepest leaf onto `lower` — replaces the leaf
