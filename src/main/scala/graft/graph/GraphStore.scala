@@ -69,6 +69,12 @@ object GraphStore {
   /** Persist `g` as `<name>_{nodes,edges,edges_rev,meta}` bucketed tables. */
   def save(g: PropertyGraph, name: String, buckets: Int = 64): Unit = {
     val spark = g.nodes.sparkSession
+    // empty-STRING labels/reltypes are rejected loudly: partitionBy writes
+    // "" as the Hive default partition and reads it back as NULL, silently
+    // diverging from the stored stat_label/stat_reltype snapshot (keyed by
+    // "") and from labelHas on the live graph. NULL itself round-trips
+    // through the default partition as NULL, so unlabeled nodes are fine.
+    rejectEmptyPartitionValues(g)
     val (nodesU, nodeMeta) = unfold(g.nodes)
     // nodes are PARTITIONED by label (the PropertyGraph scaladoc's "label
     // is a partition column" scale contract): a label scan prunes to that
@@ -99,9 +105,16 @@ object GraphStore {
       .partitionBy("reltype")
       .bucketBy(buckets, "dst").sortBy("dst")
       .saveAsTable(s"${name}_edges_rev")
-    // statistics snapshot rides along (≡ the reference serializing its
-    // graph statistics with the RDB payload): a restored graph serves
-    // count(n)/count(e) from the catalog without a counting job
+    writeMeta(spark, name, g, nodeMeta, edgeMeta)
+  }
+
+  /** Statistics + key-catalog snapshot rides along (≡ the reference
+    * serializing its graph statistics with the RDB payload): a restored
+    * graph serves count(n)/count(e) from the catalog without a counting
+    * job.
+    */
+  private def writeMeta(spark: SparkSession, name: String, g: PropertyGraph,
+      nodeMeta: Seq[KeyMeta], edgeMeta: Seq[KeyMeta]): Unit = {
     import scala.jdk.CollectionConverters._
     val metaRows =
       nodeMeta.map(m => Row("node_key", m.key, m.colname, m.tag, 0L)) ++
@@ -118,6 +131,145 @@ object GraphStore {
       .repartition(1)
       .write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${name}_meta")
+  }
+
+  /** See [[save]]'s guard: "" label/reltype would collapse into the Hive
+    * default partition with NULL and read back as NULL.
+    */
+  private def rejectEmptyPartitionValues(g: PropertyGraph): Unit = {
+    require(g.nodes.filter(col("label") === "").isEmpty,
+      "GraphStore.save: empty-string node labels cannot be stored (the " +
+        "Hive default partition would read them back as NULL); label " +
+        "them or use NULL")
+    require(g.edges.filter(col("reltype") === "").isEmpty,
+      "GraphStore.save: empty-string edge reltypes cannot be stored (the " +
+        "Hive default partition would read them back as NULL)")
+  }
+
+  /** Outcome of [[saveIncremental]]: `full` means the diff preconditions
+    * failed and a full [[save]] ran instead; otherwise `nodeParts` /
+    * `edgeParts` label/reltype partitions were rewritten (each into the
+    * three tables' matching directories), everything else untouched.
+    */
+  final case class IncrementalSave(full: Boolean, nodeParts: Int,
+      edgeParts: Int)
+
+  /** Incremental re-save of a mutated graph over an existing stored copy:
+    * rewrite ONLY the label/reltype partition directories whose content
+    * changed, via dynamic partition overwrite into the SAME bucketed
+    * tables — bucket co-location and within-bucket sort are preserved
+    * (the writer computes bucket ids per row), untouched partitions keep
+    * their files byte-identical, and the meta/stats snapshot refreshes.
+    *
+    * Change detection is one content-fingerprint scan per side (sum +
+    * bit_xor + count of `xxhash64` over the non-partition columns,
+    * grouped by the partition column — no wide shuffle, order-
+    * independent; a missed change needs a simultaneous 128-bit
+    * sum+xor collision). Falls back to a full [[save]] — reported in the
+    * result — when the stored tables are absent, the property-key
+    * catalog or column layout changed, a partition disappeared, or a
+    * map-typed column prevents row hashing.
+    *
+    * Production path: on Delta/Iceberg this whole method dissolves into
+    * `MERGE INTO` against clustered tables — the session-catalog
+    * partition overwrite here is the same write shape (touch only
+    * changed clusters) expressed in plain parquet tables.
+    */
+  def saveIncremental(g: PropertyGraph, name: String,
+      buckets: Int = 64): IncrementalSave = {
+    val spark = g.nodes.sparkSession
+    def fullSave(): IncrementalSave = {
+      save(g, name, buckets)
+      IncrementalSave(full = true, -1, -1)
+    }
+    val meta = loadMeta(spark, name)
+    if (meta.isEmpty ||
+        !spark.catalog.tableExists(s"${name}_nodes") ||
+        !spark.catalog.tableExists(s"${name}_edges") ||
+        !spark.catalog.tableExists(s"${name}_edges_rev")) return fullSave()
+    rejectEmptyPartitionValues(g)
+    def keysOf(kind: String): Seq[KeyMeta] =
+      meta.toSeq.flatten.filter(_.getString(0) == kind)
+        .map(r => KeyMeta(r.getString(1), r.getString(2), r.getInt(3)))
+    def has(kind: String): Boolean =
+      meta.exists(_.exists(_.getString(0) == kind))
+    val (nodesU, nodeMeta) = unfold(g.nodes)
+    val (edgesU, edgeMeta) = unfold(g.edges)
+    // the key catalog (and therefore the storage schema) must be stable —
+    // a new/retyped property key changes column sets: full rewrite
+    if (nodeMeta != keysOf("node_key") || edgeMeta != keysOf("edge_key") ||
+        g.nodes.columns.contains("props") != has("node_props") ||
+        g.edges.columns.contains("props") != has("edge_props"))
+      return fullSave()
+
+    def rewrite(newDf: DataFrame, table: String, partCol: String,
+        bucketKey: String, changed: Seq[Option[String]]): Unit = {
+      if (changed.isEmpty) return
+      val storedCols = spark.table(table).columns
+      val pred = {
+        val names = changed.flatten
+        val byName =
+          if (names.isEmpty) lit(false) else col(partCol).isin(names: _*)
+        if (changed.contains(None)) byName || col(partCol).isNull else byName
+      }
+      // the DYNAMIC overwrite conf must be session-level for insertInto
+      // (the writer-level option is silently ignored on datasource tables
+      // — measured: a static overwrite wipes the untouched partitions)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "dynamic")
+      try {
+        newDf.filter(pred)
+          .select(storedCols.map(col): _*) // insertInto binds by POSITION
+          .repartition(buckets, col(bucketKey))
+          .write.mode(SaveMode.Overwrite)
+          .insertInto(table)
+      } finally spark.conf.set(key, prev)
+    }
+
+    def diff(newDf: DataFrame, table: String,
+        partCol: String): Option[Seq[Option[String]]] = {
+      val stored = spark.table(table)
+      if (stored.columns.sorted.toSeq != newDf.columns.sorted.toSeq)
+        return None
+      if (newDf.schema.exists(_.dataType.isInstanceOf[MapType])) return None
+      val newFp = partFingerprints(newDf, partCol)
+      val oldFp = partFingerprints(stored, partCol)
+      // a partition present at rest but absent in the new graph needs a
+      // partition DROP — out of dynamic overwrite's reach: full save
+      if (oldFp.keySet.exists(k => !newFp.contains(k))) return None
+      Some(newFp.collect {
+        case (k, fp) if !oldFp.get(k).contains(fp) => k
+      }.toSeq)
+    }
+
+    (diff(nodesU, s"${name}_nodes", "label"),
+        diff(edgesU, s"${name}_edges", "reltype")) match {
+      case (Some(nodeChanged), Some(edgeChanged)) =>
+        rewrite(nodesU, s"${name}_nodes", "label", "id", nodeChanged)
+        rewrite(edgesU, s"${name}_edges", "reltype", "src", edgeChanged)
+        rewrite(edgesU, s"${name}_edges_rev", "reltype", "dst", edgeChanged)
+        writeMeta(spark, name, g, nodeMeta, edgeMeta)
+        IncrementalSave(full = false, nodeChanged.size, edgeChanged.size)
+      case _ => fullSave()
+    }
+  }
+
+  /** Order-independent per-partition content fingerprint:
+    * (Σ hash as decimal, xor of hashes, row count) keyed by the partition
+    * value (None = NULL).
+    */
+  private def partFingerprints(df: DataFrame,
+      partCol: String): Map[Option[String], (String, Long, Long)] = {
+    val others = df.columns.filterNot(_ == partCol).sorted.map(col)
+    val h = xxhash64(others: _*)
+    df.groupBy(col(partCol).cast(StringType).as("__p"))
+      .agg(sum(h.cast(DecimalType(38, 0))).as("__s"),
+        bit_xor(h).as("__x"), count(lit(1)).as("__c"))
+      .collect()
+      .map(r => Option(r.getString(0)) ->
+        ((String.valueOf(r.getDecimal(1)), r.getLong(2), r.getLong(3))))
+      .toMap
   }
 
   /** Unfold the `props` map into per-key storage columns (identity when
@@ -138,7 +290,12 @@ object GraphStore {
       .collect()
       .map(r => r.getString(0) -> r.getSeq[Int](1).sorted)
       .sortBy(_._1)
-    val used = scala.collection.mutable.HashSet[String]()
+    // seed with the frame's existing columns: a pass-through typed column
+    // literally named like a generated one (an existing `_p_x` next to a
+    // props key `x`) must not produce duplicate column names in the saved
+    // table (load's col("_p_x") would be ambiguous)
+    val used = scala.collection.mutable.HashSet[String](
+      df.columns.toIndexedSeq: _*)
     val metas = keyTags.map { case (k, tags) =>
       val base = ColPrefix + k.map(c =>
         if (c.isLetterOrDigit || c == '_') c else '_')

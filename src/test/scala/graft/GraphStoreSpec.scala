@@ -220,4 +220,131 @@ class GraphStoreSpec extends AnyFunSuite {
         s"restored Nation key set wrong: $keysOfNation")
     } finally GraphStore.drop(spark, "gs_typed")
   }
+
+  // ── incremental re-save ────────────────────────────────────────────────
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+  import scala.jdk.CollectionConverters._
+
+  private val nodeSchema = StructType(Seq(
+    StructField("id", LongType), StructField("label", StringType),
+    StructField("props", graft.cypher.Values.propsType)))
+  private val edgeSchema = StructType(Seq(
+    StructField("id", LongType), StructField("src", LongType),
+    StructField("dst", LongType), StructField("reltype", StringType),
+    StructField("props", graft.cypher.Values.propsType)))
+  private def iProps(v: Long) = Map("v" ->
+    Row(graft.cypher.Values.T_INT, v, null, null, null, null))
+
+  private def mkGraph(aVal: Long => Long) = {
+    val nodes = spark.createDataFrame(
+      ((1L to 20L).map(i => Row(i, "A", iProps(aVal(i)))) ++
+        (21L to 40L).map(i => Row(i, "B", iProps(i)))).toList.asJava,
+      nodeSchema)
+    val edges = spark.createDataFrame(
+      ((1L to 19L).map(i => Row(100 + i, i, i + 1, "R",
+        Map.empty[String, Row])) ++
+        (21L to 39L).map(i => Row(100 + i, i, i + 1, "S",
+          Map.empty[String, Row]))).toList.asJava, edgeSchema)
+    graft.graph.PropertyGraph(nodes, edges)
+  }
+
+  test("incremental re-save rewrites only the touched label partition") {
+    GraphStore.save(mkGraph(identity), "gs_inc", buckets = 2)
+    try {
+      def files(table: String): Set[String] = {
+        spark.catalog.refreshTable(table)
+        spark.table(table).inputFiles.toSet
+      }
+      val nodesBefore = files("gs_inc_nodes")
+      val edgesBefore = files("gs_inc_edges")
+      val revBefore = files("gs_inc_edges_rev")
+      // mutate ONE :A node's property — only the label=A partition differs
+      val r = GraphStore.saveIncremental(mkGraph(i =>
+        if (i == 7L) 700L else i), "gs_inc", buckets = 2)
+      assert(!r.full && r.nodeParts == 1 && r.edgeParts == 0, r.toString)
+      // bounded rewrite: edge tables byte-untouched, nodes' B partition
+      // byte-untouched, only label=A files replaced
+      assert(files("gs_inc_edges") == edgesBefore)
+      assert(files("gs_inc_edges_rev") == revBefore)
+      val nodesAfter = files("gs_inc_nodes")
+      val untouched = nodesAfter.intersect(nodesBefore)
+      assert(untouched == nodesBefore.filter(_.contains("label=B")),
+        s"expected exactly the B partition untouched:\n$untouched")
+      assert(nodesAfter.size == nodesBefore.size)
+      // the mutation landed and everything else round-trips
+      val loaded = GraphStore.load(spark, "gs_inc")
+      assert(loaded.nodes.count() == 40 && loaded.edges.count() == 38)
+      val v7 = loaded.nodes.filter(col("id") === 7L)
+        .select(element_at(col("props"), "v").getField("i")).head().getLong(0)
+      assert(v7 == 700L)
+      // bucket co-location survives the partition overwrite
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val expand = loaded.nodes
+          .join(loaded.edges, loaded.nodes("id") === loaded.edges("src"))
+        assert(!expand.queryExecution.executedPlan.toString
+          .contains("Exchange"))
+        assert(expand.count() == 38)
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    } finally GraphStore.drop(spark, "gs_inc")
+  }
+
+  test("incremental re-save falls back to full save when the key catalog changes") {
+    GraphStore.save(mkGraph(identity), "gs_inc2", buckets = 2)
+    try {
+      val withNewKey = {
+        val nodes = spark.createDataFrame(
+          ((1L to 20L).map(i => Row(i, "A", iProps(i) ++ Map("w" ->
+            Row(graft.cypher.Values.T_INT, i * 2, null, null, null, null)))) ++
+            (21L to 40L).map(i => Row(i, "B", iProps(i)))).toList.asJava,
+          nodeSchema)
+        graft.graph.PropertyGraph(nodes, mkGraph(identity).edges)
+      }
+      val r = GraphStore.saveIncremental(withNewKey, "gs_inc2", buckets = 2)
+      assert(r.full, r.toString)
+      val loaded = GraphStore.load(spark, "gs_inc2")
+      val w = loaded.nodes.filter(col("id") === 3L)
+        .select(element_at(col("props"), "w").getField("i")).head().getLong(0)
+      assert(w == 6L)
+    } finally GraphStore.drop(spark, "gs_inc2")
+  }
+
+  test("unfold avoids name collisions with existing typed columns") {
+    // a pass-through column literally named like a generated storage
+    // column, next to a props key that would generate that same name
+    val nodes = spark.createDataFrame(
+      List(Row(1L, "A", Map("x" ->
+          Row(graft.cypher.Values.T_INT, 5L, null, null, null, null)), 42L),
+        Row(2L, "A", Map("x" ->
+          Row(graft.cypher.Values.T_INT, 6L, null, null, null, null)), 43L))
+        .asJava,
+      nodeSchema.add(StructField("_p_x", LongType)))
+    val edges = spark.createDataFrame(
+      List(Row(10L, 1L, 2L, "R", Map.empty[String, Row])).asJava, edgeSchema)
+    GraphStore.save(graft.graph.PropertyGraph(nodes, edges), "gs_coll",
+      buckets = 2)
+    try {
+      val loaded = GraphStore.load(spark, "gs_coll")
+      assert(loaded.nodes.columns.distinct.length ==
+        loaded.nodes.columns.length, loaded.nodes.columns.mkString(","))
+      val row = loaded.nodes.filter(col("id") === 1L)
+        .select(element_at(col("props"), "x").getField("i"), col("_p_x"))
+        .head()
+      assert(row.getLong(0) == 5L && row.getLong(1) == 42L)
+    } finally GraphStore.drop(spark, "gs_coll")
+  }
+
+  test("empty-string labels and reltypes are rejected at save") {
+    val nodes = spark.createDataFrame(
+      List(Row(1L, "", iProps(1L))).asJava, nodeSchema)
+    val edges = spark.createDataFrame(
+      List.empty[Row].asJava, edgeSchema)
+    intercept[IllegalArgumentException] {
+      GraphStore.save(graft.graph.PropertyGraph(nodes, edges), "gs_empty",
+        buckets = 2)
+    }
+  }
 }
