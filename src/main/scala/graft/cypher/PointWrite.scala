@@ -35,6 +35,20 @@ private[cypher] object PointWrite {
     */
   private val DefaultMaxOverlayBytes = 1L << 20
 
+  /** WAL-side safety valve (the upsert analogue of [[MaxDeletionIds]]):
+    * each spill merge-rewrites the accumulated WAL into a new segment, so
+    * a sustained SET workload over DISTINCT keys pays O(N²) write I/O and
+    * disk across an epoch if nothing bounds it. Once the merged WAL
+    * crosses this many bytes at rest, the next spill folds the overlay
+    * into a real snapshot commit instead (one bounded MERGE-style
+    * compaction, clears every segment). With the 1 MiB overlay spill unit
+    * the worst case inside the valve is ~64 rewrites totalling ~2 GiB of
+    * transient writes — the price of keeping the WAL a FLAT parquet scan
+    * (the cached point-lookup plans must stay exchange-free). Override
+    * with `graft.pointwrite.maxWalBytes`.
+    */
+  private val DefaultMaxWalBytes = 64L << 20
+
   /** Deletion vectors stay driver-held (bare longs — they gate the
     * resolve dedup and stats accounting, so they cannot leave the driver
     * without a per-op membership job); past this many ids the overlay
@@ -86,6 +100,10 @@ private[cypher] object PointWrite {
     var walNodes: Option[DataFrame] = None
     var walDir: Option[java.nio.file.Path] = None
     var walSeq: Int = 0
+    /** Bytes at rest of the CURRENT merged WAL segment (drives the
+      * [[DefaultMaxWalBytes]] fold-to-commit valve).
+      */
+    var walBytes: Long = 0L
     /** Epoch-cached id-seek plans for the SET fast path's current-row
       * lookup (the reference's index point seek): (source frame the plan
       * was built from, id box, resolve). `walLookup` additionally keys on
@@ -107,14 +125,18 @@ private[cypher] object PointWrite {
       stats = None; hasDeletes = false
       deletePlans.clear(); touchPlan = None
       baseLookup = None; walLookup = None
-      walNodes = None; pendingBytes = 0L; walSeq = 0
-      walDir.foreach { d =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case _: Throwable => () } // temp-dir GC is best-effort
-      }
+      walNodes = None; pendingBytes = 0L; walSeq = 0; walBytes = 0L
+      // DEFERRED segment deletion (one-commit grace): DataFrames returned
+      // to callers earlier in the epoch may still lazily reference the
+      // segment files — deleting them here would fail those held plans
+      // with FileNotFoundException on their next execution. Retiring the
+      // dir aligns WAL-file lifetime with the session's snapshot-block
+      // rotation (which already releases old checkpoint blocks two
+      // mutating statements after a commit): a frame is executable for
+      // one commit past its epoch, then invalid either way — callers
+      // needing longer-lived results must materialize them. Dirs retired
+      // a commit ago (and any leftovers at JVM exit) are reclaimed.
+      walDir.foreach(retireWalDir)
       walDir = None
     }
   }
@@ -363,6 +385,39 @@ private[cypher] object PointWrite {
     session.spark.conf.getOption("graft.pointwrite.maxOverlayBytes")
       .map(_.toLong).getOrElse(DefaultMaxOverlayBytes)
 
+  private def maxWalBytes(session: CypherSession): Long =
+    session.spark.conf.getOption("graft.pointwrite.maxWalBytes")
+      .map(_.toLong).getOrElse(DefaultMaxWalBytes)
+
+  /** WAL dirs awaiting reclamation — grace period of one commit (see
+    * [[State.clear]]); anything left is deleted at JVM exit.
+    */
+  private val retiredWalDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  private def deleteDir(d: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () } // temp-dir GC is best-effort
+
+  private def retireWalDir(d: java.nio.file.Path): Unit = {
+    // reclaim what the PREVIOUS commit retired, then enqueue this one
+    var old = retiredWalDirs.poll()
+    while (old != null) { deleteDir(old); old = retiredWalDirs.poll() }
+    retiredWalDirs.add(d)
+    ()
+  }
+
+  locally {
+    sys.addShutdownHook {
+      var d = retiredWalDirs.poll()
+      while (d != null) { deleteDir(d); d = retiredWalDirs.poll() }
+    }
+    ()
+  }
+
   /** Rough driver footprint of one buffered row (JVM object headers +
     * string payloads); only has to be order-of-magnitude right to bound
     * the overlay.
@@ -389,10 +444,21 @@ private[cypher] object PointWrite {
     * small Spark job per spill, amortized over the ops that filled the
     * byte bound; superseded segment files stay on disk until commit (a
     * read plan in flight may still reference them).
+    *
+    * Safety valve: once the merged WAL at rest crosses
+    * [[maxWalBytes]], the overlay folds into a real snapshot commit
+    * instead of spilling again — the merge-rewrite-per-spill I/O and the
+    * retained superseded segments stay bounded per epoch.
     */
   private def spill(session: CypherSession, st: State): Unit = {
     import scala.jdk.CollectionConverters._
     val spark = session.spark
+    if (st.walBytes > maxWalBytes(session)) {
+      // commit reads the overlay view (base ∖ wal ∪ wal ∪ pending) and
+      // checkpoints it; clear() then retires every segment
+      session.commit(session.graph.nodes, session.graph.edges)
+      return
+    }
     val dir = st.walDir.getOrElse {
       val d = java.nio.file.Files.createTempDirectory("graft-wal-")
       st.walDir = Some(d); d
@@ -409,6 +475,14 @@ private[cypher] object PointWrite {
     st.walSeq += 1
     merged.coalesce(4).write.mode("overwrite").parquet(f)
     st.walNodes = Some(spark.read.parquet(f))
+    // merged size at rest drives the fold-to-commit valve above
+    st.walBytes =
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(f)).iterator()
+          .asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+      } catch { case _: Throwable => st.walBytes }
     st.pending.clear()
     st.pendingBytes = 0L
     session.markPointWrite()

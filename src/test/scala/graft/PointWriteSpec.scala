@@ -121,6 +121,44 @@ class PointWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("WAL valve folds the overlay into a commit under sustained distinct-key SETs") {
+    val prevO = spark.conf.getOption("graft.pointwrite.maxOverlayBytes")
+    val prevW = spark.conf.getOption("graft.pointwrite.maxWalBytes")
+    spark.conf.set("graft.pointwrite.maxOverlayBytes", "2048")
+    spark.conf.set("graft.pointwrite.maxWalBytes", "6000")
+    try {
+      val s = new CypherSession(spark)
+      s.run("UNWIND range(1, 300) AS i CREATE (:V {v: i})")
+      val ids = s.rows(s.run("MATCH (w:V) RETURN id(w) AS i"))
+        .map(_("i").asInstanceOf[Long])
+      var maxSegs = 0
+      var folded = false
+      ids.foreach { id =>
+        s.run(s"MATCH (n) WHERE id(n) = $id SET n.v = n.v + 1000")
+        val (_, _, segs) = s.pointOverlayInfo
+        if (segs < maxSegs) folded = true // valve committed mid-stream
+        maxSegs = math.max(maxSegs, segs)
+      }
+      val (_, _, segsEnd) = s.pointOverlayInfo
+      if (segsEnd < maxSegs) folded = true
+      assert(folded,
+        s"WAL valve never folded the overlay into a commit (segs=$maxSegs)")
+      // the fold is a bound, not a flush-everything: segment count stays
+      // small across 300 distinct-key writes at a ~3-segment valve
+      assert(maxSegs <= 8, s"WAL accumulated $maxSegs segments under valve")
+      // every write landed across spills + valve commits
+      val sum = s.rows(s.run("MATCH (w:V) RETURN sum(w.v) AS s")).head("s")
+      assert(sum == (1L to 300L).map(_ + 1000L).sum, s"lost writes: $sum")
+    } finally {
+      def restore(k: String, v: Option[String]): Unit = v match {
+        case Some(x) => spark.conf.set(k, x)
+        case None => spark.conf.unset(k)
+      }
+      restore("graft.pointwrite.maxOverlayBytes", prevO)
+      restore("graft.pointwrite.maxWalBytes", prevW)
+    }
+  }
+
   test("point DELETE via deletion vectors") {
     val s = new CypherSession(spark)
     s.run("UNWIND range(0, 30) AS i CREATE (:N {v: i})-[:R {w: i}]->(:M {v: i})")
