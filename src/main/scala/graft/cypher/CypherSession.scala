@@ -169,6 +169,16 @@ class CypherSession(val spark: SparkSession) {
     pointWrites.clear()
   }
 
+  /** Replay a durable point-write WAL (`graft.pointwrite.walDir`) over
+    * the current graph — call right after [[setGraph]] on a restored
+    * base (ids must denote the same entities). Returns the number of
+    * recovered upsert rows; 0 when no durable dir is configured or no
+    * complete segment exists. See [[PointWrite]] for the idempotence and
+    * single-writer contract.
+    */
+  def recoverPointWrites(): Long =
+    writeLock.synchronized(PointWrite.recover(this, pointWrites))
+
   private def maxId(df: DataFrame): Long =
     if (df.isEmpty) -1L
     else df.agg(max("id")).head().getLong(0)

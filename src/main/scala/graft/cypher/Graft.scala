@@ -140,9 +140,10 @@ class Graft(val spark: SparkSession) {
     */
   def explainOps(graph: String, cypher: String): String = {
     val s = session(graph)
-    val ast = parse(s, cypher)
-    if (Graft.isMutation(ast)) Graft.mutationPlan(ast)
-    else PlanRender.render(s, ast)
+    // mutations included: PlanRender compiles the op tree (op_merge.h's
+    // three-stream Merge, Create/Update/Delete over their match pipeline)
+    // without executing anything
+    PlanRender.render(s, parse(s, cypher))
   }
 
   /** GRAPH.PROFILE — EXECUTES the query (reference parity:

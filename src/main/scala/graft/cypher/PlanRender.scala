@@ -77,6 +77,10 @@ private[cypher] object PlanRender {
     }
     def hopStr(from: Ast.NodePat, r: Ast.RelPat, to: Ast.NodePat): String =
       s"${nodeStr(from)}${relStr(r)}${nodeStr(to)}"
+    def pathStr(p: Ast.PathPat): String =
+      p.tail.foldLeft(nodeStr(p.head)) { case (acc, (r, n)) =>
+        acc + relStr(r) + nodeStr(n)
+      }
 
     /** id(n) = <const> in WHERE promotes the scan to an id seek — the same
       * rule the translator's seekById path applies.
@@ -259,8 +263,35 @@ private[cypher] object PlanRender {
         current = Some(projectionOps(r.proj, agg, current))
       case c: Ast.CallProc =>
         stack(Op("ProcedureCall", c.name, current.toList))
-      case other =>
-        stack(Op(other.getClass.getSimpleName, children = current.toList))
+
+      // ── mutating clauses (op names per op.h; EXPLAIN renders the
+      // compile-time tree, nothing executes) ───────────────────────────
+      case c: Ast.Create =>
+        val detail = c.paths.map(p => pathStr(p)).mkString(", ")
+        stack(Op("Create", detail, current.toList))
+        bound ++= c.paths.flatMap(p => p.head.variable.toSeq ++
+          p.tail.flatMap { case (r, n) => r.variable ++ n.variable })
+      case m: Ast.Merge =>
+        // op_merge.h three-stream shape: optional bound-variable stream,
+        // then the match stream (Argument-tapped when variables are
+        // bound), then the MergeCreate stream
+        val detail = pathStr(m.path)
+        val boundStream = current.toList
+        current = None
+        val matchStream = pathOps(m.path, None)
+        val createStream = Op("MergeCreate", detail,
+          if (boundStream.nonEmpty) List(Op("Argument")) else Nil)
+        stack(Op("Merge", detail,
+          boundStream ++ List(matchStream, createStream)))
+      case _: Ast.SetClause =>
+        stack(Op("Update", children = current.toList))
+      case d: Ast.Delete =>
+        stack(Op("Delete", if (d.detach) "detach" else "",
+          current.toList))
+      case i: Ast.CreateIndex =>
+        stack(Op("Create Index", s":${i.label}(${i.prop})", current.toList))
+      case i: Ast.DropIndex =>
+        stack(Op("Drop Index", s":${i.label}(${i.prop})", current.toList))
     }
     current.getOrElse(Op("Argument"))
   }

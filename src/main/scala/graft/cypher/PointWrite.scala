@@ -389,6 +389,65 @@ private[cypher] object PointWrite {
     session.spark.conf.getOption("graft.pointwrite.maxWalBytes")
       .map(_.toLong).getOrElse(DefaultMaxWalBytes)
 
+  /** Optional DURABLE home for WAL segments (`graft.pointwrite.walDir`,
+    * a local/shared filesystem directory, single writer). Unset ⇒
+    * segments live in a JVM-temp dir and die with the session. Set ⇒
+    * spills land there and [[recover]] can replay the newest segment
+    * over a freshly restored graph after a crash — the miniature of the
+    * Delta write-ahead table this overlay models. Replay is idempotent
+    * (segments hold last-write-wins upsert rows keyed by id; deletions
+    * ride the snapshot commit, never the WAL), so a crash between a
+    * commit and the segment reclamation merely re-applies values the
+    * snapshot already holds.
+    */
+  private def durableWalDir(
+      session: CypherSession): Option[java.nio.file.Path] =
+    session.spark.conf.getOption("graft.pointwrite.walDir")
+      .map(java.nio.file.Paths.get(_))
+
+  /** Replay the newest durable WAL segment over the session's CURRENT
+    * graph (call right after `setGraph` on the restored base — ids must
+    * mean the same entities). Returns the number of replayed upsert rows
+    * (0 when no durable dir / no complete segment). Adopts the dir: its
+    * segments become this epoch's WAL, shadowing base rows by id exactly
+    * as live spills do.
+    */
+  def recover(session: CypherSession, st: State): Long = {
+    val dir = durableWalDir(session).getOrElse(return 0L)
+    val segs =
+      try {
+        import scala.jdk.CollectionConverters._
+        if (!java.nio.file.Files.isDirectory(dir)) return 0L
+        java.nio.file.Files.list(dir).iterator().asScala
+          .flatMap { p =>
+            val n = p.getFileName.toString
+            if (n.startsWith("wal-") &&
+                java.nio.file.Files.exists(p.resolve("_SUCCESS")))
+              scala.util.Try(n.stripPrefix("wal-").toInt).toOption
+                .map(_ -> p)
+            else None
+          }.toList
+      } catch { case _: Throwable => Nil }
+    if (segs.isEmpty) return 0L
+    val (maxSeq, latest) = segs.maxBy(_._1)
+    // the dir is live again: cancel any pending deferred deletion
+    retiredWalDirs.remove(dir)
+    val wal = session.spark.read.parquet(latest.toString)
+    st.base = Some(session.graph.nodes)
+    st.walDir = Some(dir)
+    st.walSeq = maxSeq + 1
+    st.walNodes = Some(wal)
+    st.walBytes =
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(latest).iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+      } catch { case _: Throwable => 0L }
+    session.markPointWrite()
+    wal.count()
+  }
+
   /** WAL dirs awaiting reclamation — grace period of one commit (see
     * [[State.clear]]); anything left is deleted at JVM exit.
     */
@@ -460,7 +519,18 @@ private[cypher] object PointWrite {
       return
     }
     val dir = st.walDir.getOrElse {
-      val d = java.nio.file.Files.createTempDirectory("graft-wal-")
+      val d = durableWalDir(session) match {
+        case Some(p) =>
+          // a fresh epoch adopting the durable dir: leftover segments are
+          // a previous epoch's (spent on commit, or crash remains the
+          // caller chose not to recover) — remove them so recovery can
+          // never mix epochs
+          retiredWalDirs.remove(p)
+          deleteDir(p)
+          java.nio.file.Files.createDirectories(p)
+          p
+        case None => java.nio.file.Files.createTempDirectory("graft-wal-")
+      }
       st.walDir = Some(d); d
     }
     val newRows = spark.createDataFrame(

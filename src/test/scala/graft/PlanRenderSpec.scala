@@ -84,4 +84,45 @@ class PlanRenderSpec extends AnyFunSuite {
       "Project", "Node By Label Scan | (a:N)",
       "Project", "Node By Label Scan | (b:M)"), union.mkString("\n"))
   }
+
+  test("MERGE renders the op_merge three-stream tree") {
+    val g = graft()
+    // unbound merge: match stream + create stream
+    val plain = ops(g, "MERGE (a:N {x: 1})")
+    assert(plain == List(
+      "Results",
+      "Merge | (a:N)",
+      "Node By Label Scan | (a:N)",
+      "MergeCreate | (a:N)"), plain.mkString("\n"))
+    // bound-variable merge: bound stream first, match stream taps the
+    // bound variable as an Argument, create stream gets its Argument tap
+    val boundM = ops(g, "MATCH (a:N) MERGE (a)-[r:R]->(b:M)")
+    assert(boundM == List(
+      "Results",
+      "Merge | (a)-[r:R]->(b:M)",
+      "Node By Label Scan | (a:N)",
+      "Conditional Traverse | (a)-[r:R]->(b:M)",
+      "Argument | (a)",
+      "MergeCreate | (a)-[r:R]->(b:M)",
+      "Argument"), boundM.mkString("\n"))
+  }
+
+  test("DETACH DELETE and SET render Update/Delete over the match pipeline") {
+    val g = graft()
+    val del = ops(g, "MATCH (a:N) DETACH DELETE a")
+    assert(del == List(
+      "Results",
+      "Delete | detach",
+      "Node By Label Scan | (a:N)"), del.mkString("\n"))
+    val upd = ops(g, "MATCH (a:N {x: 1}) SET a.y = 2")
+    assert(upd == List(
+      "Results",
+      "Update",
+      "Node By Label Scan | (a:N)"), upd.mkString("\n"))
+    val create = ops(g, "MATCH (a:N) CREATE (a)-[:R2]->(:M)")
+    assert(create == List(
+      "Results",
+      "Create | (a)-[:R2]->(:M)",
+      "Node By Label Scan | (a:N)"), create.mkString("\n"))
+  }
 }

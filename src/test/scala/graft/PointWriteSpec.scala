@@ -159,6 +159,49 @@ class PointWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("durable WAL dir: a new session replays spilled point writes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dwal-").toString
+    val prevO = spark.conf.getOption("graft.pointwrite.maxOverlayBytes")
+    spark.conf.set("graft.pointwrite.maxOverlayBytes", "2048")
+    spark.conf.set("graft.pointwrite.walDir", dir)
+    try {
+      // "restart": the base graph survives (the stored-graph analogue);
+      // the session holding the overlay dies WITHOUT committing
+      val s1 = new CypherSession(spark)
+      s1.run("UNWIND range(1, 120) AS i CREATE (:D {v: i})")
+      val base = s1.graph // committed snapshot, pre-overlay
+      val ids = s1.rows(s1.run("MATCH (d:D) RETURN id(d) AS i, d.v AS v"))
+        .map(r => (r("i").asInstanceOf[Long], r("v").asInstanceOf[Long]))
+      ids.foreach { case (id, _) =>
+        s1.run(s"MATCH (n) WHERE id(n) = $id SET n.v = n.v + 5000")
+      }
+      val (_, _, segs) = s1.pointOverlayInfo
+      assert(segs > 0, "test needs at least one durable spill")
+      // s1 crashes here (never commits, never clears) — new session
+      // restores the base and replays the newest durable segment
+      val s2 = new CypherSession(spark)
+      s2.setGraph(base)
+      val recovered = s2.recoverPointWrites()
+      assert(recovered > 0, "no WAL rows recovered")
+      val sum = s2.rows(s2.run("MATCH (d:D) RETURN sum(d.v) AS s")).head("s")
+        .asInstanceOf[Long]
+      // recovery is spill-granular: rows still in s1's driver map at the
+      // crash are lost by design; every SPILLED write must be visible
+      assert(recovered <= 120 && sum >= ids.map(_._2).sum + 5000L * recovered,
+        s"recovered=$recovered sum=$sum")
+      // the replayed overlay folds into a commit like any live WAL
+      s2.run("MATCH (d:D) SET d.z = 1")
+      val sum2 = s2.rows(s2.run("MATCH (d:D) RETURN sum(d.v) AS s")).head("s")
+      assert(sum2 == sum)
+    } finally {
+      spark.conf.unset("graft.pointwrite.walDir")
+      prevO match {
+        case Some(v) => spark.conf.set("graft.pointwrite.maxOverlayBytes", v)
+        case None => spark.conf.unset("graft.pointwrite.maxOverlayBytes")
+      }
+    }
+  }
+
   test("point DELETE via deletion vectors") {
     val s = new CypherSession(spark)
     s.run("UNWIND range(0, 30) AS i CREATE (:N {v: i})-[:R {w: i}]->(:M {v: i})")
