@@ -37,6 +37,21 @@ private[cypher] final class MutationRunner(session: CypherSession) {
   private def ctx(params: Map[String, Any]) =
     Ctx(session.graph, params, Some(session))
 
+
+  /** Pattern properties a CREATE/MergeCreate stores per entity — the
+    * reference's resultset_statistics counts them under properties_set.
+    * Static count excluding literal NULL (a null-VALUED property is not
+    * stored); a non-literal expression that evaluates to null at runtime
+    * is still counted — acceptable drift on a diagnostics counter (the
+    * literal fast path below counts exactly).
+    */
+  private def patternPropCount(pn: List[PendingNode],
+      pe: List[PendingEdge]): Long =
+    (pn.flatMap(_.pat.props) ++ pe.flatMap(_.rel.props)).count {
+      case (_, Ast.LitNull) => false
+      case _ => true
+    }.toLong
+
   /** Execute a statement containing write clauses. Returns the RETURN
     * projection if present, else a one-row statistics frame
     * (≡ ResultSetStatistics, `src/resultset/resultset_statistics.h`).
@@ -337,6 +352,7 @@ private[cypher] final class MutationRunner(session: CypherSession) {
 
     nodesCreated += rows * pn.size
     relsCreated += rows * pe.size
+    propsSet += rows * patternPropCount(pn, pe)
     session.commit(
       newNodeDf.map(n => session.graph.nodes.unionByName(n,
         allowMissingColumns = true)).getOrElse(session.graph.nodes),
@@ -388,6 +404,10 @@ private[cypher] final class MutationRunner(session: CypherSession) {
       else Some(spark.createDataFrame(edgeRows.asJava, edgeStructType))
     nodesCreated += pn.size
     relsCreated += pe.size
+    // exact: propsMap dropped null-valued literals
+    propsSet += (nodeRows.map(_.get(2)) ++ edgeRows.map(_.get(4)))
+      .map(_.asInstanceOf[scala.collection.immutable.ListMap[_, _]].size)
+      .sum
     session.commit(
       newNodes.map(n => session.graph.nodes.unionByName(n,
         allowMissingColumns = true)).getOrElse(session.graph.nodes),
@@ -953,6 +973,7 @@ private[cypher] final class MutationRunner(session: CypherSession) {
       ck(e.name).getField("props").as("props"))).reduceOption(_ unionByName _)
     nodesCreated += created * pn.size
     relsCreated += created * pe.size
+    propsSet += created * patternPropCount(pn, pe)
     session.commit(
       newNodeDf.map(n => session.graph.nodes.unionByName(n,
         allowMissingColumns = true)).getOrElse(session.graph.nodes),

@@ -262,6 +262,11 @@ private[cypher] object PlanRender {
           Translator.containsAgg(e) }
         current = Some(projectionOps(r.proj, agg, current))
       case c: Ast.CallProc =>
+        // YIELD columns are bound downstream: a MATCH anchored on one
+        // chains onto the call (reference: execution begins at the
+        // procedure and proceeds into the traversal — test_bound_variables
+        // test03 asserts ProcedureCall DEEPER than Conditional Traverse)
+        bound ++= c.yields.map { case (col0, alias) => alias.getOrElse(col0) }
         stack(Op("ProcedureCall", c.name, current.toList))
 
       // ── mutating clauses (op names per op.h; EXPLAIN renders the

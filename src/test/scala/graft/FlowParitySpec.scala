@@ -1,0 +1,188 @@
+package graft
+
+import graft.cypher.{CypherSession, Graft}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Small reference flow suites ported verbatim (each section names its
+  * source under `/root/reference/tests/flow/`): same graphs, queries,
+  * plan assertions and result sets, driven through `Graft`/`explainOps`.
+  * Complements PlanOptimizationsSpec (test_optimizations_plan.py) and the
+  * TCK corpus. Divergences are triaged at their assertions.
+  */
+class FlowParitySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val g = new Graft(spark)
+  private lazy val sess = new CypherSession(spark)
+  private def rows(gid: String, q: String): Seq[Map[String, Any]] =
+    sess.rows(g.query(gid, q))
+  private def plan(gid: String, q: String): String = g.explainOps(gid, q)
+
+  // ── test_hashjoin.py ───────────────────────────────────────────────────
+  test("hashjoin: chained cross-stream equalities build 2 Value Hash Joins") {
+    g.query("fp_hj",
+      "CREATE ({val:1}), ({val:2}), ({val:3}), ({val:4})")
+    val q = """MATCH (a {val:1}), (b), (c)
+              |WHERE a.val = b.val-1 AND b.val = c.val-1
+              |RETURN a.val, b.val, c.val""".stripMargin
+    val p = plan("fp_hj", q)
+    assert(p.sliding("Value Hash Join".length)
+      .count(_ == "Value Hash Join") == 2, p)
+    assert(rows("fp_hj", q).map(r =>
+      (r("a.val"), r("b.val"), r("c.val"))) == Seq((1L, 2L, 3L)))
+  }
+
+  // ── test_reversed_patterns.py ──────────────────────────────────────────
+  test("reversed patterns: both orientations return identical results") {
+    g.query("fp_rev",
+      "CREATE (:L {name:'SRC'})-[:E]->(:L {name:'DEST'})")
+    val ltr = rows("fp_rev",
+      "MATCH (a:L)-[b]->(c:L) RETURN a.name AS an, TYPE(b) AS t, c.name AS cn")
+    val rtl = rows("fp_rev",
+      "MATCH (c:L)<-[b]-(a:L) RETURN a.name AS an, TYPE(b) AS t, c.name AS cn")
+    assert(ltr == Seq(Map("an" -> "SRC", "t" -> "E", "cn" -> "DEST")))
+    assert(ltr == rtl)
+  }
+
+  // ── test_order_by.py ───────────────────────────────────────────────────
+  test("order by: multiple sort keys with mixed directions, with and without limit") {
+    g.query("fp_ob",
+      """CREATE (:Person {id: 622, name: 'Mo'}),
+        |(:Person {id: 819, name: 'Bing'}),
+        |(:Person {id: 819, name: 'Qiu'})""".stripMargin)
+    val expected = Seq((819L, "Bing"), (819L, "Qiu"), (622L, "Mo"))
+    val q = "MATCH (n:Person) RETURN n.id, n.name ORDER BY n.id DESC, n.name ASC"
+    assert(rows("fp_ob", q).map(r => (r("n.id"), r("n.name"))) == expected)
+    assert(rows("fp_ob", q + " LIMIT 10")
+      .map(r => (r("n.id"), r("n.name"))) == expected)
+  }
+
+  // ── test_self_pointing_node.py ─────────────────────────────────────────
+  test("self-pointing node: all six pattern variants match the loop via Expand Into") {
+    g.query("fp_self", "CREATE (n:L)-[:e]->(n)")
+    val variants = Seq(
+      "MATCH (a)-[:e]->(a) RETURN id(a) AS i",
+      "MATCH (a:L)-[:e]->(a) RETURN id(a) AS i",
+      "MATCH (a)-[:e]->(a:L) RETURN id(a) AS i",
+      "MATCH (a)-[]->(a) RETURN id(a) AS i",
+      "MATCH (a:L)-[]->(a) RETURN id(a) AS i",
+      "MATCH (a)-[]->(a:L) RETURN id(a) AS i")
+    val results = variants.map(q => rows("fp_self", q).map(_("i")))
+    assert(results.head == Seq(0L), results.head.toString)
+    results.tail.foreach(r => assert(r == results.head))
+    variants.foreach { q =>
+      assert(plan("fp_self", q).contains("Expand Into"), plan("fp_self", q))
+    }
+  }
+
+  // ── test_mix_labels.py ─────────────────────────────────────────────────
+  test("mixed labels: every label-pair slice of a fully connected graph") {
+    val male = Seq("Roi", "Alon", "Omri")
+    val female = Seq("Hila", "Lucy")
+    g.query("fp_mix",
+      (male.map(m => s"(:male {name:'$m'})") ++
+        female.map(f => s"(:female {name:'$f'})")).mkString("CREATE ", ", ", ""))
+    g.query("fp_mix",
+      """MATCH (a), (b) WHERE a.name <> b.name
+        |CREATE (a)-[:knows]->(b)""".stripMargin)
+    def n(q: String): Int = rows("fp_mix", q).size
+    val (m, f, all) = (male.size, female.size, male.size + female.size)
+    assert(n("MATCH (x:male)-[:knows]->(t) RETURN x.name ORDER BY x.name") ==
+      m * (all - 1))
+    assert(n("MATCH (x:male)-[:knows]->(t:male) RETURN x.name") == m * (m - 1))
+    assert(n("MATCH (x:male)-[:knows]->(t:female) RETURN x.name") == m * f)
+    assert(n("MATCH (x:female)-[:knows]->(t) RETURN x.name") == f * (all - 1))
+    assert(n("MATCH (x:female)-[:knows]->(t:male) RETURN x.name") == f * m)
+    assert(n("MATCH (x:female)-[:knows]->(t:female) RETURN x.name") ==
+      f * (f - 1))
+    assert(n("MATCH (x)-[:knows]->(t:female) RETURN x.name") ==
+      m * f + f * (f - 1))
+    assert(n("MATCH (x)-[:knows]->(t:male) RETURN x.name") ==
+      m * (m - 1) + f * m)
+    assert(n("MATCH (x)-[:knows]->(t) RETURN x.name") == all * (all - 1))
+  }
+
+  // ── test_bound_variables.py ────────────────────────────────────────────
+  test("bound variables: projection, creation and procedure chaining") {
+    g.query("fp_bv",
+      """CREATE (:L {val:'v1'})-[:E]->(:L {val:'v2'})-[:E]->(:L {val:'v3'})""")
+    // test01: projected entity re-matched without a cartesian product
+    val q1 = "MATCH (a:L {val: 'v1'}) WITH a MATCH (a)-[e]->(b) RETURN b.val"
+    assert(!plan("fp_bv", q1).contains("Cartesian Product"), plan("fp_bv", q1))
+    assert(rows("fp_bv", q1).map(_("b.val")) == Seq("v2"))
+    // test02: CREATE from a bound variable (reference also asserts the
+    // mutation statistics; our CREATE..RETURN returns the projection, so
+    // the created edge is verified by re-matching it)
+    assert(rows("fp_bv",
+      """MATCH (a:L {val: 'v3'})
+        |CREATE (a)-[:E]->(b:L {val: 'v4'}) RETURN b.val""".stripMargin)
+      .map(_("b.val")) == Seq("v4"))
+    assert(rows("fp_bv",
+      "MATCH (:L {val:'v3'})-[:E]->(b) RETURN b.val").map(_("b.val")) ==
+      Seq("v4"))
+    // test03: execution begins at the procedure call and proceeds into
+    // the traversal (ProcedureCall deeper than Conditional Traverse)
+    g.query("fp_bv", "CALL db.idx.fulltext.createNodeIndex('L', 'val')")
+    val q3 = """CALL db.idx.fulltext.queryNodes('L', 'v1') YIELD node
+               |MATCH (node)-[]->(b) RETURN b.val""".stripMargin
+    val p3 = plan("fp_bv", q3)
+    assert(p3.indexOf("ProcedureCall") > p3.indexOf("Conditional Traverse"),
+      p3)
+    assert(rows("fp_bv", q3).map(_("b.val")) == Seq("v2"))
+    // test04: a bound variable re-match adds no scan — exactly 2 Scan ops
+    val q4 = """MATCH (a:L {val: 'v1'}) WITH a MATCH (a), (b {val: 'v2'})
+               |RETURN a.val, b.val""".stripMargin
+    assert(plan("fp_bv", q4).sliding(4).count(_ == "Scan") == 2,
+      plan("fp_bv", q4))
+    assert(rows("fp_bv", q4).map(r => (r("a.val"), r("b.val"))) ==
+      Seq(("v1", "v2")))
+  }
+
+  // ── test_multi_pattern.py ──────────────────────────────────────────────
+  test("multi pattern: comma patterns and consecutive MATCHes compose") {
+    val people = Seq("Roi", "Alon", "Ailon", "Boaz", "Tal", "Omri", "Ori")
+    g.query("fp_mp",
+      people.map(p => s"(:person {name:'$p'})").mkString("CREATE ", ", ", ""))
+    // test01: connect one node to the rest
+    assert(rows("fp_mp",
+      """MATCH (r:person {name:"Roi"}), (f:person) WHERE f.name <> r.name
+        |CREATE (r)-[:friend]->(f) RETURN count(f)""".stripMargin)
+      .head("count(f)") == 6L)
+    // test02: cartesian product streams reset (reference issue #249) —
+    // four equivalent formulations, 6 edges x 7 nodes rows each
+    Seq(
+      """MATCH (r:person {name:"Roi"})-[]->(f), (x) RETURN f.name, x.name""",
+      """MATCH (x), (r:person {name:"Roi"})-[]->(f) RETURN f.name, x.name""",
+      """MATCH (r:person {name:"Roi"})-[]->(f) MATCH (x) RETURN f.name, x.name""",
+      """MATCH (x) MATCH (r:person {name:"Roi"})-[]->(f) RETURN f.name, x.name""")
+      .foreach { q =>
+        assert(rows("fp_mp", q).size == 6 * people.size, q)
+      }
+    // test03: fully connect
+    assert(rows("fp_mp",
+      """MATCH (a:person), (b:person) WHERE a.name <> b.name
+        |CREATE (a)-[f:friend]->(b) RETURN count(f)""".stripMargin)
+      .head("count(f)") == 42L)
+    // test04: cartesian product of 3 sets, all clause shapes
+    Seq(
+      "MATCH (a), (b), (c) RETURN count(a)",
+      "MATCH (a) MATCH (b), (c) RETURN count(a)",
+      "MATCH (a), (b) MATCH (c) RETURN count(a)",
+      "MATCH (a) MATCH (b) MATCH (c) RETURN count(a)").foreach { q =>
+      assert(rows("fp_mp", q).head("count(a)") == 343L, q)
+    }
+    // test06: multiple CREATE clause shapes — 7 nodes, 2 edges, 4 props
+    Seq(
+      """CREATE (:a {v:1}), (:b {v:2, z:3}), (:c), (:a)-[:r0 {k:9}]->(:b),
+        |(:c)-[:r1]->(:d)""".stripMargin,
+      """CREATE (:a {v:1}) CREATE (:b {v:2, z:3}) CREATE (:c)
+        |CREATE (:a)-[:r0 {k:9}]->(:b) CREATE (:c)-[:r1]->(:d)""".stripMargin,
+      """CREATE (:a {v:1}), (:b {v:2, z:3}) CREATE (:c), (:a)-[:r0 {k:9}]->(:b)
+        |CREATE (:c)-[:r1]->(:d)""".stripMargin).foreach { q =>
+      val st = rows("fp_mp", q).head
+      assert(st("nodes_created") == 7L &&
+        st("relationships_created") == 2L &&
+        st("properties_set") == 4L, s"$q -> $st")
+    }
+  }
+}
