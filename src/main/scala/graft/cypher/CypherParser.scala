@@ -420,14 +420,18 @@ object CypherParser extends RegexParsers {
     ident ~ rep1(":" ~> labelIdent) ^^ { case v ~ labels =>
       labels.map(l => SetItem(Variable(v), Some(LabelKey), LitString(l)))
     } |
-      postfix ~ ("+=" ~> expr) ^? ({
+      postfix ~ ("+=" ~> expr) ^^ {
       case t ~ MapLit(entries) =>
         entries.map { case (k, v) => SetItem(t, Some(k), v) }
       case t ~ (p: Param) =>
         // `SET n += $props`: desugars per-key at execution time, when the
         // parameter map is known (internal marker function)
         List(SetItem(t, None, Fn("__merge_param", List(p), false)))
-    }, _ => "SET += requires a map literal or map parameter") |
+      case t ~ other =>
+        // `SET n += <map expr>` (projected alias / entity): merged at
+        // execution via the runner's map fold (internal marker function)
+        List(SetItem(t, None, Fn("__merge_value", List(other), false)))
+    } |
       postfix ~ ("=" ~> expr) ^^ {
         case Prop(t, k) ~ v => List(SetItem(t, Some(k), v))
         case t ~ v => List(SetItem(t, None, v))

@@ -523,111 +523,116 @@ private[cypher] final class MutationRunner(session: CypherSession) {
       propsSet += writes.count()
       session.commit(nodes2, session.graph.edges)
     }
-    // whole-entity replacements (`SET n = {map}` — reference semantics:
-    // the property bag is REPLACED by the map, test_entity_update.py:75).
-    // `SET n = m` with m a bound entity copies m's property bag
-    // (TCK Merge6 [6]).
-    val repls: List[(String, Either[Ast.MapLit, String])] = items.collect {
-      case Ast.SetItem(Ast.Variable(n), None, m: Ast.MapLit) =>
-        (n, Left(m))
-      case Ast.SetItem(Ast.Variable(n), None, Ast.Variable(src))
-          if frame.vars.get(src).exists(k => k == KNode || k == KEdge) =>
-        (n, Right(src))
-      case Ast.SetItem(t, None, v) => throw TranslateError(
-        s"SET <entity> = requires a map or entity, got: $v")
-    }
-    val replVars = repls.map(_._1).toSet
-    items.foreach {
-      case Ast.SetItem(Ast.Variable(n), Some(_), _) if replVars(n) =>
-        throw TranslateError(
-          s"mixing SET $n = {…} with per-key SET $n.k in one clause " +
-            "is unsupported (split into two SET clauses)")
-      case _ => ()
-    }
-    def replacementsFor(kind: Kind): Option[DataFrame] = {
-      val rs = repls.flatMap { case (n, m) =>
-        if (!frame.vars.get(n).contains(kind)) None
-        else Some(frame.df.select(
-          frame.col(n).getField("id").as("__id"),
-          map_filter(
-            m match {
-              case Left(ml) =>
-                if (ml.entries.isEmpty) emptyProps
-                else map(ml.entries.flatMap { case (k, v) =>
-                  Seq(lit(k), trExpr(c, frame, v))
-                }: _*)
-              case Right(src) =>
-                coalesce(frame.col(src).getField("props"), emptyProps)
-            },
-            (_, v) => v.isNotNull).as("__np")))
+    // Property writes: per target variable, the items fold IN STATEMENT
+    // ORDER into one map expression evaluated per matched row — the
+    // reference applies pending updates sequentially
+    // (update_functions.c), so `SET n.v3 = 3, n = {v: 1}, n += {v2: 2},
+    // n.v4 = 4` loses v3 to the replacement (test_entity_update.py
+    // test08), and replacement/per-key/merge items mix freely in one
+    // clause. Shapes: `n.k = v` upserts one key (NULL removes it);
+    // `n = {map}` / `n = $map` / `n = mapValue` / `n = entity` replaces
+    // the whole bag; `n += {...}` desugared to per-key items upstream.
+    items.foreach { it =>
+      it.target match {
+        case Ast.Variable(_) => ()
+        case other => throw TranslateError(s"SET target must be a variable: $other")
       }
-      rs.reduceOption(_ unionByName _)
     }
-    def applyReplace(table: DataFrame, rs: DataFrame): DataFrame = {
-      // deterministic winner when several matched rows replace the same
-      // entity with different maps (`last` over an unordered groupBy is
-      // partition-layout-dependent)
+    val targets = items.collect {
+      case Ast.SetItem(Ast.Variable(n), _, _) => n
+    }.distinct
+    def itemsFor(n: String): List[Ast.SetItem] = items.filter {
+      case Ast.SetItem(Ast.Variable(v), _, _) => v == n
+      case _ => false
+    }
+    /** A whole-bag value as a props map: literal map, entity property
+      * bag, or a FLAT typed map value (a struct of variant fields — a
+      * nested map field has no variant form in the props encoding).
+      */
+    def asPropsMap(value: Ast.Expr): Column = value match {
+      case ml: Ast.MapLit =>
+        if (ml.entries.isEmpty) emptyProps
+        else map(ml.entries.flatMap { case (k, v) =>
+          Seq(lit(k), trExpr(c, frame, v))
+        }: _*)
+      case Ast.Variable(src)
+          if frame.vars.get(src).exists(k => k == KNode || k == KEdge) =>
+        coalesce(frame.col(src).getField("props"), emptyProps)
+      case other =>
+        val col0 = trExpr(c, frame, other)
+        frame.df.select(col0).schema.head.dataType match {
+          case st: StructType
+              if st.fieldNames.forall(_ == Translator.EmptyMapMarker) ||
+                st.fields.forall(f => f.name == Translator.EmptyMapMarker ||
+                  f.dataType == Values.variantType) =>
+            val fields = st.fieldNames
+              .filterNot(_ == Translator.EmptyMapMarker)
+            if (fields.isEmpty) emptyProps
+            else map(fields.toSeq.flatMap(f =>
+              Seq(lit(f), col0.getField(f))): _*)
+          case _: MapType => col0
+          case _ => throw TranslateError(
+            s"SET <entity> = requires a map or entity, got: $value")
+        }
+    }
+    def applyItem(acc: Column, it: Ast.SetItem): Column = it match {
+      case Ast.SetItem(_, Some(k), value) =>
+        map_filter(
+          map_concat(map_filter(acc, (kk, _) => kk =!= k),
+            map(lit(k), trExpr(c, frame, value))),
+          (_, vv) => vv.isNotNull)
+      // `n += <map expr>`: merge — keys absent from the map keep their
+      // values, NULL-valued entries remove theirs
+      case Ast.SetItem(_, None, Ast.Fn("__merge_value", List(e), _)) =>
+        val m = asPropsMap(e)
+        map_filter(
+          map_concat(
+            map_filter(acc, (kk, _) => !array_contains(map_keys(m), kk)),
+            m),
+          (_, vv) => vv.isNotNull)
+      case Ast.SetItem(_, None, value) =>
+        map_filter(asPropsMap(value), (_, vv) => vv.isNotNull)
+    }
+    def writesFor(kind: Kind): Option[DataFrame] = {
+      val ws = targets.filter(n => frame.vars.get(n).contains(kind)).map {
+        n =>
+          val start = coalesce(frame.col(n).getField("props"), emptyProps)
+          val np = itemsFor(n).foldLeft(start)(applyItem)
+          frame.df.select(frame.col(n).getField("id").as("__id"),
+              np.as("__np"))
+            .filter(col("__id").isNotNull)
+      }
+      ws.reduceOption(_ unionByName _)
+    }
+    def applyProps(table: DataFrame, rs: DataFrame): DataFrame = {
+      // deterministic winner when several matched rows write the same
+      // entity (`last` over an unordered groupBy is layout-dependent)
       val perId = rs.groupBy("__id").agg(
         max_by(col("__np"), xxhash64(to_json(col("__np")))).as("__np"))
-      val nset = perId.select(sum(size(col("__np")))).head()
+      val joined = table.join(perId, table("id") === perId("__id"),
+        "left_outer")
+      // properties_set = the final-vs-original key diff (adds + removals
+      // + changed values): a write that leaves the stored value intact
+      // sets nothing (test_entity_update.py test03/test06 semantics)
+      val orig = coalesce(col("props"), emptyProps)
+      val adds = filter(map_entries(col("__np")),
+        e => !(element_at(orig, e.getField("key")) <=> e.getField("value")))
+      val rems = filter(map_keys(orig),
+        k => !array_contains(map_keys(col("__np")), k))
+      val nset = joined.filter(col("__np").isNotNull)
+        .select(sum(size(adds) + size(rems))).head()
       propsSet += (if (nset.isNullAt(0)) 0L else nset.getLong(0))
-      table.join(perId, table("id") === perId("__id"), "left_outer")
-        .withColumn("props",
+      joined.withColumn("props",
           when(col("__np").isNull, col("props")).otherwise(col("__np")))
         .drop("__id", "__np")
     }
-    def updatesFor(kind: Kind): Option[DataFrame] = {
-      val ups = items.flatMap { it =>
-        it.target match {
-          case Ast.Variable(n) if replVars(n) => None
-          case Ast.Variable(n) if frame.vars.get(n).contains(kind) =>
-            val key = it.key.getOrElse(throw TranslateError(
-              "whole-entity SET unsupported; use SET x.key = value"))
-            Some(frame.df.select(
-              frame.col(n).getField("id").as("__id"),
-              lit(key).as("__k"),
-              trExpr(c, frame, it.value).as("__v")))
-          case Ast.Variable(_) => None
-          case other =>
-            throw TranslateError(s"SET target must be a variable: $other")
-        }
-      }
-      ups.reduceOption(_ unionByName _)
-    }
 
-    def applyUpdates(table: DataFrame, ups: DataFrame): DataFrame = {
-      // same determinism discipline as applyReplace for conflicting
-      // per-key writes from different matched rows
-      val entries = ups.groupBy("__id", "__k").agg(
-        max_by(col("__v"), xxhash64(to_json(col("__v")))).as("__v"))
-      propsSet += entries.count()
-      val updMap = entries.groupBy("__id").agg(
-        map_from_entries(collect_list(struct(col("__k"), col("__v"))))
-          .as("__upd"))
-      table.join(updMap, table("id") === updMap("__id"), "left_outer")
-        .withColumn("props",
-          when(col("__upd").isNull, col("props")).otherwise(
-            map_filter(
-              map_concat(
-                map_filter(coalesce(col("props"), emptyProps),
-                  (k, _) => !array_contains(map_keys(col("__upd")), k)),
-                col("__upd")),
-              (_, v) => v.isNotNull)))
-        .drop("__id", "__upd")
-    }
-
-    val nodeRepls = replacementsFor(KNode)
-    val edgeRepls = replacementsFor(KEdge)
-    val nodeUps = updatesFor(KNode)
-    val edgeUps = updatesFor(KEdge)
-    val nodesReplaced = nodeRepls.map(applyReplace(session.graph.nodes, _))
+    val nodeWrites = writesFor(KNode)
+    val edgeWrites = writesFor(KEdge)
+    val newNodes = nodeWrites.map(applyProps(session.graph.nodes, _))
       .getOrElse(session.graph.nodes)
-    val edgesReplaced = edgeRepls.map(applyReplace(session.graph.edges, _))
+    val newEdges = edgeWrites.map(applyProps(session.graph.edges, _))
       .getOrElse(session.graph.edges)
-    val newNodes = nodeUps.map(applyUpdates(nodesReplaced, _))
-      .getOrElse(nodesReplaced)
-    val newEdges = edgeUps.map(applyUpdates(edgesReplaced, _))
-      .getOrElse(edgesReplaced)
     session.commit(newNodes, newEdges)
 
     // rebind updated vars so a following RETURN sees the new props/label

@@ -138,6 +138,61 @@ class FlowParitySpec extends AnyFunSuite {
       Seq(("v1", "v2")))
   }
 
+  // ── test_entity_update.py ──────────────────────────────────────────────
+  test("entity update: change detection, removals, ordered mixed SET items") {
+    val s = new CypherSession(spark)
+    def propsSet(q: String): Long =
+      s.rows(s.run(q)).head("properties_set").asInstanceOf[Long]
+    def nodeProps(): Map[String, Any] =
+      s.rows(s.run("MATCH (n) RETURN n")).head("n")
+        .asInstanceOf[Map[String, Any]]("props").asInstanceOf[Map[String, Any]]
+    s.run("CREATE ({v:1})")
+    // test01/02: updating and introducing attributes count 1 each
+    assert(propsSet("MATCH (n) SET n.v = 2") == 1L)
+    assert(propsSet("MATCH (n) SET n.x = 1") == 1L)
+    // test03: no-change writes set NOTHING
+    assert(propsSet("MATCH (n) SET n.x = 1") == 0L)
+    assert(propsSet("MATCH (n) SET n.v = 2, n.x = 1") == 0L)
+    assert(propsSet("MATCH (n) SET n.v = 1, n.x = 1") == 1L)
+    assert(propsSet("MATCH (n) SET n.v = 1, n.x = 2") == 1L)
+    // test04: removal counts (removing an absent attribute would not)
+    assert(propsSet("MATCH (n) SET n.x = NULL") == 1L)
+    // test05: SET from a projected value (stats ride the statistics frame
+    // only when there is no RETURN — the projection is checked instead)
+    assert(s.rows(s.run(
+      """MATCH (n) UNWIND ['Calgary'] as city_name
+        |SET n.name = city_name RETURN n.v, n.name""".stripMargin)) ==
+      Seq(Map("n.v" -> 1L, "n.name" -> "Calgary")))
+    // test06: replacement with {} removes the whole bag (2 removals)
+    s.run("MATCH (n) SET n = {}")
+    assert(nodeProps() == Map.empty)
+    s.run("CREATE (:__probe6)") // isolate the count probe
+    s.run("MATCH (p:__probe6) DELETE p")
+    // explicit count probe for the {}-replacement removal semantics
+    s.run("MATCH (n) SET n.a = 1, n.b = 2")
+    assert(propsSet("MATCH (n) SET n = {}") == 2L)
+    // test07: per-key + merge map
+    assert(propsSet("MATCH (n) SET n.v = 1, n += {v2: 2}") == 2L)
+    assert(nodeProps() == Map("v" -> 1L, "v2" -> 2L))
+    // test08: replacement maps overwrite PREVIOUS per-key sets but not
+    // subsequent ones — items apply in statement order
+    s.run("MATCH (n) SET n.v3 = 3, n = {v: 1}, n += {v2: 2}, n.v4 = 4")
+    assert(nodeProps() == Map("v" -> 1L, "v2" -> 2L, "v4" -> 4L))
+    // test09: MERGE ON MATCH supports the same mixed updates
+    s.run("MERGE (n {v: 1}) ON MATCH SET n = {}, n.v = 5")
+    assert(nodeProps() == Map("v" -> 5L))
+    // test10: replacement/merge maps from a projected alias
+    s.run("WITH {v2: 10} as props MATCH (n) SET n = props")
+    assert(nodeProps() == Map("v2" -> 10L))
+    s.run("WITH {v1: True} as props MATCH (n) SET n += props")
+    assert(nodeProps() == Map("v1" -> true, "v2" -> 10L))
+    // test11: replacement/merge maps from parameters (wire prefix)
+    s.run("CYPHER props={v2: 10} MATCH (n) SET n = $props")
+    assert(nodeProps() == Map("v2" -> 10L))
+    s.run("CYPHER props={v1: true} MATCH (n) SET n += $props")
+    assert(nodeProps() == Map("v1" -> true, "v2" -> 10L))
+  }
+
   // ── test_multi_pattern.py ──────────────────────────────────────────────
   test("multi pattern: comma patterns and consecutive MATCHes compose") {
     val people = Seq("Roi", "Alon", "Ailon", "Boaz", "Tal", "Omri", "Ori")
