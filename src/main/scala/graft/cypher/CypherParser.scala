@@ -191,7 +191,39 @@ object CypherParser extends RegexParsers {
         case i ~ None => (e: Expr) => Subscript(e, i)
         case from ~ Some(to) => (e: Expr) => SliceExpr(e, Some(from), to)
       } |
-      ("[" ~> ".." ~> opt(expr) <~ "]") ^^ (to => (e: Expr) => SliceExpr(e, None, to))
+      ("[" ~> ".." ~> opt(expr) <~ "]") ^^ (to => (e: Expr) => SliceExpr(e, None, to)) |
+      mapProjOp
+
+  /** Map projection (`a {.val, other, k: expr, .*}`,
+    * test_map.py test02): desugars onto the existing map-literal AST —
+    * `.key` reads the key off the target, a bare variable injects itself
+    * under its own name, `k: expr` passes through, and a LONE `.*` is
+    * properties(target). The target must be a variable (the reference
+    * errors on `5 {v: 'b'}` with "Encountered unhandled type").
+    */
+  private def mapProjItem: Parser[(String, Option[Expr])] =
+    "." ~ "*" ^^^ (("*", None)) |
+      "." ~> anyIdent ^^ (k => (k, None)) |
+      anyIdent ~ (":" ~> expr) ^^ { case k ~ v => (k, Some(v)) } |
+      anyIdent ^^ (k => (k, Some(Variable(k))))
+
+  private def mapProjOp: Parser[Expr => Expr] =
+    "{" ~> repsep(mapProjItem, ",") <~ "}" ^^ { items => (target: Expr) =>
+      target match {
+        case v: Variable =>
+          if (items.exists(_._1 == "*")) {
+            if (items.size != 1) throw Translator.TranslateError(
+              "map projection: .* cannot be combined with other items")
+            Fn("properties", List(v))
+          } else MapLit(items.map {
+            case (k, None) => (k, Prop(v, k))
+            case (k, Some(e)) => (k, e)
+          })
+        case other => throw Translator.TranslateError(
+          s"Encountered unhandled type: map projection requires a " +
+            s"variable target, got $other")
+      }
+    }
 
   def atom: Parser[Expr] =
     caseExpr |

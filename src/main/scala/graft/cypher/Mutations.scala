@@ -45,6 +45,21 @@ private[cypher] final class MutationRunner(session: CypherSession) {
     * is still counted — acceptable drift on a diagnostics counter (the
     * literal fast path below counts exactly).
     */
+  /** All variable names referenced anywhere in an expression tree
+    * (generic Product walk, as Translator.exprVars).
+    */
+  private def referencedVars(e: Ast.Expr): Set[String] = {
+    val acc = scala.collection.mutable.Set[String]()
+    def go(x: Any): Unit = x match {
+      case Ast.Variable(n) => acc += n
+      case p: Product => p.productIterator.foreach(go)
+      case l: Iterable[_] => l.foreach(go)
+      case _ => ()
+    }
+    go(e)
+    acc.toSet
+  }
+
   private def patternPropCount(pn: List[PendingNode],
       pe: List[PendingEdge]): Long =
     (pn.flatMap(_.pat.props) ++ pe.flatMap(_.rel.props)).count {
@@ -113,14 +128,43 @@ private[cypher] final class MutationRunner(session: CypherSession) {
     def boundVars(p: Ast.PathPat): Set[String] =
       ((p.head :: p.tail.map(_._2)).flatMap(_.variable) ++
         p.tail.flatMap(_._1.variable)).toSet
+    // vars bound by EARLIER clauses (any kind): a property expression may
+    // read those; reading a variable first bound by the SAME Create clause
+    // is an error — its properties are not committed yet (the reference's
+    // "undefined property", test_graph_create.py test05). Cross-CLAUSE
+    // reads of created entities stay legal and flush the merged run so the
+    // referenced entity is materialized first.
+    var seenBound = Set.empty[String]
+    def otherBound(cl: Ast.Clause): Set[String] = cl match {
+      case m: Ast.Match =>
+        m.paths.flatMap(p => boundVars(p) ++ p.pathVar).toSet
+      case u: Ast.Unwind => Set(u.alias)
+      case w: Ast.With => w.proj.items.flatMap { case (e, alias) =>
+          alias.orElse(e match {
+            case Ast.Variable(n) => Some(n)
+            case _ => None
+          })
+        }.toSet
+      case cp: Ast.CallProc =>
+        cp.yields.map { case (n, a) => a.getOrElse(n) }.toSet
+      case mg: Ast.Merge => boundVars(mg.path) ++ mg.path.pathVar
+      case _ => Set.empty
+    }
     clauses.foreach {
       case c: Ast.Create =>
+        val clauseNew = c.paths.flatMap(boundVars).toSet -- seenBound
         c.paths.foreach { p =>
+          val sameClause = propRefs(p).intersect(clauseNew)
+          if (sameClause.nonEmpty) throw TranslateError(
+            s"undefined property: ${sameClause.head} is created by this " +
+              "clause and has no committed properties yet")
           if (propRefs(p).intersect(created).nonEmpty) flush()
           acc += p
           created ++= boundVars(p)
         }
-      case other => flush(); out += other
+        seenBound ++= c.paths.flatMap(boundVars)
+      case other =>
+        flush(); out += other; seenBound ++= otherBound(other)
     }
     flush()
     out.toList
@@ -261,6 +305,16 @@ private[cypher] final class MutationRunner(session: CypherSession) {
       }
     val (pn, pe) = planPending(
       frame.vars.filter(_._2 != KValue).keySet, paths)
+    // a property expression may not read an entity created by this same
+    // CREATE — its properties are not committed yet (the reference errors
+    // with "undefined property", test_graph_create.py test05)
+    val pendingNames = (pn.map(_.name) ++ pe.map(_.name)).toSet
+    (pn.flatMap(_.pat.props) ++ pe.flatMap(_.rel.props)).foreach {
+      case (_, e) =>
+        val bad = referencedVars(e).intersect(pendingNames)
+        if (bad.nonEmpty) throw TranslateError(
+          s"undefined property: ${bad.head} is created by this clause")
+    }
     // Literal fast path: a standalone CREATE (unit input row, no bound
     // vars) whose props are all literals — the TCK movie graph and "Many
     // CREATE clauses" shape (100s of fused clauses) — builds the new
@@ -352,7 +406,21 @@ private[cypher] final class MutationRunner(session: CypherSession) {
 
     nodesCreated += rows * pn.size
     relsCreated += rows * pe.size
-    propsSet += rows * patternPropCount(pn, pe)
+    // properties_set counts STORED values only: a prop expression that
+    // evaluates to null per row stores nothing (propsCol map_filters it)
+    // and must not count (test_graph_create.py test04). All-literal
+    // patterns count statically; expression props read the materialized
+    // map sizes (the frame is already checkpointed — this scans only the
+    // created structs, not the upstream plan).
+    val allLitProps = (pn.flatMap(_.pat.props) ++ pe.flatMap(_.rel.props))
+      .forall(p => isPureLit(p._2))
+    if (allLitProps || rows == 0L)
+      propsSet += rows * patternPropCount(pn, pe)
+    else {
+      val sizes = (pn.map(n => df(n.name)) ++ pe.map(e => df(e.name)))
+        .map(en => coalesce(sum(size(en.getField("props"))), lit(0L)))
+      propsSet += df.agg(sizes.reduce(_ + _).as("__np")).head.getLong(0)
+    }
     session.commit(
       newNodeDf.map(n => session.graph.nodes.unionByName(n,
         allowMissingColumns = true)).getOrElse(session.graph.nodes),
@@ -890,6 +958,14 @@ private[cypher] final class MutationRunner(session: CypherSession) {
     val missFrame = Frame(misses, frame.vars)
     val boundEndpoints = pe.flatMap(e => List(e.srcVar, e.dstVar))
       .filter(frame.vars.contains).distinct
+    // a null bound endpoint (unmatched OPTIONAL MATCH variable) can
+    // neither match nor create — error like CREATE does (reference
+    // tests/flow/test_null_handling.py test02; nothing commits)
+    if (boundEndpoints.nonEmpty && tagged
+        .filter(boundEndpoints.map(v => col(v).isNull).reduce(_ || _))
+        .limit(1).count() > 0)
+      throw TranslateError(
+        "cannot merge a relationship with a null endpoint")
     val keyCols = scala.collection.mutable.LinkedHashMap[String, Column]()
     boundEndpoints.zipWithIndex.foreach { case (v, i) =>
       keyCols(s"__kb_$i") = missFrame.col(v).getField("id")
@@ -978,7 +1054,17 @@ private[cypher] final class MutationRunner(session: CypherSession) {
       ck(e.name).getField("props").as("props"))).reduceOption(_ unionByName _)
     nodesCreated += created * pn.size
     relsCreated += created * pe.size
-    propsSet += created * patternPropCount(pn, pe)
+    // stored-values-only counting, as in execCreate: null-evaluating
+    // expression props are filtered out of the map and must not count
+    val mcAllLit = (pn.flatMap(_.pat.props) ++ pe.flatMap(_.rel.props))
+      .forall(p => isPureLit(p._2))
+    if (mcAllLit || created == 0L)
+      propsSet += created * patternPropCount(pn, pe)
+    else {
+      val sizes = (pn.map(n => ck(n.name)) ++ pe.map(e => ck(e.name)))
+        .map(en => coalesce(sum(size(en.getField("props"))), lit(0L)))
+      propsSet += ck.agg(sizes.reduce(_ + _).as("__np")).head.getLong(0)
+    }
     session.commit(
       newNodeDf.map(n => session.graph.nodes.unionByName(n,
         allowMissingColumns = true)).getOrElse(session.graph.nodes),

@@ -62,8 +62,12 @@ private[cypher] object PlanRender {
     var bound = Set.empty[String]
 
     def nodeName(np: Ast.NodePat): String = np.variable.getOrElse("")
-    def nodeStr(np: Ast.NodePat): String =
-      s"(${nodeName(np)}${np.label.fold("")(l => s":$l")})"
+    def nodeStr(np: Ast.NodePat): String = {
+      // internal rebind names (a scheduled reuse of an anonymous node)
+      // display as anonymous, like the reference's op headers
+      val v = np.variable.filterNot(_.startsWith("__")).getOrElse("")
+      s"($v${np.label.fold("")(l => s":$l")})"
+    }
     def relStr(r: Ast.RelPat): String = {
       val types = if (r.types.isEmpty) "" else ":" + r.types.mkString("|")
       val star = r.varLen.fold("") { case (mn, mx) =>
@@ -82,15 +86,18 @@ private[cypher] object PlanRender {
         acc + relStr(r) + nodeStr(n)
       }
 
-    /** id(n) = <const> in WHERE promotes the scan to an id seek — the same
-      * rule the translator's seekById path applies.
+    /** id(n) <cmp> <const> in WHERE promotes the scan to an id seek — the
+      * same rule the translator's seekById/id-filter path applies; like the
+      * reference's `_reduce_scans` both equality and range comparisons
+      * qualify (`op_node_by_id_seek.c` takes an UnsignedRange).
       */
     def idSeek(where: Option[Ast.Expr], v: String): Boolean = {
+      val cmp = Set("=", "<", "<=", ">", ">=")
       def check(e: Ast.Expr): Boolean = e match {
-        case Ast.Bin("=", Ast.Fn("id", List(Ast.Variable(`v`)), _), rhs) =>
-          isConstE(rhs)
-        case Ast.Bin("=", lhs, Ast.Fn("id", List(Ast.Variable(`v`)), _)) =>
-          isConstE(lhs)
+        case Ast.Bin(op, Ast.Fn("id", List(Ast.Variable(`v`)), _), rhs)
+            if cmp(op) => isConstE(rhs)
+        case Ast.Bin(op, lhs, Ast.Fn("id", List(Ast.Variable(`v`)), _))
+            if cmp(op) => isConstE(lhs)
         case Ast.Bin("AND", l, r) => check(l) || check(r)
         case _ => false
       }
@@ -103,24 +110,56 @@ private[cypher] object PlanRender {
 
     def scanOp(np: Ast.NodePat, where: Option[Ast.Expr]): Op = {
       val v = nodeName(np)
-      if (v.nonEmpty && idSeek(where, v))
-        Op("NodeByIdSeek", s"(${v}${np.label.fold("")(l => s":$l")})")
-      else np.label match {
+      if (v.nonEmpty && idSeek(where, v)) np.label match {
+        // labeled id-constrained scan carries the reference's combined op
+        // name (`op_node_by_label_scan.c:52`)
+        case Some(l) => Op("Node By Label and ID Scan", s"($v:$l)")
+        case None => Op("NodeByIdSeek", s"($v)")
+      } else np.label match {
         case Some(l) => Op("Node By Label Scan", s"($v:$l)")
         case None => Op("All Node Scan", s"($v)")
       }
     }
 
-    def pathOps(p0: Ast.PathPat, where: Option[Ast.Expr]): Op = {
-      // the SAME anchor-reversal decision the translation makes
+    def pathOps(p0: Ast.PathPat, where: Option[Ast.Expr],
+        conjs: List[Ast.Expr] = Nil,
+        placed: scala.collection.mutable.Set[Ast.Expr] =
+          scala.collection.mutable.Set.empty): Op = {
+      // the SAME anchor-reversal decision the translation makes (legacy
+      // per-path shape — MATCH clauses schedule hop-by-hop in matchOps)
       val frame = Translator.Frame(session.graph.nodes.limit(0),
         bound.map(_ -> Translator.KNode).toMap)
-      val p = Translator.reorderPath(ctx, frame, p0)
+      val p = Translator.reorderPath(ctx, frame, p0,
+        Translator.filteredVars(where))
+      // early filter placement (`optimizations/filter_placement`): a WHERE
+      // conjunct reading only THIS path's variables renders directly above
+      // the op that binds the last of them; inline property constraints
+      // render as Filter over their scan/traverse (reference scans carry
+      // no predicates). Conjuncts touching outer streams stay with the
+      // branch logic below (Value Hash Join / branch wrapping).
+      val pathVars = ((p0.head :: p0.tail.map(_._2)).flatMap(_.variable) ++
+        p0.tail.flatMap(_._1.variable)).toSet
+      val candidates = conjs.filter { c =>
+        val cv = exprVars(c)
+        cv.nonEmpty && cv.subsetOf(pathVars)
+      }
+      var localBound = pathVars.intersect(bound)
+      def wrapReady(tree0: Op): Op = {
+        val ready = candidates.filter(c => !placed(c) &&
+          exprVars(c).subsetOf(localBound))
+        if (ready.isEmpty) tree0
+        else { ready.foreach(placed += _)
+          Op("Filter", children = List(tree0)) }
+      }
+      val headBound = bound.contains(nodeName(p.head))
       var tree: Op =
-        if (bound.contains(nodeName(p.head)))
-          Op("Argument", nodeStr(p.head)) // bound var: no new scan
+        if (headBound) Op("Argument", nodeStr(p.head)) // bound: no new scan
         else scanOp(p.head, where)
       bound ++= p.head.variable
+      localBound ++= p.head.variable
+      if (p.head.props.nonEmpty && !headBound)
+        tree = Op("Filter", children = List(tree))
+      tree = wrapReady(tree)
       var from = p.head
       p.tail.foreach { case (r, to) =>
         val name =
@@ -132,6 +171,10 @@ private[cypher] object PlanRender {
           else "Conditional Traverse"
         tree = Op(name, hopStr(from, r, to), List(tree))
         bound ++= r.variable ++ to.variable
+        localBound ++= r.variable ++ to.variable
+        if (to.props.nonEmpty || r.props.nonEmpty)
+          tree = Op("Filter", children = List(tree))
+        tree = wrapReady(tree)
         from = to
       }
       tree
@@ -160,27 +203,135 @@ private[cypher] object PlanRender {
         // upstream pipeline participates as a branch of its own (a
         // consecutive MATCH in the same scope joins/chains against it,
         // exactly like a comma-separated pattern).
+        // filter compaction (reduce true filters, `optimizations/
+        // compact_filters.c`): constant-TRUE conjuncts build no Filter op;
+        // constant-false ones stay (reference keeps them — test20)
+        val allConjs = m.where.map(splitAnd).getOrElse(Nil)
+          .filterNot(c => constBool(c).contains(true))
+        // pattern-predicate conjuncts render as (Anti) Semi Apply over the
+        // filtered stream (`op_semi_apply.c`; the translator executes them
+        // as left_semi/left_anti joins) — property conjuncts stay Filters
+        // BELOW the apply (test_path_filter.py test14 asserts
+        // `Semi Apply / Filter / Node By Label Scan` for either conjunct
+        // order, which also makes the shape order-insensitive here)
+        val (patConjs, conjs0) = allConjs.partition {
+          case Ast.PatternPred(_) | Ast.Not(Ast.PatternPred(_)) => true
+          case _ => false
+        }
+        val placed = scala.collection.mutable.Set.empty[Ast.Expr]
         var branches = Vector.empty[(Op, Set[String])]
         if (!m.optional) current.foreach { c =>
           branches :+= ((c, bound))
           current = None
         }
-        m.paths.foreach { p =>
-          val pVars = (p.head.variable.toSeq ++ p.tail.flatMap {
-            case (r, n) => r.variable ++ n.variable }).toSet
-          val ops = pathOps(p, m.where)
-          branches.indexWhere(_._2.intersect(pVars).nonEmpty) match {
-            case -1 => branches :+= ((ops, pVars))
-            case i =>
+        val frame0 = Translator.Frame(session.graph.nodes.limit(0),
+          bound.map(_ -> Translator.KNode).toMap)
+        val sched = if (m.optional) None
+          else Translator.traversalOrder(ctx, frame0, m.paths,
+            Translator.filteredVars(m.where))
+        sched match {
+          case Some(segs) =>
+            // hop-granular greedy schedule (the translation's actual
+            // order): each segment extends the branch holding its bound
+            // endpoint; a both-ends-bound hop bridging two branches joins
+            // them (Expand Into over their product); inline props and
+            // fully-bound conjuncts filter as early as possible
+            val matchVars = m.paths.flatMap(p =>
+              (p.head :: p.tail.map(_._2)).flatMap(_.variable) ++
+                p.tail.flatMap(_._1.variable)).toSet
+            def inm(np: Ast.NodePat): String =
+              np.variable.getOrElse(Translator.nameOf(np))
+            def wrapReady(i: Int): Unit = {
               val (bt, bv) = branches(i)
-              branches = branches.updated(i, (chainOnto(ops, bt), bv ++ pVars))
-          }
+              val ready = conjs0.filter(c => !placed(c) && {
+                val cv = exprVars(c)
+                cv.nonEmpty && cv.subsetOf(matchVars) && cv.subsetOf(bv)
+              })
+              if (ready.nonEmpty) {
+                ready.foreach(placed += _)
+                branches = branches.updated(i,
+                  (Op("Filter", children = List(bt)), bv))
+              }
+            }
+            segs.foreach { case (_, seg) =>
+              val hn = inm(seg.head)
+              val at = branches.indexWhere(_._2.contains(hn))
+              if (seg.tail.isEmpty) {
+                if (at == -1) {
+                  var t: Op = scanOp(seg.head, m.where)
+                  bound ++= seg.head.variable
+                  if (seg.head.props.nonEmpty)
+                    t = Op("Filter", children = List(t))
+                  branches :+= ((t, Set(hn)))
+                  wrapReady(branches.size - 1)
+                } else if (seg.head.props.nonEmpty ||
+                    seg.head.label.nonEmpty) {
+                  // re-match of a bound variable: its predicates filter
+                  val (bt, bv) = branches(at)
+                  branches = branches.updated(at,
+                    (Op("Filter", children = List(bt)), bv))
+                }
+              } else {
+                val (r, to) = seg.tail.head
+                val tn = inm(to)
+                val toAt = branches.indexWhere(_._2.contains(tn))
+                val (srcIdx, closing) =
+                  if (at == -1 && toAt == -1)
+                    sys.error("unanchored hop segment") // cannot happen
+                  else if (at == -1) (toAt, false)
+                  else (at, toAt != -1)
+                if (closing && toAt != srcIdx) {
+                  // bridge two branches: product, then the hop checks it
+                  val (bt1, bv1) = branches(srcIdx)
+                  val (bt2, bv2) = branches(toAt)
+                  val cp = Op("Cartesian Product",
+                    children = List(bt1, bt2))
+                  var t = Op("Expand Into", hopStr(seg.head, r, to),
+                    List(cp))
+                  if (to.props.nonEmpty || r.props.nonEmpty)
+                    t = Op("Filter", children = List(t))
+                  val keep = branches.indices
+                    .filterNot(i => i == srcIdx || i == toAt)
+                  val merged = (t, bv1 ++ bv2 ++ r.variable)
+                  val pos = math.min(srcIdx, toAt)
+                  val before = branches.zipWithIndex.take(pos).collect {
+                    case (b, i) if keep.contains(i) => b
+                  }
+                  branches = (before :+ merged) ++
+                    branches.zipWithIndex.drop(pos).collect {
+                      case (b, i) if keep.contains(i) => b
+                    }
+                  bound ++= r.variable ++ to.variable
+                  wrapReady(before.size)
+                } else {
+                  val (bt, bv) = branches(srcIdx)
+                  val name =
+                    if (closing) "Expand Into" else "Conditional Traverse"
+                  var t = Op(name, hopStr(seg.head, r, to), List(bt))
+                  if (to.props.nonEmpty || r.props.nonEmpty)
+                    t = Op("Filter", children = List(t))
+                  bound ++= r.variable ++ to.variable
+                  branches = branches.updated(srcIdx,
+                    (t, bv ++ r.variable ++ to.variable + tn))
+                  wrapReady(srcIdx)
+                }
+              }
+            }
+          case None =>
+            m.paths.foreach { p =>
+              val pVars = (p.head.variable.toSeq ++ p.tail.flatMap {
+                case (r, n) => r.variable ++ n.variable }).toSet
+              val ops = pathOps(p, m.where, conjs0, placed)
+              branches.indexWhere(_._2.intersect(pVars).nonEmpty) match {
+                case -1 => branches :+= ((ops, pVars))
+                case i =>
+                  val (bt, bv) = branches(i)
+                  branches = branches.updated(i,
+                    (chainOnto(ops, bt), bv ++ pVars))
+              }
+            }
         }
-        // filter compaction (reduce true filters, `optimizations/
-        // compact_filters.c`): constant-TRUE conjuncts build no Filter op;
-        // constant-false ones stay (reference keeps them — test20)
-        val conjs = m.where.map(splitAnd).getOrElse(Nil)
-          .filterNot(c => constBool(c).contains(true))
+        val conjs = conjs0.filterNot(placed)
         var topConjs = List.empty[Ast.Expr]
         conjs.foreach { c =>
           val cv = exprVars(c)
@@ -234,6 +385,14 @@ private[cypher] object PlanRender {
           case several => Op("Cartesian Product", children = several)
         }
         if (topConjs.nonEmpty) tree = Op("Filter", children = List(tree))
+        patConjs.foreach {
+          case Ast.PatternPred(p) =>
+            tree = Op("Semi Apply", children = List(tree, pathOps(p, None)))
+          case Ast.Not(Ast.PatternPred(p)) =>
+            tree = Op("Anti Semi Apply",
+              children = List(tree, pathOps(p, None)))
+          case _ => ()
+        }
         if (m.optional) {
           tree = Op("Optional", children = List(tree))
           current.foreach(c => tree = Op("Apply", children = List(c, tree)))
@@ -250,9 +409,26 @@ private[cypher] object PlanRender {
       case w: Ast.With =>
         val agg = w.proj.items.exists { case (e, _) =>
           Translator.containsAgg(e) }
-        var tree = projectionOps(w.proj, agg, current)
-        w.where.foreach(_ => tree = Op("Filter", children = List(tree)))
-        current = Some(tree)
+        // WITH … WHERE: when the predicate only reads pass-through
+        // variables (aliases of plain variables), Catalyst pushes the
+        // filter through the projection — the reference places it the
+        // same way (test_with_clause.py test10 asserts Filter directly
+        // above Apply, but directly above Project when the predicate
+        // reads a COMPUTED alias)
+        val passThrough: Map[String, Boolean] = w.proj.items.flatMap {
+          case (Ast.Variable(n), None) => Some(n -> true)
+          case (e, Some(a)) => Some(a -> e.isInstanceOf[Ast.Variable])
+          case _ => None
+        }.toMap
+        val pushable = !agg && w.where.exists(cond =>
+          exprVars(cond).forall(v => passThrough.getOrElse(v, false)))
+        var tree = current
+        if (pushable)
+          tree = Some(Op("Filter", children = tree.toList))
+        var top = projectionOps(w.proj, agg, tree)
+        if (w.where.isDefined && !pushable)
+          top = Op("Filter", children = List(top))
+        current = Some(top)
         bound = w.proj.items.flatMap {
           case (Ast.Variable(n), None) => Some(n)
           case (_, as) => as

@@ -116,16 +116,44 @@ object Translator {
         throw TranslateError(
           "Invalid combination of UNION and UNION ALL")
       var acc = parts.head
-      q.unionAll.zip(parts.tail).foreach { case (all, df) =>
-        if (df.columns.toSet != acc.columns.toSet)
+      q.unionAll.zip(parts.tail).foreach { case (all, df0) =>
+        if (df0.columns.toSet != acc.columns.toSet)
           throw TranslateError(
             "All sub queries in a UNION must have the same return column " +
-              s"names (${acc.columns.mkString(",")} vs ${df.columns.mkString(",")})")
+              s"names (${acc.columns.mkString(",")} vs ${df0.columns.mkString(",")})")
+        // sides may bind the same column to different VALUE KINDS (a node
+        // on one side, an edge or scalar on the other — the reference
+        // collates them in one column, test_union.py test06): box entity
+        // structs into the variant form wherever the Spark types disagree
+        var df = df0
+        acc.columns.foreach { cn =>
+          val lt = acc.schema(cn).dataType
+          val rt = df.schema(cn).dataType
+          if (lt.sql != rt.sql) { // .sql ignores nullability
+            acc = acc.withColumn(cn, entityToVariant(acc(cn), lt))
+            df = df.withColumn(cn, entityToVariant(df(cn), rt))
+          }
+        }
         acc = acc.unionByName(df)
         if (!all) acc = dedupByIdentity(acc)
       }
       acc
     }
+  }
+
+  /** Lift an entity-struct column to the variant form (boxed tagged JSON,
+    * the same shape entities take inside list values) so UNION sides of
+    * different value kinds share one column type; variant and other
+    * columns pass through unchanged.
+    */
+  private def entityToVariant(c: Column, dt: DataType): Column = dt match {
+    case s: StructType if s.fieldNames.contains("reltype") &&
+        s.fieldNames.contains("src") =>
+      when(c.isNull, Values.vNull).otherwise(Values.vBoxed(boxEdge(c)))
+    case s: StructType if s.fieldNames.contains("label") &&
+        s.fieldNames.contains("props") =>
+      when(c.isNull, Values.vNull).otherwise(Values.vBoxed(boxNode(c)))
+    case _ => c
   }
 
   def translateSingle(graph: PropertyGraph, sq: Ast.SingleQuery,
@@ -264,6 +292,21 @@ object Translator {
     def expr(e: Ast.Expr): Unit = e match {
       case Ast.Variable("*") => sawStar = true
       case Ast.Variable(n) => full += n
+      // startNode/endNode hydrate their result from BOUND NODE variables
+      // matching the endpoint id (see trFn) — those sources must keep
+      // their props (test_function_calls.py test16 reads
+      // startNode(e).name); the cheap per-key pruning can't know which
+      // node the id resolves to, so everything goes full
+      case Ast.Fn(f, _, _) if f.toLowerCase == "startnode" ||
+          f.toLowerCase == "endnode" || f.toLowerCase == "tojson" =>
+        sawStar = true
+      // a shortestPath EXPRESSION materializes its endpoints into the
+      // path value — they need full props like any named path
+      case Ast.Fn(f, args, _) if f.toLowerCase == "shortestpath" =>
+        args.foreach {
+          case Ast.PatternPred(p) => markPath(p)
+          case a => expr(a)
+        }
       case Ast.Prop(Ast.Variable(_), _) => () // property read only
       case Ast.Prop(t, _) => expr(t)
       case Ast.Fn(f, args, _) if idOnlyFns.contains(f.toLowerCase) =>
@@ -375,6 +418,25 @@ object Translator {
       c: Ast.CallProc, standalone: Boolean = false): Frame = {
     val session = ctx.session.getOrElse(
       throw TranslateError("CALL requires a CypherSession"))
+    // correlated algo.BFS (`proc_bfs.c`): the source argument is a BOUND
+    // NODE variable — per input row, yield arrays of reachable nodes and
+    // the BFS tree edges; a source with nothing reachable emits no record
+    // (the row drops, test_bfs.py test06)
+    if (c.name.equalsIgnoreCase("algo.BFS")) c.args match {
+      case List(Ast.Variable(v), d, r) if frame.has(v) =>
+        val depth = constantAny(ctx, d) match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case other => throw TranslateError(s"algo.BFS maxLevel: $other")
+        }
+        val rel = constantAny(ctx, r) match {
+          case null => None
+          case s: String => Some(s)
+          case other => throw TranslateError(s"algo.BFS reltype: $other")
+        }
+        return bfsCorrelated(ctx, frame, c, v, depth, rel)
+      case _ => ()
+    }
     // argument passing mode: the parenthesis-free form binds arguments
     // implicitly from query parameters — standalone calls only (Call2 [4])
     val args: List[Any] =
@@ -443,14 +505,45 @@ object Translator {
   }
 
   // ═══════════════════════════════ MATCH ═══════════════════════════════
+  /** Variables a WHERE conjunct filters (for anchor scoring) — pattern
+    * predicates excluded: they gate via semi-joins, not scans.
+    */
+  private[cypher] def filteredVars(where: Option[Ast.Expr]): Set[String] = {
+    def conjuncts(e: Ast.Expr): Seq[Ast.Expr] = e match {
+      case Ast.Bin("AND", l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    where.toSeq.flatMap(conjuncts).flatMap {
+      case Ast.PatternPred(_) | Ast.Not(Ast.PatternPred(_)) => Nil
+      case c => exprVars(c).toSeq
+    }.toSet
+  }
+
   def translateMatch(ctx: Ctx, frame: Frame, m: Ast.Match): Frame = {
     if (m.optional) return translateOptional(ctx, frame, m)
     var f = frame
+    val fv = filteredVars(m.where)
     val pathEdgeVars = scala.collection.mutable.ArrayBuffer[List[String]]()
-    m.paths.foreach { p =>
-      val (f2, evs) = translatePath(ctx, f, p)
-      f = f2
-      pathEdgeVars += evs
+    traversalOrder(ctx, f, m.paths, fv) match {
+      case Some(segs) =>
+        // hop-granular greedy order; segments of one source pattern share
+        // its uniqueness scope
+        val byPath = scala.collection.mutable.Map[Int,
+          scala.collection.mutable.ListBuffer[String]]()
+        segs.foreach { case (pi, seg) =>
+          val (f2, ev) = translatePath(ctx, f, seg, preAnchored = true)
+          f = f2
+          byPath.getOrElseUpdate(pi,
+            scala.collection.mutable.ListBuffer[String]()) ++= ev
+        }
+        m.paths.indices.foreach(pi =>
+          pathEdgeVars += byPath.get(pi).map(_.toList).getOrElse(Nil))
+      case None =>
+        m.paths.foreach { p =>
+          val (f2, evs) = translatePath(ctx, f, p)
+          f = f2
+          pathEdgeVars += evs
+        }
     }
     // relationship uniqueness per path (docs/known_limitations.md:3)
     pathEdgeVars.foreach { evs =>
@@ -529,59 +622,188 @@ object Translator {
     * assembly is order-sensitive); shortestPath has its own planner.
     */
   private[cypher] def reorderPath(ctx: Ctx, frame: Frame,
-      p: Ast.PathPat): Ast.PathPat = {
+      p: Ast.PathPat, filtered: Set[String] = Set.empty): Ast.PathPat = {
     if (p.shortest || p.allShortest || p.pathVar.isDefined ||
       p.tail.isEmpty) return p
-    ctx.graph.statsPeek match {
-      case None => p
-      case Some((labels, reltypes)) =>
-        val total = math.max(labels.values.sum, 1L)
-        val totalEdges = math.max(reltypes.values.sum, 1L)
-        def score(np: Ast.NodePat): Double = {
-          val name = np.variable.getOrElse(nameOf(np))
-          if (frame.vars.contains(name)) 0.0 // bound: already materialized
-          else {
-            val base = np.label.map(l =>
-              labels.getOrElse(l, 0L).toDouble).getOrElse(total.toDouble)
-            // each constant prop equality ~ decimates (the reference
-            // scores filtered anchors above unfiltered the same way)
-            base * math.pow(0.1, np.props.count(p => isConst(p._2)))
-          }
-        }
-        // relation-operand selectivity (the reference scores relation
-        // operands alongside node labels, traverse_order_utils.c:16-37 /
-        // traverse_order.c:217-239): the FIRST hop expanded from an anchor
-        // multiplies the frontier by that hop's edge population, so an
-        // anchor followed by a rare reltype beats an equal-sized anchor
-        // followed by a common one. Untyped hops select the whole edge
-        // table (selectivity 1).
-        // floor at one edge's worth: a reltype absent from the stats
-        // snapshot (stale stats after mutation) must not zero BOTH ends'
-        // scores — a 0.0 × 0.0 tie would disable the reversal the
-        // node-count comparison alone would have made
-        def relSel(r: Ast.RelPat): Double =
-          if (r.types.isEmpty) 1.0
-          else math.min(1.0, r.types.map(t =>
-            math.max(reltypes.getOrElse(t, 0L), 1L)).sum.toDouble /
-            totalEdges)
-        val last = p.tail.last._2
-        val fwd = score(p.head) * relSel(p.tail.head._1)
-        val rev = score(last) * relSel(p.tail.last._1)
-        if (rev < fwd) {
-          val nodes = p.head +: p.tail.map(_._2) // n0 .. nk
-          val revTail = p.tail.indices.reverse.map { i =>
-            val r = p.tail(i)._1
-            (r.copy(direction = -r.direction), nodes(i))
-          }.toList
-          Ast.PathPat(None, last, revTail)
-        } else p
-    }
+    // a NAMED var-len relationship binds its edge LIST in pattern order
+    // (TCK Match9 [2]) — a reversed traversal would collect it backwards
+    if (p.tail.exists(h => h._1.varLen.isDefined && h._1.variable.isDefined))
+      return p
+    val (score, relSel) = anchorScoring(ctx, frame, filtered)
+    val last = p.tail.last._2
+    val fwd = score(p.head) * relSel(p.tail.head._1)
+    val rev = score(last) * relSel(p.tail.last._1)
+    if (rev < fwd) reversePath(p) else p
   }
 
-  /** Translate one path; returns frame + edge var names (for uniqueness). */
+  private def reversePath(p: Ast.PathPat): Ast.PathPat = {
+    val nodes = p.head +: p.tail.map(_._2) // n0 .. nk
+    val revTail = p.tail.indices.reverse.map { i =>
+      val r = p.tail(i)._1
+      (r.copy(direction = -r.direction), nodes(i))
+    }.toList
+    Ast.PathPat(None, p.tail.last._2, revTail)
+  }
+
+  /** Anchor-cost model shared by [[reorderPath]] and [[anchorSegments]]:
+    * node score = estimated scan cardinality, decimated per constant prop
+    * equality and once more when a WHERE conjunct filters the variable
+    * (the reference scores filtered anchors above unfiltered,
+    * `traverse_order_utils.c:16-37`). With no statistics snapshot (a
+    * never-mutated session — the reference's test_traversal_construction
+    * runs on an EMPTY graph) the same model degrades to the pure
+    * heuristic: label ≺ unlabeled, filtered ≺ labeled-only.
+    */
+  private def anchorScoring(ctx: Ctx, frame: Frame, filtered: Set[String])
+      : (Ast.NodePat => Double, Ast.RelPat => Double) = {
+    val (labels, reltypes) = ctx.graph.statsPeek
+      .getOrElse((Map.empty[String, Long], Map.empty[String, Long]))
+    val noStats = ctx.graph.statsPeek.isEmpty
+    val total = math.max(labels.values.sum, 1L)
+    val totalEdges = math.max(reltypes.values.sum, 1L)
+    def score(np: Ast.NodePat): Double = {
+      val name = np.variable.getOrElse(nameOf(np))
+      if (frame.vars.contains(name)) 0.0 // bound: already materialized
+      else {
+        val base = np.label.map(l =>
+          if (noStats) total / 10.0
+          else labels.getOrElse(l, 0L).toDouble).getOrElse(total.toDouble)
+        val constProps = np.props.count(p => isConst(p._2))
+        val filterHits = constProps +
+          (if (np.variable.exists(filtered)) 1 else 0)
+        base * math.pow(0.1, filterHits)
+      }
+    }
+    // relation-operand selectivity (the reference scores relation
+    // operands alongside node labels, traverse_order_utils.c:16-37 /
+    // traverse_order.c:217-239): the FIRST hop expanded from an anchor
+    // multiplies the frontier by that hop's edge population, so an
+    // anchor followed by a rare reltype beats an equal-sized anchor
+    // followed by a common one. Untyped hops select the whole edge
+    // table (selectivity 1).
+    // floor at one edge's worth: a reltype absent from the stats
+    // snapshot (stale stats after mutation) must not zero BOTH ends'
+    // scores — a 0.0 × 0.0 tie would disable the reversal the
+    // node-count comparison alone would have made
+    def relSel(r: Ast.RelPat): Double =
+      if (r.types.isEmpty || noStats) 1.0
+      else math.min(1.0, r.types.map(t =>
+        math.max(reltypes.getOrElse(t, 0L), 1L)).sum.toDouble /
+        totalEdges)
+    (score, relSel)
+  }
+
+  /** Greedy traversal scheduling over ALL plain patterns of one MATCH —
+    * the reference's `traverse_order.c` reordered algebraic expression,
+    * hop by hop: start at the strictly cheapest scan anchor anywhere in
+    * the pattern (not just path ends), then repeatedly expand the
+    * cheapest frontier hop — filtered/labeled destinations first, hops
+    * closing a cycle (both ends bound) immediately. A filtered middle
+    * node prunes BEFORE either side's expansion instead of after a full
+    * end-to-end scan; at scale that is |anchor| seed rows instead of
+    * |head| × expansion. Returns `(sourcePathIndex, single-hop-or-scan
+    * segment)` in execution order — segments of one source pattern share
+    * its relationship-uniqueness scope — or None when any pattern needs
+    * the legacy per-path translation (var-len, shortest, named paths,
+    * re-matched edge variables).
+    */
+  private[cypher] def traversalOrder(ctx: Ctx, frame: Frame,
+      paths: List[Ast.PathPat], filtered: Set[String])
+      : Option[List[(Int, Ast.PathPat)]] = {
+    val plain = paths.forall(p => !p.shortest && !p.allShortest &&
+      p.pathVar.isEmpty && p.tail.forall(_._1.varLen.isEmpty) &&
+      p.tail.forall(_._1.variable.forall(v => !frame.vars.contains(v))))
+    if (!plain) return None
+    val (score, relSel) = anchorScoring(ctx, frame, filtered)
+    case class Hop(path: Int, rel: Ast.RelPat,
+        from: Ast.NodePat, to: Ast.NodePat)
+    val hops = scala.collection.mutable.ArrayBuffer[Hop]()
+    paths.zipWithIndex.foreach { case (p, pi) =>
+      var from = p.head
+      p.tail.foreach { case (r, n) => hops += Hop(pi, r, from, n); from = n }
+    }
+    def nm(np: Ast.NodePat): String = np.variable.getOrElse(nameOf(np))
+    // each node occurrence's label/prop predicates apply EXACTLY ONCE —
+    // a later segment reusing the instance rebinds by name only (the
+    // first binding may have pruned the props map, so re-applying the
+    // predicate there would compare against nothing and drop every row)
+    val seen = new java.util.IdentityHashMap[Ast.NodePat, String]()
+    def occ(np: Ast.NodePat): Ast.NodePat =
+      if (seen.containsKey(np))
+        // keep the label (the label column is never pruned, and the
+        // rendered hop keeps its display form); drop the props — their
+        // predicate already ran at the binding occurrence
+        Ast.NodePat(Some(seen.get(np)), np.label, Nil)
+      else { seen.put(np, nm(np)); np }
+    val bound = scala.collection.mutable.Set[String](
+      frame.vars.keys.toSeq: _*)
+    val out = scala.collection.mutable.ListBuffer[(Int, Ast.PathPat)]()
+    // appearance order for deterministic tie-breaks
+    val appear = scala.collection.mutable.LinkedHashMap[String, Int]()
+    paths.foreach(p => (p.head :: p.tail.map(_._2)).foreach(np =>
+      appear.getOrElseUpdate(nm(np), appear.size)))
+    val scanPaths = scala.collection.mutable.LinkedHashMap[Int, Ast.PathPat]()
+    paths.zipWithIndex.foreach { case (p, pi) =>
+      if (p.tail.isEmpty) scanPaths(pi) = p
+    }
+    def anchorCandidates: Seq[(Int, Ast.NodePat, Double)] = {
+      val fromHops = hops.toSeq.flatMap(h =>
+        Seq((h.path, h.from), (h.path, h.to)))
+      val fromScans = scanPaths.toSeq.map { case (pi, p) => (pi, p.head) }
+      (fromHops ++ fromScans).filterNot { case (_, np) => bound(nm(np)) }
+        .map { case (pi, np) => (pi, np, score(np)) }
+    }
+    while (hops.nonEmpty) {
+      val avail = hops.zipWithIndex.filter { case (h, _) =>
+        bound(nm(h.from)) || bound(nm(h.to)) }
+      if (avail.isEmpty) {
+        // new connected component: open the cheapest scan
+        val cands = anchorCandidates
+        val (pi, np, _) = cands.minBy { case (_, np, s) =>
+          (s, appear(nm(np))) }
+        bound += nm(np)
+        scanPaths.remove(pi)
+        out += ((pi, Ast.PathPat(None, occ(np), Nil)))
+      } else {
+        // cheapest frontier hop; both-ends-bound (cycle-closing) hops are
+        // free filters and go first
+        def cost(h: Hop): (Double, Int) = {
+          val c =
+            if (bound(nm(h.from)) && bound(nm(h.to))) -1.0
+            else {
+              val far = if (bound(nm(h.from))) h.to else h.from
+              score(far) * relSel(h.rel)
+            }
+          (c, appear(nm(h.from)) min appear(nm(h.to)))
+        }
+        val (h, idx) = avail.minBy { case (h, _) => cost(h) }
+        hops.remove(idx)
+        val seg =
+          if (bound(nm(h.from)))
+            Ast.PathPat(None, occ(h.from), List((h.rel, occ(h.to))))
+          else Ast.PathPat(None, occ(h.to),
+            List((h.rel.copy(direction = -h.rel.direction), occ(h.from))))
+        bound += nm(h.from); bound += nm(h.to)
+        out += ((h.path, seg))
+      }
+    }
+    // remaining scan-only patterns (pure products and re-matches), in
+    // pattern order
+    scanPaths.foreach { case (pi, p) =>
+      bound += nm(p.head)
+      out += ((pi, Ast.PathPat(p.pathVar, occ(p.head), Nil)))
+    }
+    Some(out.toList)
+  }
+
+  /** Translate one path; returns frame + edge var names (for uniqueness).
+    * `preAnchored` marks segments [[anchorSegments]] already oriented —
+    * re-running the end-reversal there could undo a split's orientation.
+    */
   private[cypher] def translatePath(ctx: Ctx, frame: Frame,
-      p0: Ast.PathPat): (Frame, List[String]) = {
-    val p = reorderPath(ctx, frame, p0)
+      p0: Ast.PathPat, preAnchored: Boolean = false)
+      : (Frame, List[String]) = {
+    val p = if (preAnchored) p0 else reorderPath(ctx, frame, p0)
     if (p.shortest)
       require(p.tail.size == 1 && p.tail.head._1.varLen.isDefined,
         "shortestPath needs a single variable-length relationship pattern")
@@ -900,27 +1122,37 @@ object Translator {
       .otherwise(Values.vBoxed(js))
   }
 
-  private def bindNode(ctx: Ctx, frame: Frame, np: Ast.NodePat): Frame = {
+  private def bindNode(ctx: Ctx, frame0: Frame, np: Ast.NodePat): Frame = {
     val name = nameOf(np)
-    frame.vars.get(name).foreach {
+    var frame = frame0
+    frame0.vars.get(name).foreach {
       case KNode => ()
       case KValue =>
         // a projected VALUE re-bound in a node pattern is legal when it
         // holds an entity (WITH coalesce(b, c) AS x MATCH (x)-->(d)) or
-        // null; a variant-typed value can only be null here → no matches.
-        // Rebind as a NULL node struct so downstream traversal/path code
-        // sees entity fields (rows are already filtered away).
-        if (!dataTypeOf(frame, frame.col(name)).exists(dt => dt match {
+        // null. A variant-typed value holds a node only BOXED (entities
+        // carried inside lists/maps): unbox it; anything else — including
+        // null — rebinds as a NULL node whose row PASSES THROUGH. The
+        // reference treats a bound-variable re-match as a no-op check, so
+        // `WITH NULL AS a MATCH (a) RETURN a` yields the null row while
+        // any traversal or predicate over it matches nothing
+        // (test_null_handling.py test07; rebound as a typed COLUMN, not a
+        // binding — path assembly must see the node struct type).
+        if (!dataTypeOf(frame0, frame0.col(name)).exists(dt => dt match {
           case s: StructType =>
             s.fieldNames.contains("id") && s.fieldNames.contains("props")
           case _ => false
-        })) return frame.copy(
-          // overwrite the COLUMN with a typed null node (not a binding:
-          // downstream Frame(df, vars) reconstructions would drop a
-          // binding, and path assembly must see the node struct type)
-          df = frame.df.filter(lit(false))
-            .withColumn(name, lit(null).cast(nodeStructType)),
-          vars = frame.vars + (name -> KNode))
+        })) {
+          val vc = frame0.col(name)
+          val unboxed = when(Values.tag(vc) === Values.T_BOXED &&
+              get_json_object(vc.getField("s"), "$.t") ===
+                Values.T_NODE.toString,
+            from_json(vc.getField("s"), nodeStructType))
+            .otherwise(lit(null).cast(nodeStructType))
+          frame = frame0.copy(
+            df = frame0.df.withColumn(name, unboxed),
+            vars = frame0.vars + (name -> KNode))
+        }
       case other => throw TranslateError(
         s"VariableTypeConflict: $name already bound as $other cannot " +
           "re-bind as a node")
@@ -1038,6 +1270,23 @@ object Translator {
     // endpoint/type/prop agreement, binding the far node if needed
     if (frame.vars.get(rname).contains(KEdge))
       return expandBoundEdge(ctx, frame, prev, rel, node, rname, nname)
+    if (frame.vars.get(rname).contains(KValue)) {
+      // a projected VALUE at a relationship position holds an edge only
+      // BOXED (entities carried inside lists/maps): unbox it and check it
+      // like a bound edge; anything else — including null — rebinds as a
+      // NULL edge, which connects nothing (the reference runs
+      // `WITH NULL AS e MATCH (a:L)-[e]->(b)` to an empty result rather
+      // than erroring — test_null_handling.py test07)
+      val vc = frame.col(rname)
+      val unboxed = when(Values.tag(vc) === Values.T_BOXED &&
+          get_json_object(vc.getField("s"), "$.t") ===
+            Values.T_EDGE.toString,
+        from_json(vc.getField("s"), edgeStructType))
+        .otherwise(lit(null).cast(edgeStructType))
+      val f = frame.copy(df = frame.df.withColumn(rname, unboxed),
+        vars = frame.vars + (rname -> (KEdge: Kind)))
+      return expandBoundEdge(ctx, f, prev, rel, node, rname, nname)
+    }
     frame.vars.get(rname).foreach { other =>
       throw TranslateError(
         s"VariableTypeConflict: $rname already bound as $other cannot " +
@@ -1300,22 +1549,33 @@ object Translator {
     */
   private def resolveDegrees(ctx: Ctx, frame: Frame,
       exprs: Seq[Ast.Expr]): (Frame, Ast.Expr => Ast.Expr) = {
-    val found =
-      scala.collection.mutable.LinkedHashMap[(String, String), String]()
+    // optional reltype arguments (`entity_funcs.c` takes variadic type
+    // names: outdegree(n, 'friend')) restrict the counted edge set
+    def typeArgs(args: List[Ast.Expr]): Option[List[String]] =
+      if (args.forall(_.isInstanceOf[Ast.LitString]))
+        Some(args.map { case Ast.LitString(s) => s })
+      else None
+    val found = scala.collection.mutable
+      .LinkedHashMap[(String, String, List[String]), String]()
     exprs.foreach(Ast.foreachExpr(_) {
       case Ast.Fn(d @ ("indegree" | "outdegree"),
-          List(Ast.Variable(v)), _) if frame.has(v) =>
-        found.getOrElseUpdate((v, d), freshName("deg")); ()
+          Ast.Variable(v) :: rest, _)
+          if frame.has(v) && typeArgs(rest).isDefined =>
+        found.getOrElseUpdate((v, d, typeArgs(rest).get),
+          freshName("deg")); ()
       case _ => ()
     })
     if (found.isEmpty) (frame, identity)
     else {
       var df = frame.df
-      found.foreach { case ((v, dir), tmp) =>
+      found.foreach { case ((v, dir, types), tmp) =>
         val idCol = freshName("degid")
-        val deg = (if (dir == "outdegree") ctx.graph.outDegrees
-          else ctx.graph.inDegrees)
-          .toDF(idCol, s"${tmp}_n")
+        val edges =
+          if (types.isEmpty) ctx.graph.edges
+          else ctx.graph.edges.filter(col("reltype").isin(types: _*))
+        val keyCol = if (dir == "outdegree") "src" else "dst"
+        val deg = edges.groupBy(col(keyCol).as(idCol))
+          .agg(count(lit(1)).as(s"${tmp}_n"))
         df = df.join(deg, frame.col(v).getField("id") === col(idCol),
             "left_outer")
           .withColumn(tmp,
@@ -1325,8 +1585,9 @@ object Translator {
       val f2 = Frame(df, frame.vars ++ found.values.map(_ -> KValue))
       val rewrite = (e: Ast.Expr) => Ast.transformExpr(e) {
         case Ast.Fn(d @ ("indegree" | "outdegree"),
-            List(Ast.Variable(v)), _) if found.contains((v, d)) =>
-          Ast.Variable(found((v, d)))
+            Ast.Variable(v) :: rest, _)
+            if typeArgs(rest).exists(t => found.contains((v, d, t))) =>
+          Ast.Variable(found((v, d, typeArgs(rest).get)))
       }
       (f2, rewrite)
     }
@@ -1339,6 +1600,119 @@ object Translator {
     * entities' ids descending (the reference's match emission order), and
     * substitute the collected column into the expression.
     */
+  /** Correlated BFS (see [[translateCall]]): one multi-source level-
+    * synchronous sweep over ALL distinct source ids in the frame (the
+    * same frontier machinery as var-len expansion — per-level checkpoint,
+    * visited-set anti-join), then a per-source aggregation of node and
+    * BFS-tree-edge arrays, index-aligned and ordered by (level, node id).
+    * One traversal regardless of the frame's row count — never a per-row
+    * loop.
+    */
+  private def bfsCorrelated(ctx: Ctx, frame: Frame, c: Ast.CallProc,
+      v: String, depth: Long, rel: Option[String]): Frame = {
+    val g = ctx.graph
+    val edges = rel.map(g.edgesByType).getOrElse(g.edges)
+    val seeds = frame.df.select(frame.col(v).getField("id").as("id"))
+      .filter(col("id").isNotNull).distinct()
+    val maxH = if (depth <= 0) 15 else math.min(depth, 15L).toInt
+    val reach = graft.graph.GraphOps.varLenExpand(seeds,
+      edges.select(col("src"), col("dst")), 0, maxH)
+    val o = reach.filter(col("hops") >= 1)
+      .select(col("start").as("__s"), col("node").as("__n"),
+        col("hops").as("__h"))
+    val e2 = edges.select(col("id").as("__eid"), col("src").as("__esrc"),
+      col("dst").as("__edst"), col("reltype").as("__erel"),
+      col("props").as("__eprops"))
+    val pr = reach.select(col("start").as("__ps"), col("node").as("__pn"),
+      col("hops").as("__ph"))
+    // one BFS tree edge per discovered node: its destination is the node,
+    // its source was discovered one level earlier (ties → min edge id)
+    val cand = o.join(e2, col("__edst") === col("__n"))
+      .join(pr, col("__ps") === col("__s") &&
+        col("__pn") === col("__esrc") && col("__ph") === col("__h") - 1)
+    val tree = cand.groupBy("__s", "__n", "__h").agg(
+      min_by(struct(col("__eid").as("id"), col("__esrc").as("src"),
+        col("__edst").as("dst"), col("__erel").as("reltype"),
+        col("__eprops").as("props")), col("__eid")).as("__te"))
+    val nd = g.nodes.select(col("id").as("__nid"),
+      struct(col("id"), col("label"), col("props")).as("__tn"))
+    val rows = tree.join(nd, col("__n") === col("__nid"))
+    val agg0 = rows.groupBy("__s").agg(collect_list(
+      struct(col("__h"), col("__n"), col("__tn"), col("__te"))).as("__all"))
+    val sortedAll = array_sort(col("__all"), (a, b) =>
+      when(a.getField("__h") < b.getField("__h"), -1)
+        .when(a.getField("__h") > b.getField("__h"), 1)
+        .when(a.getField("__n") < b.getField("__n"), -1)
+        .when(a.getField("__n") > b.getField("__n"), 1).otherwise(0))
+    val resDf = agg0.select(col("__s"),
+      transform(sortedAll, x => x.getField("__tn")).as("nodes"),
+      transform(sortedAll, x => x.getField("__te")).as("edges"))
+    val joined = frame.df.join(resDf,
+      frame.col(v).getField("id") === col("__s")).drop("__s")
+    val yielded = c.yields.map { case (n, a) =>
+      (n.toLowerCase, a.getOrElse(n)) }
+    yielded.foreach { case (n, _) =>
+      if (n != "nodes" && n != "edges") throw TranslateError(
+        s"algo.BFS yields nodes and edges, not `$n`") }
+    var df2 = joined
+    Seq("nodes", "edges").foreach { n =>
+      yielded.find(_._1 == n) match {
+        case Some((_, alias)) =>
+          if (alias != n) df2 = df2.withColumnRenamed(n, alias)
+        case None => df2 = df2.drop(n)
+      }
+    }
+    Frame(df2, frame.vars ++ yielded.map(_._2 -> (KValue: Kind)))
+  }
+
+  /** `shortestPath((a)-[*]->(b))` as a WITH/RETURN expression — the only
+    * position the REFERENCE supports it in (`shared/shortest_path.c`,
+    * test_shortest_path.py): resolves per input row through the shortest-
+    * path planner and left-joins the path back on a pinned row id (no
+    * route → null). Validation mirrors the reference: exactly one
+    * variable-length relationship, minimal length 0 or 1, no relationship
+    * property filters.
+    */
+  private def resolveShortestExprs(ctx: Ctx, frame: Frame,
+      exprs: Seq[Ast.Expr]): (Frame, Ast.Expr => Ast.Expr) = {
+    val found = scala.collection.mutable.LinkedHashMap[Ast.Expr, String]()
+    exprs.foreach(Ast.foreachExpr(_) {
+      case fn @ Ast.Fn("shortestpath", List(Ast.PatternPred(_)), _) =>
+        found.getOrElseUpdate(fn, freshName("spx")); ()
+      case _ => ()
+    })
+    if (found.isEmpty) return (frame, identity)
+    var f = frame
+    found.foreach { case (Ast.Fn(_, List(Ast.PatternPred(p)), _), tmp) =>
+      if (p.tail.size != 1 || p.tail.head._1.varLen.isEmpty)
+        throw TranslateError("shortestPath requires a path containing a " +
+          "single variable-length relationship")
+      if (p.tail.head._1.varLen.exists(_._1 > 1))
+        throw TranslateError("shortestPath does not support a minimal " +
+          "length different from 0 or 1")
+      if (p.tail.head._1.props.nonEmpty)
+        throw TranslateError(
+          "filters on relationships in shortestPath are not supported")
+      val rid = freshName("sprid")
+      val tagged = pinRid(ctx, f.df, rid)
+      // a right-to-left pattern normalizes to edge direction — the
+      // reference's path value runs source→target either way (test02:
+      // shortestPath((b)<-[*]-(a)) lists a's node first)
+      val pN = if (p.tail.head._1.direction == -1) reversePath(p) else p
+      val p2 = pN.copy(pathVar = Some(tmp), shortest = true)
+      val (matched, _) = translatePath(ctx, Frame(tagged, f.vars), p2)
+      val sel = matched.df.select(matched.col(rid).as("__sp_rid"),
+        matched.col(tmp).as(tmp))
+      val joined = tagged.join(sel, col(rid) === col("__sp_rid"),
+        "left_outer").drop("__sp_rid", rid)
+      f = Frame(joined, f.vars + (tmp -> (KPath: Kind)))
+    }
+    val rw = (e: Ast.Expr) => Ast.transformExpr(e) {
+      case fn: Ast.Fn if found.contains(fn) => Ast.Variable(found(fn))
+    }
+    (f, rw)
+  }
+
   private def resolvePatternComprehensions(ctx: Ctx, frame: Frame,
       exprs: Seq[Ast.Expr]): (Frame, Ast.Expr => Ast.Expr) = {
     val found =
@@ -1639,6 +2013,11 @@ object Translator {
         val kind = if (s.fieldNames.contains("reltype")) KEdge else KNode
         Frame(frame.df.withColumn(u.alias, explode(v)),
           frame.vars + (u.alias -> kind))
+      case ArrayType(s: StructType, _) if !isVariantStruct(s) =>
+        // typed-map array ([{a: 1}, {a: 2}]): elements bind as raw map
+        // structs — prop access and the map sort key read them natively
+        Frame(frame.df.withColumn(u.alias, explode(v)),
+          frame.vars + (u.alias -> (KValue: Kind)))
       case _ =>
         val tmp = freshName("ex")
         val df = frame.df
@@ -1863,10 +2242,14 @@ object Translator {
   private[cypher] def translateProjection(ctx: Ctx, frame0: Frame,
       proj0: Ast.Projection, where: Option[Ast.Expr],
       carryFlats: Boolean = false): Frame = {
-    // pattern comprehensions and degree calls resolve to joined columns
-    // before any projection math
-    val (framePc, pcRw) = resolvePatternComprehensions(ctx, frame0,
+    // shortestPath expressions, pattern comprehensions and degree calls
+    // resolve to joined columns before any projection math
+    val (frameSp, spRw) = resolveShortestExprs(ctx, frame0,
       proj0.items.map(_._1) ++ proj0.orderBy.map(_.expr))
+    val (framePc, pcRw0) = resolvePatternComprehensions(ctx, frameSp,
+      proj0.items.map(i => spRw(i._1)) ++
+        proj0.orderBy.map(si => spRw(si.expr)))
+    val pcRw = (e: Ast.Expr) => pcRw0(spRw(e))
     val (frame, degRw0) = resolveDegrees(ctx, framePc,
       proj0.items.map(i => pcRw(i._1)) ++
         proj0.orderBy.map(si => pcRw(si.expr)))
@@ -2123,6 +2506,11 @@ object Translator {
             x => x.getField("id"))).as("rids"))
       case Some(st: StructType) if st.fieldNames.contains("props") =>
         c.getField("id")
+      case Some(st: StructType) if !isVariantStruct(st) =>
+        // typed map value: canonical JSON (fields are in key order, see
+        // the MapLit case) — keys compare before values, matching the
+        // reference's map order on the tested surface (test_map.py test04)
+        to_json(c)
       case _ => Values.orderKey(c)
     }
   }
@@ -2419,7 +2807,10 @@ object Translator {
             // model — collect them as a raw typed array (TCK Return4 [11]
             // `head(collect({k: v})`)
             case Some(s: StructType) if isMapStruct(s) =>
-              if (distinct) collect_set(raw) else collect_list(raw)
+              // first-occurrence order, as the reference's Group_KeyGet
+              // dedup (collect_set loses arrival order entirely)
+              if (distinct) array_distinct(collect_list(raw))
+              else collect_list(raw)
             // entity/path-valued EXPRESSIONS (startNode(r), nodes(p)[0]):
             // same raw-struct collect as the Variable branch
             case Some(s: StructType) if s.fieldNames.contains("props") ||
@@ -2475,15 +2866,26 @@ object Translator {
                     else filter(vals, (e, i) =>
                       array_position(vals, e) === (i + 1).cast(LongType)))
                 case _ =>
+                  // first-occurrence-order dedup (test_distinct.py
+                  // collect_distinct: ['a','a',null,1,2,2,3,3,3] →
+                  // ['a',1,2,3]); collect order itself is partition
+                  // arrival order — deterministic for unit-row pipelines,
+                  // unspecified after a shuffle (documented divergence
+                  // from the single-threaded reference)
                   Values.vArr(
-                    if (distinct) collect_set(v) else collect_list(v))
+                    if (distinct) array_distinct(collect_list(v))
+                    else collect_list(v))
               }
           }
       }
+    // 0-or-1 values → 0.0, not null (`agg_funcs.c` StDevGenericFinalize:
+    // `count - is_sampled == 0` short-circuits to 0)
     case Ast.Fn("stdev", List(arg), _) =>
-      Values.vFloat(stddev_samp(Values.num(trExpr(ctx, frame, arg))))
+      Values.vFloat(coalesce(
+        stddev_samp(Values.num(trExpr(ctx, frame, arg))), lit(0.0)))
     case Ast.Fn("stdevp", List(arg), _) =>
-      Values.vFloat(stddev_pop(Values.num(trExpr(ctx, frame, arg))))
+      Values.vFloat(coalesce(
+        stddev_pop(Values.num(trExpr(ctx, frame, arg))), lit(0.0)))
     case Ast.Fn("percentiledisc", List(arg, p), _) =>
       // exact for group sizes < 2^31 (approx sketch degenerates to exact)
       val n = Values.num(trExpr(ctx, frame, arg))
@@ -2496,6 +2898,23 @@ object Translator {
       throw TranslateError(s"unsupported aggregate: $n")
     case other =>
       throw TranslateError(s"aggregate must be top-level, got: $other")
+  }
+
+  /** JSON text of a typed map-value struct (fields in canonical key
+    * order; nested maps recurse, variant values via [[Values.jsonOf]]).
+    */
+  private def mapStructJson(c: Column, st: StructType): Column = {
+    val parts = st.fields.filter(_.name != EmptyMapMarker).map { f =>
+      val v = c.getField(f.name)
+      val vj = f.dataType match {
+        case s2: StructType if isVariantStruct(s2) => Values.jsonOf(v)
+        case s2: StructType => mapStructJson(v, s2)
+        case _ => lit("null")
+      }
+      concat(lit("\"" + f.name.replace("\"", "\\\"") + "\": "), vj)
+    }
+    if (parts.isEmpty) lit("{}")
+    else concat(lit("{"), concat_ws(", ", parts.toSeq: _*), lit("}"))
   }
 
   /** Does the expression tree put a map literal inside a list literal
@@ -2595,10 +3014,14 @@ object Translator {
         if (astDepth(e) > Values.MaxNest) vBoxed(lit(litJson(e)))
         else constListLiteral(items)
       case Ast.ListLit(items)
-          if items.nonEmpty && items.forall(_.isInstanceOf[Ast.MapLit]) =>
+          if items.nonEmpty && items.forall(_.isInstanceOf[Ast.MapLit]) &&
+            items.map { case Ast.MapLit(es) => es.map(_._1).sorted }
+              .distinct.size == 1 =>
         // list of map literals: a raw typed array when the maps share a
-        // schema (heterogeneous key sets still raise at analysis — no
-        // single Catalyst element type exists)
+        // key set (MapLit canonicalizes field order, so same keys = same
+        // struct schema); heterogeneous key sets fall through to the
+        // generic path below, which boxes each map
+        // (test_map.py test04: UNWIND [{b: 1}, {a: 2}])
         array(items.map(t): _*)
       case Ast.ListLit(items) =>
         // runtime nesting past the schema floor still fails at
@@ -2637,10 +3060,15 @@ object Translator {
       case Ast.MapLit(entries) =>
         // map VALUES are typed structs (every literal's keys are static),
         // so nesting is arbitrary — unlike the fixed variant encoding.
-        // The marker field keeps `{}` representable (Spark structs need
-        // ≥1 field); decode/compare ignore it.
+        // Fields are CANONICALIZED to key order: same-key maps written in
+        // different orders share one struct schema (and one to_json
+        // rendering), so DISTINCT, equality and the map sort key are
+        // key-order-insensitive (test_map.py test04/05). The marker field
+        // keeps `{}` representable (Spark structs need ≥1 field);
+        // decode/compare ignore it.
         if (entries.isEmpty) struct(lit(true).as(EmptyMapMarker))
-        else struct(entries.map { case (k, v) => t(v).as(k) }: _*)
+        else struct(entries.sortBy(_._1)
+          .map { case (k, v) => t(v).as(k) }: _*)
 
       case Ast.Variable(n) =>
         frame.vars.get(n) match {
@@ -2779,7 +3207,16 @@ object Translator {
           case "AND" => and(t(l), t(r))
           case "<" | "<=" | ">" | ">=" =>
             val (a, b) = (t(l), t(r))
-            // entity/path/map-struct operands are not orderable → ternary
+            def mapStructOf(e: Ast.Expr, c: Column): Boolean =
+              typeOf(frame, e, c).exists {
+                case st: StructType =>
+                  !isVariantStruct(st) && isMapStruct(st)
+                case _ => false
+              }
+            // two MAP operands order by keys then values (the reference's
+            // SIValue_Compare on T_MAP, test_map.py test05) — canonical
+            // key-sorted JSON makes that a string comparison; other
+            // entity/path-struct operands are not orderable → ternary
             // null (SI_VALUES_ARE_COMPARABLE DISJOINT); lambda-binding
             // aware so comprehension bodies over entity lists hit it too
             val structOperand = Seq((l, a), (r, b)).exists { case (e, c) =>
@@ -2788,7 +3225,15 @@ object Translator {
                 case _ => false
               }
             }
-            if (structOperand) vNull
+            if (mapStructOf(l, a) && mapStructOf(r, b)) {
+              val (ja, jb) = (to_json(a), to_json(b))
+              vBool(op match {
+                case "<" => ja < jb
+                case "<=" => ja <= jb
+                case ">" => ja > jb
+                case ">=" => ja >= jb
+              })
+            } else if (structOperand) vNull
             else vBool(op match {
               case "<" => lt(a, b)
               case "<=" => lte(a, b)
@@ -2959,7 +3404,15 @@ object Translator {
                   "dynamic access to nested map values unsupported " +
                     s"(keys: ${nested.map(_.name).mkString(", ")}); " +
                     "use static access m.key")
-                val k = t(idx).getField("s")
+                // a non-string key is a type error (`map_funcs.c` checks
+                // T_STRING; test_map.py test06: map[0] raises), a null
+                // key nulls out
+                val kv = t(idx)
+                val k = when(kv.isNotNull &&
+                    Values.tag(kv) =!= Values.T_STRING,
+                  raise_error(lit("Type mismatch: map key must be a " +
+                    "string")).cast(StringType))
+                  .otherwise(kv.getField("s"))
                 fields.foldLeft(vNull) { (acc, f) =>
                   when(k === f.name, tc.getField(f.name)).otherwise(acc)
                 }
@@ -3434,6 +3887,16 @@ object Translator {
           }
         case _: Ast.Subscript =>
           vBool(t(fn.args.head).isNotNull)
+        case Ast.Variable(n) if frame.has(n) =>
+          // bare variable: non-nullness (the reference accepts any
+          // expression — EXISTS(b) over an OPTIONAL MATCH miss is false,
+          // test_optional_match.py test16; computed expressions like
+          // exists(n.num + 1) stay compile errors per TCK Graph9 [6])
+          vBool(frame.col(n).isNotNull)
+        case Ast.LitNull => vBool(lit(false)) // EXISTS(null) = false
+        case Ast.LitInt(_) | Ast.LitFloat(_) | Ast.LitString(_) |
+            Ast.LitBool(_) =>
+          vBool(lit(true)) // EXISTS(<literal>) = true (test_function_calls)
         case other => throw TranslateError(
           s"InvalidArgumentExpression: exists() expects a property " +
             s"access or pattern, got: $other")
@@ -3647,34 +4110,71 @@ object Translator {
               "cannot convert a list, map, or entity")).cast(StringType)))
           .otherwise(vStr(render(v)))
       case "tojson" =>
-        // `src/util/json_encoder.c`: entities render as typed objects
-        // ("start"/"end" carry the endpoint ids; the reference inlines the
-        // full endpoint nodes, which here would need a join)
+        // `src/util/json_encoder.c`: entities render as typed objects;
+        // relationship "start"/"end" inline the FULL endpoint nodes —
+        // resolved from the path's own node array or any bound node
+        // variable holding that id (the startNode() hydration trick),
+        // falling back to an id-only stub when neither has it
+        def labelsArr(e: Column): Column = concat(lit("\"labels\": ["),
+          when(e.getField("label").isNull, lit(""))
+            .otherwise(array_join(transform(split(e.getField("label"), ":"),
+              x => Values.jsonStr(x)), ", ")), lit("]"))
+        def nodeJson(e: Column, typed: Boolean): Column = concat(
+          lit(if (typed) "{\"type\": \"node\", \"id\": " else "{\"id\": "),
+          e.getField("id").cast(StringType), lit(", "), labelsArr(e),
+          lit(", "), Values.propsJson(e.getField("props")), lit("}"))
+        def resolveNode(idc: Column, pathNodes: Option[Column]): Column = {
+          val stub = struct(idc.as("id"),
+            lit(null).cast(StringType).as("label"),
+            lit(null).cast(Values.propsType).as("props"))
+          val fromVars = frame.vars.toSeq.sortBy(_._1).collect {
+            case (nv, KNode) => frame.col(nv)
+          }.foldLeft(stub) { (acc, nc) =>
+            when(nc.getField("id") === idc, struct(
+              nc.getField("id").as("id"), nc.getField("label").as("label"),
+              nc.getField("props").as("props"))).otherwise(acc)
+          }
+          pathNodes.map(arr => coalesce(element_at(
+            filter(arr, n => n.getField("id") === idc), 1), fromVars))
+            .getOrElse(fromVars)
+        }
+        def edgeJson(e: Column, pathNodes: Option[Column]): Column = concat(
+          lit("{\"type\": \"relationship\", \"id\": "),
+          e.getField("id").cast(StringType),
+          lit(", \"relationship\": "), Values.jsonStr(e.getField("reltype")),
+          lit(", "), Values.propsJson(e.getField("props")),
+          lit(", \"start\": "),
+          nodeJson(resolveNode(e.getField("src"), pathNodes), typed = false),
+          lit(", \"end\": "),
+          nodeJson(resolveNode(e.getField("dst"), pathNodes), typed = false),
+          lit("}"))
+        def pathJson(p: Column): Column = {
+          val nodes = p.getField("nodes")
+          val nj = transform(nodes, n => nodeJson(n, typed = true))
+          val rj = transform(p.getField("rels"),
+            r => edgeJson(r, Some(nodes)))
+          // interleave: n0, r0, n1, r1, …, nk
+          val tailPairs = zip_with(rj,
+            slice(nj, lit(2), greatest(size(nj) - 1, lit(0))),
+            (r, n) => concat(r, lit(", "), n))
+          when(p.isNull, lit(null).cast(StringType))
+            .otherwise(concat(lit("["), concat_ws(", ",
+              concat(array(element_at(nj, 1)), tailPairs)), lit("]")))
+        }
         fn.args.head match {
           case Ast.Variable(nv) if frame.vars.get(nv).contains(KNode) =>
-            val e = frame.col(nv)
-            vStr(concat(
-              lit("{\"type\": \"node\", \"id\": "),
-              e.getField("id").cast(StringType),
-              lit(", \"labels\": ["),
-              when(e.getField("label").isNull, lit(""))
-                .otherwise(array_join(transform(
-                  split(e.getField("label"), ":"),
-                  x => Values.jsonStr(x)), ", ")),
-              lit("], "), Values.propsJson(e.getField("props")), lit("}")))
+            vStr(nodeJson(frame.col(nv), typed = true))
           case Ast.Variable(nv) if frame.vars.get(nv).contains(KEdge) =>
-            val e = frame.col(nv)
-            vStr(concat(
-              lit("{\"type\": \"relationship\", \"id\": "),
-              e.getField("id").cast(StringType),
-              lit(", \"relationship\": "),
-              Values.jsonStr(e.getField("reltype")),
-              lit(", "), Values.propsJson(e.getField("props")),
-              lit(", \"start\": {\"id\": "),
-              e.getField("src").cast(StringType),
-              lit("}, \"end\": {\"id\": "),
-              e.getField("dst").cast(StringType), lit("}}")))
-          case a => vStr(Values.jsonOf(t(a)))
+            vStr(edgeJson(frame.col(nv), None))
+          case a =>
+            val c = t(a)
+            typeOf(frame, a, c) match {
+              case Some(st: StructType)
+                  if st.fieldNames.contains("nodes") => vStr(pathJson(c))
+              case Some(st: StructType) if !isVariantStruct(st) &&
+                  isMapStruct(st) => vStr(mapStructJson(c, st))
+              case _ => vStr(Values.jsonOf(c))
+            }
         }
 
       // numeric (`numeric_funcs.c:144-203`)
@@ -3755,13 +4255,15 @@ object Translator {
                 greatest(size(v.getField("arr")) - 1, lit(0)))))
         }
       case "range" =>
-        // non-integer arguments are an ArgumentError (`list_funcs.c` range
-        // validates INT64), checked per-row before the sequence
+        // non-integer arguments — INCLUDING null — are an ArgumentError
+        // (`list_funcs.c` range validates INT64 and its type mask has no
+        // T_NULL; test_list.py test03 expects `range(NULL, 5)` to error),
+        // checked per-row before the sequence
         def intArg(e: Ast.Expr, what: String): Column = {
           val v = t(e)
-          when(v.isNotNull && Values.tag(v) =!= Values.T_INT,
+          when(v.isNull || Values.tag(v) =!= Values.T_INT,
             raise_error(concat(lit(s"range(): $what must be an integer, got "),
-              Values.render(v))).cast(LongType))
+              coalesce(Values.render(v), lit("null")))).cast(LongType))
             .otherwise(v.getField("i"))
         }
         val from = intArg(fn.args.head, "start")

@@ -110,14 +110,21 @@ object Validate {
     }
 
     def checkProjection(pr: Projection, isReturn: Boolean): Unit = {
-      // duplicate output names (Return4 [10] ColumnNameConflict)
-      val names = pr.items.flatMap {
+      // duplicate output names (Return4 [10] ColumnNameConflict). RETURN
+      // may repeat the SAME expression under one name — the reference
+      // emits the column twice (test_results.py test08: `RETURN
+      // max(a.val), max(a.val)`); only DIFFERENT expressions conflict.
+      // WITH stays strict either way: its outputs become frame variables,
+      // which cannot be ambiguous.
+      val named = pr.items.flatMap {
         case (Variable("*"), _) => None
-        case (Variable(v), alias) => Some(alias.getOrElse(v))
-        case (_, alias) => alias
+        case (e @ Variable(v), alias) => Some((alias.getOrElse(v), e))
+        case (e, Some(a)) => Some((a, e))
+        case _ => None
       }
-      names.groupBy(identity).collectFirst {
-        case (n, xs) if xs.size > 1 => n
+      named.groupBy(_._1).collectFirst {
+        case (n, xs) if xs.size > 1 &&
+          (!isReturn || xs.map(_._2).distinct.size > 1) => n
       }.foreach(n => fail(
         s"ColumnNameConflict: multiple result columns named '$n'"))
       // non-deterministic functions inside aggregates (Return6 [15])
@@ -129,6 +136,10 @@ object Validate {
             case Fn("rand" | "randomuuid", _, _) => fail(
               "NonConstantExpression: non-deterministic function inside " +
                 "an aggregate")
+            // nested aggregation (ast_validations.c — the reference's
+            // exact message, test_function_calls.py test01)
+            case Fn(inner, _, _) if aggNames(inner) => fail(
+              "Can't use aggregate functions inside of aggregate functions")
             case _ => ()
           })
         case _ => ()

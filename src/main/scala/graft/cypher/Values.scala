@@ -531,13 +531,18 @@ object Values {
   }
 
   def add(a: Column, b: Column): Column = {
-    val bothStr = tag(a) === T_STRING && tag(b) === T_STRING
+    val anyStr = tag(a) === T_STRING || tag(b) === T_STRING
     val anyArr = tag(a) === T_ARRAY || tag(b) === T_ARRAY
+    // `+` with a string on either side stringifies the other operand
+    // (value.c SIValue_Add → SIValue_ConcatString; `map.val + '_'` = "5_",
+    // test_map.py test03) — list concat wins when a list is also present
+    def asStr(v: Column): Column =
+      when(tag(v) === T_STRING, v.getField("s")).otherwise(render(v))
     when(a.isNull || b.isNull, vNull)
-      .when(bothStr, vStr(concat(a.getField("s"), b.getField("s"))))
       .when(anyArr, vArr(concat(
         when(tag(a) === T_ARRAY, a.getField("arr")).otherwise(array(narrow(a))),
         when(tag(b) === T_ARRAY, b.getField("arr")).otherwise(array(narrow(b))))))
+      .when(anyStr, vStr(concat(asStr(a), asStr(b))))
       .otherwise(arith(a, b, _ + _, _ + _))
   }
   def sub(a: Column, b: Column): Column = arith(a, b, _ - _, _ - _)

@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, FullOuter, Inner, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -140,10 +141,18 @@ object ExtractPushdownRule extends Rule[LogicalPlan] {
       }
     case f @ Filter(_, c) =>
       pushInto(c, a, g).map { case (c2, attr) => (f.copy(child = c2), attr) }
-    case j @ Join(l, r, _, _, _) =>
-      if (l.outputSet.contains(a))
+    case j @ Join(l, r, jt, _, _) =>
+      // only descend into a side whose rows the join PRESERVES: pushing
+      // into the null-extended side of an outer join would surface an
+      // attribute whose (non-nullable) child schema is wrong above the
+      // join — null guards over it then fold away and the outer rows
+      // evaluate the relocated extraction on nulled inputs (a null path's
+      // length(p) materialized as a non-null variant with a null payload)
+      val leftSafe = jt != RightOuter && jt != FullOuter
+      val rightSafe = jt == Inner || jt == Cross || jt == RightOuter
+      if (l.outputSet.contains(a) && leftSafe)
         pushInto(l, a, g).map { case (l2, attr) => (j.copy(left = l2), attr) }
-      else if (r.outputSet.contains(a))
+      else if (r.outputSet.contains(a) && rightSafe)
         pushInto(r, a, g).map { case (r2, attr) => (j.copy(right = r2), attr) }
       else None
     case _ => None

@@ -92,6 +92,7 @@ class PlanRenderSpec extends AnyFunSuite {
     assert(plain == List(
       "Results",
       "Merge | (a:N)",
+      "Filter", // the {x: 1} pattern prop (reference scans carry no props)
       "Node By Label Scan | (a:N)",
       "MergeCreate | (a:N)"), plain.mkString("\n"))
     // bound-variable merge: bound stream first, match stream taps the
@@ -118,6 +119,7 @@ class PlanRenderSpec extends AnyFunSuite {
     assert(upd == List(
       "Results",
       "Update",
+      "Filter", // the {x: 1} pattern prop
       "Node By Label Scan | (a:N)"), upd.mkString("\n"))
     val create = ops(g, "MATCH (a:N) CREATE (a)-[:R2]->(:M)")
     assert(create == List(
