@@ -751,10 +751,19 @@ private[cypher] final class MutationRunner(session: CypherSession) {
     val edgeIdDfs = scala.collection.mutable.ArrayBuffer[DataFrame]()
     def addVariant(vc: Column): Unit = {
       // runtime dispatch: boxed node / boxed edge / boxed path / null.
-      // Non-entity runtime values are silently no-ops (the static
-      // non-variant case below still rejects obvious non-entities).
+      // A non-null non-entity value raises like the reference
+      // ("Delete type mismatch", test_graph_deletion.py test11); nulls
+      // stay no-ops (test_null_handling test04 / TCK Delete5)
       val js = when(Values.tag(vc) === Values.T_BOXED, vc.getField("s"))
       val t = get_json_object(js, "$.t")
+      val isEntity = Values.tag(vc) === Values.T_BOXED &&
+        (t === Values.T_NODE.toString || t === Values.T_EDGE.toString ||
+          (t.isNull && get_json_object(js, "$.nodes").isNotNull))
+      nodeIdDfs += frame.df
+        .select(when(vc.isNotNull && !isEntity,
+          raise_error(lit("Delete type mismatch: expected a node or " +
+            "relationship")).cast(LongType)).as("id"))
+        .filter(col("id").isNotNull)
       nodeIdDfs += frame.df
         .select(js.as("js"), t.as("t"))
         .filter(col("t") === Values.T_NODE.toString)
@@ -836,7 +845,26 @@ private[cypher] final class MutationRunner(session: CypherSession) {
           edgeIdDfs += frame.df
             .select(explode(frame.col(n)).as("x"))
             .select(col("x.id").as("id")).filter(col("id").isNotNull)
-        case Some(KValue) => addVariant(frame.col(n))
+        case Some(KValue) =>
+          // a KValue variable may carry a RAW entity/path struct (a
+          // projected nodes(p)[0] / relationships(p)[0], test13) rather
+          // than a variant — dispatch on the actual column type
+          val vc = frame.col(n)
+          frame.df.select(vc).schema.head.dataType match {
+            case st: StructType if st.fieldNames.contains("nodes") =>
+              nodeIdDfs += frame.df
+                .select(explode(vc.getField("nodes")).as("x"))
+                .select(col("x.id").as("id")).filter(col("id").isNotNull)
+              edgeIdDfs += frame.df
+                .select(explode(vc.getField("rels")).as("x"))
+                .select(col("x.id").as("id")).filter(col("id").isNotNull)
+            case st: StructType if st.fieldNames.contains("props") =>
+              val dst = if (st.fieldNames.contains("reltype")) edgeIdDfs
+                else nodeIdDfs
+              dst += frame.df.select(vc.getField("id").as("id"))
+                .filter(col("id").isNotNull)
+            case _ => addVariant(vc)
+          }
         case _ => throw TranslateError(s"DELETE target must be an entity: $n")
       }
       case other => addExpr(other)
