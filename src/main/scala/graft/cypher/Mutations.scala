@@ -115,16 +115,26 @@ private[cypher] final class MutationRunner(session: CypherSession) {
       acc = scala.collection.mutable.ListBuffer()
       created = Set.empty
     }
-    def propRefs(p: Ast.PathPat): Set[String] = {
+    def refsWith(p: Ast.PathPat)(
+        collect: PartialFunction[Ast.Expr, String]): Set[String] = {
       val refs = scala.collection.mutable.Set[String]()
-      def scan(e: Ast.Expr): Unit = Ast.foreachExpr(e) {
-        case Ast.Variable(n) => refs += n
-        case _ => ()
+      def scan(e: Ast.Expr): Unit = Ast.foreachExpr(e) { x =>
+        if (collect.isDefinedAt(x)) refs += collect(x)
       }
       (p.head.props ++ p.tail.flatMap { case (r, n) => r.props ++ n.props })
         .foreach(kv => scan(kv._2))
       refs.toSet
     }
+    // only `x.prop` READS of an entity raise — other references to a
+    // same-clause created entity (id(x), the bare variable) are not the
+    // reference's "undefined property" surface (test_graph_create.py
+    // test05 covers property reads only)
+    def propRefs(p: Ast.PathPat): Set[String] =
+      refsWith(p) { case Ast.Prop(Ast.Variable(n), _) => n }
+    // ANY reference to an entity created by an earlier clause in the
+    // merged run (incl. id(x)) must flush so the entity materializes first
+    def varRefs(p: Ast.PathPat): Set[String] =
+      refsWith(p) { case Ast.Variable(n) => n }
     def boundVars(p: Ast.PathPat): Set[String] =
       ((p.head :: p.tail.map(_._2)).flatMap(_.variable) ++
         p.tail.flatMap(_._1.variable)).toSet
@@ -158,7 +168,7 @@ private[cypher] final class MutationRunner(session: CypherSession) {
           if (sameClause.nonEmpty) throw TranslateError(
             s"undefined property: ${sameClause.head} is created by this " +
               "clause and has no committed properties yet")
-          if (propRefs(p).intersect(created).nonEmpty) flush()
+          if (varRefs(p).intersect(created).nonEmpty) flush()
           acc += p
           created ++= boundVars(p)
         }
@@ -305,13 +315,22 @@ private[cypher] final class MutationRunner(session: CypherSession) {
       }
     val (pn, pe) = planPending(
       frame.vars.filter(_._2 != KValue).keySet, paths)
-    // a property expression may not read an entity created by this same
-    // CREATE — its properties are not committed yet (the reference errors
-    // with "undefined property", test_graph_create.py test05)
+    // a property expression may not read a PROPERTY of an entity created
+    // by this same CREATE — its properties are not committed yet (the
+    // reference errors with "undefined property", test_graph_create.py
+    // test05). Only `x.prop` reads raise; other references to the
+    // same-clause entity (id(x), the variable itself) are not the error
+    // surface the reference tests.
     val pendingNames = (pn.map(_.name) ++ pe.map(_.name)).toSet
+    def pendingPropReads(x: Any): Set[String] = x match {
+      case Ast.Prop(Ast.Variable(v), _) if pendingNames(v) => Set(v)
+      case p: Product => p.productIterator.flatMap(pendingPropReads).toSet
+      case l: Iterable[_] => l.flatMap(pendingPropReads).toSet
+      case _ => Set.empty
+    }
     (pn.flatMap(_.pat.props) ++ pe.flatMap(_.rel.props)).foreach {
       case (_, e) =>
-        val bad = referencedVars(e).intersect(pendingNames)
+        val bad = pendingPropReads(e)
         if (bad.nonEmpty) throw TranslateError(
           s"undefined property: ${bad.head} is created by this clause")
     }

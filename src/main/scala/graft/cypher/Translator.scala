@@ -807,7 +807,8 @@ object Translator {
     if (p.shortest)
       require(p.tail.size == 1 && p.tail.head._1.varLen.isDefined,
         "shortestPath needs a single variable-length relationship pattern")
-    var f = bindNode(ctx, frame, p.head)
+    var f = bindNode(ctx, frame, p.head,
+      passThrough = p.tail.isEmpty && p.pathVar.isEmpty && !p.shortest)
     val startName = p.head.variable.getOrElse(nameOf(p.head))
     // shortestPath keeps ONE path per (input row, endpoint pair) — stamp a
     // per-row key BEFORE expansion multiplies rows, so other bound variables
@@ -1122,7 +1123,8 @@ object Translator {
       .otherwise(Values.vBoxed(js))
   }
 
-  private def bindNode(ctx: Ctx, frame0: Frame, np: Ast.NodePat): Frame = {
+  private def bindNode(ctx: Ctx, frame0: Frame, np: Ast.NodePat,
+      passThrough: Boolean = false): Frame = {
     val name = nameOf(np)
     var frame = frame0
     frame0.vars.get(name).foreach {
@@ -1138,7 +1140,13 @@ object Translator {
         // any traversal or predicate over it matches nothing
         // (test_null_handling.py test07; rebound as a typed COLUMN, not a
         // binding — path assembly must see the node struct type).
-        if (!dataTypeOf(frame0, frame0.col(name)).exists(dt => dt match {
+        // An ISOLATED bare pattern (no chain/label/props/path var) needs
+        // no node struct at all — the reference's no-op rebind is a pure
+        // pass-through there, so a non-entity value survives intact
+        // (`WITH 5 AS a MATCH (a) RETURN a` → [5], not [null]).
+        val pureNoOp = passThrough && np.label.isEmpty && np.props.isEmpty
+        if (!pureNoOp &&
+          !dataTypeOf(frame0, frame0.col(name)).exists(dt => dt match {
           case s: StructType =>
             s.fieldNames.contains("id") && s.fieldNames.contains("props")
           case _ => false
@@ -2507,10 +2515,9 @@ object Translator {
       case Some(st: StructType) if st.fieldNames.contains("props") =>
         c.getField("id")
       case Some(st: StructType) if !isVariantStruct(st) =>
-        // typed map value: canonical JSON (fields are in key order, see
-        // the MapLit case) — keys compare before values, matching the
-        // reference's map order on the tested surface (test_map.py test04)
-        to_json(c)
+        // typed map value: Map_Compare key — key count, then keys, then
+        // values semantically (map.c:208, test_map.py test04/05)
+        if (isMapStruct(st)) mapOrderKey(c, st) else to_json(c)
       case _ => Values.orderKey(c)
     }
   }
@@ -2905,16 +2912,74 @@ object Translator {
     */
   private def mapStructJson(c: Column, st: StructType): Column = {
     val parts = st.fields.filter(_.name != EmptyMapMarker).map { f =>
-      val v = c.getField(f.name)
-      val vj = f.dataType match {
-        case s2: StructType if isVariantStruct(s2) => Values.jsonOf(v)
-        case s2: StructType => mapStructJson(v, s2)
-        case _ => lit("null")
-      }
-      concat(lit("\"" + f.name.replace("\"", "\\\"") + "\": "), vj)
+      concat(lit("\"" + f.name.replace("\"", "\\\"") + "\": "),
+        mapFieldJson(c.getField(f.name), f.dataType))
     }
     if (parts.isEmpty) lit("{}")
     else concat(lit("{"), concat_ws(", ", parts.toSeq: _*), lit("}"))
+  }
+
+  /** JSON text of one typed map-struct field value: variants via
+    * [[Values.jsonOf]], nested maps/entities recurse, typed arrays (the
+    * list-of-map-literals fast path) render per element, raw primitives
+    * directly — so `toJSON({a: [{b: 1}]})` emits the list, not null.
+    */
+  private def mapFieldJson(v: Column, dt: DataType): Column = dt match {
+    case s2: StructType if isVariantStruct(s2) => Values.jsonOf(v)
+    case s2: StructType => mapStructJson(v, s2)
+    case ArrayType(et, _) =>
+      when(v.isNull, lit("null")).otherwise(concat(lit("["),
+        concat_ws(", ", transform(v, x => mapFieldJson(x, et))), lit("]")))
+    case StringType =>
+      when(v.isNull, lit("null")).otherwise(Values.jsonStr(v))
+    case BooleanType | _: NumericType =>
+      when(v.isNull, lit("null")).otherwise(v.cast(StringType))
+    case _ => lit("null")
+  }
+
+  /** Comparison/sort key for a typed map-value struct, matching the
+    * reference's Map_Compare (`src/datatypes/map.c:208-246`): key COUNT
+    * first, then sorted keys element-wise, then values SEMANTICALLY
+    * (numeric-aware, so `{a: 2} < {a: 10}` — not the JSON-lexicographic
+    * order a string compare gives). Spark's field-wise struct ordering
+    * over (n, k, v) reproduces that exactly, and the key is ONE fixed
+    * Catalyst type for every map schema, so maps of different shapes
+    * still compare. Nested-map values key on (map rank 0, key count,
+    * canonical JSON) — count-first one level down.
+    */
+  private def mapOrderKey(c: Column, st: StructType): Column = {
+    val fields = st.fields.filter(_.name != EmptyMapMarker)
+    val vals: Seq[Column] = fields.toSeq.map { f =>
+      val v = c.getField(f.name)
+      f.dataType match {
+        case s2: StructType if isVariantStruct(s2) => Values.orderKey(v)
+        case s2: StructType if isMapStruct(s2) =>
+          Values.rawOrderKey(lit(0),
+            lit(s2.fields.count(_.name != EmptyMapMarker).toDouble),
+            mapStructJson(v, s2))
+        case s2: StructType if s2.fieldNames.contains("props") =>
+          Values.rawOrderKey(
+            lit(if (s2.fieldNames.contains("reltype")) 2 else 1),
+            v.getField("id").cast(DoubleType), lit(null).cast(StringType))
+        case at: ArrayType =>
+          Values.rawOrderKey(lit(3), lit(null).cast(DoubleType),
+            mapFieldJson(v, at))
+        case StringType =>
+          Values.rawOrderKey(lit(11), lit(null).cast(DoubleType), v)
+        case BooleanType =>
+          Values.rawOrderKey(lit(12), v.cast(DoubleType),
+            lit(null).cast(StringType))
+        case _ =>
+          Values.rawOrderKey(lit(13), v.cast(DoubleType),
+            lit(null).cast(StringType))
+      }
+    }
+    struct(
+      lit(fields.length).as("n"),
+      (if (fields.isEmpty) array().cast(ArrayType(StringType))
+      else array(fields.toSeq.map(f => lit(f.name)): _*)).as("k"),
+      (if (vals.isEmpty) array().cast(ArrayType(Values.topKeyType))
+      else array(vals: _*)).as("v"))
   }
 
   /** Does the expression tree put a map literal inside a list literal
@@ -3207,15 +3272,14 @@ object Translator {
           case "AND" => and(t(l), t(r))
           case "<" | "<=" | ">" | ">=" =>
             val (a, b) = (t(l), t(r))
-            def mapStructOf(e: Ast.Expr, c: Column): Boolean =
-              typeOf(frame, e, c).exists {
-                case st: StructType =>
-                  !isVariantStruct(st) && isMapStruct(st)
-                case _ => false
+            def mapStructOf(e: Ast.Expr, c: Column): Option[StructType] =
+              typeOf(frame, e, c).collect {
+                case st: StructType
+                    if !isVariantStruct(st) && isMapStruct(st) => st
               }
-            // two MAP operands order by keys then values (the reference's
-            // SIValue_Compare on T_MAP, test_map.py test05) — canonical
-            // key-sorted JSON makes that a string comparison; other
+            // two MAP operands order key-count-first, then keys, then
+            // values semantically (the reference's Map_Compare,
+            // map.c:208, test_map.py test05) via [[mapOrderKey]]; other
             // entity/path-struct operands are not orderable → ternary
             // null (SI_VALUES_ARE_COMPARABLE DISJOINT); lambda-binding
             // aware so comprehension bodies over entity lists hit it too
@@ -3225,21 +3289,23 @@ object Translator {
                 case _ => false
               }
             }
-            if (mapStructOf(l, a) && mapStructOf(r, b)) {
-              val (ja, jb) = (to_json(a), to_json(b))
-              vBool(op match {
-                case "<" => ja < jb
-                case "<=" => ja <= jb
-                case ">" => ja > jb
-                case ">=" => ja >= jb
+            (mapStructOf(l, a), mapStructOf(r, b)) match {
+              case (Some(sa), Some(sb)) =>
+                val (ja, jb) = (mapOrderKey(a, sa), mapOrderKey(b, sb))
+                vBool(op match {
+                  case "<" => ja < jb
+                  case "<=" => ja <= jb
+                  case ">" => ja > jb
+                  case ">=" => ja >= jb
+                })
+              case _ if structOperand => vNull
+              case _ => vBool(op match {
+                case "<" => lt(a, b)
+                case "<=" => lte(a, b)
+                case ">" => gt(a, b)
+                case ">=" => gte(a, b)
               })
-            } else if (structOperand) vNull
-            else vBool(op match {
-              case "<" => lt(a, b)
-              case "<=" => lte(a, b)
-              case ">" => gt(a, b)
-              case ">=" => gte(a, b)
-            })
+            }
           case "+" =>
             // typed entity/path arrays (collect(n), nodes(p)) concatenate
             // with variant lists — box their elements into the variant

@@ -505,6 +505,21 @@ object Values {
     when(v.isNull, lit(null).cast(keyType(MaxNest)))
       .otherwise(orderKeyAt(v, MaxNest))
 
+  /** Catalyst type of the full-depth [[orderKey]] struct — for casting
+    * empty arrays so both sides of a comparison share one schema.
+    */
+  private[cypher] val topKeyType: StructType = keyType(MaxNest)
+
+  /** An [[orderKey]]-shaped entry built from raw components (type rank,
+    * numeric magnitude, string tiebreak) — for typed map-struct values
+    * that are not variants (nested maps, typed arrays/entities), so the
+    * map comparison key (Translator.mapOrderKey) stays one fixed type.
+    */
+  private[cypher] def rawOrderKey(r: Column, n: Column, s: Column): Column =
+    struct(r.as("r"), n.as("n"), s.as("s"),
+      lit(null).cast(BooleanType).as("b"),
+      lit(null).cast(ArrayType(keyType(MaxNest - 1))).as("a"))
+
   // ── ternary boolean ops ───────────────────────────────────────────────────
   /** Extract SQL boolean (null-preserving); non-bool variants → null. */
   def boolOf(v: Column): Column =

@@ -61,6 +61,17 @@ class FlowParity2Spec extends AnyFunSuite {
     // test07: scans/traversals on a bound null input
     assert(rows("fp_null", "WITH NULL AS a MATCH (a) RETURN a") ==
       Seq(Map("a" -> null)))
+    // the isolated bare rebind is a pure pass-through (the reference's
+    // no-op re-match) — a DYNAMIC non-entity value survives intact, while
+    // a traversal over it still matches nothing. (A statically-literal
+    // bind `WITH 5 AS a MATCH (a)` raises VariableTypeConflict at compile
+    // time instead — promoted TCK Match1 [11].)
+    assert(rows("fp_null", "WITH abs(5) AS a MATCH (a) RETURN a") ==
+      Seq(Map("a" -> 5L)))
+    assert(rows("fp_null",
+      "WITH abs(5) AS a MATCH (a)-[e]->(b) RETURN a, e, b").isEmpty)
+    intercept[Exception](
+      rows("fp_null", "WITH 5 AS a MATCH (a) RETURN a"))
     val q7b = "WITH NULL AS a MATCH (a)-[e]->(b) RETURN a, e, b"
     val p7b = plan("fp_null", q7b)
     assert(!p7b.contains("Scan"), p7b)
@@ -225,6 +236,10 @@ class FlowParity2Spec extends AnyFunSuite {
       rows("fp_gc", "CREATE (a {val: 2}), (b {val: a.val})"))
     assert(e5.getMessage.toLowerCase.contains("undefined"),
       e5.getMessage)
+    // ...but only PROPERTY reads raise — a non-property reference to the
+    // same-clause entity (id(a)) is legal and sees the assigned id
+    val r5b = rows("fp_gc", "CREATE (a), (b {x: id(a)}) RETURN id(a) = b.x")
+    assert(r5b.head.values.head == true, r5b.toString)
     // test06: volatile values project after entity creation
     val r6 = rows("fp_gc",
       "MATCH ()-[e*]->() CREATE (:L) WITH e RETURN 5")

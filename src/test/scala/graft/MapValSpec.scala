@@ -28,6 +28,36 @@ class MapValSpec extends AnyFunSuite {
       "ne1" -> true)))
   }
 
+  test("map comparison is semantic: key count, then keys, then values") {
+    // Map_Compare (map.c:208): numeric-aware value order — {a: 2} < {a: 10}
+    // (JSON-lexicographic string order would say false)
+    val r = rows(
+      """WITH {a: 2} AS m1, {a: 10} AS m2, {a: 1} AS s1,
+        |{a: 1, b: 2} AS big, {b: 2} AS kb
+        |RETURN m1 < m2 AS lt, m1 > m2 AS gt,
+        |s1 < big AS cnt, big < kb AS cnt2,
+        |kb > s1 AS keyOrd""".stripMargin)
+    assert(r == Seq(Map(
+      "lt" -> true, "gt" -> false,
+      // 1 key < 2 keys regardless of key/value content
+      "cnt" -> true, "cnt2" -> false,
+      // same count: key 'b' > key 'a' decides before values
+      "keyOrd" -> true)))
+  }
+
+  test("ORDER BY on map column uses semantic value order") {
+    val r = rows(
+      """WITH [1, 2, 10] AS xs UNWIND xs AS x
+        |WITH {a: x} AS m ORDER BY m DESC
+        |RETURN m.a AS a""".stripMargin)
+    assert(r.map(_("a")) == Seq(10L, 2L, 1L))
+  }
+
+  test("toJSON of a map holding a typed list-of-maps renders the list") {
+    val r = rows("""RETURN toJSON({a: [{b: 1}], s: 'x'}) AS j""")
+    assert(r.head("j") == """{"a": [{"b": 1}], "s": "x"}""")
+  }
+
   test("WITH-forwarded map; missing key is NULL; IS NULL on maps") {
     val r = rows(
       """WITH {name: 'Mats', sub: {x: 1}} AS map
