@@ -85,8 +85,7 @@ object Bench {
       else try {
         val dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "target/sf10")
         val tGen0 = System.nanoTime()
-        if (!new java.io.File(s"$dir/lineitem.parquet").exists())
-          ScaleData.generate(spark, sfDir, dir, Sf10Copies)
+        ScaleData.ensure(spark, sfDir, dir, Sf10Copies)
         val genSec = (System.nanoTime() - tGen0) / 1e9
         // graph + statistics for the sf10 store are load time, not query
         // time (the data-at-rest the section queries)
@@ -129,70 +128,13 @@ object Bench {
       }
     // scrub the sf10 section's leftovers before anything else is measured
     isolate()
-
-    // Materialize the stored property graph + its statistics for the bench SF
-    // outside the timed region: the graph is the engine's data-at-rest (like
-    // the testdata parquet itself); building it is load time, not query time.
-    try {
-      val g = graft.graph.GraphBuilder.tpchStored(spark, sfDir)
-      g.labelCounts; g.reltypeCounts
-    } catch { case _: Throwable => () }
-    // Warm-up at the bench SF: pays class-load/JIT/codegen compilation.
-    // Two passes — the first triggers janino compilation and C1, the
-    // second gets C2-compiled hot loops, so the timed cold runs measure
-    // plan + data costs (what a long-lived cluster pays per query), not
-    // first-invocation JIT artifacts. Plan caches are cleared between
-    // passes so the second pass re-executes real plans.
-    (1 to 2).foreach { _ =>
-      SparkEntry.clearPlanCache(spark)
-      headline.foreach { name =>
-        try SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-      }
-    }
-    val failedQueries = scala.collection.mutable.LinkedHashSet[String]()
-    def timed(name: String): Double = {
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        // a failed query must not masquerade as a timing — record it
-        failedQueries += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      (System.nanoTime() - t0) / 1e9
-    }
-    // Each query runs COLD_RUNS isolated cold times and reports the MEDIAN
-    // plus min/max spread — one cold sample per round made regression vs
-    // machine noise unadjudicable (r4→r5 showed 15-64% phantom swings on
-    // untouched code). `warm` is the immediate re-invocation with the
-    // engine's plan cache populated (steady-state serving shape).
-    val ColdRuns = 3
-    // Warm gets the SAME median+spread treatment as cold: the r7 round
-    // reported a single warm sample per query, and a 2x one-sample swing on
-    // q_cypher_expand (0.467 -> 0.962s) was read as a code regression — the
-    // physical plans were byte-identical between rounds (EXPLAIN diff
-    // empty); the swing was measurement noise a median would have absorbed.
-    val WarmRuns = 3
-    val results = headline.map { n =>
-      val colds = (1 to ColdRuns).map { _ => isolate(); timed(n) }.sorted
-      val warms = (1 to WarmRuns).map { _ => timed(n) }.sorted
-      (n, colds, warms)
-    }.filterNot { case (n, _, _) => failedQueries.contains(n) }
-    val cold = results.map { case (n, cs, _) => n -> cs(cs.length / 2) }
-    val spread = results.map { case (n, cs, _) => (n, cs.head, cs.last) }
-    val warm = results.map { case (n, _, ws) => n -> ws(ws.length / 2) }
-    val warmSpread = results.map { case (n, _, ws) => (n, ws.head, ws.last) }
-
-    def js(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-        .mkString("{", ",", "}")
-    def jsSpread(rs: Seq[(String, Double, Double)]): String =
-      rs.map { case (k, lo, hi) => "\"" + k + f"""\":[$lo%.3f,$hi%.3f]""" }
-        .mkString("{", ",", "}")
-    val total = cold.map(_._2).sum
-    val warmTotal = warm.map(_._2).sum
+    // ── write-path KPIs (served counts / point update / deletes) ────────
+    // Run EARLY, right after the sf10 probe, with the same clean-JVM
+    // treatment: r12 ran this section LAST and its run-to-run bands
+    // widened to 3.3× on update_qps (code-cache/heap context from the
+    // whole preceding headline sweep) — inside KPI but unadjudicable
+    // round-over-round. Each sub-bench still pays its own warm-up; the
+    // runs use fresh sessions and graphs.
     // Point-op throughput: the BASELINE entity_count KPI is q/s at 32
     // concurrent clients against the O(1) stats-served count
     // (reduce_count.c — no scan). Our serving path (CypherSession.serve):
@@ -341,6 +283,72 @@ object Bench {
       envelope(mutRuns.map(_.updSpread)), p50(mutRuns.map(_.updTrend)),
       p50(mutRuns.map(_.edelP50)), envelope(mutRuns.map(_.edelSpread)),
       p50(mutRuns.map(_.ndelP50)), envelope(mutRuns.map(_.ndelSpread)))
+    isolate()
+
+
+    // Materialize the stored property graph + its statistics for the bench SF
+    // outside the timed region: the graph is the engine's data-at-rest (like
+    // the testdata parquet itself); building it is load time, not query time.
+    try {
+      val g = graft.graph.GraphBuilder.tpchStored(spark, sfDir)
+      g.labelCounts; g.reltypeCounts
+    } catch { case _: Throwable => () }
+    // Warm-up at the bench SF: pays class-load/JIT/codegen compilation.
+    // Two passes — the first triggers janino compilation and C1, the
+    // second gets C2-compiled hot loops, so the timed cold runs measure
+    // plan + data costs (what a long-lived cluster pays per query), not
+    // first-invocation JIT artifacts. Plan caches are cleared between
+    // passes so the second pass re-executes real plans.
+    (1 to 2).foreach { _ =>
+      SparkEntry.clearPlanCache(spark)
+      headline.foreach { name =>
+        try SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    }
+    val failedQueries = scala.collection.mutable.LinkedHashSet[String]()
+    def timed(name: String): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        // a failed query must not masquerade as a timing — record it
+        failedQueries += name
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Each query runs COLD_RUNS isolated cold times and reports the MEDIAN
+    // plus min/max spread — one cold sample per round made regression vs
+    // machine noise unadjudicable (r4→r5 showed 15-64% phantom swings on
+    // untouched code). `warm` is the immediate re-invocation with the
+    // engine's plan cache populated (steady-state serving shape).
+    val ColdRuns = 3
+    // Warm gets the SAME median+spread treatment as cold: the r7 round
+    // reported a single warm sample per query, and a 2x one-sample swing on
+    // q_cypher_expand (0.467 -> 0.962s) was read as a code regression — the
+    // physical plans were byte-identical between rounds (EXPLAIN diff
+    // empty); the swing was measurement noise a median would have absorbed.
+    val WarmRuns = 3
+    val results = headline.map { n =>
+      val colds = (1 to ColdRuns).map { _ => isolate(); timed(n) }.sorted
+      val warms = (1 to WarmRuns).map { _ => timed(n) }.sorted
+      (n, colds, warms)
+    }.filterNot { case (n, _, _) => failedQueries.contains(n) }
+    val cold = results.map { case (n, cs, _) => n -> cs(cs.length / 2) }
+    val spread = results.map { case (n, cs, _) => (n, cs.head, cs.last) }
+    val warm = results.map { case (n, _, ws) => n -> ws(ws.length / 2) }
+    val warmSpread = results.map { case (n, _, ws) => (n, ws.head, ws.last) }
+
+    def js(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+        .mkString("{", ",", "}")
+    def jsSpread(rs: Seq[(String, Double, Double)]): String =
+      rs.map { case (k, lo, hi) => "\"" + k + f"""\":[$lo%.3f,$hi%.3f]""" }
+        .mkString("{", ",", "}")
+    val total = cold.map(_._2).sum
+    val warmTotal = warm.map(_._2).sum
     // ── bulk ingest (GRAPH.BULK analogue at bench SF) ────────────────────
     // The production load path end-to-end: build the property graph from
     // the relational tables, compute statistics, and write the bucketed +
@@ -440,8 +448,7 @@ object Bench {
       else try {
         val dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/sf1")
         val tGen0 = System.nanoTime()
-        if (!new java.io.File(s"$dir/lineitem.parquet").exists())
-          ScaleData.generate(spark, sfDir, dir, Sf1Copies)
+        ScaleData.ensure(spark, sfDir, dir, Sf1Copies)
         val genSec = (System.nanoTime() - tGen0) / 1e9
         // graph stats for the sf1 store are load time, not query time
         try {

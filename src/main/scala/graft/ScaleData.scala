@@ -46,6 +46,27 @@ object ScaleData {
     generate(spark, src, out, copies,
       if (copies > 10) OffSmall100 else OffSmall)
 
+  /** Marker recording which (src, copies) produced an output dir. */
+  private def marker(out: String) = new java.io.File(s"$out/_source_sf")
+
+  /** Generate unless `out` already holds this exact (src, copies) — a
+    * stale dir generated from a DIFFERENT bench SF would otherwise be
+    * reused silently and every "100×" number would measure the wrong
+    * scale (the r13 bench-at-sf0.01 run left such a dir behind).
+    */
+  def ensure(spark: SparkSession, src: String, out: String,
+      copies: Int): Unit = {
+    val want = s"$src x$copies"
+    val m = marker(out)
+    val have = if (m.exists())
+      new String(java.nio.file.Files.readAllBytes(m.toPath)).trim else ""
+    if (!new java.io.File(s"$out/lineitem.parquet").exists() ||
+        have != want) {
+      generate(spark, src, out, copies)
+      java.nio.file.Files.write(m.toPath, want.getBytes)
+    }
+  }
+
   def generate(spark: SparkSession, src: String, out: String,
       copies: Int, offSmall: Long): Unit = {
     // loud guard instead of silent key collisions: per-copy small-key

@@ -10,7 +10,9 @@ object CypherParser extends RegexParsers {
   import Ast._
 
   override def skipWhitespace = true
-  override val whiteSpace = """(\s|//[^\n]*)+""".r
+  // line comments (`// …`) and non-nesting block comments (`/* … */`)
+  // are whitespace (test_query_validation.py test21)
+  override val whiteSpace = """(\s|//[^\n]*|/\*([^*]|\*(?!/))*\*/)+""".r
 
   // ── lexical ──────────────────────────────────────────────────────────────
   private def kw(s: String): Parser[String] =
@@ -255,8 +257,14 @@ object CypherParser extends RegexParsers {
 
   def quantifier: Parser[Expr] =
     (kw("ANY") | kw("ALL") | kw("NONE") | kw("SINGLE")) ~
-      ("(" ~> ident) ~ (kw("IN") ~> expr) ~ (kw("WHERE") ~> expr) <~ ")" ^^ {
-      case k ~ v ~ l ~ p => Quantifier(k.toLowerCase, v, l, p)
+      ("(" ~> ident) ~ (kw("IN") ~> expr) ~
+      opt(kw("WHERE") ~> expr) <~ ")" ^^ {
+      case k ~ v ~ l ~ Some(p) => Quantifier(k.toLowerCase, v, l, p)
+      case k ~ _ ~ _ ~ None =>
+        // the reference rejects a predicate-less quantifier
+        // (`arithmetic_expression_construct.c:601`)
+        throw Ast.ParseRejected(
+          s"'${k.toLowerCase}' function requires a WHERE predicate")
     }
 
   /** [ (a)-[r]->(b) WHERE pred | proj ] — requires ≥1 relationship so a

@@ -492,6 +492,22 @@ class CypherSession(val spark: SparkSession) {
   private[cypher] def fulltextLabels: Seq[String] =
     ftIndexes.keys.toSeq.sorted
 
+  /** Indexed properties of a full-text index (db.indexes reporting). */
+  private[cypher] def fulltextProps(label: String): List[String] =
+    ftIndexes.get(label).map(_._1).getOrElse(Nil)
+
+  /** GRAPH.PROFILE sink for write statements: while set (Graft.profile),
+    * write ops record the row counts they process, keyed by rendered op
+    * name; counts from fused clauses accumulate.
+    */
+  @volatile private[cypher] var profileSink:
+    Option[scala.collection.concurrent.TrieMap[String, Long]] = None
+
+  private[cypher] def profileRecord(op: String, rows: Long): Unit =
+    profileSink.foreach { m =>
+      m.updateWith(op) { prev => Some(prev.getOrElse(0L) + rows) }; ()
+    }
+
   /** `reduceCount` (`optimizations/reduce_count.c:13-40`): a count-only
     * MATCH over a bare node or relationship pattern answers from graph
     * statistics — no scan, no shuffle. This is what makes

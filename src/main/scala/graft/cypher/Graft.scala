@@ -28,8 +28,26 @@ class Graft(val spark: SparkSession) {
   private val graphs =
     scala.collection.concurrent.TrieMap[String, CypherSession]()
 
+  /** SLOW_LOG_SIZE (`slow_log.h:9`). */
+  private val SlowLogSize = 10
+
+  // keyed by (graph, query): MAX observed latency — the reference dedupes
+  // identical queries keeping the worst run, holds the SLOW_LOG_SIZE
+  // slowest, and a new query evicts the fastest entry only when slower
+  // (`slow_log.c` SlowLog_Add's min-heap)
   private val log =
-    new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Double)]()
+    scala.collection.mutable.LinkedHashMap[(String, String), Double]()
+
+  private def slowlogAdd(graph: String, q: String, sec: Double): Unit =
+    log.synchronized {
+      log.get((graph, q)) match {
+        case Some(prev) => if (sec > prev) log((graph, q)) = sec
+        case None if log.size < SlowLogSize => log((graph, q)) = sec
+        case None =>
+          val (mink, minv) = log.minBy(_._2)
+          if (minv < sec) { log.remove(mink); log((graph, q)) = sec }
+      }
+    }
 
   private def session(graph: String): CypherSession =
     graphs.getOrElseUpdate(graph, new CypherSession(spark))
@@ -74,9 +92,14 @@ class Graft(val spark: SparkSession) {
       val sc = spark.sparkContext
       sc.setJobGroup(group, "graft query under TIMEOUT", true)
       val timer = new java.util.Timer(true)
-      timer.schedule(new java.util.TimerTask {
+      // cancelJobGroup only reaches jobs ALREADY submitted — a query still
+      // translating/compiling when the deadline fires would start its job
+      // afterwards and run to completion. Re-cancel periodically until the
+      // query returns, so a late-starting job still dies (the reference's
+      // cron-armed timeout keeps firing the same way, cmd_query.c:97-118)
+      timer.scheduleAtFixedRate(new java.util.TimerTask {
         def run(): Unit = sc.cancelJobGroup(group)
-      }, ms)
+      }, ms, 20L)
       try f
       catch {
         case e: org.apache.spark.SparkException =>
@@ -93,7 +116,7 @@ class Graft(val spark: SparkSession) {
     val s = session(graph)
     val isMut = Graft.isMutation(parse(s, cypher)) // one cached parse
     val out = withTimeout(s.run(cypher, params))
-    log.add((graph, cypher, (System.nanoTime() - t0) / 1e9))
+    slowlogAdd(graph, cypher, (System.nanoTime() - t0) / 1e9)
     val cap = conf("RESULTSET_SIZE")
     if (cap >= 0 && !isMut)
       out.limit(math.min(cap, Int.MaxValue.toLong).toInt)
@@ -155,33 +178,35 @@ class Graft(val spark: SparkSession) {
     * and its SQLMetrics are directly readable.
     */
   def profile(graph: String, cypher: String): String = {
-    val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
-    try {
-      val df = query(graph, cypher)
-      // the eager (profiled) execution runs under TIMEOUT too — query()
-      // only covers plan construction for reads
-      withTimeout(df.write.format("noop").mode("overwrite").save())
-      val sb = new StringBuilder
-      def fmt(p: org.apache.spark.sql.execution.SparkPlan, d: Int): Unit = {
-        val rows = p.metrics.get("numOutputRows").map(_.value)
-        val timeNs = p.metrics.collectFirst {
-          case (k, m) if k.toLowerCase.contains("time") && m.value > 0 =>
-            // SQLMetric timing unit is ns or ms depending on metric type;
-            // treat metricType "timing" as ms, "nsTiming" as ns
-            if (m.metricType == "nsTiming") m.value / 1e6 else m.value.toDouble
-        }
-        val notes = rows.map(r => s"Records produced: $r").toSeq ++
-          timeNs.map(t => f"Execution time: $t%.3f ms").toSeq
-        sb.append("    " * d).append(p.nodeName)
-        if (notes.nonEmpty) sb.append(" | ").append(notes.mkString(", "))
-        sb.append("\n")
-        p.children.foreach(fmt(_, d + 1))
-      }
-      fmt(df.queryExecution.executedPlan, 0)
-      sb.toString
-    } finally spark.conf.set(key, prev)
+    val s = session(graph)
+    val ast = parse(s, cypher)
+    val rendered = PlanRender.render(s, ast)
+    val t0 = System.nanoTime()
+    if (Graft.isMutation(ast)) {
+      // execute under the write lock as usual; write ops record their
+      // input-row counts into the session's profile sink
+      val sink = scala.collection.concurrent.TrieMap[String, Long]()
+      s.profileSink = Some(sink)
+      try withTimeout(s.run(cypher))
+      finally s.profileSink = None
+      Graft.annotateWriteProfile(rendered, sink.toMap,
+        (System.nanoTime() - t0) / 1e6)
+    } else {
+      val key = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.get(key, "true")
+      spark.conf.set(key, "false")
+      try {
+        val df = query(graph, cypher)
+        // the eager (profiled) execution runs under TIMEOUT too — query()
+        // only covers plan construction for reads. Execute THIS
+        // QueryExecution's physical plan directly (a df.write would build
+        // a separate execution whose metrics the plan below never sees).
+        val resultRows = withTimeout(df.queryExecution.toRdd.count())
+        Graft.annotateReadProfile(rendered,
+          df.queryExecution.executedPlan, (System.nanoTime() - t0) / 1e6,
+          resultRows)
+      } finally spark.conf.set(key, prev)
+    }
   }
 
   /** GRAPH.BULK — install externally built node/edge tables (schema:
@@ -212,16 +237,128 @@ class Graft(val spark: SparkSession) {
   def list: Seq[String] = graphs.keys.toSeq.sorted
 
   /** GRAPH.SLOWLOG — (graph, query, seconds), slowest first. */
-  def slowlog(n: Int = 10): Seq[(String, String, Double)] = {
-    import scala.jdk.CollectionConverters._
-    log.asScala.toSeq.sortBy(-_._3).take(n)
-  }
+  def slowlog(n: Int = 10): Seq[(String, String, Double)] =
+    log.synchronized {
+      log.toSeq.map { case ((g, q), s) => (g, q, s) }.sortBy(-_._3).take(n)
+    }
 
   /** GRAPH.SLOWLOG g RESET. */
-  def slowlogReset(): Unit = log.clear()
+  def slowlogReset(): Unit = log.synchronized(log.clear())
 }
 
 object Graft {
+
+  /** PROFILE annotation for READ statements: the reference-shaped op tree
+    * (PlanRender) with per-op `Records produced` / `Execution time` taken
+    * from the EXECUTED Catalyst plan's SQLMetrics
+    * (`execution_plan.c:435-463` wraps ops with counters; here the
+    * counters already exist — this maps them back onto the wire-shape op
+    * names). Mapping is by op CATEGORY in tree order (rendered filters ↔
+    * FilterExec counts, scans ↔ leaf scans, Unwind ↔ GenerateExec, joins/
+    * traversals ↔ join execs, limits ↔ limit execs); a category whose
+    * rendered-op and Catalyst-node counts disagree is left UNANNOTATED
+    * rather than mislabeled (complex shapes — var-len traversals span
+    * several joins). Results/Project/Sort/Distinct carry the top-of-plan
+    * row count.
+    */
+  private[cypher] def annotateReadProfile(rendered: String,
+      plan: org.apache.spark.sql.execution.SparkPlan,
+      totalMs: Double, resultRows: Long): String = {
+    import org.apache.spark.sql.execution._
+    // pre-order (top-down) per-category (rows, timeMs) from the executed
+    // plan, unwrapping codegen/input adapters and reused subtrees
+    val buckets = scala.collection.mutable.Map[String,
+      scala.collection.mutable.ArrayBuffer[(Long, Double)]]()
+    def timeOf(p: SparkPlan): Double = p.metrics.collectFirst {
+      case (k, m) if k.toLowerCase.contains("time") && m.value > 0 =>
+        if (m.metricType == "nsTiming") m.value / 1e6 else m.value.toDouble
+    }.getOrElse(0.0)
+    val topRows: Option[Long] = Some(resultRows)
+    def walk(p: SparkPlan): Unit = {
+      val rows = p.metrics.get("numOutputRows").map(_.value)
+      val cat = p match {
+        case _: FilterExec => Some("filter")
+        case _: GenerateExec => Some("unwind")
+        case _ if p.nodeName.contains("Join") ||
+          p.nodeName.contains("CartesianProduct") => Some("join")
+        case _ if p.nodeName.contains("Limit") => Some("limit")
+        case _ if p.children.isEmpty => Some("scan")
+        case _ => None
+      }
+      rows.foreach { r =>
+        cat.foreach(c => buckets.getOrElseUpdate(c,
+          scala.collection.mutable.ArrayBuffer()) += ((r, timeOf(p))))
+      }
+      p.children.foreach(walk)
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case r: ReusedSubqueryExec => walk(r.child)
+        case _ => ()
+      }
+    }
+    walk(plan)
+    val lines = rendered.linesIterator.toList
+    def catOf(op: String): Option[String] = op match {
+      case "Filter" => Some("filter")
+      case "Unwind" => Some("unwind")
+      case "Limit" | "Skip" => Some("limit")
+      case o if o.contains("Scan") || o.contains("Seek") => Some("scan")
+      case o if o.contains("Traverse") || o.contains("Join") ||
+        o.contains("Expand") || o.contains("Cartesian") ||
+        o.contains("Apply") => Some("join")
+      case _ => None
+    }
+    def opName(line: String): String = line.trim.split(" \\| ").head
+    // per-category rendered counts must match catalyst counts, else omit
+    val renderedCats = lines.map(l => catOf(opName(l)))
+    val usable = buckets.filter { case (c, b) =>
+      renderedCats.count(_.contains(c)) == b.size
+    }
+    val idx = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    lines.zip(renderedCats).map { case (line, cat) =>
+      val note = cat.flatMap(c => usable.get(c).map { b =>
+        val (r, t) = b(idx(c)); idx(c) += 1
+        f"Records produced: $r, Execution time: $t%.3f ms"
+      }).orElse {
+        val op = opName(line)
+        if (op == "Results" || op == "Project" || op == "Sort" ||
+          op == "Distinct")
+          topRows.map(r => f"Records produced: $r, " +
+            f"Execution time: ${if (op == "Results") totalMs else 0.0}%.3f ms")
+        else None
+      }
+      note.map(n => s"$line | $n").getOrElse(line)
+    }.mkString("\n")
+  }
+
+  /** PROFILE annotation for WRITE statements: the write ops record their
+    * input-row counts into the session's profile sink as they execute
+    * (Create = rows of the materialized input frame — the records the op
+    * processes AND passes through, `op_create.c` semantics); the op
+    * DIRECTLY feeding a write op carries the same count (its output IS
+    * the write's input). Ops with no recorded count stay unannotated.
+    */
+  private[cypher] def annotateWriteProfile(rendered: String,
+      sink: Map[String, Long], totalMs: Double): String = {
+    val lines = rendered.linesIterator.toList
+    def depth(l: String): Int = (l.length - l.dropWhile(_ == ' ').length) / 4
+    def opName(line: String): String = line.trim.split(" \\| ").head
+    val out = lines.zipWithIndex.map { case (line, i) =>
+      val op = opName(line)
+      val fromSink = sink.get(op)
+        // the direct producer below a recorded write op shares its count
+        .orElse(if (i > 0 && sink.contains(opName(lines(i - 1))) &&
+          depth(line) == depth(lines(i - 1)) + 1)
+          sink.get(opName(lines(i - 1))) else None)
+      val note = fromSink.map(r => f"Records produced: $r, " +
+        f"Execution time: ${if (op == "Results") totalMs else 0.0}%.3f ms")
+        .orElse(if (op == "Results")
+          Some(f"Execution time: $totalMs%.3f ms") else None)
+      note.map(n => s"$line | $n").getOrElse(line)
+    }
+    out.mkString("\n")
+  }
 
   /** True iff any statement part contains a write clause. */
   def isMutation(ast: Ast.Query): Boolean =

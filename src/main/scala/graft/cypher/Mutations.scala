@@ -276,7 +276,8 @@ private[cypher] final class MutationRunner(session: CypherSession) {
         if (rel.types.size != 1)
           throw TranslateError("created edge needs exactly one relationship type")
         if (rel.direction == 0)
-          throw TranslateError("created edge needs a direction")
+          throw TranslateError(
+            "Only directed relationships are supported in CREATE")
         val cur = visit(node)
         val (s, d) = if (rel.direction == -1) (cur, prev) else (prev, cur)
         newEdges += PendingEdge(nameOf(rel), rel, s, d, newEdges.size)
@@ -359,6 +360,7 @@ private[cypher] final class MutationRunner(session: CypherSession) {
       .withColumn(rid, monotonically_increasing_id())
       .localCheckpoint(true))
     val rows = tagged.count()
+    session.profileRecord("Create", rows)
 
     // a relationship endpoint bound earlier in the query must resolve for
     // every record: creating from a null (an unmatched OPTIONAL MATCH
@@ -469,6 +471,7 @@ private[cypher] final class MutationRunner(session: CypherSession) {
   private def execCreateLiteral(pn: List[PendingNode],
       pe: List[PendingEdge]): Frame = {
     import scala.jdk.CollectionConverters._
+    session.profileRecord("Create", 1L) // literal path: ONE unit input row
     val nodeBase = session.nodeIdBase
     val edgeBase = session.edgeIdBase
     if (stmtNodeBase == Long.MaxValue) stmtNodeBase = nodeBase
@@ -692,23 +695,37 @@ private[cypher] final class MutationRunner(session: CypherSession) {
       ws.reduceOption(_ unionByName _)
     }
     def applyProps(table: DataFrame, rs: DataFrame): DataFrame = {
-      // deterministic winner when several matched rows write the same
-      // entity (`last` over an unordered groupBy is layout-dependent)
-      val perId = rs.groupBy("__id").agg(
-        max_by(col("__np"), xxhash64(to_json(col("__np")))).as("__np"))
-      val joined = table.join(perId, table("id") === perId("__id"),
-        "left_outer")
-      // properties_set = the final-vs-original key diff (adds + removals
-      // + changed values): a write that leaves the stored value intact
-      // sets nothing (test_entity_update.py test03/test06 semantics)
-      val orig = coalesce(col("props"), emptyProps)
+      // when several matched rows write the same entity, the LAST row in
+      // statement order wins — the reference applies updates record by
+      // record (`UNWIND range(1,n) ... SET a.v = ctr` leaves n);
+      // monotonically_increasing_id tags frame order (monotone in row
+      // order across partitions)
+      // INNER join: a write row whose entity no longer exists (deleted
+      // earlier in this statement) sets nothing and counts nothing
+      val tagged = rs.withColumn("__ord", monotonically_increasing_id())
+      val withOrig = tagged.join(
+        table.select(col("id").as("__tid"), col("props").as("__torig")),
+        col("__id") === col("__tid"))
+      // properties_set counts PER WRITE ROW: each record's adds +
+      // removals vs the stored map — UNWIND range(1,10000) SET a.v = ctr
+      // counts 10000 (test_timeout.py test03), while a write that leaves
+      // the stored value intact sets nothing (test_entity_update.py
+      // test03/test06 semantics)
+      val orig = coalesce(col("__torig"), emptyProps)
       val adds = filter(map_entries(col("__np")),
         e => !(element_at(orig, e.getField("key")) <=> e.getField("value")))
       val rems = filter(map_keys(orig),
         k => !array_contains(map_keys(col("__np")), k))
-      val nset = joined.filter(col("__np").isNotNull)
-        .select(sum(size(adds) + size(rems))).head()
+      // distinct output alias: naming it __np would make Spark resolve
+      // the sum()'s __np as a lateral alias of the max_by output
+      val perId = withOrig.groupBy("__id").agg(
+        max_by(col("__np"), col("__ord")).as("__npw"),
+        sum((size(adds) + size(rems)).cast(LongType)).as("__cnt"))
+      val nset = perId.agg(sum(col("__cnt"))).head()
       propsSet += (if (nset.isNullAt(0)) 0L else nset.getLong(0))
+      val joined = table.join(
+        perId.select(col("__id"), col("__npw").as("__np")),
+        table("id") === col("__id"), "left_outer")
       joined.withColumn("props",
           when(col("__np").isNull, col("props")).otherwise(col("__np")))
         .drop("__id", "__np")

@@ -156,7 +156,8 @@ object Procedures {
       ("db.labels", Nil, List("label" -> "STRING")),
       ("db.relationshipTypes", Nil, List("relationshipType" -> "STRING")),
       ("db.propertyKeys", Nil, List("propertyKey" -> "STRING")),
-      ("db.indexes", Nil, List("type" -> "STRING", "label" -> "STRING")),
+      ("db.indexes", Nil, List("type" -> "STRING", "label" -> "STRING",
+        "properties" -> "LIST OF STRING")),
       ("dbms.procedures", Nil,
         List("name" -> "STRING", "signature" -> "STRING",
           "mode" -> "STRING")),
@@ -239,34 +240,57 @@ object Procedures {
       case "db.indexes" =>
         val spark = session.spark
         import scala.jdk.CollectionConverters._
-        val rows = session.propIndexList.toList.map { case (l, p) =>
-          org.apache.spark.sql.Row("exact-match", s"$l($p)")
-        } ++ session.fulltextLabels.toList.map { l =>
-          org.apache.spark.sql.Row("full-text", l)
+        // reference shape (`proc_indexes.c` / test_procedures.py test11):
+        // one row per (type, label) with the PROPERTIES as a list,
+        // exact-match properties in creation order
+        val rows = session.propIndexList.groupBy(_._1).toList
+          .map { case (l, ps) =>
+            org.apache.spark.sql.Row("exact-match", l, ps.map(_._2))
+          } ++ session.fulltextLabels.toList.map { l =>
+          org.apache.spark.sql.Row("full-text", l,
+            session.fulltextProps(l))
         }
-        (spark.createDataFrame(rows.asJava, StructType(Seq(
-          StructField("type", StringType), StructField("label", StringType)))
+        val sorted = rows.sortBy(r => (r.getString(0), r.getString(1)))
+        (spark.createDataFrame(sorted.asJava, StructType(Seq(
+          StructField("type", StringType), StructField("label", StringType),
+          StructField("properties", ArrayType(StringType))))
         ).select(Values.vStr(col("type")).as("type"),
-          Values.vStr(col("label")).as("label")),
-          Map("type" -> KValue, "label" -> KValue))
+          Values.vStr(col("label")).as("label"),
+          Values.vArr(transform(col("properties"),
+            p => Values.sStr(p))).as("properties")),
+          Map("type" -> KValue, "label" -> KValue, "properties" -> KValue))
 
-      // `src/procedures/proc_pagerank.c:202` → GraphX staticPageRank
+      // `src/procedures/proc_pagerank.c:202` → [[GraphOps.pageRankRef]]
+      // (the LAGraph formulation, normalized to sum 1). The matrix is the
+      // LABEL-INDUCED subgraph: both edge endpoints must carry the label
+      // (test_pagerank.py "no_connections"), parallel edges collapse to
+      // one connection, and an EMPTY matrix yields an empty result set —
+      // not teleport-only scores. Rows emit score-descending (the
+      // reference qsorts before replying), id ascending on ties.
       case "algo.pagerank" =>
         val (label, reltype) = args match {
           case Nil => (None, None)
           case List(l: String, r: String) => (Some(l), Some(r))
           case List(null, null) => (None, None)
+          case List(l: String, null) => (Some(l), None)
+          case List(null, r: String) => (None, Some(r))
           case other => throw TranslateError(s"algo.pageRank args: $other")
         }
-        val sub = PropertyGraph(
-          label.map(g.nodesByLabel).getOrElse(g.nodes),
-          reltype.map(g.edgesByType)
-            .getOrElse(g.edges))
-        val pr = GraphOps.pageRank(sub)
-        val joined = sub.nodes.join(pr, Seq("id"))
+        val nodesL = label.map(g.nodesByLabel).getOrElse(g.nodes)
+        val edgesT = reltype.map(g.edgesByType).getOrElse(g.edges)
+        val ids = nodesL.select(col("id"))
+        val edgesL = edgesT
+          .join(ids.withColumnRenamed("id", "__sid"),
+            col("src") === col("__sid"), "left_semi")
+          .join(ids.withColumnRenamed("id", "__did"),
+            col("dst") === col("__did"), "left_semi")
+        val base = if (edgesL.isEmpty) nodesL.limit(0) else nodesL
+        val pr = GraphOps.pageRankRef(PropertyGraph(base, edgesL))
+        val joined = nodesL.join(pr, Seq("id"))
         (joined.select(
           struct(col("id"), col("label"), col("props")).as("node"),
-          Values.vFloat(col("pagerank")).as("score")),
+          Values.vFloat(col("pagerank")).as("score"))
+          .orderBy(col("score.f").desc, col("node.id")),
           Map("node" -> KNode, "score" -> KValue))
 
       // `src/procedures/proc_bfs.c` (source, maxLevel, reltype) — source by
@@ -316,16 +340,31 @@ object Procedures {
         }
         val idx = session.fulltextIndex(label).getOrElse(
           throw TranslateError(s"no fulltext index on :$label"))
-        val qTokens = CypherSession.tokenize(query)
-        if (qTokens.isEmpty)
+        // RediSearch-lite query surface: whitespace/`|` separate union
+        // terms, a trailing `*` is a prefix wildcard, and `||` is the
+        // syntax error the reference raises (test_procedures.py test08;
+        // RediSearch union is a single `|`)
+        if (query.contains("||")) throw TranslateError(
+          s"RediSearch: Syntax error in query '$query' near '||'")
+        val terms = query.toLowerCase.split("[\\s|]+")
+          .filter(_.nonEmpty).toSeq
+        val (prefTerms, exactTerms) = terms.partition(_.endsWith("*"))
+        val exactToks = exactTerms.flatMap(CypherSession.tokenize).distinct
+        val prefToks = prefTerms.map(_.dropRight(1))
+          .flatMap(CypherSession.tokenize).distinct
+        if (exactToks.isEmpty && prefToks.isEmpty)
           (session.spark.range(0).select(
             lit(null).cast(Translator.nodeStructType).as("node"),
             Values.vFloat(lit(0.0)).as("score")),
             Map("node" -> KNode, "score" -> KValue))
         else {
-          // score = matched distinct query tokens (TF-IDF-lite); the join is
-          // a broadcast of the (tiny) token list against the inverted index
-          val hits = idx.filter(col("token").isin(qTokens: _*))
+          // score = matched distinct query tokens (TF-IDF-lite); the
+          // token conditions are literals pushed into the (tiny sorted)
+          // index view — exact via isin, prefixes via startsWith
+          val conds = (if (exactToks.nonEmpty)
+            Seq(col("token").isin(exactToks: _*)) else Nil) ++
+            prefToks.map(p => col("token").startsWith(p))
+          val hits = idx.filter(conds.reduce(_ || _))
             .groupBy("id").agg(countDistinct("token").as("matched"))
           val joined = session.graph.nodes.join(hits, Seq("id"))
           (joined.select(

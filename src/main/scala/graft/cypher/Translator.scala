@@ -56,6 +56,13 @@ object Translator {
       val n = propColName(v, k)
       if (df.columns.contains(n)) Some(df(s"`$n`")) else None
     }
+    /** Rebuild this frame around a derived DataFrame (layering adds temp
+      * projection columns but keeps every original column). Subclasses
+      * with custom name resolution (the WITH-WHERE alias view) override
+      * so their mapping survives [[layerNested]].
+      */
+    def derive(newDf: DataFrame, newVars: Map[String, Kind]): Frame =
+      Frame(newDf, newVars, bindings, bindingTypes)
   }
 
   case class TranslateError(msg: String) extends RuntimeException(msg)
@@ -501,6 +508,9 @@ object Translator {
       case i: Int => i.toLong
       case v => v
     }
+    // a variable in a procedure-arg position is an unresolvable alias —
+    // the reference's message shape (test_query_validation.py test22)
+    case Ast.Variable(n) => throw TranslateError(s"$n not defined")
     case other => throw TranslateError(s"procedure arg must be constant: $other")
   }
 
@@ -1458,7 +1468,15 @@ object Translator {
     // eager per-hop checkpoints + early exit: there the frontier usually
     // dies long before maxH and each hop's shuffle is worth cutting.
     val eagerHops = maxH > 4
-    def cut(df: DataFrame): DataFrame = tracked(ctx, df.localCheckpoint(eagerHops))
+    // eager per-hop cuts route through graft.Checkpoints so the cluster
+    // resilience knob (graft.checkpoint.reliable=true) covers the Cypher
+    // var-len surface, not just GraphOps — executor loss mid-traversal
+    // recomputes from the reliable checkpoint instead of killing the
+    // query. The shallow LAZY branch stays a plain lineage cut (no
+    // materialization to make durable).
+    def cut(df: DataFrame): DataFrame = tracked(ctx,
+      if (eagerHops) graft.Checkpoints.materialize(df)
+      else df.localCheckpoint(false))
     val sources = cut(frame.df
       .select(frame.col(prev).getField("id").as("__vstart"))
       .distinct())
@@ -1857,6 +1875,7 @@ object Translator {
       case Ast.Bin("AND", l, r) => conjuncts(l) ++ conjuncts(r)
       case other => List(other)
     }
+    checkBoolPredicate(frame, w)
     // value equality: true iff a variable of entity-ish kind is NOT involved
     // (entity orderKeys rank-only — all nodes would compare equal)
     def valueExpr(e: Ast.Expr): Boolean = e match {
@@ -1909,10 +1928,41 @@ object Translator {
         val pred = pcRw(pred0)
         val (f2, rw) = resolveDegrees(ctx, fp, Seq(pred))
         f = layeredFilter(ctx, f2, List(rw(pred))) { case (f3, List(p2)) =>
-          f3.df.filter(Values.isTrue(trExpr(ctx, f3, p2)))
+          f3.df.filter(Values.filterTrue(trExpr(ctx, f3, p2)))
         }
     }
     f
+  }
+
+  /** The reference's FilterTree_Valid compile check plus the
+    * statically-knowable half of its runtime FT_N_EXP type rule
+    * (`filter_tree.c:431-435`, `FilterTree_applyFilters`): walking the
+    * boolean structure (AND/OR/XOR/NOT), a leaf expression filter that is
+    * a non-boolean CONSTANT — or a bare entity variable, whose type IS
+    * known at compile time — raises "Expected boolean predicate".
+    * Comparisons/functions/value variables pass (runtime ternary
+    * semantics apply; list-valued leaves filter on non-emptiness, see
+    * [[applyWhere]]).
+    */
+  private def checkBoolPredicate(frame: Frame, e: Ast.Expr): Unit = {
+    def leafCheck(x: Ast.Expr): Unit = x match {
+      case Ast.LitInt(_) | Ast.LitFloat(_) | Ast.LitString(_) |
+          _: Ast.MapLit =>
+        throw TranslateError("Expected boolean predicate.")
+      case Ast.ListLit(items) if items.forall(isPureLit) =>
+        throw TranslateError("Expected boolean predicate.")
+      case Ast.Variable(v) if frame.vars.get(v).exists(k =>
+        k == KNode || k == KEdge || k == KPath) =>
+        throw TranslateError("Expected boolean predicate.")
+      case _ => ()
+    }
+    def walk(x: Ast.Expr): Unit = x match {
+      case Ast.Bin(op, l, r) if Set("AND", "OR", "XOR")(op) =>
+        walk(l); walk(r)
+      case Ast.Not(i) => walk(i)
+      case leaf => leafCheck(leaf)
+    }
+    walk(e)
   }
 
   /** Filter with evaluation layering: the predicate's nested
@@ -1991,7 +2041,8 @@ object Translator {
     val f2 = Frame(df, frame.vars ++ flags.values.map(_ -> KValue))
     val rewritten = subst(pred)
     val (f3, rw) = resolveDegrees(ctx, f2, Seq(rewritten))
-    val filtered = f3.df.filter(Values.isTrue(trExpr(ctx, f3, rw(rewritten))))
+    val filtered = f3.df.filter(
+      Values.filterTrue(trExpr(ctx, f3, rw(rewritten))))
     Frame(filtered.drop(flags.values.toSeq :+ rid: _*), frame.vars)
   }
 
@@ -2437,9 +2488,15 @@ object Translator {
       val sortVars = frame.vars ++ items.map { case (e, n) =>
         n -> kindOf(ctx, frame, e)
       }
-      def aliased(d: DataFrame): Frame = new Frame(d, sortVars) {
+      def aliased(d: DataFrame,
+          vs: Map[String, Kind] = sortVars): Frame = new Frame(d, vs) {
         override def col(name: String): Column =
           aliasMap.get(name).map(d(_)).getOrElse(super.col(name))
+        // layering derives new frames (temp projection columns on top);
+        // the __item_i columns survive those selects, so the alias view
+        // re-wraps the derived df and keeps resolving projected names
+        override def derive(newDf: DataFrame,
+            newVars: Map[String, Kind]): Frame = aliased(newDf, newVars)
       }
       var sorted = wide
       where.foreach { w => sorted = applyWhere(ctx, aliased(sorted), w).df }
@@ -2557,7 +2614,7 @@ object Translator {
     var f = frame
     layers.foreach { layer =>
       val cols = layer.toSeq.map { case (ex, n) => trExpr(ctx, f, ex).as(n) }
-      f = Frame(f.df.select(f.df.col("*") +: cols: _*),
+      f = f.derive(f.df.select(f.df.col("*") +: cols: _*),
         f.vars ++ layer.valuesIterator.map(_ -> (KValue: Kind)))
     }
     (f, newItems)
@@ -3139,7 +3196,9 @@ object Translator {
         frame.vars.get(n) match {
           case Some(KValue) => frame.col(n)
           case Some(_) => frame.col(n) // entity struct; ops below special-case
-          case None => throw TranslateError(s"unknown variable: $n")
+          case None =>
+            // reference message shape (`ast_validations.c:1211`)
+            throw TranslateError(s"$n not defined")
         }
 
       case Ast.Prop(target, key) =>
@@ -3625,18 +3684,41 @@ object Translator {
         }
 
       case Ast.Quantifier(kind, v, list, pred) =>
-        val arr0 = t(list).getField("arr")
-        val (layers, rw) = layerPlan(List((pred, "")))
+        val lc = t(list)
         val (src0, match0): (Column, Column => Column) =
-          if (layers.nonEmpty) {
-            val (acc, bind) = lambdaAcc(ctx, frame, v, arr0, layers)
-            (acc, (y: Column) => Values.isTrue(trExpr(ctx, bind(y), rw.head._1)))
-          } else {
-            val arr = transform(arr0, x => Values.widen(x))
-            def bindE(x: Column): Frame = frame.copy(
-              vars = frame.vars + (v -> KValue),
-              bindings = frame.bindings + (v -> x))
-            (arr, (x: Column) => Values.isTrue(trExpr(ctx, bindE(x), pred)))
+          typeOf(frame, list, lc) match {
+            case Some(ArrayType(et: StructType, _))
+                if !isVariantStruct(et) =>
+              // raw typed source (nodes(p)/relationships(p)/collect
+              // temps): bind the lambda variable with its struct kind so
+              // entity functions resolve in the predicate — same as the
+              // list-comprehension typed path (test13 path filtering,
+              // `any(node IN nodes(p) WHERE …)`)
+              val k: Kind =
+                if (et.fieldNames.toSeq == Seq("nodes", "rels")) KPath
+                else if (et.fieldNames.contains("src")) KEdge
+                else if (et.fieldNames.contains("props")) KNode
+                else KValue
+              def bind(x: Column) = frame.copy(
+                vars = frame.vars + (v -> k),
+                bindings = frame.bindings + (v -> x),
+                bindingTypes = frame.bindingTypes + (v -> et))
+              (lc, (x: Column) => Values.isTrue(trExpr(ctx, bind(x), pred)))
+            case _ =>
+              val arr0 = lc.getField("arr")
+              val (layers, rw) = layerPlan(List((pred, "")))
+              if (layers.nonEmpty) {
+                val (acc, bind) = lambdaAcc(ctx, frame, v, arr0, layers)
+                (acc, (y: Column) =>
+                  Values.isTrue(trExpr(ctx, bind(y), rw.head._1)))
+              } else {
+                val arr = transform(arr0, x => Values.widen(x))
+                def bindE(x: Column): Frame = frame.copy(
+                  vars = frame.vars + (v -> KValue),
+                  bindings = frame.bindings + (v -> x))
+                (arr,
+                  (x: Column) => Values.isTrue(trExpr(ctx, bindE(x), pred)))
+              }
           }
         kind match {
           case "any" => vBool(exists(src0, match0))
@@ -4110,10 +4192,18 @@ object Translator {
       case "point" => fn.args.head match {
         case Ast.MapLit(entries) =>
           val m = entries.toMap
-          val lat = num(t(m.getOrElse("latitude",
+          val lat0 = num(t(m.getOrElse("latitude",
             throw TranslateError("point needs latitude"))))
-          val lon = num(t(m.getOrElse("longitude",
+          val lon0 = num(t(m.getOrElse("longitude",
             throw TranslateError("point needs longitude"))))
+          // coordinate ranges are validated like the reference
+          // (`point.c`: "latitude should be within the -90 to 90 range")
+          val lat = when(lat0 < -90d || lat0 > 90d, raise_error(lit(
+            "point: latitude should be within the -90 to 90 range"))
+            .cast(DoubleType)).otherwise(lat0)
+          val lon = when(lon0 < -180d || lon0 > 180d, raise_error(lit(
+            "point: longitude should be within the -180 to 180 range"))
+            .cast(DoubleType)).otherwise(lon0)
           vPoint(lat, lon)
         case other => throw TranslateError(s"point needs a map literal: $other")
       }

@@ -163,6 +163,29 @@ object Validate {
       scope = if (star) scope ++ next else next
     }
 
+    // clause order: a reading clause (MATCH/UNWIND/CALL) may not follow
+    // an updating clause in the same WITH scope
+    // (`ast_validations.c:1060-1082`)
+    var updatingSeen = false
+    sq.clauses.foreach { cl =>
+      cl match {
+        case _: Create | _: Merge | _: SetClause | _: Delete =>
+          updatingSeen = true
+        case _: With => updatingSeen = false
+        case m: Match if updatingSeen => fail(
+          s"A WITH clause is required to introduce ${
+            if (m.optional) "OPTIONAL MATCH" else "MATCH"
+          } after an updating clause.")
+        case _: Unwind if updatingSeen => fail(
+          "A WITH clause is required to introduce UNWIND after an " +
+            "updating clause.")
+        case _: CallProc if updatingSeen => fail(
+          "A WITH clause is required to introduce CALL after an " +
+            "updating clause.")
+        case _ => ()
+      }
+    }
+
     sq.clauses.foreach {
       case Match(_, paths, _) =>
         val before = scope

@@ -453,7 +453,18 @@ object Values {
       .when(tag(v) === T_DURATION,
         v.getField("i") * 2629746d + v.getField("f") * 86400d)
       .when(tag(v) === T_BOXED,
-        get_json_object(v.getField("s"), "$.id").cast(DoubleType))
+        // boxed MAPS magnitude-order by key count (Map_Compare's first
+        // tier, map.c:208); same-count maps tiebreak on the canonical
+        // key-sorted JSON in `s` — keys compare exactly, values
+        // lexicographically (a numeric-value divergence the typed
+        // map-struct path [Translator.mapOrderKey] does not have).
+        // Boxed entities order by id.
+        when(get_json_object(v.getField("s"), "$.t") ===
+            T_BOXED_MAP.toString,
+          size(json_object_keys(get_json_object(v.getField("s"), "$.m")))
+            .cast(DoubleType))
+          .otherwise(
+            get_json_object(v.getField("s"), "$.id").cast(DoubleType)))
       .otherwise(num(v))
 
   /** Rank a NULL sorts with inside a composite (list element): above every
@@ -525,8 +536,21 @@ object Values {
   def boolOf(v: Column): Column =
     when(v.isNull, nB).when(tag(v) === T_BOOL, v.getField("b")).otherwise(nB)
 
-  /** WHERE-truthiness: only TRUE passes (null/false filtered). */
+  /** Truthiness: only TRUE passes (null/false filtered). The generic
+    * rule — comprehension predicates, CASE — matches the reference's
+    * SIValue_IsTrue (boolean-only, `value.c:224`).
+    */
   def isTrue(v: Column): Column = coalesce(boolOf(v), lit(false))
+
+  /** WHERE-filter truthiness: like [[isTrue]], but a LIST value passes
+    * iff non-empty (the reference's FT_N_EXP runtime rule,
+    * FilterTree_applyFilters: "An empty array is falsey, all other
+    * arrays should return true" — `WHERE [i in xs]` filters on whether
+    * the comprehension produced anything). Filter sites only.
+    */
+  def filterTrue(v: Column): Column =
+    when(tag(v) === T_ARRAY, size(v.getField("arr")) > 0)
+      .otherwise(coalesce(boolOf(v), lit(false)))
 
   def and(a: Column, b: Column): Column = vBool(boolOf(a) && boolOf(b))
   def or(a: Column, b: Column): Column = vBool(boolOf(a) || boolOf(b))

@@ -197,6 +197,60 @@ object GraphOps {
     ranksCk.select(col("id"), (col("__r") * n / total).as("pagerank"))
   }
 
+  /** Reference-parity PageRank (`src/algorithms/pagerank.c`, the LAGraph
+    * formulation the reference's `algo.pageRank` procedure runs):
+    * `r₀ = 1/n`, `t = 0.85·Σ_{u→v} r(u)/outdeg(u) + (0.15/n)·Σr`,
+    * iterate until `‖r−t‖² < tol²` or `itermax`, then NORMALIZE to sum 1.
+    * Differs from [[pageRank]] (GraphX `staticPageRank`, sum ≈ N) in the
+    * teleport coupling to Σr — dangling mass decays into the teleport
+    * term instead of being held — and in the normalized output; the flow
+    * suite (`tests/flow/test_pagerank.py`) pins the resulting values.
+    * Per iteration: one message join + groupBy (two shuffles) plus two
+    * driver-scalar reduces (Σr, ‖r−t‖²) — the same per-iteration reduces
+    * the reference performs; frames are cut through
+    * [[graft.Checkpoints]], so the resilience knob applies.
+    */
+  def pageRankRef(graph: PropertyGraph, itermax: Int = 100,
+      tol: Double = 1e-4): DataFrame = {
+    import graft.Checkpoints.{materialize, release}
+    val verts = graph.nodes.select(col("id"))
+    val nL = verts.count()
+    if (nL == 0L)
+      return verts.select(col("id"), lit(0.0).as("pagerank"))
+    val n = nL.toDouble
+    val edges = graph.edges.select(col("src"), col("dst")).distinct()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("__c"))
+    val contrib = materialize(edges.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("__c"))
+      .repartition(col("src")))
+    var r = materialize(verts.select(col("id"), lit(1.0 / n).as("__r")))
+    var rdiff = Double.MaxValue
+    var k = 0
+    while (k < itermax && rdiff > tol * tol) {
+      k += 1
+      val rsum = r.agg(sum(col("__r"))).head.getDouble(0)
+      val msgs = contrib.join(r.withColumnRenamed("id", "__rid"),
+          col("src") === col("__rid"))
+        .groupBy(col("dst"))
+        .agg(sum(col("__r") / col("__c")).as("__m"))
+      val t = materialize(verts.join(
+          msgs.withColumnRenamed("dst", "__mid"),
+          verts("id") === col("__mid"), "left")
+        .select(verts("id"), (lit(0.85) * coalesce(col("__m"), lit(0.0)) +
+          lit(0.15 / n) * lit(rsum)).as("__r")))
+      rdiff = r.join(t.withColumnRenamed("id", "__tid")
+          .withColumnRenamed("__r", "__t"), col("id") === col("__tid"))
+        .agg(sum(pow(col("__r") - col("__t"), 2))).head.getDouble(0)
+      release(r)
+      r = t
+    }
+    val total = r.agg(sum(col("__r"))).head.getDouble(0)
+    val out = r.select(col("id"),
+      (col("__r") / lit(if (total == 0.0) 1.0 else total)).as("pagerank"))
+    release(contrib)
+    out
+  }
+
   /** Connected components over a bare (src, dst) pair list; vertices are
     * the ids appearing in the pairs. Component label = the smallest vertex
     * id in the component (GraphX's convention).

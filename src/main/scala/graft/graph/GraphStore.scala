@@ -105,7 +105,14 @@ object GraphStore {
       .partitionBy("reltype")
       .bucketBy(buckets, "dst").sortBy("dst")
       .saveAsTable(s"${name}_edges_rev")
-    writeMeta(spark, name, g, nodeMeta, edgeMeta)
+    // persist per-partition content fingerprints alongside the stats so a
+    // later saveIncremental diffs against META instead of re-scanning the
+    // at-rest tables (at 100 TB the stored-side read is the expensive
+    // half of the diff). Computed from the SAME in-memory frames future
+    // diffs hash — equal content ⇒ equal fingerprint by construction,
+    // independent of parquet round-trip representation.
+    writeMeta(spark, name, g, nodeMeta, edgeMeta,
+      safeFingerprints(nodesU, "label"), safeFingerprints(edgesU, "reltype"))
   }
 
   /** Statistics + key-catalog snapshot rides along (≡ the reference
@@ -114,8 +121,18 @@ object GraphStore {
     * job.
     */
   private def writeMeta(spark: SparkSession, name: String, g: PropertyGraph,
-      nodeMeta: Seq[KeyMeta], edgeMeta: Seq[KeyMeta]): Unit = {
+      nodeMeta: Seq[KeyMeta], edgeMeta: Seq[KeyMeta],
+      nodeFps: Option[Map[Option[String], PartFp]] = None,
+      edgeFps: Option[Map[Option[String], PartFp]] = None): Unit = {
     import scala.jdk.CollectionConverters._
+    // fingerprint rows: key = partition value ("" + tag=1 marks the NULL
+    // partition; "" itself is rejected at save), colname packs "sum|xor",
+    // cnt carries the row count
+    def fpRows(kind: String,
+        fps: Option[Map[Option[String], PartFp]]): Seq[Row] =
+      fps.toSeq.flatMap(_.toSeq.map { case (k, (s, x, c)) =>
+        Row(kind, k.getOrElse(""), s"$s|$x", if (k.isEmpty) 1 else 0, c)
+      })
     val metaRows =
       nodeMeta.map(m => Row("node_key", m.key, m.colname, m.tag, 0L)) ++
       edgeMeta.map(m => Row("edge_key", m.key, m.colname, m.tag, 0L)) ++
@@ -126,7 +143,7 @@ object GraphStore {
       g.labelCounts.toSeq.map { case (l, c) => Row("stat_label", l, "", 0, c) } ++
       g.reltypeCounts.toSeq.map { case (r, c) =>
         Row("stat_reltype", r, "", 0, c)
-      }
+      } ++ fpRows("fp_node", nodeFps) ++ fpRows("fp_edge", edgeFps)
     spark.createDataFrame(metaRows.toList.asJava, metaSchema)
       .repartition(1)
       .write.mode(SaveMode.Overwrite).format("parquet")
@@ -227,33 +244,67 @@ object GraphStore {
       } finally spark.conf.set(key, prev)
     }
 
-    def diff(newDf: DataFrame, table: String,
-        partCol: String): Option[Seq[Option[String]]] = {
-      val stored = spark.table(table)
-      if (stored.columns.sorted.toSeq != newDf.columns.sorted.toSeq)
-        return None
+    // stored-side fingerprints come from _meta (persisted at save time) —
+    // the diff then scans ONLY the new side. A pre-fingerprint store (no
+    // fp_* rows) falls back to one legacy scan of the at-rest table.
+    def diff(newDf: DataFrame, table: String, partCol: String,
+        storedFps: Map[Option[String], PartFp])
+        : Option[(Seq[Option[String]], Map[Option[String], PartFp])] = {
+      if (spark.table(table).columns.sorted.toSeq !=
+        newDf.columns.sorted.toSeq) return None
       if (newDf.schema.exists(_.dataType.isInstanceOf[MapType])) return None
       val newFp = partFingerprints(newDf, partCol)
-      val oldFp = partFingerprints(stored, partCol)
+      val oldFp =
+        if (storedFps.nonEmpty) storedFps
+        else partFingerprints(spark.table(table), partCol)
       // a partition present at rest but absent in the new graph needs a
       // partition DROP — out of dynamic overwrite's reach: full save
       if (oldFp.keySet.exists(k => !newFp.contains(k))) return None
-      Some(newFp.collect {
+      Some((newFp.collect {
         case (k, fp) if !oldFp.get(k).contains(fp) => k
-      }.toSeq)
+      }.toSeq, newFp))
     }
 
-    (diff(nodesU, s"${name}_nodes", "label"),
-        diff(edgesU, s"${name}_edges", "reltype")) match {
-      case (Some(nodeChanged), Some(edgeChanged)) =>
+    (diff(nodesU, s"${name}_nodes", "label", loadFps(meta, "fp_node")),
+        diff(edgesU, s"${name}_edges", "reltype",
+          loadFps(meta, "fp_edge"))) match {
+      case (Some((nodeChanged, nodeFp)), Some((edgeChanged, edgeFp))) =>
         rewrite(nodesU, s"${name}_nodes", "label", "id", nodeChanged)
         rewrite(edgesU, s"${name}_edges", "reltype", "src", edgeChanged)
         rewrite(edgesU, s"${name}_edges_rev", "reltype", "dst", edgeChanged)
-        writeMeta(spark, name, g, nodeMeta, edgeMeta)
+        // the new side's fingerprints ARE the stored content now
+        // (untouched partitions fingerprint equal by definition)
+        writeMeta(spark, name, g, nodeMeta, edgeMeta,
+          Some(nodeFp), Some(edgeFp))
         IncrementalSave(full = false, nodeChanged.size, edgeChanged.size)
       case _ => fullSave()
     }
   }
+
+  /** (Σ hash as decimal string, xor of hashes, row count) — the
+    * per-partition content fingerprint persisted in `_meta`.
+    */
+  private type PartFp = (String, Long, Long)
+
+  /** Parse persisted fingerprint rows of `kind` back out of `_meta`
+    * (empty for pre-fingerprint stores).
+    */
+  private def loadFps(meta: Option[Array[Row]],
+      kind: String): Map[Option[String], PartFp] =
+    meta.toSeq.flatten.filter(_.getString(0) == kind).map { r =>
+      val key = if (r.getInt(3) == 1) None else Some(r.getString(1))
+      val Array(s, x) = r.getString(2).split('|')
+      key -> ((s, x.toLong, r.getLong(4)))
+    }.toMap
+
+  /** Fingerprints for meta persistence at save time; None when the
+    * schema cannot row-hash (map-typed column — the same guard the diff
+    * applies, which then full-saves anyway).
+    */
+  private def safeFingerprints(df: DataFrame,
+      partCol: String): Option[Map[Option[String], PartFp]] =
+    if (df.schema.exists(_.dataType.isInstanceOf[MapType])) None
+    else Some(partFingerprints(df, partCol))
 
   /** Order-independent per-partition content fingerprint:
     * (Σ hash as decimal, xor of hashes, row count) keyed by the partition

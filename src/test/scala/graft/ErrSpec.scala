@@ -16,7 +16,7 @@ class ErrSpec extends AnyFunSuite {
   test("compile-time rejections carry specific messages") {
     val s = new CypherSession(spark)
     s.run("CREATE (:E {v: 1})")
-    assert(err(s, "MATCH (a:E) RETURN b").contains("unknown variable: b"))
+    assert(err(s, "MATCH (a:E) RETURN b").contains("b not defined"))
     assert(err(s, "MATCH (a:E) RETURN nosuchfn(a.v)")
       .contains("unknown function: nosuchfn"))
     assert(err(s, "CALL db.nope() YIELD x RETURN x")

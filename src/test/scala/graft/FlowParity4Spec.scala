@@ -388,6 +388,6 @@ class FlowParity4Spec extends AnyFunSuite {
     assert(rows("fp_gm27", "MATCH (a) RETURN a").isEmpty)
     val e27b = intercept[Exception](rows("fp_gm27", "MERGE (a:L {v: a.v})"))
     assert(e27b.getMessage.toLowerCase.contains("undefined") ||
-      e27b.getMessage.toLowerCase.contains("unknown"), e27b.getMessage)
+      e27b.getMessage.toLowerCase.contains("not defined"), e27b.getMessage)
   }
 }

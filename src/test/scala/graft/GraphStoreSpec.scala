@@ -259,9 +259,37 @@ class GraphStoreSpec extends AnyFunSuite {
       val nodesBefore = files("gs_inc_nodes")
       val edgesBefore = files("gs_inc_edges")
       val revBefore = files("gs_inc_edges_rev")
-      // mutate ONE :A node's property — only the label=A partition differs
-      val r = GraphStore.saveIncremental(mkGraph(i =>
-        if (i == 7L) 700L else i), "gs_inc", buckets = 2)
+      // mutate ONE :A node's property — only the label=A partition differs.
+      // The diff must run NO scan over the stored data tables: stored-side
+      // fingerprints come from _meta (persisted at save time), so only the
+      // new side is hashed (one scan instead of two).
+      val plans = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[String]())
+      val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            d: Long): Unit = plans.add(qe.executedPlan.toString)
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(ql)
+      val r = try {
+        val res = GraphStore.saveIncremental(mkGraph(i =>
+          if (i == 7L) 700L else i), "gs_inc", buckets = 2)
+        // listener delivery is async — give the bus a bounded drain
+        val deadline = System.nanoTime() + 10e9.toLong
+        while (plans.isEmpty && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        Thread.sleep(500)
+        res
+      } finally spark.listenerManager.unregister(ql)
+      import scala.jdk.CollectionConverters._
+      val storedScans = plans.asScala.flatMap(_.linesIterator).filter(l =>
+        l.contains("FileScan") && (l.contains("gs_inc_nodes") ||
+          l.contains("gs_inc_edges")))
+      assert(storedScans.isEmpty,
+        s"diff scanned stored data tables:\n${storedScans.mkString("\n")}")
       assert(!r.full && r.nodeParts == 1 && r.edgeParts == 0, r.toString)
       // bounded rewrite: edge tables byte-untouched, nodes' B partition
       // byte-untouched, only label=A files replaced

@@ -53,6 +53,15 @@ class MapValSpec extends AnyFunSuite {
     assert(r.map(_("a")) == Seq(10L, 2L, 1L))
   }
 
+  test("BOXED maps (via UNWIND) order by key count before key content") {
+    // {z: 9} has 1 key < 2 keys of {a: 1, b: 2} — count decides first
+    // (raw JSON string order would put {"a"... before {"z"...)
+    val r = rows(
+      """UNWIND [{a: 1, b: 2}, {z: 9}] AS m RETURN m ORDER BY m""")
+    assert(r.map(_("m")) ==
+      Seq(Map("z" -> 9L), Map("a" -> 1L, "b" -> 2L)))
+  }
+
   test("toJSON of a map holding a typed list-of-maps renders the list") {
     val r = rows("""RETURN toJSON({a: [{b: 1}], s: 'x'}) AS j""")
     assert(r.head("j") == """{"a": [{"b": 1}], "s": "x"}""")

@@ -90,6 +90,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(default == uncapped)
   }
 
+  test("simhash rotations: multi-band recall ≥ 1-band, lift vs brute force") {
+    import spark.implicits._
+    // seeded corpus of near-dup pairs: base doc + 3-token perturbation.
+    // A perturbed pair's flipped signature bits land anywhere in the 62
+    // bits, so the single top-16-bit band misses any pair with a flipped
+    // high bit; each extra rotation re-keys on a different bit window.
+    val rnd = new scala.util.Random(42)
+    // high-entropy vocab: short "w1"-style tokens polyhash to SMALL longs
+    // (high signature bits constantly 0 → every doc in one prefix bucket)
+    val vocab = (0 until 500).map(_ =>
+      rnd.alphanumeric.take(10 + rnd.nextInt(6)).mkString)
+    val docs = (0 until 40).flatMap { i =>
+      val base = Seq.fill(40)(vocab(rnd.nextInt(vocab.size)))
+      val pert = base.updated(3, vocab(rnd.nextInt(vocab.size)))
+        .updated(17, vocab(rnd.nextInt(vocab.size)))
+        .updated(31, vocab(rnd.nextInt(vocab.size)))
+      Seq((i * 2L, base.mkString(" ")), (i * 2L + 1, pert.mkString(" ")))
+    }.toDF("doc_id", "text")
+    val maxDist = 10
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: ALL pairs within maxDist (cross join — test-size only)
+    val sig = Dedup.simHash(docs)
+    val truth = pairSet(sig.select(col("doc_id").as("a"),
+        col("simhash").as("sig_a"))
+      .crossJoin(sig.select(col("doc_id").as("b"),
+        col("simhash").as("sig_b")))
+      .filter(col("a") < col("b"))
+      .filter(Dedup.hamming(col("sig_a"), col("sig_b")) <= maxDist)
+      .select("a", "b"))
+    assert(truth.size > 10, s"seed produced only ${truth.size} true pairs")
+    val one = pairSet(Dedup.simHashPairs(docs, maxDist).select("a", "b"))
+    val four = pairSet(
+      Dedup.simHashPairs(docs, maxDist, rotations = 4).select("a", "b"))
+    // rotation 0 IS the plain prefix band → multi-band is a superset
+    assert(one.subsetOf(four))
+    // no false positives: bands only propose, hamming disposes
+    assert(four.subsetOf(truth))
+    val (rOne, rFour) =
+      (one.size.toDouble / truth.size, four.size.toDouble / truth.size)
+    info(f"recall: 1 band $rOne%.2f, 4 bands $rFour%.2f (${truth.size} true)")
+    assert(rFour > rOne,
+      s"expected recall lift: 1-band $rOne vs 4-band $rFour")
+  }
+
   test("capCount: derived input derives the cap with zero jobs") {
     // a FILTERED frame must not re-execute its upstream plan for the cap
     val derived = docs.filter(col("doc_id") >= 0)
@@ -137,6 +182,32 @@ class PipelineSpec extends AnyFunSuite {
       val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
         .iterator().asScala.count(java.nio.file.Files.isRegularFile(_))
       assert(files > 0, "reliable mode wrote no checkpoint files")
+    } finally {
+      spark.conf.unset(Checkpoints.ReliableConf)
+      spark.conf.unset(Checkpoints.DirConf)
+    }
+  }
+
+  test("reliable-checkpoint knob covers Cypher var-len through the session") {
+    // a DEEP bound (*1..6 > the 4-hop lazy cutoff) takes the eager
+    // per-hop cut path — under the knob those cuts must be RELIABLE
+    // checkpoints (executor loss recomputes instead of killing the query)
+    import graft.Checkpoints
+    val sess = new graft.cypher.CypherSession(spark)
+    sess.run("CREATE (:C {v: 0})" + (1 to 7).map(i =>
+      s"-[:N]->(:C {v: $i})").mkString)
+    val q = """MATCH (a {v: 0})-[*1..6]->(b) RETURN b.v AS v ORDER BY v"""
+    val base = sess.rows(sess.run(q)).map(_("v"))
+    assert(base == (1L to 6L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-vl-")
+    spark.conf.set(Checkpoints.ReliableConf, "true")
+    spark.conf.set(Checkpoints.DirConf, dir.toString)
+    try {
+      assert(sess.rows(sess.run(q)).map(_("v")) == base)
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files.walk(dir)
+        .iterator().asScala.count(java.nio.file.Files.isRegularFile(_))
+      assert(files > 0, "var-len under the knob wrote no checkpoint files")
     } finally {
       spark.conf.unset(Checkpoints.ReliableConf)
       spark.conf.unset(Checkpoints.DirConf)

@@ -23,7 +23,7 @@ object MakeSf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.ScaleData.generate(spark, "/root/testdata/sf0.1", out, copies)
+    graft.ScaleData.ensure(spark, "/root/testdata/sf0.1", out, copies)
     spark.stop()
   }
 }

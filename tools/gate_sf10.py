@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""sf10 (100x) correctness gate over the 5 scale-probe queries.
+"""sf10 (100x) correctness gate over the 8 scale-probe queries.
 
 Usage: python3 tools/gate_sf10.py <sf10dir> <verify_out_dir> [json_out]
 
@@ -17,10 +17,15 @@ fall back to a ROWS-ONLY structural check and RECORD the downgrade:
   corpus -> spark rows(sf10) == 100 * oracle rows(sf0.1); the sf0.1
   oracle runs in DuckDB in seconds.
 - q_graph_pagerank: one rank row per node -> rows == count(events).
-- q_dedup_minhash: copy 0 is byte-identical to sf0.1, other copies'
-  per-doc permutations are doc-keyed (near-dup pairs there are
-  corpus-specific), so the copy-0 SLICE of the result (both ids below
-  the 1e9 copy stride) must hash-match the full sf0.1 oracle result.
+- q_dedup_minhash / q_dedup_simhash: copy 0 is byte-identical to
+  sf0.1, other copies' per-doc permutations are doc-keyed (near-dup
+  pairs there are corpus-specific), so the copy-0 SLICE of the result
+  (both ids below the 1e9 copy stride) must hash-match the full sf0.1
+  oracle result.
+- q_cypher_varlen / q_graph_components: per-copy key spaces are
+  disjoint, so results are 100 disjoint per-copy replicas -> the
+  generic rows_only invariant applies when the full compare is
+  infeasible.
 
 Every fallback is labeled in the artifact ("mode": "rows_only" /
 "slice_hash" with a reason); full compares are "mode": "full".
@@ -35,6 +40,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 MEM_LIMIT = os.environ.get("GATE_SF10_MEM", "48GB")
 BUDGET_SEC = int(os.environ.get("GATE_SF10_BUDGET", "1500"))
+# Spill sandbox: r12's minhash oracle wrote >54 GB to /tmp and a
+# CONCURRENT sbt test run transiently failed 5 TCK scenarios with "No
+# space left on device". The spill is bounded to a dedicated dir with a
+# hard size cap (DuckDB raises instead of filling the disk -> the gate
+# falls back to the documented structural check), and gate runs should
+# be serialized against sbt test. The budget is recorded in the
+# artifact's _config entry.
+SPILL_DIR = os.environ.get("GATE_SF10_SPILL", "/tmp/duckdb_spill")
+SPILL_CAP = os.environ.get("GATE_SF10_SPILL_CAP", "40GB")
 COPY_STRIDE = 10 ** 9  # ScaleData.OffBig: copy-0 doc ids are below this
 
 
@@ -42,7 +56,8 @@ def connect(sfdir):
     import duckdb
     con = duckdb.connect()
     con.execute(f"SET memory_limit='{MEM_LIMIT}'")
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute(f"SET temp_directory='{SPILL_DIR}'")
+    con.execute(f"SET max_temp_directory_size='{SPILL_CAP}'")
     for t in TABLES:
         path = f"{sfdir}/{t}.parquet"
         if os.path.isdir(path):
@@ -138,7 +153,7 @@ def minhash_slice(outdir, name, sql, reason):
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     json_out = sys.argv[3] if len(sys.argv) > 3 else None
-    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    os.makedirs(SPILL_DIR, exist_ok=True)
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     names = [n for n in sorted(oracles) if os.path.isdir(f"{outdir}/{n}")]
     results = {}
@@ -165,7 +180,9 @@ def main():
             try:
                 if name == "q_graph_pagerank":
                     res = pagerank_rows(sfdir, outdir, name, reason)
-                elif name == "q_dedup_minhash":
+                elif name in ("q_dedup_minhash", "q_dedup_simhash"):
+                    # both emit (a, b, ...) pair rows; copy 0 is
+                    # byte-identical to sf0.1 so its slice hash-checks
                     res = minhash_slice(outdir, name, sql, reason)
                 else:
                     res = rows_only(sfdir, outdir, name, sql, reason)
@@ -183,6 +200,10 @@ def main():
                     else r.get("rows_match")))
     print(f"== {npass}/{len(results)} pass ==", flush=True)
     if json_out:
+        results["_config"] = {"mem_limit": MEM_LIMIT,
+                              "budget_sec": BUDGET_SEC,
+                              "spill_dir": SPILL_DIR,
+                              "spill_cap": SPILL_CAP}
         with open(json_out, "w") as f:
             json.dump(results, f, indent=1, sort_keys=True)
     sys.exit(0 if npass == len(results) else 1)
