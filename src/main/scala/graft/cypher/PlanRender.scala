@@ -108,6 +108,75 @@ private[cypher] object PlanRender {
       case _ => false
     }
 
+    /** A WHERE conjunct (or inline pattern prop) the index on
+      * (label, prop) can serve: comparisons / scalar-list IN / range() /
+      * STARTS WITH / distance() ranges — the reference's
+      * `optimizations/utilize_indices.c` surface (test_index_scans.py).
+      * A nested-array IN stays a label scan (its test04).
+      */
+    def idxSarg(where: Option[Ast.Expr], v: String, prop: String): Boolean = {
+      val cmp = Set("=", "<", "<=", ">", ">=", "STARTSWITH")
+      def propOf(e: Ast.Expr): Boolean = e match {
+        case Ast.Prop(Ast.Variable(`v`), `prop`) => true
+        case Ast.Fn("distance", args, _) => args.exists(propOf)
+        case _ => false
+      }
+      def constish(e: Ast.Expr): Boolean = Translator.isPureLit(e) ||
+        e.isInstanceOf[Ast.Param] || (e match {
+          case Ast.Fn("point", _, _) => true
+          case _ => false
+        })
+      def scalarList(e: Ast.Expr): Boolean = e match {
+        // IN [] is an EMPTY index iterator in the reference — still an
+        // index scan; a nested array disqualifies (test04)
+        case Ast.ListLit(items) => items.forall {
+          case _: Ast.ListLit => false
+          case x => Translator.isPureLit(x)
+        }
+        case Ast.Fn("range", _, _) => true
+        case _: Ast.Param => true
+        case _ => false
+      }
+      // a distance() leaf only qualifies as a BOUNDED circle (< / <=,
+      // geo index range — test_index_scans.py test13); other props take
+      // any comparison
+      def distOk(side: Ast.Expr, opOnProp: String): Boolean = side match {
+        case Ast.Fn("distance", _, _) => opOnProp == "<" || opOnProp == "<="
+        case _ => true
+      }
+      def flip(op: String): String = op match {
+        case "<" => ">"
+        case "<=" => ">="
+        case ">" => "<"
+        case ">=" => "<="
+        case o => o
+      }
+      def check(e: Ast.Expr): Boolean = e match {
+        case Ast.Bin(op, l, r) if cmp(op) =>
+          (propOf(l) && constish(r) && distOk(l, op)) ||
+            (propOf(r) && constish(l) && distOk(r, flip(op)))
+        case Ast.Bin("IN", l, r) if propOf(l) => scalarList(r)
+        case Ast.Bin("AND", l, r) => check(l) || check(r)
+        case _ => false
+      }
+      where.exists(check)
+    }
+
+    /** Does the whole WHERE let index scans replace the label scan for
+      * `v`? AND needs ONE servable conjunct; an OR needs BOTH sides
+      * servable by SOME index on the label (the reference unions the
+      * iterators — `p.name IN […] OR p.age = 33` stays an Index Scan).
+      */
+    def idxServed(where: Option[Ast.Expr], v: String,
+        idxProps: Seq[String]): Boolean = {
+      def served(e: Ast.Expr): Boolean = e match {
+        case Ast.Bin("AND", l, r) => served(l) || served(r)
+        case Ast.Bin("OR", l, r) => served(l) && served(r)
+        case leaf => idxProps.exists(p => idxSarg(Some(leaf), v, p))
+      }
+      where.exists(served)
+    }
+
     def scanOp(np: Ast.NodePat, where: Option[Ast.Expr]): Op = {
       val v = nodeName(np)
       if (v.nonEmpty && idSeek(where, v)) np.label match {
@@ -116,7 +185,19 @@ private[cypher] object PlanRender {
         case Some(l) => Op("Node By Label and ID Scan", s"($v:$l)")
         case None => Op("NodeByIdSeek", s"($v)")
       } else np.label match {
-        case Some(l) => Op("Node By Label Scan", s"($v:$l)")
+        case Some(l) =>
+          // an index on this label that a predicate (WHERE conjunct or
+          // inline equality prop) can serve renders as the reference's
+          // Index Scan — mirroring the execution, which scans this
+          // label's SORTED index view (CypherSession.indexedGraph) with
+          // the predicate pushed into it
+          val idxProps = session.propIndexList.collect {
+            case (`l`, p) => p
+          }
+          val served = idxProps.exists(p => np.props.exists(_._1 == p)) ||
+            (v.nonEmpty && idxServed(where, v, idxProps))
+          if (served) Op("Index Scan", s"($v:$l)")
+          else Op("Node By Label Scan", s"($v:$l)")
         case None => Op("All Node Scan", s"($v)")
       }
     }
