@@ -108,11 +108,14 @@ object GraphStore {
     // persist per-partition content fingerprints alongside the stats so a
     // later saveIncremental diffs against META instead of re-scanning the
     // at-rest tables (at 100 TB the stored-side read is the expensive
-    // half of the diff). Computed from the SAME in-memory frames future
-    // diffs hash — equal content ⇒ equal fingerprint by construction,
-    // independent of parquet round-trip representation.
+    // half of the diff). Hashed from the JUST-WRITTEN tables — one cheap
+    // columnar read-back instead of re-running the (possibly expensive)
+    // build pipeline a second time; parquet round-trips the stored types
+    // exactly, so these equal what a future diff hashes on the new side
+    // (the pre-fingerprint diff compared exactly these two sources).
     writeMeta(spark, name, g, nodeMeta, edgeMeta,
-      safeFingerprints(nodesU, "label"), safeFingerprints(edgesU, "reltype"))
+      safeFingerprints(spark.table(s"${name}_nodes"), "label"),
+      safeFingerprints(spark.table(s"${name}_edges"), "reltype"))
   }
 
   /** Statistics + key-catalog snapshot rides along (≡ the reference
