@@ -25,6 +25,28 @@ class CypherSession(val spark: SparkSession) {
   spark.conf.set("spark.sql.limit.initialNumPartitions",
     spark.sparkContext.defaultParallelism)
 
+  /** Relationship-uniqueness scope for MATCH patterns.
+    *
+    *  - `"all"` (default): openCypher relationship isomorphism — every
+    *    relationship in a pattern, named or anonymous, must bind a
+    *    distinct edge (the TCK's uniqueness scenarios pin this).
+    *  - `"named"`: the reference's documented behavior
+    *    (`docs/known_limitations.md` "Relationship uniqueness in
+    *    patterns") — a relationship that is never referenced elsewhere is
+    *    a pure reachability test, so ANONYMOUS relationships do not
+    *    participate in cross-edge uniqueness checks. Under this scope
+    *    `MATCH (n)-[:act]->(m)<-[:act]-(a)` can bind the SAME edge to
+    *    both anonymous slots (the imdb co-actor golden includes the
+    *    anchor actor itself). Note: the reference's other half of that
+    *    limitation — collapsing parallel anonymous edges to one
+    *    reachability row — is NOT reproduced; per-edge multiplicity
+    *    stays openCypher.
+    *
+    * Seeded from the session conf `graft.cypher.edgeUniquenessScope`.
+    */
+  @volatile var edgeUniquenessScope: String =
+    spark.conf.get("graft.cypher.edgeUniquenessScope", "all")
+
   val nodeSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("label", StringType),
@@ -96,15 +118,47 @@ class CypherSession(val spark: SparkSession) {
   private[graft] def trackCkpt(df: DataFrame, eager: Boolean = true): DataFrame =
     track(df.localCheckpoint(eager))
 
+  /** Read results handed out recently enough that a consumer may still be
+    * draining them. Reads are lock-free, so a writer can rotate the block
+    * store while another thread holds an undrained result frame referencing
+    * a superseded snapshot — local checkpoints have no lineage, so losing
+    * those blocks is a hard `CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND`, not a
+    * recompute (the r13 TCK transient; CkptRotationSpec reproduces it).
+    * Rotation treats the referenced RDDs of the last [[RecentReads]]
+    * results as live; the pin is bounded — a frame older than
+    * [[RecentReads]] subsequent reads ages out like a dropped table.
+    */
+  private val RecentReads = 16
+  private val recentReads = new java.util.ArrayDeque[Set[Int]]()
+
+  /** Register a result frame's referenced snapshots as rotation-live.
+    * Returns `df`. Cheap: one logical-plan walk, no job.
+    */
+  private[cypher] def rememberRead(df: DataFrame): DataFrame = {
+    val ids = org.apache.spark.sql.GraftRdd.referencedRdds(df)
+      .map(_.id).toSet
+    if (ids.nonEmpty) recentReads.synchronized {
+      recentReads.addLast(ids)
+      while (recentReads.size > RecentReads) recentReads.removeFirst()
+    }
+    df
+  }
+
+  private def recentReadIds: Set[Int] = recentReads.synchronized {
+    import scala.jdk.CollectionConverters._
+    recentReads.iterator.asScala.flatten.toSet
+  }
+
   /** Unpersist the generation before last, excluding anything the live
     * snapshot still references (an untouched side skips re-checkpointing,
-    * so a years-old RDD can legitimately back the current graph).
+    * so a years-old RDD can legitimately back the current graph) and
+    * anything a recently-served read may still be draining.
     */
   private def rotateCkpts(): Unit = {
     val live: Set[Int] =
       Seq(graphStore.nodes, graphStore.edges)
         .flatMap(org.apache.spark.sql.GraftRdd.referencedRdds)
-        .map(_.id).toSet
+        .map(_.id).toSet ++ recentReadIds
     ckptOld.foreach(r => if (!live.contains(r.id)) r.unpersist(blocking = false))
     val keep = ckptOld.filter(r => live.contains(r.id))
     ckptOld = keep
@@ -322,14 +376,14 @@ class CypherSession(val spark: SparkSession) {
             rotateCkpts()
             ckptRotationsDue -= 1
           }
-          PointWrite.tryRun(this, pointWrites, ast, allParams)
+          rememberRead(PointWrite.tryRun(this, pointWrites, ast, allParams)
             .orElse(PointWrite.tryDelete(this, pointWrites, ast, allParams,
               body))
             .getOrElse(new MutationRunner(this)
-              .run(ast.parts.head.clauses, allParams))
+              .run(ast.parts.head.clauses, allParams)))
         }
-      case _ => countFastPath(ast).getOrElse(
-        Translator.translate(indexedGraph, ast, allParams, Some(this)))
+      case _ => rememberRead(countFastPath(ast).getOrElse(
+        Translator.translate(indexedGraph, ast, allParams, Some(this))))
     }
   }
 

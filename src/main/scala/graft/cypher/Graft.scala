@@ -52,6 +52,11 @@ class Graft(val spark: SparkSession) {
   private def session(graph: String): CypherSession =
     graphs.getOrElseUpdate(graph, new CypherSession(spark))
 
+  /** The named graph's session, for per-graph options
+    * (e.g. [[CypherSession.edgeUniquenessScope]]).
+    */
+  def sessionFor(graph: String): CypherSession = session(graph)
+
   /** GRAPH.CONFIG — the reference's runtime-settable options
     * (`src/configuration/config.c:20-47`, `RUNTIME_CONFIGS` in `config.h`).
     * `RESULTSET_SIZE` caps read-query result frames (−1 ≡ unlimited,
@@ -96,10 +101,13 @@ class Graft(val spark: SparkSession) {
       // translating/compiling when the deadline fires would start its job
       // afterwards and run to completion. Re-cancel periodically until the
       // query returns, so a late-starting job still dies (the reference's
-      // cron-armed timeout keeps firing the same way, cmd_query.c:97-118)
-      timer.scheduleAtFixedRate(new java.util.TimerTask {
+      // cron-armed timeout keeps firing the same way, cmd_query.c:97-118).
+      // Fixed-DELAY at 150ms: fixed-rate would burst missed ticks and a
+      // 20ms period floods the DAGScheduler event loop for the whole
+      // overdue remainder; the late-submit race window stays bounded.
+      timer.schedule(new java.util.TimerTask {
         def run(): Unit = sc.cancelJobGroup(group)
-      }, ms, 20L)
+      }, ms, 150L)
       try f
       catch {
         case e: org.apache.spark.SparkException =>

@@ -217,6 +217,15 @@ object Translator {
       * `idx` was aliased to 3.14 — updated in projection order).
       */
     val constVars = scala.collection.mutable.Map[String, Ast.Expr]()
+    /** Edge variables generated for ANONYMOUS relationship patterns this
+      * statement — under `edgeUniquenessScope = "named"` (reference
+      * compat, `docs/known_limitations.md` "Relationship uniqueness in
+      * patterns") these are exempt from cross-edge uniqueness filters.
+      */
+    val anonEdgeVars = scala.collection.mutable.Set[String]()
+    /** Resolved uniqueness scope (see [[CypherSession.edgeUniquenessScope]]). */
+    def namedOnlyUniqueness: Boolean =
+      session.exists(_.edgeUniquenessScope == "named")
   }
 
   /** Name of the flat column a scan projects for property `k` of variable
@@ -555,9 +564,15 @@ object Translator {
           pathEdgeVars += evs
         }
     }
-    // relationship uniqueness per path (docs/known_limitations.md:3)
+    // relationship uniqueness per path (docs/known_limitations.md:3);
+    // under the "named" scope anonymous edges are reachability tests and
+    // skip these checks (reference compat — see CypherSession
+    // .edgeUniquenessScope)
+    val namedOnly = ctx.namedOnlyUniqueness
     pathEdgeVars.foreach { evs =>
-      evs.combinations(2).foreach { case List(a, b) =>
+      val checked =
+        if (namedOnly) evs.filterNot(ctx.anonEdgeVars) else evs
+      checked.combinations(2).foreach { case List(a, b) =>
         f = f.copy(df = f.df.filter(
           f.col(a).getField("id") =!= f.col(b).getField("id")))
       }
@@ -869,6 +884,7 @@ object Translator {
         case None =>
           val (f2, ev) = expandOne(ctx, f, prev, rel, node)
           f = f2
+          if (rel.variable.isEmpty) ctx.anonEdgeVars += ev
           edgeVars += ev
           segs += EdgeSeg(ev)
           segs += NodeSeg(node.variable.getOrElse(nameOf(node)))
@@ -902,8 +918,11 @@ object Translator {
     // edges, no overlap between two var-len segments
     varSegIdCols.foreach { idsCol =>
       edgeVars.foreach { ev =>
-        f = f.copy(df = f.df.filter(!array_contains(
-          col(s"`$idsCol`"), f.col(ev).getField("id"))))
+        // anonymous single-hop edges skip the var-len overlap check under
+        // the "named" uniqueness scope, same exemption as the pairwise one
+        if (!(ctx.namedOnlyUniqueness && ctx.anonEdgeVars.contains(ev)))
+          f = f.copy(df = f.df.filter(!array_contains(
+            col(s"`$idsCol`"), f.col(ev).getField("id"))))
       }
     }
     varSegIdCols.toList.combinations(2).foreach { case List(a, b) =>

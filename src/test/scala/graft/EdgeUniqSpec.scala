@@ -20,6 +20,19 @@ class EdgeUniqSpec extends AnyFunSuite {
     assert(c("MATCH (x:L)-[:T*2]->(z) RETURN count(*) AS c") == 0L)
   }
 
+  test("'named' scope exempts anonymous edges from uniqueness (ref compat)") {
+    // the reference treats an unreferenced relationship as a reachability
+    // test (docs/known_limitations.md "Relationship uniqueness in
+    // patterns"), so the self-loop edge CAN bind both anonymous hops;
+    // naming the edges restores the isomorphism check even in this scope
+    val s = new CypherSession(spark)
+    s.edgeUniquenessScope = "named"
+    s.run("CREATE (a:L {n:'a'}) CREATE (a)-[:T]->(a)")
+    def c(q: String) = s.rows(s.run(q)).head("c")
+    assert(c("MATCH (x:L)-[:T]->(y)-[:T]->(z) RETURN count(*) AS c") == 1L)
+    assert(c("MATCH (x:L)-[r1:T]->(y)-[r2:T]->(z) RETURN count(*) AS c") == 0L)
+  }
+
   test("two parallel self-loop edges give both 2-hop orderings") {
     val s = new CypherSession(spark)
     s.run("CREATE (a:L {n:'a'}) " +

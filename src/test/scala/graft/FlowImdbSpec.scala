@@ -5,10 +5,18 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** `tests/flow/test_imdb.py` over the reference's IMDB fixture
-  * (`demo/imdb/resources/*.csv`, loaded with Spark's CSV reader — titles
+  * (`demo/imdb/resources/` CSVs, loaded with Spark's CSV reader — titles
   * contain quoted commas). Ports the queries with pinned inline expected
   * results from `demo/imdb/imdb_queries.py`, both index-scan tests, and
   * the suite's reversed-pattern re-run invariant.
+  *
+  * The co-actor golden (8 rows INCLUDING Nicolas Cage himself) depends on
+  * the reference's anonymous-relationship reachability semantics
+  * (`docs/known_limitations.md` "Relationship uniqueness in patterns"):
+  * Cage has ONE `act` edge, which the reference binds to both anonymous
+  * `[:act]` slots. The engine's default is openCypher relationship
+  * isomorphism (TCK-pinned, returns 7); this suite opts the imdb graph
+  * into the reference scope via `edgeUniquenessScope = "named"`.
   */
 class FlowImdbSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -21,6 +29,7 @@ class FlowImdbSpec extends AnyFunSuite {
     .replace("'", "\\'")
 
   private lazy val setup: Unit = {
+    g.sessionFor(gid).edgeUniquenessScope = "named"
     val res = "/root/reference/demo/imdb/resources"
     val movies = spark.read.csv(s"$res/movies.csv").collect()
     // title, genre, votes, rating, year
