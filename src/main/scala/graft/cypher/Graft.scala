@@ -290,6 +290,7 @@ object Graft {
         case _ if p.nodeName.contains("Join") ||
           p.nodeName.contains("CartesianProduct") => Some("join")
         case _ if p.nodeName.contains("Limit") => Some("limit")
+        case _ if p.nodeName.contains("Aggregate") => Some("agg")
         case _ if p.children.isEmpty => Some("scan")
         case _ => None
       }
@@ -311,6 +312,7 @@ object Graft {
       case "Filter" => Some("filter")
       case "Unwind" => Some("unwind")
       case "Limit" | "Skip" => Some("limit")
+      case "Aggregate" => Some("agg")
       case o if o.contains("Scan") || o.contains("Seek") => Some("scan")
       case o if o.contains("Traverse") || o.contains("Join") ||
         o.contains("Expand") || o.contains("Cartesian") ||
@@ -318,11 +320,45 @@ object Graft {
       case _ => None
     }
     def opName(line: String): String = line.trim.split(" \\| ").head
-    // per-category rendered counts must match catalyst counts, else omit
-    val renderedCats = lines.map(l => catOf(opName(l)))
-    val usable = buckets.filter { case (c, b) =>
-      renderedCats.count(_.contains(c)) == b.size
+    def depthOf(l: String): Int =
+      (l.length - l.dropWhile(_ == ' ').length) / 4
+    // Apply-family INNER subtrees (every child subtree after the first)
+    // dissolve into the join's build side — their rendered ops have no
+    // standalone Catalyst execution and must neither consume nor carry a
+    // category count (the reference executes them per-record; a mapped
+    // count here would mislabel the OUTER side's metrics).
+    val innerApply = Array.fill(lines.length)(false)
+    lines.zipWithIndex.foreach { case (l, i) =>
+      if (opName(l).contains("Apply")) {
+        val d = depthOf(l)
+        var j = i + 1
+        var childSeen = 0
+        while (j < lines.length && depthOf(lines(j)) > d) {
+          if (depthOf(lines(j)) == d + 1) childSeen += 1
+          if (childSeen >= 2) innerApply(j) = true
+          j += 1
+        }
+      }
     }
+    val renderedCats = lines.zipWithIndex.map { case (l, i) =>
+      if (innerApply(i)) None else catOf(opName(l))
+    }
+    // per-category mapping, in confidence order: (a) rendered count ==
+    // catalyst count → positional; (b) agg with catalyst == 2× rendered →
+    // partial/final pairs, take the FINAL (pre-order first of each pair);
+    // (c) every catalyst candidate carries the SAME row count → the
+    // ambiguity is harmless, annotate with that count; else omit.
+    val usable: Map[String, IndexedSeq[(Long, Double)]] =
+      buckets.toMap.flatMap { case (c, b) =>
+        val n = renderedCats.count(_.contains(c))
+        if (n == 0) None
+        else if (n == b.size) Some(c -> b.toIndexedSeq)
+        else if (c == "agg" && b.size == 2 * n)
+          Some(c -> b.grouped(2).map(_.head).toIndexedSeq)
+        else if (b.map(_._1).distinct.size == 1)
+          Some(c -> IndexedSeq.fill(n)((b.head._1, b.map(_._2).max)))
+        else None
+      }
     val idx = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
     lines.zip(renderedCats).map { case (line, cat) =>
       val note = cat.flatMap(c => usable.get(c).map { b =>

@@ -665,62 +665,101 @@ private[cypher] final class MutationRunner(session: CypherSession) {
             s"SET <entity> = requires a map or entity, got: $value")
         }
     }
-    def applyItem(acc: Column, it: Ast.SetItem): Column = it match {
+    // Per-row write EFFECT, composable across rows: (replace?, delta)
+    // where delta's NULL-valued entries mark key REMOVALS. A row's items
+    // fold left into one effect; rows then fold SEQUENTIALLY per entity
+    // (the reference applies updates record by record), so
+    // `UNWIND [{a:1},{b:2}] AS m MATCH (n) SET n += m` accumulates BOTH
+    // keys and duplicate writes count once.
+    case class Eff(rep: Column, delta: Column)
+    def upsert(acc: Column, k: Column, v: Column): Column =
+      map_concat(map_filter(acc, (kk, _) => kk =!= k), map(k, v))
+    def overlay(acc: Column, m: Column): Column =
+      map_concat(
+        map_filter(acc, (kk, _) => !array_contains(map_keys(m), kk)), m)
+    def applyItemEff(acc: Eff, it: Ast.SetItem): Eff = it match {
       case Ast.SetItem(_, Some(k), value) =>
-        map_filter(
-          map_concat(map_filter(acc, (kk, _) => kk =!= k),
-            map(lit(k), trExpr(c, frame, value))),
-          (_, vv) => vv.isNotNull)
+        Eff(acc.rep, upsert(acc.delta, lit(k), trExpr(c, frame, value)))
       // `n += <map expr>`: merge — keys absent from the map keep their
       // values, NULL-valued entries remove theirs
       case Ast.SetItem(_, None, Ast.Fn("__merge_value", List(e), _)) =>
-        val m = asPropsMap(e)
-        map_filter(
-          map_concat(
-            map_filter(acc, (kk, _) => !array_contains(map_keys(m), kk)),
-            m),
-          (_, vv) => vv.isNotNull)
+        Eff(acc.rep, overlay(acc.delta, asPropsMap(e)))
+      // `n = <map expr>`: whole-bag replacement resets everything before
       case Ast.SetItem(_, None, value) =>
-        map_filter(asPropsMap(value), (_, vv) => vv.isNotNull)
+        Eff(lit(true),
+          map_filter(asPropsMap(value), (_, vv) => vv.isNotNull))
     }
     def writesFor(kind: Kind): Option[DataFrame] = {
-      val ws = targets.filter(n => frame.vars.get(n).contains(kind)).map {
-        n =>
-          val start = coalesce(frame.col(n).getField("props"), emptyProps)
-          val np = itemsFor(n).foldLeft(start)(applyItem)
-          frame.df.select(frame.col(n).getField("id").as("__id"),
-              np.as("__np"))
-            .filter(col("__id").isNotNull)
+      // one order tag assigned on the frame BEFORE the per-target split,
+      // so multi-target writes share one row order; the per-target leg
+      // index tiebreaks two targets binding the same entity in one row
+      // (item order within the clause). monotonically_increasing_id is
+      // statement order for narrow pipelines (UNWIND → SET, the shape
+      // the reference pins); past an exchange, match-row order is
+      // engine-defined in both systems.
+      val tagged = frame.df.withColumn("__ord", monotonically_increasing_id())
+      val kindTargets =
+        targets.filter(n => frame.vars.get(n).contains(kind))
+      val ws = kindTargets.zipWithIndex.map { case (n, leg) =>
+        val eff = itemsFor(n).foldLeft(
+          Eff(lit(false), emptyProps))(applyItemEff)
+        tagged.select(frame.col(n).getField("id").as("__id"),
+            col("__ord"), lit(leg).as("__leg"),
+            eff.rep.as("__rep"), eff.delta.cast(Values.propsType).as("__delta"))
+          .filter(col("__id").isNotNull)
       }
       ws.reduceOption(_ unionByName _)
     }
     def applyProps(table: DataFrame, rs: DataFrame): DataFrame = {
-      // when several matched rows write the same entity, the LAST row in
-      // statement order wins — the reference applies updates record by
-      // record (`UNWIND range(1,n) ... SET a.v = ctr` leaves n);
-      // monotonically_increasing_id tags frame order (monotone in row
-      // order across partitions)
       // INNER join: a write row whose entity no longer exists (deleted
       // earlier in this statement) sets nothing and counts nothing
-      val tagged = rs.withColumn("__ord", monotonically_increasing_id())
-      val withOrig = tagged.join(
+      val withOrig = rs.join(
         table.select(col("id").as("__tid"), col("props").as("__torig")),
         col("__id") === col("__tid"))
-      // properties_set counts PER WRITE ROW: each record's adds +
-      // removals vs the stored map — UNWIND range(1,10000) SET a.v = ctr
-      // counts 10000 (test_timeout.py test03), while a write that leaves
-      // the stored value intact sets nothing (test_entity_update.py
-      // test03/test06 semantics)
+      // Sequential per-entity fold in (__ord, __leg) order: state starts
+      // at the stored map and each write row applies its effect to the
+      // RUNNING state. properties_set counts each row's adds + removals
+      // vs that running state — UNWIND range(1,10000) SET a.v = ctr
+      // counts 10000 (test_timeout.py test03), a write that leaves the
+      // current value intact sets nothing (test_entity_update.py
+      // test03/test06), and duplicate writes (UNWIND [1,1]) count once.
       val orig = coalesce(col("__torig"), emptyProps)
-      val adds = filter(map_entries(col("__np")),
-        e => !(element_at(orig, e.getField("key")) <=> e.getField("value")))
-      val rems = filter(map_keys(orig),
-        k => !array_contains(map_keys(col("__np")), k))
-      // distinct output alias: naming it __np would make Spark resolve
-      // the sum()'s __np as a lateral alias of the max_by output
+      val accType = StructType(Seq(
+        StructField("st", Values.propsType.asInstanceOf[MapType]),
+        StructField("cnt", LongType)))
+      def step(acc: Column, w: Column): Column = {
+        val st = acc.getField("st")
+        val ns = map_filter(
+          when(w.getField("__rep"), w.getField("__delta"))
+            .otherwise(overlay(st, w.getField("__delta"))),
+          (_, vv) => vv.isNotNull)
+        val adds = filter(map_entries(ns),
+          e => !(element_at(st, e.getField("key")) <=> e.getField("value")))
+        val rems = filter(map_keys(st),
+          k => !array_contains(map_keys(ns), k))
+        struct(ns.as("st"),
+          (acc.getField("cnt") + size(adds) + size(rems)).as("cnt"))
+      }
+      // array_sort with an explicit (__ord, __leg) comparator: sort_array
+      // cannot order structs that carry a MAP field (the delta)
+      def cmp(l: Column, r: Column): Column =
+        when(l.getField("__ord") < r.getField("__ord"), -1)
+          .when(l.getField("__ord") > r.getField("__ord"), 1)
+          .when(l.getField("__leg") < r.getField("__leg"), -1)
+          .when(l.getField("__leg") > r.getField("__leg"), 1)
+          .otherwise(0)
       val perId = withOrig.groupBy("__id").agg(
-        max_by(col("__np"), col("__ord")).as("__npw"),
-        sum((size(adds) + size(rems)).cast(LongType)).as("__cnt"))
+          array_sort(collect_list(struct(
+            col("__ord"), col("__leg"), col("__rep"), col("__delta"))),
+            cmp).as("__ws"),
+          first(orig).as("__orig"))
+        .select(col("__id"),
+          aggregate(col("__ws"),
+            struct(col("__orig").cast(Values.propsType).as("st"),
+              lit(0L).as("cnt")).cast(accType),
+            step).as("__acc"))
+        .select(col("__id"), col("__acc.st").as("__npw"),
+          col("__acc.cnt").as("__cnt"))
       val nset = perId.agg(sum(col("__cnt"))).head()
       propsSet += (if (nset.isNullAt(0)) 0L else nset.getLong(0))
       val joined = table.join(

@@ -440,12 +440,12 @@ object Translator {
     // (the row drops, test_bfs.py test06)
     if (c.name.equalsIgnoreCase("algo.BFS")) c.args match {
       case List(Ast.Variable(v), d, r) if frame.has(v) =>
-        val depth = constantAny(ctx, d) match {
+        val depth = constantAny(ctx, d, frame.vars.keySet) match {
           case l: Long => l
           case i: Int => i.toLong
           case other => throw TranslateError(s"algo.BFS maxLevel: $other")
         }
-        val rel = constantAny(ctx, r) match {
+        val rel = constantAny(ctx, r, frame.vars.keySet) match {
           case null => None
           case s: String => Some(s)
           case other => throw TranslateError(s"algo.BFS reltype: $other")
@@ -456,7 +456,7 @@ object Translator {
     // argument passing mode: the parenthesis-free form binds arguments
     // implicitly from query parameters — standalone calls only (Call2 [4])
     val args: List[Any] =
-      if (c.explicitArgs) c.args.map(constantAny(ctx, _))
+      if (c.explicitArgs) c.args.map(constantAny(ctx, _, frame.vars.keySet))
       else if (!standalone) throw TranslateError(
         "InvalidArgumentPassingMode: implicit procedure arguments are " +
           "only allowed in a standalone CALL")
@@ -503,8 +503,15 @@ object Translator {
     else Frame(frame.df.crossJoin(outDf), frame.vars ++ outKinds)
   }
 
-  /** constant (literal/param) expression → Scala value for procedure args. */
-  private def constantAny(ctx: Ctx, e: Ast.Expr): Any = e match {
+  /** constant (literal/param) expression → Scala value for procedure args.
+    * `scope` holds the frame's bound variables: a WITH-bound literal
+    * evaluates (the reference evaluates bound variables in arg position),
+    * any other in-scope variable gets the must-be-constant message, and
+    * only a variable absent from scope raises the reference's
+    * "not defined" shape (test_query_validation.py test22).
+    */
+  private def constantAny(ctx: Ctx, e: Ast.Expr,
+      scope: Set[String] = Set.empty): Any = e match {
     case Ast.LitInt(v) => v
     case Ast.LitFloat(v) => v
     case Ast.LitString(v) => v
@@ -517,8 +524,12 @@ object Translator {
       case i: Int => i.toLong
       case v => v
     }
-    // a variable in a procedure-arg position is an unresolvable alias —
-    // the reference's message shape (test_query_validation.py test22)
+    case Ast.Variable(n) if ctx.constVars.contains(n) =>
+      constantAny(ctx, ctx.constVars(n), scope)
+    case Ast.Variable(n) if scope.contains(n) =>
+      throw TranslateError(s"procedure arg must be constant: $n")
+    // an out-of-scope variable is an unresolvable alias — the reference's
+    // message shape (test_query_validation.py test22)
     case Ast.Variable(n) => throw TranslateError(s"$n not defined")
     case other => throw TranslateError(s"procedure arg must be constant: $other")
   }

@@ -483,17 +483,80 @@ object Values {
       else base :+ StructField("a", ArrayType(keyType(d - 1))))
   }
 
+  /** One-level-down semantic mini-key for a JSON-boxed map VALUE
+    * (a Spark `variant`, so string/number/bool/object/array keep their
+    * JSON types): same rank scheme as the top level, numerics by value,
+    * nested objects count-first with canonical-JSON tiebreak. This is
+    * what makes same-key-count boxed maps order like the reference's
+    * recursive Map_Compare (`map.c:208-246`) instead of
+    * JSON-lexicographically ({x:2} < {x:10}).
+    */
+  private def variantMiniKey(e: Column, d: Int): Column = {
+    val sch = schema_of_variant(e)
+    val txt = e.cast(StringType)
+    val r = when(sch === "OBJECT", 0)
+      .when(sch === "ARRAY", 3)
+      .when(sch === "STRING", 11)
+      .when(sch === "BOOLEAN", 12)
+      .when(sch === "VOID", NullRank)
+      .otherwise(13)
+    val n = when(sch === "OBJECT",
+        size(json_object_keys(txt)).cast(DoubleType))
+      .when(sch === "BOOLEAN",
+        try_variant_get(e, "$", "boolean").cast(DoubleType))
+      .when(sch === "VOID", lit(null).cast(DoubleType))
+      .otherwise(try_variant_get(e, "$", "double"))
+    val s = when(sch === "BOOLEAN" || sch === "VOID",
+      lit(null).cast(StringType)).otherwise(txt)
+    val fields = Seq(r.as("r"), n.as("n"), s.as("s"),
+      lit(null).cast(BooleanType).as("b")) ++
+      (if (d <= 0) Nil
+      else Seq(lit(null).cast(ArrayType(keyType(d - 1))).as("a")))
+    struct(fields: _*)
+  }
+
+  /** Order key for a boxed map's (keys, values): Map_Compare's tiers
+    * after key count — all keys element-wise (the canonical `m` JSON is
+    * key-sorted), then all values semantically — expressed as ONE
+    * keys++values array that compares lexicographically.
+    */
+  private def boxedMapKeyArr(v: Column, d: Int): Column = {
+    val m = get_json_object(v.getField("s"), "$.m")
+    val entries = from_json(m, MapType(StringType,
+      org.apache.spark.sql.types.VariantType))
+    def keyEntry(k: Column): Column = {
+      val fields = Seq(lit(11).as("r"), lit(null).cast(DoubleType).as("n"),
+        k.as("s"), lit(null).cast(BooleanType).as("b")) ++
+        (if (d <= 1) Nil
+        else Seq(lit(null).cast(ArrayType(keyType(d - 2))).as("a")))
+      struct(fields: _*)
+    }
+    concat(
+      transform(map_keys(entries), k => keyEntry(k)),
+      transform(map_values(entries), e => variantMiniKey(e, d - 1)))
+  }
+
   /** Recursive order key: list elements map to keys themselves (null
     * element → rank [[NullRank]]), so the lexicographic array comparison
     * Spark applies IS the Cypher list order with nulls greatest.
     */
   private def orderKeyAt(v: Column, d: Int): Column = {
+    // boxed maps: count orders first (numOf); keys-then-values compare
+    // semantically via `a` — the raw boxed JSON must NOT tiebreak in `s`
+    // (it would compare values lexicographically before `a` is reached)
+    val isBoxedMap = tag(v) === T_BOXED &&
+      get_json_object(v.getField("s"), "$.t") === lit(T_BOXED_MAP.toString)
+    val sCol =
+      if (d <= 0) v.getField("s")
+      else when(isBoxedMap, lit(null).cast(StringType))
+        .otherwise(v.getField("s"))
     val base = Seq(rankOf(v).as("r"), numOf(v).as("n"),
-      v.getField("s").as("s"), v.getField("b").as("b"))
+      sCol.as("s"), v.getField("b").as("b"))
     val withArr =
       if (d <= 0) base
-      else base :+ transform(v.getField("arr"),
-        e => orderKeyAt(e, d - 1)).as("a")
+      else base :+ when(isBoxedMap, boxedMapKeyArr(v, d))
+        .otherwise(transform(v.getField("arr"),
+          e => orderKeyAt(e, d - 1))).as("a")
     val nullKey =
       if (d <= 0) Seq(lit(NullRank).as("r"),
         lit(null).cast(DoubleType).as("n"),

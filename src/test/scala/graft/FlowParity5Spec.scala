@@ -302,6 +302,25 @@ class FlowParity5Spec extends AnyFunSuite {
     val scan = line(prof2, "Node By Label Scan")
     assert(scan.contains("(p:Person)") &&
       scan.contains("Records produced: 3"), prof2)
+    // beyond the reference test: traversal / apply / var-len / aggregate
+    // categories carry executed-plan counts too (r13 left these
+    // unannotated whenever the category's rendered and Catalyst node
+    // counts diverged)
+    g.query(gid, "MATCH (p:Person) CREATE (p)-[:R]->(:Q {w:p.v})")
+    val prof3 = g.profile(gid,
+      "MATCH (p:Person)-[:R]->(q:Q) WHERE q.w > 1 RETURN p.v AS v")
+    assert(line(prof3, "Conditional Traverse")
+      .contains("Records produced: 2"), prof3)
+    val prof4 = g.profile(gid,
+      "MATCH (p:Person) WHERE (p)-[:R]->(:Q) RETURN count(p) AS c")
+    assert(line(prof4, "Semi Apply")
+      .contains("Records produced: 3"), prof4)
+    val prof5 = g.profile(gid,
+      "MATCH (p:Person)-[:R*1..2]->(q) RETURN count(q) AS c")
+    assert(line(prof5, "Conditional Variable Length Traverse")
+      .contains("Records produced: 3"), prof5)
+    assert(line(prof5, "Aggregate")
+      .contains("Records produced: 1"), prof5)
   }
 
   // ── test_slowlog.py ────────────────────────────────────────────────────

@@ -62,6 +62,24 @@ class MapValSpec extends AnyFunSuite {
       Seq(Map("z" -> 9L), Map("a" -> 1L, "b" -> 2L)))
   }
 
+  test("same-count BOXED maps order values semantically, not as JSON") {
+    // {x: 2} < {x: 10} numerically; canonical-JSON text order would say
+    // "...10}" < "...2}". Map_Compare (map.c:208-246) recurses into
+    // values — same keys, so the numeric values decide.
+    val r = rows(
+      """UNWIND [{x: 10}, {x: 2}] AS m RETURN m ORDER BY m""")
+    assert(r.map(_("m")) == Seq(Map("x" -> 2L), Map("x" -> 10L)))
+    // keys compare before values: {a: 99} < {b: 0} regardless of values
+    val r2 = rows(
+      """UNWIND [{b: 0}, {a: 99}] AS m RETURN m ORDER BY m""")
+    assert(r2.map(_("m")) == Seq(Map("a" -> 99L), Map("b" -> 0L)))
+    // mixed value types one level down: numeric ranks above string in
+    // the reference enum order (string 11 < numeric 13 here)
+    val r3 = rows(
+      """UNWIND [{x: 1}, {x: 'z'}] AS m RETURN m ORDER BY m""")
+    assert(r3.map(_("m")) == Seq(Map("x" -> "z"), Map("x" -> 1L)))
+  }
+
   test("toJSON of a map holding a typed list-of-maps renders the list") {
     val r = rows("""RETURN toJSON({a: [{b: 1}], s: 'x'}) AS j""")
     assert(r.head("j") == """{"a": [{"b": 1}], "s": "x"}""")

@@ -145,6 +145,27 @@ class MutationSpec extends AnyFunSuite {
     assert(r2 == Seq(Map("a" -> null, "z" -> 9L)))
   }
 
+  test("multi-row SET folds sequentially per entity (record-by-record)") {
+    // the reference applies updates record by record: two targets
+    // binding the SAME node both land (a pick-one-write-row fold would
+    // keep only the last target's map)
+    val s = freshSession("CREATE (:Q {a: 0})")
+    s.run("MATCH (x:Q), (y:Q) SET x.x = 1, y.y = 2")
+    val r = s.rows(s.run(
+      "MATCH (q:Q) RETURN q.a AS a, q.x AS x, q.y AS y"))
+    assert(r == Seq(Map("a" -> 0L, "x" -> 1L, "y" -> 2L)))
+    // duplicate writes count ONCE against the running state: the second
+    // row leaves the value intact and sets nothing
+    val s2 = freshSession("CREATE (:Q2)")
+    val n = stat(s2, "UNWIND [7, 7] AS v MATCH (q:Q2) SET q.v = v",
+      "properties_set")
+    assert(n == 1)
+    // distinct values still count per row (running state changes twice)
+    val s3 = freshSession("CREATE (:Q3)")
+    assert(stat(s3, "UNWIND [1, 2] AS v MATCH (q:Q3) SET q.v = v",
+      "properties_set") == 2)
+  }
+
   test("MERGE relationship between bound nodes") {
     val s = freshSession(
       "CREATE (:P {name:'a'})", "CREATE (:P {name:'b'})")

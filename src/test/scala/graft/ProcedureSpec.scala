@@ -81,6 +81,23 @@ class ProcedureSpec extends AnyFunSuite {
     assert(r2 == Seq(Map("c" -> 2L)))
     assert(rows(s, "CALL db.indexes() YIELD label RETURN label")
       == Seq(Map("label" -> "Doc")))
+    // a WITH-bound LITERAL evaluates in arg position (the reference
+    // evaluates bound variables there); an out-of-scope variable keeps
+    // the reference's "not defined" shape, an in-scope non-constant one
+    // gets the must-be-constant message instead of a misleading
+    // "not defined"
+    val r3 = rows(s,
+      """WITH 'fox' AS q CALL db.idx.fulltext.queryNodes('Doc', q)
+        |YIELD node RETURN count(*) AS c""".stripMargin)
+    assert(r3 == Seq(Map("c" -> 2L)))
+    def msg(q: String): String =
+      intercept[Exception](rows(s, q)).getMessage
+    assert(msg("CALL db.idx.fulltext.queryNodes('Doc', nope) YIELD node RETURN 1")
+      .contains("not defined"))
+    assert(msg("""MATCH (d:Doc) WITH d.title AS t
+        |CALL db.idx.fulltext.queryNodes('Doc', t) YIELD node
+        |RETURN 1""".stripMargin)
+      .contains("must be constant"))
   }
 
   test("ad-hoc procedure: registration, arg filtering, implicit args") {

@@ -49,6 +49,9 @@ BUDGET_SEC = int(os.environ.get("GATE_SF10_BUDGET", "1500"))
 # artifact's _config entry.
 SPILL_DIR = os.environ.get("GATE_SF10_SPILL", "/tmp/duckdb_spill")
 SPILL_CAP = os.environ.get("GATE_SF10_SPILL_CAP", "40GB")
+# the band-chunked minhash oracle is 16 bounded runs + 3 materializations
+# — slower than one query but bounded; it gets its own budget
+MINHASH_BUDGET_SEC = int(os.environ.get("GATE_SF10_MINHASH_BUDGET", "3000"))
 COPY_STRIDE = 10 ** 9  # ScaleData.OffBig: copy-0 doc ids are below this
 
 
@@ -130,6 +133,84 @@ def pagerank_rows(sfdir, outdir, name, reason):
             "err": None}
 
 
+def minhash_full_chunked(sfdir, outdir, name, sql, q):
+    """FULL minhash oracle at sf10, verified in bounded per-band chunks.
+
+    The one-shot oracle spills >56 GB: the bands window runs over
+    16 x n_docs rows and the common-shingle self-join builds on the full
+    candidate set. The pipeline is band-separable though — cand is a
+    DISTINCT union over bands and jaccard per pair is deterministic — so
+    this materializes the per-doc stages ONCE (shh / sizes / sig) into a
+    disk-backed DuckDB, then runs bandsf->cand->common->jaccard per band
+    (1/16th the window and join footprint) and takes the DISTINCT union.
+    Any oracle-parameter drift (cap, threshold) cannot silently pass:
+    the band tail is extracted VERBATIM from the registered oracle SQL
+    and the result still hash-compares against the Spark parquet.
+    """
+    try:
+        dbfile = f"{SPILL_DIR}/minhash_oracle.db"
+        if os.path.exists(dbfile):
+            os.remove(dbfile)
+        import duckdb
+        con = duckdb.connect(dbfile)
+        con.execute(f"SET memory_limit='{MEM_LIMIT}'")
+        con.execute(f"SET temp_directory='{SPILL_DIR}'")
+        con.execute(f"SET max_temp_directory_size='{SPILL_CAP}'")
+        for t in TABLES:
+            path = f"{sfdir}/{t}.parquet"
+            if os.path.isdir(path):
+                path = f"{path}/*.parquet"
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        # per-doc stages, computed once (CTE prefixes reused verbatim)
+        cut_sizes = sql.index("sizes AS")
+        shh_sql = sql[:cut_sizes].rstrip().rstrip(",") + \
+            " SELECT * FROM shh"
+        con.execute(f"CREATE TABLE shh_mat AS {shh_sql}")
+        con.execute("CREATE TABLE sizes_mat AS SELECT doc_id, "
+                    "count(*) AS n_sh FROM shh_mat GROUP BY 1")
+        sig_body = sql[sql.index("sig AS (") + len("sig AS ("):
+                       sql.index("bands AS (")].rstrip().rstrip(",").rstrip()
+        if sig_body.endswith(")"):
+            sig_body = sig_body[:-1]
+        con.execute("CREATE TABLE sig_mat AS " +
+                    sig_body.replace("FROM shh ", "FROM shh_mat "))
+        # band tail taken verbatim from the oracle (cap/threshold included)
+        tail = sql[sql.index("bandsf AS ("):] \
+            .replace("JOIN shh ", "JOIN shh_mat ") \
+            .replace("JOIN sizes ", "JOIN sizes_mat ")
+        n_bands = sql.count("UNION ALL SELECT doc_id,") + 1
+        con.execute("CREATE TABLE pairs (a BIGINT, b BIGINT, "
+                    "jaccard DOUBLE)")
+        for b in range(n_bands):
+            h = 4 * b
+            band_cte = (f"WITH bands AS (SELECT doc_id, {b} AS band, "
+                        f"h{h} AS k0, h{h+1} AS k1, h{h+2} AS k2, "
+                        f"h{h+3} AS k3 FROM sig_mat), ")
+            con.execute(f"INSERT INTO pairs {band_cte}{tail}")
+        oc = con.execute("SELECT DISTINCT a, b, jaccard FROM pairs")
+        ocols = [d[0] for d in oc.description]
+        orows = oc.fetchall()
+        sc = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+        scols = [d[0] for d in sc.description]
+        srows = sc.fetchall()
+        con.close()
+        os.remove(dbfile)
+        if sorted(ocols) != sorted(scols):
+            q.put({"mode": "full", "chunked": True,
+                   "rows_match": len(orows) == len(srows),
+                   "schema_match": False, "hash_match": False, "err": None})
+            return
+        _, r1 = canon(orows, ocols)
+        _, r2 = canon(srows, scols)
+        ok = len(r1) == len(r2) and all(a == b for a, b in zip(r1, r2))
+        q.put({"mode": "full", "chunked": True, "bands": n_bands,
+               "rows_match": len(r1) == len(r2), "schema_match": True,
+               "hash_match": ok, "err": None,
+               "spark_rows": len(r2), "oracle_rows": len(r1)})
+    except Exception as e:
+        q.put({"mode": "full", "chunked": True, "err": str(e)[:300]})
+
+
 def minhash_slice(outdir, name, sql, reason):
     """Copy-0 slice of the sf10 result must equal the sf0.1 oracle."""
     con = connect(SF01)
@@ -176,6 +257,28 @@ def main():
                 res = None
         else:
             reason = "full-oracle subprocess died (OOM-killed)"
+        if res is None and name == "q_dedup_minhash":
+            # second chance before the slice fallback: the band-chunked
+            # FULL oracle (own subprocess + budget — it is 16 bounded
+            # runs over materialized per-doc stages)
+            q2 = mp.Queue()
+            p2 = mp.Process(target=minhash_full_chunked,
+                            args=(sfdir, outdir, name, sql, q2))
+            p2.start()
+            p2.join(MINHASH_BUDGET_SEC)
+            if p2.is_alive():
+                p2.terminate()
+                p2.join()
+                reason = (reason or "") + \
+                    f"; chunked oracle exceeded {MINHASH_BUDGET_SEC}s"
+            elif not q2.empty():
+                r2 = q2.get()
+                if r2.get("err"):
+                    reason = (reason or "") + \
+                        f"; chunked oracle failed: {r2['err']}"
+                else:
+                    r2["reason"] = reason
+                    res = r2
         if res is None:
             try:
                 if name == "q_graph_pagerank":
