@@ -68,23 +68,83 @@ class Graft(val spark: SparkSession) {
   private val conf = scala.collection.concurrent.TrieMap[String, Long](
     "RESULTSET_SIZE" -> -1L,
     "TIMEOUT" -> 0L,
-    "MAX_QUEUED_QUERIES" -> -1L,
+    // the reference default UINT32_MAX ≡ unbounded queue
+    // (test_pending_queries_limit.py test01 pins the value)
+    "MAX_QUEUED_QUERIES" -> 4294967295L,
     "QUERY_MEM_CAPACITY" -> 0L)
+
+  /** Every GET-able field, in the reference's enum order
+    * (`config.h:17-30`; names `config.c:20-47`). Only the four fields in
+    * `conf` are runtime-settable (RUNTIME_CONFIGS, `config.h:36-43`);
+    * the rest report fixed session facts.
+    */
+  private val ConfigFields: Seq[String] = Seq("TIMEOUT", "CACHE_SIZE",
+    "ASYNC_DELETE", "OMP_THREAD_COUNT", "THREAD_COUNT", "RESULTSET_SIZE",
+    "MAINTAIN_TRANSPOSED_MATRICES", "VKEY_MAX_ENTITY_COUNT",
+    "MAX_QUEUED_QUERIES", "QUERY_MEM_CAPACITY")
 
   def configGet(key: String): Long = key.toUpperCase match {
     case "THREAD_COUNT" | "OMP_THREAD_COUNT" =>
       spark.sparkContext.defaultParallelism.toLong
     case "CACHE_SIZE" => 256L // AST LRU capacity, CypherSession.astCache
+    case "ASYNC_DELETE" => 0L // GRAPH.DELETE is a synchronous map removal
+    // the reversed adjacency is always maintained (edges_rev stored
+    // table / dst-keyed expand views — the transpose-matrix analogue)
+    case "MAINTAIN_TRANSPOSED_MATRICES" => 1L
+    // virtual-key chunking doesn't exist here (parquet tables, not RDB
+    // payload slices); report the reference default shape
+    case "VKEY_MAX_ENTITY_COUNT" => 100000L
     case k => conf.getOrElse(k, throw new IllegalArgumentException(
       s"Unknown configuration field: $key"))
   }
 
-  def configSet(key: String, value: Long): Unit = {
-    val k = key.toUpperCase
-    if (!conf.contains(k)) throw new IllegalArgumentException(
-      s"Field '$key' is not a runtime-settable configuration")
-    conf(k) = value
+  /** GRAPH.CONFIG GET * — every field, enum order (`cmd_config.c:11-29`). */
+  def configGetAll: Seq[(String, Long)] = ConfigFields.map(f => f -> configGet(f))
+
+  def configSet(key: String, value: Long): Unit = configSet(Seq(key -> value))
+
+  /** Multi-field SET with the reference's ATOMIC semantics
+    * (`cmd_config.c:75-110`): every field is validated in a dry-run pass
+    * first — one unknown / non-runtime / invalid entry fails the whole
+    * command and nothing is modified.
+    */
+  def configSet(pairs: Seq[(String, Long)]): Unit = {
+    pairs.foreach { case (key, value) =>
+      val k = key.toUpperCase
+      if (!ConfigFields.contains(k)) throw new IllegalArgumentException(
+        s"Unknown configuration field: $key")
+      if (!conf.contains(k)) throw new IllegalArgumentException(
+        "Field can not be re-configured")
+      // positive-integer fields (_Config_ParsePositiveInteger); a
+      // negative RESULTSET_SIZE means unlimited and is accepted
+      if (k != "RESULTSET_SIZE" && value < 0)
+        throw new IllegalArgumentException("Failed to set config value")
+    }
+    pairs.foreach { case (k, v) => conf(k.toUpperCase) = v }
   }
+
+  /** GRAPH.CONFIG wire dispatch (`cmd_config.c:124-153`): GET <name|*> /
+    * SET <name value>... — unknown subcommands raise the reference's
+    * message.
+    */
+  def config(subcommand: String, args: String*): Seq[(String, Long)] =
+    subcommand.toUpperCase match {
+      case "GET" =>
+        require(args.length == 1, "GRAPH.CONFIG GET takes one field")
+        if (args.head == "*") configGetAll
+        else Seq(args.head -> configGet(args.head))
+      case "SET" =>
+        require(args.length % 2 == 0 && args.nonEmpty,
+          "GRAPH.CONFIG SET takes field/value pairs")
+        configSet(args.grouped(2).map { case Seq(k, v) =>
+          k -> (try v.toLong catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException("Failed to set config value")
+          })
+        }.toSeq)
+        Nil
+      case _ => throw new IllegalArgumentException(
+        "Unknown subcommand for GRAPH.CONFIG")
+    }
 
   /** Run `f` under a job group that a timer cancels after the configured
     * TIMEOUT; no-op wrapper when TIMEOUT=0.
@@ -118,17 +178,31 @@ class Graft(val spark: SparkSession) {
   }
 
   /** GRAPH.QUERY — run a Cypher statement (reads and writes). */
+  /** Queries currently inside [[query]] — the first THREAD_COUNT of them
+    * hold "executor" slots, the rest are the pending queue the reference
+    * bounds with MAX_QUEUED_QUERIES (`cmd_dispatcher.c` rejects with this
+    * exact message when the thread pool's queue is full).
+    */
+  private val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def query(graph: String, cypher: String,
       params: Map[String, Any] = Map.empty): DataFrame = {
-    val t0 = System.nanoTime()
-    val s = session(graph)
-    val isMut = Graft.isMutation(parse(s, cypher)) // one cached parse
-    val out = withTimeout(s.run(cypher, params))
-    slowlogAdd(graph, cypher, (System.nanoTime() - t0) / 1e9)
-    val cap = conf("RESULTSET_SIZE")
-    if (cap >= 0 && !isMut)
-      out.limit(math.min(cap, Int.MaxValue.toLong).toInt)
-    else out
+    val cur = inFlight.incrementAndGet()
+    try {
+      val limit = conf("MAX_QUEUED_QUERIES")
+      val queued = cur - spark.sparkContext.defaultParallelism
+      if (queued > limit)
+        throw new IllegalStateException("Max pending queries exceeded")
+      val t0 = System.nanoTime()
+      val s = session(graph)
+      val isMut = Graft.isMutation(parse(s, cypher)) // one cached parse
+      val out = withTimeout(s.run(cypher, params))
+      slowlogAdd(graph, cypher, (System.nanoTime() - t0) / 1e9)
+      val cap = conf("RESULTSET_SIZE")
+      if (cap >= 0 && !isMut)
+        out.limit(math.min(cap, Int.MaxValue.toLong).toInt)
+      else out
+    } finally inFlight.decrementAndGet()
   }
 
   /** GRAPH.RO_QUERY — rejects mutating statements
@@ -230,16 +304,31 @@ class Graft(val spark: SparkSession) {
   /** Persist a graph's tables as bucketed parquet (the RDB-persistence
     * analogue, `src/serializers/encoder/v9` → [[graft.graph.GraphStore]]).
     */
-  def save(graph: String, buckets: Int = 64): Unit =
-    graft.graph.GraphStore.save(session(graph).graph, s"graft_$graph", buckets)
+  def save(graph: String, buckets: Int = 64): Unit = {
+    val s = session(graph)
+    graft.graph.GraphStore.save(s.graph, s"graft_$graph", buckets,
+      s.propIndexList)
+  }
 
-  /** Restore a previously saved graph (co-bucketed expand joins at rest). */
-  def restore(graph: String): Unit =
-    session(graph).setGraph(
-      graft.graph.GraphStore.load(spark, s"graft_$graph"))
+  /** Restore a previously saved graph (co-bucketed expand joins at rest);
+    * persisted index definitions are re-created on the session
+    * (test_persistency.py test01: db.indexes() survives a reload).
+    */
+  def restore(graph: String): Unit = {
+    val s = session(graph)
+    s.setGraph(graft.graph.GraphStore.load(spark, s"graft_$graph"))
+    graft.graph.GraphStore.loadIndexes(spark, s"graft_$graph")
+      .foreach { case (l, p) => s.createIndex(l, p) }
+  }
 
   /** GRAPH.DELETE. */
   def delete(graph: String): Unit = graphs.remove(graph)
+
+  /** GRAPH.DELETE with the reply semantics racing deleters observe: true
+    * for the ONE caller that removed the key, false for the rest
+    * (test_concurrent_query.py test04 — exactly one "OK").
+    */
+  def deleteIfExists(graph: String): Boolean = graphs.remove(graph).isDefined
 
   /** GRAPH.LIST. */
   def list: Seq[String] = graphs.keys.toSeq.sorted

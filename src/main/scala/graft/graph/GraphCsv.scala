@@ -39,7 +39,33 @@ object GraphCsv {
     case _: DoubleType | _: FloatType | _: DecimalType =>
       Values.vFloat(c.cast(DoubleType))
     case _: BooleanType => Values.vBool(c)
+    // the reference's bulk loader types each FIELD independently
+    // (bulk_insert.py typed_prop: try int, float, bool, else string), so
+    // a heterogeneous column — which Spark's per-column inference lands
+    // on STRING — still yields typed values per cell
+    // (test_bulk_insertion.py test08's "mixed" column)
+    case _: StringType =>
+      when(c.isNull, lit(null).cast(Values.variantType))
+        .when(lower(c) === "true", Values.vBool(lit(true)))
+        .when(lower(c) === "false", Values.vBool(lit(false)))
+        .when(c.rlike("^-?\\d{1,18}$"), Values.vInt(c.cast(LongType)))
+        .when(c.rlike("^-?(\\d+\\.\\d*|\\.\\d+)([eE][+-]?\\d+)?$"),
+          Values.vFloat(c.cast(DoubleType)))
+        .otherwise(Values.vStr(c))
     case _ => Values.vStr(c.cast(StringType))
+  }
+
+  /** CSV read with the reference loader's whitespace discipline: header
+    * names and cell values are trimmed (the social bulk fixture writes
+    * `src, dest, relation` with padded cells).
+    */
+  private def readCsv(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("header", "true")
+      .option("inferSchema", "true")
+      .option("ignoreLeadingWhiteSpace", "true")
+      .option("ignoreTrailingWhiteSpace", "true")
+      .csv(path)
+    raw.columns.foldLeft(raw)((df, c) => df.withColumnRenamed(c, c.trim))
   }
 
   /** Deterministic dense rank ids: sort by the (unique) key, then
@@ -71,8 +97,7 @@ object GraphCsv {
     // raw node frames + key→id mappings (key canonicalized to STRING for
     // endpoint joins: total, cast-safe in ANSI mode, type-leg-agnostic)
     val rawNodes = nodeCsvs.map { n =>
-      val raw = spark.read.option("header", "true")
-        .option("inferSchema", "true").csv(n.path)
+      val raw = readCsv(spark, n.path)
       require(raw.columns.contains(n.keyCol),
         s"${n.path}: missing key column ${n.keyCol}")
       val dups = raw.groupBy(col(n.keyCol)).count()
@@ -103,8 +128,7 @@ object GraphCsv {
     }.toMap
 
     val edgeFrames = edgeCsvs.zipWithIndex.map { case (e, i) =>
-      val raw = spark.read.option("header", "true")
-        .option("inferSchema", "true").csv(e.path)
+      val raw = readCsv(spark, e.path)
       Seq(e.srcCol, e.dstCol).foreach { c =>
         require(raw.columns.contains(c), s"${e.path}: missing column $c")
       }

@@ -66,8 +66,14 @@ object GraphStore {
     StructField("tag", IntegerType),
     StructField("cnt", LongType)))
 
-  /** Persist `g` as `<name>_{nodes,edges,edges_rev,meta}` bucketed tables. */
-  def save(g: PropertyGraph, name: String, buckets: Int = 64): Unit = {
+  /** Persist `g` as `<name>_{nodes,edges,edges_rev,meta}` bucketed tables.
+    * `indexes` (label, prop) definitions ride along in `_meta` so a
+    * restore re-creates them — the reference serializes index definitions
+    * in the RDB payload (test_persistency.py test01 pins db.indexes()
+    * surviving a reload).
+    */
+  def save(g: PropertyGraph, name: String, buckets: Int = 64,
+      indexes: Seq[(String, String)] = Nil): Unit = {
     val spark = g.nodes.sparkSession
     // empty-STRING labels/reltypes are rejected loudly: partitionBy writes
     // "" as the Hive default partition and reads it back as NULL, silently
@@ -123,7 +129,8 @@ object GraphStore {
       nodeFpGet().orElse(
         safeFingerprints(spark.table(s"${name}_nodes"), "label")),
       edgeFpGet().orElse(
-        safeFingerprints(spark.table(s"${name}_edges"), "reltype")))
+        safeFingerprints(spark.table(s"${name}_edges"), "reltype")),
+      indexes)
   }
 
   /** Statistics + key-catalog snapshot rides along (≡ the reference
@@ -134,7 +141,8 @@ object GraphStore {
   private def writeMeta(spark: SparkSession, name: String, g: PropertyGraph,
       nodeMeta: Seq[KeyMeta], edgeMeta: Seq[KeyMeta],
       nodeFps: Option[Map[Option[String], PartFp]] = None,
-      edgeFps: Option[Map[Option[String], PartFp]] = None): Unit = {
+      edgeFps: Option[Map[Option[String], PartFp]] = None,
+      indexes: Seq[(String, String)] = Nil): Unit = {
     import scala.jdk.CollectionConverters._
     // fingerprint rows: key = partition value ("" + tag=1 marks the NULL
     // partition; "" itself is rejected at save), colname packs "sum|xor",
@@ -154,7 +162,8 @@ object GraphStore {
       g.labelCounts.toSeq.map { case (l, c) => Row("stat_label", l, "", 0, c) } ++
       g.reltypeCounts.toSeq.map { case (r, c) =>
         Row("stat_reltype", r, "", 0, c)
-      } ++ fpRows("fp_node", nodeFps) ++ fpRows("fp_edge", edgeFps)
+      } ++ fpRows("fp_node", nodeFps) ++ fpRows("fp_edge", edgeFps) ++
+      indexes.map { case (l, p) => Row("index", l, p, 0, 0L) }
     spark.createDataFrame(metaRows.toList.asJava, metaSchema)
       .repartition(1)
       .write.mode(SaveMode.Overwrite).format("parquet")
@@ -204,10 +213,11 @@ object GraphStore {
     * changed clusters) expressed in plain parquet tables.
     */
   def saveIncremental(g: PropertyGraph, name: String,
-      buckets: Int = 64): IncrementalSave = {
+      buckets: Int = 64,
+      indexes: Seq[(String, String)] = Nil): IncrementalSave = {
     val spark = g.nodes.sparkSession
     def fullSave(): IncrementalSave = {
-      save(g, name, buckets)
+      save(g, name, buckets, indexes)
       IncrementalSave(full = true, -1, -1)
     }
     val meta = loadMeta(spark, name)
@@ -286,7 +296,7 @@ object GraphStore {
         // the new side's fingerprints ARE the stored content now
         // (untouched partitions fingerprint equal by definition)
         writeMeta(spark, name, g, nodeMeta, edgeMeta,
-          Some(nodeFp), Some(edgeFp))
+          Some(nodeFp), Some(edgeFp), indexes)
         IncrementalSave(full = false, nodeChanged.size, edgeChanged.size)
       case _ => fullSave()
     }
@@ -300,6 +310,14 @@ object GraphStore {
   /** Parse persisted fingerprint rows of `kind` back out of `_meta`
     * (empty for pre-fingerprint stores).
     */
+  /** Index (label, prop) definitions persisted at save time (empty for
+    * stores saved before index persistence or without indexes).
+    */
+  def loadIndexes(spark: SparkSession, name: String): Seq[(String, String)] =
+    loadMeta(spark, name).toSeq.flatten
+      .filter(_.getString(0) == "index")
+      .map(r => r.getString(1) -> r.getString(2))
+
   private def loadFps(meta: Option[Array[Row]],
       kind: String): Map[Option[String], PartFp] =
     meta.toSeq.flatten.filter(_.getString(0) == kind).map { r =>
