@@ -146,17 +146,23 @@ class Graft(val spark: SparkSession) {
         "Unknown subcommand for GRAPH.CONFIG")
     }
 
-  /** Run `f` under a job group that a timer cancels after the configured
-    * TIMEOUT; no-op wrapper when TIMEOUT=0.
+  /** Run `f` under a job group guarded by the runtime limits: a timer
+    * cancels after TIMEOUT ms, and a listener cancels once the group's
+    * tasks have consumed more than QUERY_MEM_CAPACITY bytes (per-task
+    * peak execution memory + spill + result bytes — the Spark analogue of
+    * the reference's per-query allocator accounting, `rmalloc.c:50`).
+    * No-op wrapper when neither limit is set.
     */
   private def withTimeout[A](f: => A): A = {
     val ms = conf("TIMEOUT")
-    if (ms <= 0) f
-    else {
-      val group = s"graft-timeout-${System.nanoTime()}"
-      val sc = spark.sparkContext
-      sc.setJobGroup(group, "graft query under TIMEOUT", true)
-      val timer = new java.util.Timer(true)
+    val cap = conf("QUERY_MEM_CAPACITY")
+    if (ms <= 0 && cap <= 0) return f
+    val group = s"graft-guard-${System.nanoTime()}"
+    val sc = spark.sparkContext
+    sc.setJobGroup(group, "graft query under runtime limits", true)
+    val timer = new java.util.Timer(true)
+    var timedOut = false
+    if (ms > 0) {
       // cancelJobGroup only reaches jobs ALREADY submitted — a query still
       // translating/compiling when the deadline fires would start its job
       // afterwards and run to completion. Re-cancel periodically until the
@@ -166,14 +172,46 @@ class Graft(val spark: SparkSession) {
       // 20ms period floods the DAGScheduler event loop for the whole
       // overdue remainder; the late-submit race window stays bounded.
       timer.schedule(new java.util.TimerTask {
-        def run(): Unit = sc.cancelJobGroup(group)
+        def run(): Unit = { timedOut = true; sc.cancelJobGroup(group) }
       }, ms, 150L)
-      try f
-      catch {
-        case e: org.apache.spark.SparkException =>
-          throw Translator.TranslateError(
-            s"Query timed out after ${ms}ms: ${e.getMessage.take(120)}")
-      } finally { timer.cancel(); sc.clearJobGroup() }
+    }
+    val memTripped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val used = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = if (cap <= 0) None else {
+      val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          if (Option(js.properties).exists(
+              _.getProperty("spark.jobGroup.id") == group))
+            js.stageIds.foreach(sid => stages.add(sid))
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (stages.contains(te.stageId) && te.taskMetrics != null) {
+            val m = te.taskMetrics
+            val b = m.peakExecutionMemory + m.memoryBytesSpilled +
+              m.resultSize
+            if (used.addAndGet(b) > cap &&
+              memTripped.compareAndSet(false, true))
+              sc.cancelJobGroup(group)
+          }
+      }
+      sc.addSparkListener(l)
+      Some(l)
+    }
+    try f
+    catch {
+      case _: org.apache.spark.SparkException if memTripped.get() =>
+        throw Translator.TranslateError(
+          "Query's mem consumption exceeded capacity " +
+            s"(${used.get()} > $cap bytes)")
+      case e: org.apache.spark.SparkException if ms > 0 && timedOut =>
+        throw Translator.TranslateError(
+          s"Query timed out after ${ms}ms: ${e.getMessage.take(120)}")
+    } finally {
+      timer.cancel()
+      listener.foreach(sc.removeSparkListener)
+      sc.clearJobGroup()
     }
   }
 

@@ -729,16 +729,30 @@ private[cypher] final class MutationRunner(session: CypherSession) {
         StructField("cnt", LongType)))
       def step(acc: Column, w: Column): Column = {
         val st = acc.getField("st")
+        val delta = w.getField("__delta")
+        val rep = w.getField("__rep")
         val ns = map_filter(
-          when(w.getField("__rep"), w.getField("__delta"))
-            .otherwise(overlay(st, w.getField("__delta"))),
+          when(rep, delta).otherwise(overlay(st, delta)),
           (_, vv) => vv.isNotNull)
-        val adds = filter(map_entries(ns),
-          e => !(element_at(st, e.getField("key")) <=> e.getField("value")))
-        val rems = filter(map_keys(st),
-          k => !array_contains(map_keys(ns), k))
+        // counts derive from (st, delta) so the (large) new-state tree is
+        // referenced exactly once — the optimizer walks this expression
+        // per rule and the variant types make every duplicate expensive
+        val adds = filter(map_entries(delta),
+          e => e.getField("value").isNotNull &&
+            !(element_at(st, e.getField("key")) <=> e.getField("value")))
+        // removals: explicit null-valued delta keys present in the state,
+        // plus (replace only) every state key absent from the delta
+        val remMarkers = filter(map_entries(delta),
+          e => e.getField("value").isNull &&
+            element_at(st, e.getField("key")).isNotNull)
+        // element_at(delta, k).isNull covers both "absent from the
+        // replacement map" and "explicit null marker after a replace"
+        val rems = when(rep,
+          size(filter(map_keys(st),
+            k => element_at(delta, k).isNull)))
+          .otherwise(size(remMarkers))
         struct(ns.as("st"),
-          (acc.getField("cnt") + size(adds) + size(rems)).as("cnt"))
+          (acc.getField("cnt") + size(adds) + rems).as("cnt"))
       }
       // array_sort with an explicit (__ord, __leg) comparator: sort_array
       // cannot order structs that carry a MAP field (the delta)
