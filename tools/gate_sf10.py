@@ -211,6 +211,66 @@ def minhash_full_chunked(sfdir, outdir, name, sql, q):
         q.put({"mode": "full", "chunked": True, "err": str(e)[:300]})
 
 
+def simhash_banded_chunked(sfdir, outdir, name, sql, q):
+    """FULL banded-SimHash oracle at sf10 in per-band chunks: the per-doc
+    signature (sigb) is materialized once, then each rotation's
+    window+self-join runs alone (1/4 the QUALIFY window), and the result
+    is the DISTINCT union — identical math to the one-shot oracle, which
+    exceeds the budget at 138M band rows. Band arms are extracted
+    VERBATIM from the registered oracle SQL.
+    """
+    try:
+        dbfile = f"{SPILL_DIR}/simhash_oracle.db"
+        if os.path.exists(dbfile):
+            os.remove(dbfile)
+        import duckdb
+        con = duckdb.connect(dbfile)
+        con.execute(f"SET memory_limit='{MEM_LIMIT}'")
+        con.execute(f"SET temp_directory='{SPILL_DIR}'")
+        con.execute(f"SET max_temp_directory_size='{SPILL_CAP}'")
+        for t in TABLES:
+            path = f"{sfdir}/{t}.parquet"
+            if os.path.isdir(path):
+                path = f"{path}/*.parquet"
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        cut_rot = sql.index("rot AS (")
+        sigb_sql = sql[:cut_rot].rstrip().rstrip(",") + \
+            " SELECT * FROM sigb"
+        con.execute(f"CREATE TABLE sigb_mat AS {sigb_sql}")
+        rot_body = sql[cut_rot + len("rot AS ("):sql.index("rotf AS (")]
+        rot_body = rot_body.rstrip().rstrip(",").rstrip()
+        if rot_body.endswith(")"):
+            rot_body = rot_body[:-1]
+        arms = [a.strip().replace("FROM sigb", "FROM sigb_mat")
+                for a in rot_body.split("UNION ALL")]
+        tail = sql[sql.index("rotf AS ("):]
+        con.execute("CREATE TABLE pairs (a BIGINT, b BIGINT, dist INT)")
+        for arm in arms:
+            con.execute(f"INSERT INTO pairs WITH rot AS ({arm}), {tail}")
+        oc = con.execute("SELECT DISTINCT a, b, dist FROM pairs")
+        ocols = [d[0] for d in oc.description]
+        orows = oc.fetchall()
+        sc = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+        scols = [d[0] for d in sc.description]
+        srows = sc.fetchall()
+        con.close()
+        os.remove(dbfile)
+        if sorted(ocols) != sorted(scols):
+            q.put({"mode": "full", "chunked": True,
+                   "rows_match": len(orows) == len(srows),
+                   "schema_match": False, "hash_match": False, "err": None})
+            return
+        _, r1 = canon(orows, ocols)
+        _, r2 = canon(srows, scols)
+        ok = len(r1) == len(r2) and all(a == b for a, b in zip(r1, r2))
+        q.put({"mode": "full", "chunked": True, "bands": len(arms),
+               "rows_match": len(r1) == len(r2), "schema_match": True,
+               "hash_match": ok, "err": None,
+               "spark_rows": len(r2), "oracle_rows": len(r1)})
+    except Exception as e:
+        q.put({"mode": "full", "chunked": True, "err": str(e)[:300]})
+
+
 def minhash_slice(outdir, name, sql, reason):
     """Copy-0 slice of the sf10 result must equal the sf0.1 oracle."""
     con = connect(SF01)
@@ -257,6 +317,25 @@ def main():
                 res = None
         else:
             reason = "full-oracle subprocess died (OOM-killed)"
+        if res is None and name == "q_dedup_simhash_banded":
+            q2 = mp.Queue()
+            p2 = mp.Process(target=simhash_banded_chunked,
+                            args=(sfdir, outdir, name, sql, q2))
+            p2.start()
+            p2.join(MINHASH_BUDGET_SEC)
+            if p2.is_alive():
+                p2.terminate()
+                p2.join()
+                reason = (reason or "") + \
+                    f"; chunked oracle exceeded {MINHASH_BUDGET_SEC}s"
+            elif not q2.empty():
+                r2 = q2.get()
+                if r2.get("err"):
+                    reason = (reason or "") + \
+                        f"; chunked oracle failed: {r2['err']}"
+                else:
+                    r2["reason"] = reason
+                    res = r2
         if res is None and name == "q_dedup_minhash":
             # second chance before the slice fallback: the band-chunked
             # FULL oracle (own subprocess + budget — it is 16 bounded
