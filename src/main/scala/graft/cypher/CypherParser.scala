@@ -516,21 +516,30 @@ object CypherParser extends RegexParsers {
   def callClause: Parser[Clause] =
     kw("CALL") ~> rep1sep(anyIdent, ".") ~
       opt("(" ~> repsep(expr, ",") <~ ")") ~
-      opt(kw("YIELD") ~> rep1sep(anyIdent ~ opt(kw("AS") ~> ident), ",")) ^^ {
+      opt(kw("YIELD") ~> rep1sep(anyIdent ~ opt(kw("AS") ~> ident), ",") ~
+        // `YIELD … WHERE pred` filters the yielded rows in place
+        // (test_procedures.py test04 mixes CALL+WHERE without a WITH)
+        opt(kw("WHERE") ~> expr)) ^^ {
       case parts ~ args ~ y =>
         CallProc(parts.mkString("."), args.getOrElse(Nil),
-          y.getOrElse(Nil).map { case c ~ a => (c, a) },
-          explicitArgs = args.isDefined)
+          y.map(_._1).getOrElse(Nil).map { case c ~ a => (c, a) },
+          explicitArgs = args.isDefined,
+          where = y.flatMap(_._2))
     }
 
-  /** CREATE INDEX ON :Label(prop) / DROP INDEX ON :Label(prop)
-    * (reference commands.md "Indexing"; single-property node indexes).
+  /** CREATE INDEX ON :Label(p1[, p2, …]) / DROP INDEX ON :Label(prop)
+    * (reference commands.md "Indexing"; each property is its own
+    * single-property node index — `test_index_create.py` test02 counts
+    * per-property creations, duplicates included in one statement).
     */
   def indexClause: Parser[Clause] =
-    (kw("CREATE") | kw("DROP")) ~ (kw("INDEX") ~> kw("ON") ~> ":" ~>
-      labelIdent) ~ ("(" ~> anyIdent <~ ")") ^^ {
-      case "CREATE" ~ label ~ prop => CreateIndex(label, prop)
-      case _ ~ label ~ prop => DropIndex(label, prop)
+    kw("CREATE") ~> kw("INDEX") ~> kw("ON") ~> ":" ~> labelIdent ~
+      ("(" ~> rep1sep(anyIdent, ",") <~ ")") ^^ {
+      case label ~ props => CreateIndex(label, props)
+    } |
+    kw("DROP") ~> kw("INDEX") ~> kw("ON") ~> ":" ~> labelIdent ~
+      ("(" ~> anyIdent <~ ")") ^^ {
+      case label ~ prop => DropIndex(label, prop)
     }
 
   def clause: Parser[Clause] =

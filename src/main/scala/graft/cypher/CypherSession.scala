@@ -354,12 +354,24 @@ class CypherSession(val spark: SparkSession) {
     val allParams = if (prefix.isEmpty) params else prefix ++ params
     val ast = parse(body) // validated on first parse (see [[parse]])
     ast.parts.head.clauses match {
-      case List(Ast.CreateIndex(label, prop)) =>
+      case List(Ast.CreateIndex(label, props)) =>
         require(ast.parts.size == 1, "index DDL cannot be UNIONed")
-        indicesFrame(if (createIndex(label, prop)) 1 else 0)
+        // per-property accounting (test_index_create.py test02): each new
+        // (label, prop) counts once; duplicates — pre-existing OR repeated
+        // within the statement — are no-ops
+        indicesFrame(props.count(p => createIndex(label, p)).toLong)
       case List(Ast.DropIndex(label, prop)) =>
         require(ast.parts.size == 1, "index DDL cannot be UNIONed")
         indicesFrame(if (dropIndex(label, prop)) -1 else 0)
+      case List(cp: Ast.CallProc)
+          if cp.name.equalsIgnoreCase("db.idx.fulltext.createnodeindex") &&
+            cp.yields.isEmpty =>
+        // standalone create call: surface the reference's DDL statistics
+        // (indices_created counts NEW per-property fulltext indexes,
+        // test_index_create.py test01) — invocation happens eagerly
+        // during translation, which records the count on the session
+        Translator.translate(indexedGraph, ast, allParams, Some(this))
+        indicesFrame(lastIndicesCreated)
       case _ if Graft.isMutation(ast) =>
         require(ast.parts.size == 1, "mutations cannot be UNIONed")
         // single-writer / multi-reader (`src/commands/cmd_query.c:156-170`):
@@ -368,6 +380,10 @@ class CypherSession(val spark: SparkSession) {
         // the second commit would erase the first (lost update). Reads stay
         // lock-free on the immutable snapshot they grabbed.
         writeLock.synchronized {
+          // seed the schema-version known-set from the PRE-write graph:
+          // seeding after the commit would classify this statement's own
+          // additions as data-at-rest and miss the bump
+          seedSchema()
           // statement boundary: blocks checkpointed TWO mutating
           // statements ago can no longer feed a promptly-consumed result —
           // release them (per-commit rotation would free pins a statement's
@@ -376,11 +392,16 @@ class CypherSession(val spark: SparkSession) {
             rotateCkpts()
             ckptRotationsDue -= 1
           }
-          rememberRead(PointWrite.tryRun(this, pointWrites, ast, allParams)
+          val res = rememberRead(
+            PointWrite.tryRun(this, pointWrites, ast, allParams)
             .orElse(PointWrite.tryDelete(this, pointWrites, ast, allParams,
               body))
             .getOrElse(new MutationRunner(this)
               .run(ast.parts.head.clauses, allParams)))
+          // write landed — fold any new labels/types/attribute keys into
+          // the wire-protocol schema version
+          noteSchema(ast.parts.head.clauses, allParams)
+          res
         }
       case _ => rememberRead(countFastPath(ast).getOrElse(
         Translator.translate(indexedGraph, ast, allParams, Some(this))))
@@ -516,8 +537,22 @@ class CypherSession(val spark: SparkSession) {
   private val ftIndexes =
     scala.collection.mutable.Map[String, (List[String], Long, DataFrame)]()
 
+  /** Create/extend the fulltext index on `label`: `props` MERGE into any
+    * existing indexed set (the reference counts each new per-property
+    * index once and re-creating an existing one is a no-op,
+    * `test_index_create.py` test01). Returns the number of NEW properties
+    * indexed; the token table is (re)built only when that is non-zero.
+    */
   private[cypher] def buildFulltextIndex(label: String,
-      props: List[String]): Unit = {
+      rawProps: List[String]): Int = {
+    val existing = ftIndexes.get(label).map(_._1).getOrElse(Nil)
+    val fresh = rawProps.distinct.filterNot(existing.contains)
+    // nothing new AND the stored token table is current → true no-op;
+    // a STALE entry must still rebuild (fulltextIndex's lazy-rebuild path
+    // re-enters here with the existing props after a graph mutation)
+    if (fresh.isEmpty && ftIndexes.get(label).exists(_._2 == graphVersion))
+      return 0
+    val props = existing ++ fresh
     val toks = graph.nodesByLabel(label)
       .select(col("id"), explode(array(props.map(p =>
         element_at(col("props"), p).getField("s")): _*)).as("text"))
@@ -532,7 +567,14 @@ class CypherSession(val spark: SparkSession) {
         .foreach(_.unpersist(blocking = false))
     }
     ftIndexes(label) = (props, graphVersion, trackCkpt(toks))
+    fresh.length
   }
+
+  /** DDL statistics of the most recent fulltext create call (read by the
+    * standalone-CALL path in [[run]] to emit the reference's
+    * indices_created result).
+    */
+  private[cypher] var lastIndicesCreated = 0L
 
   private[cypher] def fulltextIndex(label: String): Option[DataFrame] =
     ftIndexes.get(label).map { case (props, v, df) =>
@@ -549,6 +591,106 @@ class CypherSession(val spark: SparkSession) {
   /** Indexed properties of a full-text index (db.indexes reporting). */
   private[cypher] def fulltextProps(label: String): List[String] =
     ftIndexes.get(label).map(_._1).getOrElse(Nil)
+
+  // ═══════════════════════ schema version (wire protocol) ══════════════════
+  /** Reference graph-version protocol (`graphcontext.c:202-219` folds,
+    * `cmd_dispatcher.c:82-92` enforces): the version is a rolling hash
+    * folded over each schema ADDITION — a new label, relationship type,
+    * or attribute key — while plain writes that reuse existing schema do
+    * not move it (`tests/flow/test_graph_versioning.py`). Clients pass
+    * their cached version with a query; a mismatch rejects with
+    * "version mismatch" + the current version.
+    *
+    * Spark-first internals, observable protocol preserved: the fold uses
+    * MurmurHash3 (deterministic across JVMs — the same statement sequence
+    * yields the same version cluster-wide, the property the reference
+    * gets from seeded XXH32; the hash VALUES differ from the reference's).
+    * Additions derive from the statement's static label/type/key set plus
+    * parameter-map keys, so a mutation that binds zero rows still bumps —
+    * the reference folds during execution; the divergence is invisible to
+    * the protocol's purpose (client-side cache invalidation errs fresh).
+    */
+  @volatile private var schemaVer: Long = 0L
+  private val knownSchema = scala.collection.mutable.HashSet[String]()
+  private var schemaSeeded = false
+
+  /** Current schema version (uint32 range, like the reference's XXH32). */
+  def schemaVersion: Long = { seedSchema(); schemaVer }
+
+  private def seedSchema(): Unit = synchronized {
+    if (schemaSeeded) return
+    schemaSeeded = true
+    // a pre-existing graph's schema is data-at-rest, not an addition:
+    // seed the known set WITHOUT moving the version (the reference
+    // rebuilds its attribute rax from the RDB the same way) — labels and
+    // types from the served statistics, attribute keys from one distinct
+    // scan (at rest this comes from the store's column metadata)
+    val g = graph
+    g.labelCounts.keys.filter(_.nonEmpty)
+      .flatMap(_.split(":")).foreach(l => knownSchema += s"L:$l")
+    g.reltypeCounts.keys.filter(_.nonEmpty)
+      .foreach(r => knownSchema += s"R:$r")
+    if (g.labelCounts.nonEmpty || g.reltypeCounts.nonEmpty) {
+      val nk = g.nodes.select(explode(map_keys(col("props"))).as("k"))
+      val ek = g.edges.select(explode(map_keys(col("props"))).as("k"))
+      nk.unionByName(ek).distinct().collect()
+        .foreach(r => knownSchema += s"A:${r.getString(0)}")
+    }
+  }
+
+  private def foldSchema(s: String): Unit =
+    schemaVer = scala.util.hashing.MurmurHash3
+      .stringHash(s, schemaVer.toInt).toLong & 0xFFFFFFFFL
+
+  /** Fold any genuinely-new schema strings of a just-committed mutation
+    * statement into the version (no-op when everything is known).
+    */
+  private[cypher] def noteSchema(clauses: List[Ast.Clause],
+      params: Map[String, Any]): Unit = synchronized {
+    seedSchema()
+    val adds = scala.collection.mutable.LinkedHashSet[String]()
+    def addLabel(l: String): Unit =
+      l.split(":").filter(_.nonEmpty).foreach(x => adds += s"L:$x")
+    def addRel(r: String): Unit = adds += s"R:$r"
+    def addAttr(a: String): Unit = adds += s"A:$a"
+    def walkPath(p: Ast.PathPat): Unit = {
+      def node(n: Ast.NodePat): Unit = {
+        n.label.foreach(addLabel); n.props.foreach(kv => addAttr(kv._1))
+      }
+      node(p.head)
+      p.tail.foreach { case (r, n) =>
+        r.types.foreach(addRel); r.props.foreach(kv => addAttr(kv._1))
+        node(n)
+      }
+    }
+    def setItem(it: Ast.SetItem): Unit = it match {
+      case Ast.SetItem(_, Some(Ast.LabelKey), Ast.LitString(l)) =>
+        addLabel(l)
+      case Ast.SetItem(_, Some(Ast.LabelKey), _) => ()
+      case Ast.SetItem(_, Some(k), _) => addAttr(k)
+      case Ast.SetItem(_, None, Ast.MapLit(entries)) =>
+        entries.foreach(kv => addAttr(kv._1))
+      case Ast.SetItem(_, None, Ast.Param(p)) =>
+        params.get(p) match {
+          case Some(m: Map[_, _]) => m.keys.foreach(k => addAttr(k.toString))
+          case Some(m: java.util.Map[_, _]) =>
+            m.keySet.forEach(k => addAttr(k.toString))
+          case _ => ()
+        }
+      case _ => ()
+    }
+    clauses.foreach {
+      case c: Ast.Create => c.paths.foreach(walkPath)
+      case m: Ast.Merge =>
+        walkPath(m.path)
+        m.onMatch.foreach(setItem); m.onCreate.foreach(setItem)
+      case s: Ast.SetClause => s.items.foreach(setItem)
+      case _ => ()
+    }
+    adds.toList.filterNot(knownSchema.contains).foreach { s =>
+      knownSchema += s; foldSchema(s)
+    }
+  }
 
   /** GRAPH.PROFILE sink for write statements: while set (Graft.profile),
     * write ops record the row counts they process, keyed by rendered op

@@ -161,7 +161,10 @@ class Graft(val spark: SparkSession) {
     val sc = spark.sparkContext
     sc.setJobGroup(group, "graft query under runtime limits", true)
     val timer = new java.util.Timer(true)
-    var timedOut = false
+    // written by the Timer thread, read by the query thread — needs the
+    // happens-before edge (a stale read would surface a timed-out query
+    // as a raw SparkException instead of the reference-shaped error)
+    val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
     if (ms > 0) {
       // cancelJobGroup only reaches jobs ALREADY submitted — a query still
       // translating/compiling when the deadline fires would start its job
@@ -172,7 +175,7 @@ class Graft(val spark: SparkSession) {
       // 20ms period floods the DAGScheduler event loop for the whole
       // overdue remainder; the late-submit race window stays bounded.
       timer.schedule(new java.util.TimerTask {
-        def run(): Unit = { timedOut = true; sc.cancelJobGroup(group) }
+        def run(): Unit = { timedOut.set(true); sc.cancelJobGroup(group) }
       }, ms, 150L)
     }
     val memTripped = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -205,7 +208,7 @@ class Graft(val spark: SparkSession) {
         throw Translator.TranslateError(
           "Query's mem consumption exceeded capacity " +
             s"(${used.get()} > $cap bytes)")
-      case e: org.apache.spark.SparkException if ms > 0 && timedOut =>
+      case e: org.apache.spark.SparkException if ms > 0 && timedOut.get() =>
         throw Translator.TranslateError(
           s"Query timed out after ${ms}ms: ${e.getMessage.take(120)}")
     } finally {
@@ -220,6 +223,13 @@ class Graft(val spark: SparkSession) {
     * hold "executor" slots, the rest are the pending queue the reference
     * bounds with MAX_QUEUED_QUERIES (`cmd_dispatcher.c` rejects with this
     * exact message when the thread pool's queue is full).
+    *
+    * APPROXIMATION: read queries return lazy frames, so a slot is held
+    * through translation only — the bound applies to concurrently
+    * *dispatching* queries, not executing+queued work like the
+    * reference's thread-pool queue (a caller that defers collect() can
+    * under-trip the limit). Mutations execute eagerly inside the slot,
+    * so the write path matches the reference's accounting exactly.
     */
   private val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -241,6 +251,29 @@ class Graft(val spark: SparkSession) {
         out.limit(math.min(cap, Int.MaxValue.toLong).toInt)
       else out
     } finally inFlight.decrementAndGet()
+  }
+
+  /** Current schema version of `graph` — the value a client caches and
+    * passes back as GRAPH.QUERY's `version` argument. Moves only on
+    * schema ADDITIONS (new label / relationship type / attribute key),
+    * not on plain writes (`graphcontext.c:202-219`,
+    * `tests/flow/test_graph_versioning.py`).
+    */
+  def graphVersion(graph: String): Long = session(graph).schemaVersion
+
+  /** GRAPH.QUERY with the client's cached `version` (wire arg
+    * `version N`, `cmd_dispatcher.c:44-92`): a stale version rejects
+    * BEFORE executing, replying "version mismatch" + the current version
+    * so the client can refresh its schema cache.
+    */
+  def query(graph: String, cypher: String, params: Map[String, Any],
+      version: Long): DataFrame = {
+    if (version < 0)
+      throw new IllegalArgumentException(
+        "Failed to parse graph version value")
+    val cur = session(graph).schemaVersion
+    if (version != cur) throw Graft.VersionMismatch(cur)
+    query(graph, cypher, params)
   }
 
   /** GRAPH.RO_QUERY — rejects mutating statements
@@ -382,6 +415,13 @@ class Graft(val spark: SparkSession) {
 }
 
 object Graft {
+
+  /** Stale-client rejection of a versioned GRAPH.QUERY: carries the
+    * current version exactly like the reference's 2-element reply
+    * `["version mismatch" error, current]` (`cmd_dispatcher.c:88-92`).
+    */
+  final case class VersionMismatch(current: Long)
+    extends RuntimeException("version mismatch")
 
   /** PROFILE annotation for READ statements: the reference-shaped op tree
     * (PlanRender) with per-op `Records produced` / `Execution time` taken
@@ -572,7 +612,8 @@ object Graft {
         List(s"Merge [${pat(m.path)}]", "MergeCreate", "Argument")
       case _: Ast.SetClause => List("Update")
       case d: Ast.Delete => List(if (d.detach) "Delete [detach]" else "Delete")
-      case i: Ast.CreateIndex => List(s"Create Index [:${i.label}(${i.prop})]")
+      case i: Ast.CreateIndex =>
+        List(s"Create Index [:${i.label}(${i.props.mkString(", ")})]")
       case i: Ast.DropIndex => List(s"Drop Index [:${i.label}(${i.prop})]")
       case p: Ast.CallProc => List(s"ProcedureCall [${p.name}]")
       case _: Ast.Return => List("Results", "Project")

@@ -551,7 +551,8 @@ private[cypher] object PlanRender {
         stack(Op("Delete", if (d.detach) "detach" else "",
           current.toList))
       case i: Ast.CreateIndex =>
-        stack(Op("Create Index", s":${i.label}(${i.prop})", current.toList))
+        stack(Op("Create Index",
+          s":${i.label}(${i.props.mkString(", ")})", current.toList))
       case i: Ast.DropIndex =>
         stack(Op("Drop Index", s":${i.label}(${i.prop})", current.toList))
     }

@@ -321,7 +321,8 @@ object Procedures {
             (l, rest.map(_.asInstanceOf[String]))
           case other => throw TranslateError(s"createNodeIndex args: $other")
         }
-        session.buildFulltextIndex(label, props)
+        session.lastIndicesCreated =
+          session.buildFulltextIndex(label, props).toLong
         (session.spark.range(0).select(Values.vStr(lit("ok")).as("status")),
           Map("status" -> KValue))
 

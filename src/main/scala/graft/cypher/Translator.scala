@@ -281,7 +281,8 @@ object Translator {
       case u: Ast.Unwind => expr(u.list)
       case w: Ast.With => proj(w.proj); w.where.foreach(expr)
       case r: Ast.Return => proj(r.proj)
-      case c: Ast.CallProc => c.args.foreach(expr)
+      case c: Ast.CallProc =>
+        c.args.foreach(expr); c.where.foreach(expr)
       case c: Ast.Create => c.paths.foreach(pathPat)
       case mg: Ast.Merge =>
         pathPat(mg.path)
@@ -389,7 +390,8 @@ object Translator {
       case u: Ast.Unwind => expr(u.list)
       case w: Ast.With => proj(w.proj); projections += w.proj; w.where.foreach(expr)
       case r: Ast.Return => proj(r.proj); projections += r.proj
-      case c: Ast.CallProc => c.args.foreach(expr)
+      case c: Ast.CallProc =>
+        c.args.foreach(expr); c.where.foreach(expr)
       case c: Ast.Create => c.paths.foreach { p =>
         markPath(p) // created entities carry their prop maps
         p.head.props.foreach(kv => expr(kv._2))
@@ -473,11 +475,15 @@ object Translator {
       Procedures.declaredOuts(session, c.name).exists(_ > 0))
       throw TranslateError(s"procedure ${c.name} has outputs: an in-query " +
         "CALL must YIELD them explicitly")
-    // YIELD must not shadow an already-bound variable (Call1 [15])
-    c.yields.foreach { case (n, a) =>
+    // YIELD must not shadow an already-bound variable (Call1 [15]) nor
+    // bind the same output twice (test_procedures.py test02: YIELD
+    // node, node is an error)
+    c.yields.foldLeft(Set.empty[String]) { case (seen, (n, a)) =>
       val alias = a.getOrElse(n)
-      if (frame.vars.contains(alias)) throw TranslateError(
-        s"VariableAlreadyBound: `$alias` is already declared")
+      if (frame.vars.contains(alias) || seen.contains(alias))
+        throw TranslateError(
+          s"VariableAlreadyBound: `$alias` is already declared")
+      seen + alias
     }
     val (df, kinds) = Procedures.invoke(session, c.name, args)
     if (kinds.isEmpty) {
@@ -499,8 +505,12 @@ object Translator {
               throw TranslateError(s"procedure ${c.name} yields no `$n`"))
           }.toMap)
       }
-    if (frame.vars.isEmpty) Frame(outDf, outKinds)
-    else Frame(frame.df.crossJoin(outDf), frame.vars ++ outKinds)
+    val bound =
+      if (frame.vars.isEmpty) Frame(outDf, outKinds)
+      else Frame(frame.df.crossJoin(outDf), frame.vars ++ outKinds)
+    // `YIELD … WHERE pred` filters the yielded rows in place
+    // (test_procedures.py test04)
+    c.where.map(applyWhere(ctx, bound, _)).getOrElse(bound)
   }
 
   /** constant (literal/param) expression → Scala value for procedure args.
@@ -3036,37 +3046,85 @@ object Translator {
     */
   private def mapOrderKey(c: Column, st: StructType): Column = {
     val fields = st.fields.filter(_.name != EmptyMapMarker)
-    val vals: Seq[Column] = fields.toSeq.map { f =>
-      val v = c.getField(f.name)
-      f.dataType match {
-        case s2: StructType if isVariantStruct(s2) => Values.orderKey(v)
-        case s2: StructType if isMapStruct(s2) =>
-          Values.rawOrderKey(lit(0),
-            lit(s2.fields.count(_.name != EmptyMapMarker).toDouble),
-            mapStructJson(v, s2))
-        case s2: StructType if s2.fieldNames.contains("props") =>
-          Values.rawOrderKey(
-            lit(if (s2.fieldNames.contains("reltype")) 2 else 1),
-            v.getField("id").cast(DoubleType), lit(null).cast(StringType))
-        case at: ArrayType =>
-          Values.rawOrderKey(lit(3), lit(null).cast(DoubleType),
-            mapFieldJson(v, at))
-        case StringType =>
-          Values.rawOrderKey(lit(11), lit(null).cast(DoubleType), v)
-        case BooleanType =>
-          Values.rawOrderKey(lit(12), v.cast(DoubleType),
-            lit(null).cast(StringType))
-        case _ =>
-          Values.rawOrderKey(lit(13), v.cast(DoubleType),
-            lit(null).cast(StringType))
-      }
-    }
+    val vals: Seq[Column] = fields.toSeq.map(f =>
+      typedMiniKey(c.getField(f.name), f.dataType, Values.MaxNest))
     struct(
       lit(fields.length).as("n"),
       (if (fields.isEmpty) array().cast(ArrayType(StringType))
       else array(fields.toSeq.map(f => lit(f.name)): _*)).as("k"),
       (if (vals.isEmpty) array().cast(ArrayType(Values.topKeyType))
       else array(vals: _*)).as("v"))
+  }
+
+  /** keyType(d)-shaped semantic mini-key for a TYPED map value — the typed
+    * path's analogue of Values.variantMiniKey: nested maps compare
+    * count → keys → values recursively and nested arrays element-wise
+    * (Map_Compare, `map.c:208-246`), instead of tiebreaking on canonical
+    * JSON text (which ordered {x: 2} AFTER {x: 10} at depth 2). At depth 0
+    * (nesting budget exhausted) the JSON text remains the fallback.
+    */
+  private def typedMiniKey(v: Column, dt: DataType, d: Int): Column = {
+    val nD = lit(null).cast(DoubleType)
+    val nS = lit(null).cast(StringType)
+    val nB = lit(null).cast(BooleanType)
+    def key(r: Column, n: Column, s: Column,
+        a: Option[Column] = None): Column = {
+      val base = Seq(r.as("r"), n.as("n"), s.as("s"), nB.as("b"))
+      val all =
+        if (d <= 0) base
+        else base :+ a.getOrElse(
+          lit(null).cast(ArrayType(Values.keyType(d - 1)))).as("a")
+      struct(all: _*)
+    }
+    val raw = dt match {
+      case s2: StructType if isVariantStruct(s2) => Values.orderKeyAt(v, d)
+      case s2: StructType if isMapStruct(s2) =>
+        val fs = s2.fields.filter(_.name != EmptyMapMarker)
+        val n = lit(fs.length.toDouble)
+        if (d <= 0) key(lit(0), n, mapStructJson(v, s2))
+        else {
+          def kEntry(name: String): Column = {
+            val base = Seq(lit(11).as("r"), nD.as("n"),
+              lit(name).as("s"), nB.as("b"))
+            struct((if (d <= 1) base
+            else base :+
+              lit(null).cast(ArrayType(Values.keyType(d - 2))).as("a")): _*)
+          }
+          val arr = fs.toSeq.map(f => kEntry(f.name)) ++
+            fs.toSeq.map(f =>
+              typedMiniKey(v.getField(f.name), f.dataType, d - 1))
+          key(lit(0), n, nS, Some(array(arr: _*)))
+        }
+      case s2: StructType if s2.fieldNames.contains("props") =>
+        key(lit(if (s2.fieldNames.contains("reltype")) 2 else 1),
+          v.getField("id").cast(DoubleType), nS)
+      case at: ArrayType =>
+        if (d <= 0) key(lit(3), nD, mapFieldJson(v, at))
+        else key(lit(3), nD, nS,
+          Some(transform(v, e => typedMiniKey(e, at.elementType, d - 1))))
+      case StringType => key(lit(11), nD, v)
+      case BooleanType => key(lit(12), v.cast(DoubleType), nS)
+      case _ => key(lit(13), v.cast(DoubleType), nS)
+    }
+    // a null/missing typed value ranks greatest inside the composite
+    // (NullRank), like null list elements in the variant path
+    when(v.isNull, key(lit(Values.NullRank), nD, nS)).otherwise(raw)
+  }
+
+  /** Structural shape of a literal for typed-array unification: map
+    * literals render their (sorted) keys with each value's shape, list
+    * literals their element-shape set, and everything else is an opaque
+    * variant ("v" — all variants share one Catalyst type). Two map
+    * literals translate to the same struct schema iff their shapes match.
+    */
+  private def litShape(e: Ast.Expr): String = e match {
+    case Ast.MapLit(es) => es.sortBy(_._1)
+      .map { case (k, v) => s"$k:${litShape(v)}" }
+      .mkString("{", ",", "}")
+    case Ast.ListLit(is)
+        if is.nonEmpty && is.forall(_.isInstanceOf[Ast.MapLit]) =>
+      is.map(litShape).distinct.mkString("[", "|", "]")
+    case _ => "v"
   }
 
   /** Does the expression tree put a map literal inside a list literal
@@ -3167,13 +3225,13 @@ object Translator {
         else constListLiteral(items)
       case Ast.ListLit(items)
           if items.nonEmpty && items.forall(_.isInstanceOf[Ast.MapLit]) &&
-            items.map { case Ast.MapLit(es) => es.map(_._1).sorted }
-              .distinct.size == 1 =>
-        // list of map literals: a raw typed array when the maps share a
-        // key set (MapLit canonicalizes field order, so same keys = same
-        // struct schema); heterogeneous key sets fall through to the
-        // generic path below, which boxes each map
-        // (test_map.py test04: UNWIND [{b: 1}, {a: 2}])
+            items.map(litShape).distinct.size == 1 =>
+        // list of map literals: a raw typed array when the maps share one
+        // SHAPE — same key set AND same value composite-structure per key
+        // (MapLit canonicalizes field order, so one shape = one struct
+        // schema). Heterogeneous key sets OR value shapes ({a: 's'} next
+        // to {a: {m: 1}}) fall through to the generic path below, which
+        // boxes each map (test_map.py test04: UNWIND [{b: 1}, {a: 2}])
         array(items.map(t): _*)
       case Ast.ListLit(items) =>
         // runtime nesting past the schema floor still fails at

@@ -212,7 +212,7 @@ object Validate {
         scope += alias -> VValue
       case With(proj, _) => checkProjection(proj, isReturn = false)
       case Return(proj) => checkProjection(proj, isReturn = true)
-      case CallProc(_, _, yields, _) =>
+      case CallProc(_, _, yields, _, _) =>
         yields.foreach { case (c, alias) =>
           scope += alias.getOrElse(c) -> VValue }
       case _ => () // SET/DELETE/index DDL bind nothing new

@@ -474,7 +474,7 @@ object Values {
   val NullRank = 14
 
   /** Sort-key struct type with `d` levels of list-element nesting. */
-  private def keyType(d: Int): StructType = {
+  private[cypher] def keyType(d: Int): StructType = {
     val base = Seq(
       StructField("r", IntegerType), StructField("n", DoubleType),
       StructField("s", StringType), StructField("b", BooleanType))
@@ -492,26 +492,58 @@ object Values {
     * JSON-lexicographically ({x:2} < {x:10}).
     */
   private def variantMiniKey(e: Column, d: Int): Column = {
+    // schema_of_variant returns the PARAMETERIZED form for composites
+    // ("OBJECT<a: BIGINT>", "ARRAY<BIGINT>", "OBJECT<>") — prefix-match
+    // them; scalars ("STRING", "BOOLEAN", "VOID") are exact
     val sch = schema_of_variant(e)
+    val isObj = sch.startsWith("OBJECT")
+    val isArr = sch.startsWith("ARRAY")
     val txt = e.cast(StringType)
-    val r = when(sch === "OBJECT", 0)
-      .when(sch === "ARRAY", 3)
+    val r = when(isObj, 0)
+      .when(isArr, 3)
       .when(sch === "STRING", 11)
       .when(sch === "BOOLEAN", 12)
       .when(sch === "VOID", NullRank)
       .otherwise(13)
-    val n = when(sch === "OBJECT",
+    val n = when(isObj,
         size(json_object_keys(txt)).cast(DoubleType))
       .when(sch === "BOOLEAN",
         try_variant_get(e, "$", "boolean").cast(DoubleType))
-      .when(sch === "VOID", lit(null).cast(DoubleType))
+      .when(sch === "VOID" || isArr, lit(null).cast(DoubleType))
       .otherwise(try_variant_get(e, "$", "double"))
-    val s = when(sch === "BOOLEAN" || sch === "VOID",
-      lit(null).cast(StringType)).otherwise(txt)
+    // composites at d > 0 compare semantically via `a` — raw JSON in `s`
+    // would tiebreak values lexicographically first ({x:2} > {x:10});
+    // at d = 0 (nesting budget exhausted) the JSON text is the best
+    // remaining approximation
+    val sNull =
+      if (d > 0) sch === "BOOLEAN" || sch === "VOID" || isObj || isArr
+      else sch === "BOOLEAN" || sch === "VOID"
+    val s = when(sNull, lit(null).cast(StringType)).otherwise(txt)
     val fields = Seq(r.as("r"), n.as("n"), s.as("s"),
       lit(null).cast(BooleanType).as("b")) ++
       (if (d <= 0) Nil
-      else Seq(lit(null).cast(ArrayType(keyType(d - 1))).as("a")))
+      else {
+        // recurse: nested object → sorted keys then values (Map_Compare's
+        // tiers, `map.c:208-246`); nested array → element mini-keys
+        def kEntry(k: Column): Column = {
+          val fs = Seq(lit(11).as("r"), lit(null).cast(DoubleType).as("n"),
+            k.as("s"), lit(null).cast(BooleanType).as("b")) ++
+            (if (d <= 1) Nil
+            else Seq(lit(null).cast(ArrayType(keyType(d - 2))).as("a")))
+          struct(fs: _*)
+        }
+        val m = from_json(txt, MapType(StringType,
+          org.apache.spark.sql.types.VariantType))
+        val ks = array_sort(map_keys(m))
+        val objArr = concat(
+          transform(ks, (k: Column) => kEntry(k)),
+          transform(ks, k => variantMiniKey(element_at(m, k), d - 1)))
+        val elems = from_json(txt,
+          ArrayType(org.apache.spark.sql.types.VariantType))
+        val arrArr = transform(elems, v => variantMiniKey(v, d - 1))
+        Seq(when(isObj, objArr).when(isArr, arrArr)
+          .otherwise(lit(null).cast(ArrayType(keyType(d - 1)))).as("a"))
+      })
     struct(fields: _*)
   }
 
@@ -540,7 +572,7 @@ object Values {
     * element → rank [[NullRank]]), so the lexicographic array comparison
     * Spark applies IS the Cypher list order with nulls greatest.
     */
-  private def orderKeyAt(v: Column, d: Int): Column = {
+  private[cypher] def orderKeyAt(v: Column, d: Int): Column = {
     // boxed maps: count orders first (numOf); keys-then-values compare
     // semantically via `a` — the raw boxed JSON must NOT tiebreak in `s`
     // (it would compare values lexicographically before `a` is reached)

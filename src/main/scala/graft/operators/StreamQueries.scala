@@ -136,7 +136,7 @@ object StreamQueries {
         |FROM documents""".stripMargin) { (s, dir) =>
       // binary-column plumbing: payload byte length survives the
       // cast→binary→mapPartitions round trip.
-      Multimodal.extractFeatures(
+      Multimodal.byteStats(
           Multimodal.mediaFromDocs(Tables.documents(s, dir)))
         .toDF().select(col("doc_id"), col("n_bytes"))
     },
@@ -159,42 +159,86 @@ object StreamQueries {
 
     QueryDef(
       "q_multimodal_decode",
-      // the decode stub is a pure byte-hash (java.util.Arrays.hashCode over
-      // the UTF-8 payload): the oracle replays the exact 32-bit wraparound
-      // fold + truncating division in DuckDB (hex → signed-byte list →
-      // list_reduce), so even the stubbed dims get a hash gate
-      """WITH raw AS (
-        |  SELECT doc_id, hex(encode(text)) AS hx FROM documents
-        |), b AS (
+      // REAL codec round trip: deterministic grayscale PNGs are generated
+      // per doc_id (ImageIO encode), then decoded back (ImageIO decode)
+      // and reduced to dims + channel count + pixel sum + 16-bin pixel
+      // histogram. Every output is a closed-form function of doc_id
+      // (pixel (x,y) = (x + y·w + id) mod 256), so the oracle replays the
+      // whole pipeline arithmetically — a value-exact gate over a real
+      // PNG encoder AND decoder. (Encoded n_bytes is codec-internal and
+      // deliberately not part of the gated projection.)
+      """WITH d AS (
         |  SELECT doc_id,
-        |    [ (strpos('0123456789ABCDEF', hx[2*i-1])-1)*16 +
-        |      (strpos('0123456789ABCDEF', hx[2*i])-1)
-        |      for i in generate_series(1, length(hx)//2) ] AS bytes
-        |  FROM raw
-        |), h AS (
-        |  SELECT doc_id, bytes,
-        |    list_reduce(list_prepend(CAST(1 AS BIGINT), bytes),
-        |      (acc, x) -> ((acc * 31 +
-        |          CASE WHEN x >= 128 THEN x - 256 ELSE x END
-        |          + 2147483648) % 4294967296 + 4294967296) % 4294967296
-        |        - 2147483648
-        |    ) AS hh
-        |  FROM b
+        |    4 + doc_id % 29 AS w, 3 + (doc_id * 7) % 23 AS h
+        |  FROM documents
+        |), px AS (
+        |  -- row-major pixel i has x + y·w = i, so pixel value
+        |  -- (x + y·w + id) mod 256 = (i + id) mod 256
+        |  SELECT doc_id, w, h,
+        |    unnest([ (i + doc_id) % 256
+        |             for i in generate_series(0, w * h - 1) ]) AS v
+        |  FROM d
         |)
         |SELECT doc_id,
-        |  CAST(abs(hh % 640) + 1 AS INT) AS width,
-        |  CAST(abs(CAST(trunc(hh / 640.0) AS BIGINT) % 480) + 1 AS INT)
-        |    AS height,
-        |  CAST(len(bytes) AS INT) AS n_bytes,
-        |  array_to_string([ CAST(len(list_filter(bytes, x -> x // 16 = k))
-        |    AS BIGINT) for k in generate_series(0, 15) ], ',') AS histogram
-        |FROM h""".stripMargin) { (s, dir) =>
-      // full feature extraction incl. stubbed decode (deterministic fake
-      // dims) + 16-bin byte histogram; histogram serialized to a string
-      // cell (the driver's pandas reader can't hash array cells)
-      Multimodal.extractFeatures(
-          Multimodal.mediaFromDocs(Tables.documents(s, dir))).toDF()
-        .select(col("doc_id"), col("width"), col("height"), col("n_bytes"),
-          array_join(col("histogram"), ",").as("histogram"))
+        |  CAST(any_value(w) AS INT) AS width,
+        |  CAST(any_value(h) AS INT) AS height,
+        |  CAST(1 AS INT) AS channels,
+        |  CAST(sum(v) AS BIGINT) AS px_sum,
+        |  array_to_string([
+        |    count(*) FILTER (WHERE v // 16 = 0),
+        |    count(*) FILTER (WHERE v // 16 = 1),
+        |    count(*) FILTER (WHERE v // 16 = 2),
+        |    count(*) FILTER (WHERE v // 16 = 3),
+        |    count(*) FILTER (WHERE v // 16 = 4),
+        |    count(*) FILTER (WHERE v // 16 = 5),
+        |    count(*) FILTER (WHERE v // 16 = 6),
+        |    count(*) FILTER (WHERE v // 16 = 7),
+        |    count(*) FILTER (WHERE v // 16 = 8),
+        |    count(*) FILTER (WHERE v // 16 = 9),
+        |    count(*) FILTER (WHERE v // 16 = 10),
+        |    count(*) FILTER (WHERE v // 16 = 11),
+        |    count(*) FILTER (WHERE v // 16 = 12),
+        |    count(*) FILTER (WHERE v // 16 = 13),
+        |    count(*) FILTER (WHERE v // 16 = 14),
+        |    count(*) FILTER (WHERE v // 16 = 15)
+        |  ], ',') AS histogram
+        |FROM px GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      // histogram serialized to a string cell (the driver's pandas reader
+      // can't hash array cells)
+      Multimodal.decodeFeatures(
+          Multimodal.pngMediaFromDocs(Tables.documents(s, dir))).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          col("px_sum"), array_join(col("histogram"), ",").as("histogram"))
+    },
+
+    QueryDef(
+      "q_multimodal_resize",
+      // decode → nearest-neighbour resample to 8×6 → PNG re-encode →
+      // decode again. NN rule is exact integer arithmetic
+      // (sx = x·w/8, sy = y·h/6, floor division), so the oracle replays
+      // the resampled pixels from doc_id alone — the re-encoded PNG is
+      // verified value-exactly through the second decode.
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    4 + doc_id % 29 AS w, 3 + (doc_id * 7) % 23 AS h
+        |  FROM documents
+        |), px AS (
+        |  -- output pixel j (row-major over 8×6): x = j % 8, y = j // 8
+        |  SELECT doc_id,
+        |    unnest([ (((j % 8) * w // 8) + ((j // 8) * h // 6) * w + doc_id)
+        |               % 256
+        |             for j in generate_series(0, 47) ]) AS v
+        |  FROM d
+        |)
+        |SELECT doc_id,
+        |  CAST(8 AS INT) AS width,
+        |  CAST(6 AS INT) AS height,
+        |  CAST(sum(v) AS BIGINT) AS px_sum
+        |FROM px GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      Multimodal.decodeFeatures(
+          Multimodal.resizeNN(
+            Multimodal.pngMediaFromDocs(Tables.documents(s, dir)), 8, 6))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("px_sum"))
     })
 }

@@ -10,7 +10,7 @@ class AsOfJoinSpec extends AnyFunSuite {
   import SparkTestSession._
 
   test("bandJoin matches exactly the rows within ±band, once each") {
-    import spark.implicits._
+    import SparkTestSession.implicits._
     import graft.operators.RangeJoin
     val left = Seq((1L, "u", 100L), (2L, "u", 500L), (3L, "v", 100L))
       .toDF("id", "k", "t")
@@ -25,7 +25,7 @@ class AsOfJoinSpec extends AnyFunSuite {
   }
 
   test("picks latest right row at-or-before each left ts, per key") {
-    import spark.implicits._
+    import SparkTestSession.implicits._
     val left = Seq(
       (1L, "u1", 10L), (2L, "u1", 20L), (3L, "u1", 5L),
       (4L, "u2", 10L)).toDF("id", "k", "t")
@@ -42,7 +42,7 @@ class AsOfJoinSpec extends AnyFunSuite {
   }
 
   test("a matched right row with NULL payload yields NULL, not an older value") {
-    import spark.implicits._
+    import SparkTestSession.implicits._
     val left = Seq((1L, "u", 12L)).toDF("id", "k", "t")
     val right = Seq(
       ("u", 5L, Some(7.0)), ("u", 10L, None)).toDF("k", "t", "v")

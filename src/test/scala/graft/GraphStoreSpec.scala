@@ -375,4 +375,51 @@ class GraphStoreSpec extends AnyFunSuite {
         buckets = 2)
     }
   }
+
+  test("reverse traversal without the transpose copy matches " +
+      "(test_transpose_configurations.py parity)") {
+    // the reference runs the same queries with MAINTAIN_TRANSPOSED_MATRICES
+    // yes/no and asserts identical results — here: a stored graph queried
+    // with and without its dst-bucketed `_edges_rev` copy (absent copy ⇒
+    // the translator falls back to a column swap of the src-bucketed
+    // table: same values, one extra exchange at scale, never different
+    // rows)
+    val s0 = new graft.cypher.CypherSession(spark)
+    s0.run("""CREATE (v1:L {val: 'v1'}), (v2:L {val: 'v2'}),
+      |(v3:L {val: 'v3'}),
+      |(v1)-[:E]->(v2), (v2)-[:E]->(v3), (v1)-[:E]->(v3)""".stripMargin)
+    GraphStore.save(s0.graph, "gs_transpose", buckets = 2)
+    try {
+      val loaded = GraphStore.load(spark, "gs_transpose")
+      assert(loaded.edgesRev.isDefined)
+      val queries = Seq(
+        // test01: standard + transposed one-hop traversals
+        "MATCH (a:L)-[:E]->(b) RETURN a.val AS a, b.val AS b ORDER BY a, b",
+        "MATCH (a)-[:E]->(b:L) RETURN a.val AS a, b.val AS b ORDER BY a, b",
+        // test02: bidirectional (E + transpose(E))
+        "MATCH (a:L)-[:E]-(b:L) RETURN a.val AS a, b.val AS b ORDER BY a, b",
+        // test03: repeated multiplication over the transpose
+        """MATCH (a)-[:E*2]->(b:L {val: 'v3'})
+          |RETURN a.val AS a, b.val AS b ORDER BY a, b""".stripMargin)
+      val expected = Seq(
+        Seq(("v1", "v2"), ("v1", "v3"), ("v2", "v3")),
+        Seq(("v1", "v2"), ("v1", "v3"), ("v2", "v3")),
+        Seq(("v1", "v2"), ("v1", "v3"), ("v2", "v1"), ("v2", "v3"),
+          ("v3", "v1"), ("v3", "v2")),
+        Seq(("v1", "v3")))
+      val withRev = new graft.cypher.CypherSession(spark)
+      withRev.setGraph(loaded)
+      val noRev = new graft.cypher.CypherSession(spark)
+      noRev.setGraph(loaded.copy(edgesRev = None))
+      queries.zip(expected).foreach { case (q, exp) =>
+        def run(sess: graft.cypher.CypherSession): Seq[(String, String)] =
+          sess.rows(sess.run(q)).map(r =>
+            (r("a").asInstanceOf[String], r("b").asInstanceOf[String]))
+        val a = run(withRev)
+        val b = run(noRev)
+        assert(a == exp, s"with transpose copy: $q")
+        assert(b == exp, s"WITHOUT transpose copy: $q")
+      }
+    } finally GraphStore.drop(spark, "gs_transpose")
+  }
 }

@@ -80,6 +80,37 @@ class MapValSpec extends AnyFunSuite {
     assert(r3.map(_("m")) == Seq(Map("x" -> "z"), Map("x" -> 1L)))
   }
 
+  test("BOXED maps with NESTED composite values order semantically at depth 2") {
+    // {a: {x: 2}} < {a: {x: 10}}: the depth-1 value is itself an object —
+    // schema_of_variant returns the PARAMETERIZED "OBJECT<x: BIGINT>"
+    // (never bare "OBJECT"), so an equality test on the schema left both
+    // composite branches dead and the nested values fell through to the
+    // numeric rank with raw-JSON tiebreak ("...10}" < "...2}")
+    val r = rows(
+      """UNWIND [{a: {x: 10}}, {a: {x: 2}}] AS m RETURN m ORDER BY m""")
+    assert(r.map(_("m")) ==
+      Seq(Map("a" -> Map("x" -> 2L)), Map("a" -> Map("x" -> 10L))))
+    // rank order one level down: an object value sorts before a string
+    // value (reference enum: map 0 < string 11)
+    val r2 = rows(
+      """UNWIND [{a: 's'}, {a: {m: 1}}] AS m RETURN m ORDER BY m""")
+    assert(r2.map(_("m")) ==
+      Seq(Map("a" -> Map("m" -> 1L)), Map("a" -> "s")))
+    // nested-object key count decides before nested content
+    val r3 = rows(
+      """UNWIND [{a: {p: 1, q: 2}}, {a: {z: 9}}] AS m
+        |RETURN m ORDER BY m""".stripMargin)
+    assert(r3.map(_("m")) ==
+      Seq(Map("a" -> Map("z" -> 9L)),
+        Map("a" -> Map("p" -> 1L, "q" -> 2L))))
+    // nested ARRAY values compare element-wise numerically: [2] < [10]
+    // (raw JSON would say "[10]" < "[2]")
+    val r4 = rows(
+      """UNWIND [{a: [10]}, {a: [2]}] AS m RETURN m ORDER BY m""")
+    assert(r4.map(_("m")) ==
+      Seq(Map("a" -> List(2L)), Map("a" -> List(10L))))
+  }
+
   test("toJSON of a map holding a typed list-of-maps renders the list") {
     val r = rows("""RETURN toJSON({a: [{b: 1}], s: 'x'}) AS j""")
     assert(r.head("j") == """{"a": [{"b": 1}], "s": "x"}""")

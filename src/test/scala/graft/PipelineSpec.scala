@@ -34,7 +34,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("lsh bucket cap drops degenerate buckets, keeps ordinary pairs") {
-    import spark.implicits._
+    import SparkTestSession.implicits._
     // 40 copies of one boilerplate doc (a degenerate bucket in every band)
     // plus one ordinary near-dup pair
     val boiler = (1L to 40L).map(i => (i, "the same boilerplate text " * 10))
@@ -67,7 +67,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("simhash prefix cap: boilerplate cluster no longer quadratic") {
-    import spark.implicits._
+    import SparkTestSession.implicits._
     // 30 identical docs: identical signatures → identical prefixes → one
     // degenerate prefix bucket (would contribute ~435 pairs uncapped);
     // plus one ordinary near-identical pair that must survive the cap
@@ -91,7 +91,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("simhash rotations: multi-band recall ≥ 1-band, lift vs brute force") {
-    import spark.implicits._
+    import SparkTestSession.implicits._
     // seeded corpus of near-dup pairs: base doc + 3-token perturbation.
     // A perturbed pair's flipped signature bits land anywhere in the 62
     // bits, so the single top-16-bit band misses any pair with a flipped

@@ -5,7 +5,18 @@ import org.apache.spark.sql.execution.SparkPlan
 import org.scalatest.funsuite.AnyFunSuite
 
 object SparkTestSession {
-  lazy val spark: SparkSession = {
+  /** Times the shared context was found dead and rebuilt. A non-zero count
+    * is a HARNESS bug (something in the JVM stopped the shared context —
+    * the r14 post-snapshot sweep shipped a 0/2555 TCK report because every
+    * scenario died on "Cannot call methods on a stopped SparkContext");
+    * the TCK report surfaces it so the failure mode is attributable
+    * instead of wholesale-red.
+    */
+  val contextRebuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  @volatile private var current: SparkSession = _
+
+  private def build(): SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
       .withExtensions(new graft.plans.GraftExtensions)
@@ -18,7 +29,37 @@ object SparkTestSession {
     s.sparkContext.setLogLevel("ERROR")
     s
   }
+
+  /** The shared test session. NEVER hands out a session whose context has
+    * been stopped: if the shared context died mid-run, a fresh one is
+    * built (loudly) so one fatal error cannot cascade into a wholesale-red
+    * sweep of every subsequent suite/scenario.
+    */
+  def spark: SparkSession = synchronized {
+    if (current == null) current = build()
+    else if (current.sparkContext.isStopped) {
+      contextRebuilds.incrementAndGet()
+      System.err.println(
+        "[SparkTestSession] shared SparkContext was STOPPED mid-run " +
+          "(harness bug — nothing in the suites stops it deliberately); " +
+          "rebuilding a fresh session")
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      current = build()
+    }
+    current
+  }
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Session-bound implicits that follow the healing accessor: `spark` is
+    * a def (not a stable identifier), so specs import THESE instead of
+    * `spark.implicits._`.
+    */
+  object implicits extends org.apache.spark.sql.classic.SQLImplicits {
+    override def session: org.apache.spark.sql.classic.SparkSession =
+      SparkTestSession.spark
+        .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+  }
 }
 
 class RelationalSpec extends AnyFunSuite {

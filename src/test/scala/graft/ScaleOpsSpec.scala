@@ -15,7 +15,7 @@ class ScaleOpsSpec extends AnyFunSuite {
 
   test("graft_shingle_hashes ≡ the composed transform/concat_ws/polyhash " +
       "pipeline (incl. edge cases)") {
-    import spark.implicits._
+    import SparkTestSession.implicits._
     graft.plans.GraftExtensions.ensureFunctions(spark)
     // real corpus + adversarial shapes: empty, whitespace-only, leading
     // non-space whitespace (trim keeps it; the split yields a leading empty
@@ -47,7 +47,7 @@ class ScaleOpsSpec extends AnyFunSuite {
   }
 
   test("salted join is result-identical to the plain join under a hot key") {
-    import spark.implicits._
+    import SparkTestSession.implicits._
     // 'hot' carries 90% of the fact rows — the shape salting exists for
     val fact = ((1 to 900).map(i => (i.toLong, "hot")) ++
       (901 to 1000).map(i => (i.toLong, s"k${i % 7}"))).toDF("row_id", "key")
@@ -60,7 +60,7 @@ class ScaleOpsSpec extends AnyFunSuite {
   }
 
   test("two-phase count distinct matches countDistinct") {
-    import spark.implicits._
+    import SparkTestSession.implicits._
     val df = (1 to 500).map(i => (s"g${i % 3}", (i % 40).toLong))
       .toDF("key", "value")
     val two = Skew.twoPhaseCountDistinct(df, "key", "value")
@@ -91,7 +91,7 @@ class ScaleOpsSpec extends AnyFunSuite {
   }
 
   test("bm25: more matching terms => higher score; non-matching docs absent") {
-    import spark.implicits._
+    import SparkTestSession.implicits._
     val docs = Seq(
       (1L, "spark merge filter spark"), // all three terms, spark twice
       (2L, "spark something else here"), // one term
@@ -123,7 +123,7 @@ class ScaleOpsSpec extends AnyFunSuite {
   }
 
   test("near-dup clusters: transitive chain collapses to one canonical id") {
-    import spark.implicits._
+    import SparkTestSession.implicits._
     // A≈B, B≈C by shingle overlap (A vs C weaker) — cluster {10,11,12},
     // plus an unrelated doc that must not appear
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +

@@ -42,7 +42,7 @@ class ValueLawsSpec extends AnyFunSuite {
   private def pairsDf(n: Int) = {
     val pairs = Gen.listOfN(n, Gen.zip(genCell, genCell))
       .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(42L)).get
-    import spark.implicits._
+    import SparkTestSession.implicits._
     pairs.map { case (a, b) =>
       (a.kind, a.i, a.f, a.s, a.b, b.kind, b.i, b.f, b.s, b.b)
     }.toDF("a_kind", "a_i", "a_f", "a_s", "a_b",

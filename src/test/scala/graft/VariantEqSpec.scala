@@ -75,7 +75,7 @@ class VariantEqSpec extends AnyFunSuite {
   }
 
   test("VariantEq ≡ eqTree on a 4000-pair generated corpus") {
-    import spark.implicits._
+    import SparkTestSession.implicits._
     val n = 4000
     val params = Gen.Parameters.default
     val cells = (0 until 2 * n).flatMap(i => genCell(params, Seed(7L + i)))
@@ -115,7 +115,7 @@ class VariantEqSpec extends AnyFunSuite {
   }
 
   test("eq always takes the native single-evaluation expression") {
-    import spark.implicits._
+    import SparkTestSession.implicits._
     val df = Seq((5L, Map("k" -> 5L))).toDF("x", "m")
     // EVERY operand shape routes native — construction-time "cheapness"
     // cannot see that an attribute is a scan alias PushDownPredicates will
