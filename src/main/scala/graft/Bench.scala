@@ -227,7 +227,10 @@ object Bench {
             System.err.println(f"[bench] sf10 $n still ${spreadOf(rs.toSeq)}%.1f× spread — flagged contaminated")
             contaminated += n
           }
-          if (rs.nonEmpty)
+          // a query whose INITIAL runs crashed is skipped (a partial
+          // series hides the failure); a failed ADJUDICATION rerun keeps
+          // the valid evidence already taken
+          if (rs.nonEmpty && !failed)
             done += Sf10Q(n, rs.toSeq, dropped.toSeq, extCores, gateWait)
           else skipped += n
         }

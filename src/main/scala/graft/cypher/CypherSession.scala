@@ -630,11 +630,17 @@ class CypherSession(val spark: SparkSession) {
       .flatMap(_.split(":")).foreach(l => knownSchema += s"L:$l")
     g.reltypeCounts.keys.filter(_.nonEmpty)
       .foreach(r => knownSchema += s"R:$r")
-    if (g.labelCounts.nonEmpty || g.reltypeCounts.nonEmpty) {
-      val nk = g.nodes.select(explode(map_keys(col("props"))).as("k"))
-      val ek = g.edges.select(explode(map_keys(col("props"))).as("k"))
-      nk.unionByName(ek).distinct().collect()
-        .foreach(r => knownSchema += s"A:${r.getString(0)}")
+    g.propKeyCatalog match {
+      case Some(keys) =>
+        // stored graph: the at-rest key catalog (GraphStore _meta) is the
+        // seed — a driver-side read, no scan
+        keys.foreach(k => knownSchema += s"A:$k")
+      case None if g.labelCounts.nonEmpty || g.reltypeCounts.nonEmpty =>
+        val nk = g.nodes.select(explode(map_keys(col("props"))).as("k"))
+        val ek = g.edges.select(explode(map_keys(col("props"))).as("k"))
+        nk.unionByName(ek).distinct().collect()
+          .foreach(r => knownSchema += s"A:${r.getString(0)}")
+      case None => ()
     }
   }
 

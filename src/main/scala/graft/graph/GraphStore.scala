@@ -530,7 +530,13 @@ object GraphStore {
       edgeLead, "reltype", edgeMetas, edgeHadProps)
     val edgesRev = restoreView(spark.table(s"${name}_edges_rev"),
       edgeLead, "reltype", edgeMetas, edgeHadProps)
-    val pg = PropertyGraph(nodes, edges, edgesRev = Some(edgesRev))
+    // the stored key catalog doubles as the schema-version seed — a
+    // restored graph's attribute keys come from metadata, not a scan
+    val catalog =
+      if (meta.isEmpty) None
+      else Some((keysOf("node_key") ++ edgeMetas).map(_.key).distinct)
+    val pg = PropertyGraph(nodes, edges, edgesRev = Some(edgesRev),
+      propKeyCatalog = catalog)
     meta.foreach { rows =>
       def statRows(kind: String): Map[String, Long] =
         rows.filter(_.getString(0) == kind)

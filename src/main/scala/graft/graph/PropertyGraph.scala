@@ -37,7 +37,14 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
       * then falls back to a column swap of `edges` (same values, one
       * exchange at scale).
       */
-    edgesRev: Option[DataFrame] = None) {
+    edgesRev: Option[DataFrame] = None,
+    /** Property-key catalog when the graph is backed by a [[GraphStore]]
+      * (read from `_meta` at load): lets schema-version seeding use
+      * metadata instead of a distinct map_keys scan — at 100 TB the scan
+      * is a full-table job, the catalog a driver-side read. None on
+      * dynamic graphs (small; the scan fallback is cheap there).
+      */
+    propKeyCatalog: Option[Seq[String]] = None) {
 
   /** Per-label scan. When the graph carries a prebuilt per-label view
     * (GraphBuilder supplies the pre-union source tables — the analogue of
