@@ -1960,8 +1960,8 @@ object Translator {
         }
         f = layeredFilter(ctx, f2, List(l, r)) { case (f3, List(l2, r2)) =>
           f3.df.filter(
-            Values.orderKey(trExpr(ctx, f3, l2)) ===
-              Values.orderKey(trExpr(ctx, f3, r2)))
+            Values.eqKey(trExpr(ctx, f3, l2)) ===
+              Values.eqKey(trExpr(ctx, f3, r2)))
         }
       case pred0 =>
         val (fp, pcRw) = resolvePatternComprehensions(ctx, f, Seq(pred0))
@@ -3077,7 +3077,7 @@ object Translator {
       struct(all: _*)
     }
     val raw = dt match {
-      case s2: StructType if isVariantStruct(s2) => Values.orderKeyAt(v, d)
+      case s2: StructType if isVariantStruct(s2) => Values.orderKeyAt(v, d, 1)
       case s2: StructType if isMapStruct(s2) =>
         val fs = s2.fields.filter(_.name != EmptyMapMarker)
         val n = lit(fs.length.toDouble)

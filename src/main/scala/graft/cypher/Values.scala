@@ -491,7 +491,7 @@ object Values {
     * recursive Map_Compare (`map.c:208-246`) instead of
     * JSON-lexicographically ({x:2} < {x:10}).
     */
-  private def variantMiniKey(e: Column, d: Int): Column = {
+  private def variantMiniKey(e: Column, d: Int, cd: Int): Column = {
     // schema_of_variant returns the PARAMETERIZED form for composites
     // ("OBJECT<a: BIGINT>", "ARRAY<BIGINT>", "OBJECT<>") — prefix-match
     // them; scalars ("STRING", "BOOLEAN", "VOID") are exact
@@ -511,20 +511,25 @@ object Values {
         try_variant_get(e, "$", "boolean").cast(DoubleType))
       .when(sch === "VOID" || isArr, lit(null).cast(DoubleType))
       .otherwise(try_variant_get(e, "$", "double"))
-    // composites at d > 0 compare semantically via `a` — raw JSON in `s`
-    // would tiebreak values lexicographically first ({x:2} > {x:10});
-    // at d = 0 (nesting budget exhausted) the JSON text is the best
-    // remaining approximation
+    // composites with semantic budget (cd > 0) compare via `a` — raw JSON
+    // in `s` would tiebreak values lexicographically first
+    // ({x:2} > {x:10}); with the budget exhausted the JSON text is the
+    // remaining deterministic approximation
     val sNull =
-      if (d > 0) sch === "BOOLEAN" || sch === "VOID" || isObj || isArr
+      if (d > 0 && cd > 0) sch === "BOOLEAN" || sch === "VOID" || isObj || isArr
       else sch === "BOOLEAN" || sch === "VOID"
     val s = when(sNull, lit(null).cast(StringType)).otherwise(txt)
     val fields = Seq(r.as("r"), n.as("n"), s.as("s"),
       lit(null).cast(BooleanType).as("b")) ++
       (if (d <= 0) Nil
+      else if (cd <= 0)
+        Seq(lit(null).cast(ArrayType(keyType(d - 1))).as("a"))
       else {
         // recurse: nested object → sorted keys then values (Map_Compare's
-        // tiers, `map.c:208-246`); nested array → element mini-keys
+        // tiers, `map.c:208-246`); nested array → element mini-keys.
+        // One budget level reaches TWO semantic levels down: the nested
+        // composite's own values still carry rank + numeric magnitude at
+        // cd = 0, only their tiebreak degrades to JSON text.
         def kEntry(k: Column): Column = {
           val fs = Seq(lit(11).as("r"), lit(null).cast(DoubleType).as("n"),
             k.as("s"), lit(null).cast(BooleanType).as("b")) ++
@@ -537,10 +542,11 @@ object Values {
         val ks = array_sort(map_keys(m))
         val objArr = concat(
           transform(ks, (k: Column) => kEntry(k)),
-          transform(ks, k => variantMiniKey(element_at(m, k), d - 1)))
+          transform(ks, k => variantMiniKey(element_at(m, k), d - 1, cd - 1)))
         val elems = from_json(txt,
           ArrayType(org.apache.spark.sql.types.VariantType))
-        val arrArr = transform(elems, v => variantMiniKey(v, d - 1))
+        val arrArr = transform(elems,
+          v => variantMiniKey(v, d - 1, cd - 1))
         Seq(when(isObj, objArr).when(isArr, arrArr)
           .otherwise(lit(null).cast(ArrayType(keyType(d - 1)))).as("a"))
       })
@@ -552,7 +558,7 @@ object Values {
     * key-sorted), then all values semantically — expressed as ONE
     * keys++values array that compares lexicographically.
     */
-  private def boxedMapKeyArr(v: Column, d: Int): Column = {
+  private def boxedMapKeyArr(v: Column, d: Int, cd: Int): Column = {
     val m = get_json_object(v.getField("s"), "$.m")
     val entries = from_json(m, MapType(StringType,
       org.apache.spark.sql.types.VariantType))
@@ -565,30 +571,35 @@ object Values {
     }
     concat(
       transform(map_keys(entries), k => keyEntry(k)),
-      transform(map_values(entries), e => variantMiniKey(e, d - 1)))
+      transform(map_values(entries), e => variantMiniKey(e, d - 1, cd)))
   }
 
   /** Recursive order key: list elements map to keys themselves (null
     * element → rank [[NullRank]]), so the lexicographic array comparison
     * Spark applies IS the Cypher list order with nulls greatest.
     */
-  private[cypher] def orderKeyAt(v: Column, d: Int): Column = {
+  private[cypher] def orderKeyAt(v: Column, d: Int, cd: Int = 1): Column = {
     // boxed maps: count orders first (numOf); keys-then-values compare
     // semantically via `a` — the raw boxed JSON must NOT tiebreak in `s`
     // (it would compare values lexicographically before `a` is reached)
     val isBoxedMap = tag(v) === T_BOXED &&
       get_json_object(v.getField("s"), "$.t") === lit(T_BOXED_MAP.toString)
     val sCol =
-      if (d <= 0) v.getField("s")
+      if (d <= 0 || cd <= 0) v.getField("s")
       else when(isBoxedMap, lit(null).cast(StringType))
         .otherwise(v.getField("s"))
     val base = Seq(rankOf(v).as("r"), numOf(v).as("n"),
       sCol.as("s"), v.getField("b").as("b"))
     val withArr =
       if (d <= 0) base
-      else base :+ when(isBoxedMap, boxedMapKeyArr(v, d))
+      else base :+ (if (cd <= 0)
+        // equality budget: the canonical boxed JSON in `s` already decides
+        // boxed-map equality; only list elements still recurse
+        transform(v.getField("arr"),
+          e => orderKeyAt(e, d - 1, cd)).as("a")
+      else when(isBoxedMap, boxedMapKeyArr(v, d, cd))
         .otherwise(transform(v.getField("arr"),
-          e => orderKeyAt(e, d - 1))).as("a")
+          e => orderKeyAt(e, d - 1, cd))).as("a"))
     val nullKey =
       if (d <= 0) Seq(lit(NullRank).as("r"),
         lit(null).cast(DoubleType).as("n"),
@@ -609,7 +620,20 @@ object Values {
     */
   def orderKey(v: Column): Column =
     when(v.isNull, lit(null).cast(keyType(MaxNest)))
-      .otherwise(orderKeyAt(v, MaxNest))
+      .otherwise(orderKeyAt(v, MaxNest, 1))
+
+  /** EQUALITY key — [[orderKey]] with the boxed-map semantic recursion
+    * disabled (`cd = 0`): boxed maps compare by their canonical key-sorted
+    * JSON in `s`, which decides EQUALITY exactly (same text ⟺ same map,
+    * modulo numeric formatting — the engine's long-standing boxed
+    * equality). Join-key extraction and other equality-only consumers use
+    * THIS: the semantic recursion exists to ORDER same-count maps and
+    * costs real codegen on the hot join path (r15 measured the value-hash
+    * join +60% cold with the full ordering key; equality never needed it).
+    */
+  def eqKey(v: Column): Column =
+    when(v.isNull, lit(null).cast(keyType(MaxNest)))
+      .otherwise(orderKeyAt(v, MaxNest, 0))
 
   /** Catalyst type of the full-depth [[orderKey]] struct — for casting
     * empty arrays so both sides of a comparison share one schema.
