@@ -29,7 +29,16 @@ object Dedup {
     // planned query without building the extra row-deserializer plan
     if (docs.queryExecution.toRdd.getNumPartitions >= math.max(want / 2, 2))
       docs
-    else docs.repartition(want)
+    // HASH on doc_id, not round-robin: every consumer of this spread
+    // aggregates per doc (MinHash signature mins, SimHash bit sums,
+    // repetition counts, Jaccard shingle sets), so keying the one input
+    // shuffle on doc_id lets those groupBys run exchange-free on the
+    // exploded stream — the shuffle that otherwise moved the post-explode
+    // partial-aggregate rows disappears (guide §2.4: operations keyed the
+    // same way share one exchange). doc_id is unique, so the spread is
+    // uniform; aggregate results are order-independent (min / sum /
+    // count / set-intersection sizes), so values are unchanged.
+    else docs.repartition(want, col("doc_id"))
   }
 
   /** Exact duplicate groups by content hash (md5 — portable to the oracle;
@@ -149,10 +158,16 @@ object Dedup {
     // while the distinct's full shuffle of the exploded table collapses
     // into the groupBy's map-side partial-min combine
     val sh = pre.getOrElse(shingleHashesRaw(docs, k))
-    val x = pmod(col("sh"), lit(MinHashP))
+    // plain % (one mod), not pmod (two mods + branch): every operand is
+    // provably non-negative — sh is the 62-bit PolyHash (two non-negative
+    // halves), so sh % p ∈ [0, p), and x·a + b < 2⁶³ stays non-negative —
+    // which makes % ≡ pmod bit-for-bit here. The SQL oracle has always
+    // used plain % for the same reason; this drops 64 redundant mods +
+    // branches per shingle row from the hottest aggregate update loop.
+    val x = col("sh") % lit(MinHashP)
     val aggs = minHashConstants(numHashes).zipWithIndex.map {
       case ((a, b), i) =>
-        min(pmod(x * lit(a) + lit(b), lit(MinHashP))).as(s"h$i")
+        min((x * lit(a) + lit(b)) % lit(MinHashP)).as(s"h$i")
     }
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
@@ -569,10 +584,13 @@ object Dedup {
       threshold: Double): DataFrame = {
     graft.plans.GraftExtensions.ensureFunctions(vectors.sparkSession)
     import graft.similarity.Similarity._
+    // cast once per row, not per pair in the n² join (float→double exact)
     val va = vectors.select(col("vec_id").as("a"),
-      col("embedding").as("emb_a"), norm(col("embedding")).as("norm_a"))
+      col("embedding").cast("array<double>").as("emb_a"),
+      norm(col("embedding")).as("norm_a"))
     val vb = vectors.select(col("vec_id").as("b"),
-      col("embedding").as("emb_b"), norm(col("embedding")).as("norm_b"))
+      col("embedding").cast("array<double>").as("emb_b"),
+      norm(col("embedding")).as("norm_b"))
     va.join(vb, col("a") < col("b"))
       .select(col("a"), col("b"),
         round(dot(col("emb_a"), col("emb_b")) /
@@ -601,10 +619,13 @@ object Dedup {
         col("vec_id").as("b")), Seq("table", "bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
+    // cast once per row, not per candidate pair in the verify join
     val va = vectors.select(col("vec_id").as("a"),
-      col("embedding").as("emb_a"), norm(col("embedding")).as("norm_a"))
+      col("embedding").cast("array<double>").as("emb_a"),
+      norm(col("embedding")).as("norm_a"))
     val vb = vectors.select(col("vec_id").as("b"),
-      col("embedding").as("emb_b"), norm(col("embedding")).as("norm_b"))
+      col("embedding").cast("array<double>").as("emb_b"),
+      norm(col("embedding")).as("norm_b"))
     cands.join(va, "a").join(vb, "b")
       .select(col("a"), col("b"),
         round(dot(col("emb_a"), col("emb_b")) /

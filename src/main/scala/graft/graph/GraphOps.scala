@@ -16,6 +16,31 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphOps {
 
+  /** (id) frame → RDD[(id, ())] without the Dataset encoder round-trip:
+    * `toRdd` reads primitives straight off the physical rows (one less
+    * deserializer plan + codegen compile per cold invocation).
+    *
+    * MEASURED NEGATIVE RESULT (r15, kept as documentation): coalescing
+    * these RDDs to a Catalyst-size-derived partition count (~32 MB of
+    * `stats.sizeInBytes` per partition) looked like the guide-§2 move
+    * against per-superstep empty-task scheduling, but the byte estimate
+    * wildly under-provisions GraphX's in-memory per-edge cost — at sf10
+    * q_graph_pagerank went 14 s → ~150 s (near-serial supersteps over 10 M
+    * edges on a handful of partitions) while sf0.1 improved only 2.84 →
+    * 2.54 s, inside the cold spread. The per-iteration cost at bench scale
+    * is job-submission/materialization overhead inside `staticPageRank`,
+    * not task count. So: no coalesce — GraphX keeps the source
+    * partitioning.
+    */
+  private def vertexRdd(df: DataFrame)
+      : org.apache.spark.rdd.RDD[(Long, Unit)] =
+    df.queryExecution.toRdd.map(r => (r.getLong(0), ()))
+
+  /** (src, dst) frame → RDD[Edge] the same way. */
+  private def edgeRdd(df: DataFrame)
+      : org.apache.spark.rdd.RDD[Edge[Unit]] =
+    df.queryExecution.toRdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+
   /** One-hop expansion: ConditionalTraverse.
     * `bound` must carry a `node` column (the frontier endpoint); result
     * re-binds `node` to the neighbor and keeps all other bound columns.
@@ -60,32 +85,44 @@ object GraphOps {
   def varLenExpand(sources: DataFrame, edges: DataFrame,
       minHops: Int, maxHops: Int): DataFrame = {
     require(minHops >= 0 && maxHops >= minHops, s"bad bounds $minHops..$maxHops")
-    import graft.Checkpoints.{materialize, release}
+    import graft.Checkpoints.materialize
     val e = edges.select(col("src"), col("dst"))
-    // per-hop checkpoints are RELEASED as soon as the next hop's union
-    // materializes — a BFS holds 2 generations of blocks, not maxHops.
-    // materialize = localCheckpoint (non-resilient: executor loss kills
-    // the query) or a reliable checkpoint under graft.Checkpoints' knob.
-    var visited = materialize(sources.select(col("id").as("start"),
+    // each hop's frontier is its own checkpointed generation; `visited` is
+    // their UNION (a plan over checkpointed leaves). The previous shape
+    // re-materialized visited∪frontier EVERY hop — an O(hops × |visited|)
+    // re-write of blocks that were already at rest (guide §2.4: don't move
+    // bytes that already sit where you need them). Held blocks total the
+    // same |visited| either way; the per-hop checkpoint write of the whole
+    // visited set is gone. materialize = localCheckpoint (non-resilient:
+    // executor loss kills the query) or a reliable checkpoint under
+    // graft.Checkpoints' knob.
+    val frontiers = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    frontiers += materialize(sources.select(col("id").as("start"),
       col("id").as("node"), lit(0).as("hops")))
-    var frontier = visited
+    def visited: DataFrame = frontiers.reduce(_ unionByName _)
+    var frontier = frontiers.head
     var h = 0
     while (h < maxHops && !frontier.isEmpty) {
       h += 1
+      // hops is constant within the hop, so deduping on (start, node) is
+      // the same distinct — and keys the dedup exchange exactly like the
+      // anti-join below (one shuffle of `next` serves both)
       val next = frontier.join(e, frontier("node") === e("src"))
         .select(frontier("start"), e("dst").as("node"), lit(h).as("hops"))
-        .distinct()
-      // anti-join against visited: BFS keeps first (= minimal) hop count
-      val prevFrontier = frontier
-      val prevVisited = visited
-      frontier = materialize(next.join(visited,
-          next("start") <=> visited("start") && next("node") <=> visited("node"),
-          "left_anti"))
-      visited = materialize(visited.unionByName(frontier))
-      if (prevFrontier ne prevVisited) release(prevFrontier)
-      release(prevVisited)
+        .dropDuplicates("start", "node")
+      // anti-join against visited: BFS keeps first (= minimal) hop count.
+      // The right side is re-aliased: `next` derives from the latest
+      // frontier leaf, which also appears inside the visited union —
+      // without fresh attribute ids hop 1 would be a same-attribute
+      // self-join. Node ids are non-null by the graph schema contract, so
+      // plain equality ≡ the null-safe form.
+      val v = visited.select(col("start").as("__v_start"),
+        col("node").as("__v_node"))
+      frontier = materialize(next.join(v,
+        next("start") === v("__v_start") && next("node") === v("__v_node"),
+        "left_anti"))
+      frontiers += frontier
     }
-    if (frontier ne visited) release(frontier)
     visited.filter(col("hops").between(minHops, maxHops))
   }
 
@@ -113,9 +150,8 @@ object GraphOps {
       iters: Int = 20): DataFrame = {
     val spark = graph.nodes.sparkSession
     import spark.implicits._
-    val vRdd = graph.nodes.select(col("id")).as[Long].rdd.map(id => (id, ()))
-    val eRdd = graph.edges.select(col("src"), col("dst"))
-      .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
+    val vRdd = vertexRdd(graph.nodes.select(col("id")))
+    val eRdd = edgeRdd(graph.edges.select(col("src"), col("dst")))
     val g = XGraph(vRdd, eRdd, (), StorageLevel.MEMORY_AND_DISK,
       StorageLevel.MEMORY_AND_DISK)
     g.staticPageRank(iters, resetProb).vertices
@@ -258,8 +294,7 @@ object GraphOps {
   def componentsOfPairs(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val eRdd = pairs.select(col("src"), col("dst"))
-      .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
+    val eRdd = edgeRdd(pairs.select(col("src"), col("dst")))
     XGraph.fromEdges(eRdd, (), StorageLevel.MEMORY_AND_DISK,
         StorageLevel.MEMORY_AND_DISK)
       .connectedComponents().vertices.toDF("id", "component")
@@ -269,9 +304,8 @@ object GraphOps {
   def connectedComponents(graph: PropertyGraph): DataFrame = {
     val spark = graph.nodes.sparkSession
     import spark.implicits._
-    val vRdd = graph.nodes.select(col("id")).as[Long].rdd.map(id => (id, ()))
-    val eRdd = graph.edges.select(col("src"), col("dst"))
-      .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
+    val vRdd = vertexRdd(graph.nodes.select(col("id")))
+    val eRdd = edgeRdd(graph.edges.select(col("src"), col("dst")))
     val g = XGraph(vRdd, eRdd, (), StorageLevel.MEMORY_AND_DISK,
       StorageLevel.MEMORY_AND_DISK)
     g.connectedComponents().vertices.toDF("id", "component")

@@ -24,6 +24,25 @@ import javax.imageio.ImageIO
   */
 object Multimodal {
 
+  // ImageIO's default ImageInputStream/ImageOutputStream cache is DISK-
+  // backed: every decode/encode call creates (and deletes) a temp file.
+  // For many small in-memory payloads that file round-trip dominates the
+  // codec itself; the in-memory cache is value-identical. Set once per JVM
+  // — executors initialize it on first use of this object from a task
+  // closure.
+  ImageIO.setUseCache(false)
+
+  /** Spread codec work across the cluster when the source layout
+    * under-supplies partitions (a single small parquet file reads as ONE
+    * partition — every ImageIO call would run on one core). Keyed on
+    * doc_id (uniform); well-partitioned inputs pass through untouched.
+    */
+  private def parallelized(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions >= math.max(want / 2, 2)) df
+    else df.repartition(want, col("doc_id"))
+  }
+
   // ── deterministic synthetic media (generation side) ─────────────────────
   /** Synthetic image dims for a doc id: w ∈ [4,32], h ∈ [3,25]. */
   def synthDims(id: Long): (Int, Int) =
@@ -56,7 +75,7 @@ object Multimodal {
   def pngMediaFromDocs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    parallelized(docs.select(col("doc_id"))).as[Long]
       .mapPartitions(it => it.map(id => (id, synthPng(id), "image/png")))
       .toDF("doc_id", "media", "format")
   }

@@ -286,6 +286,15 @@ object GraftExtensions {
           classOf[ShingleHashes].getName, "graft_shingle_hashes"),
         shingleBuilder)
     }
+    val fpId =
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_fingerprint")
+    if (!reg.functionExists(fpId)) {
+      reg.registerFunction(fpId,
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[Fingerprint].getName, "graft_fingerprint"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          Fingerprint(exprs.head))
+    }
   }
 
   /** `graft_shingle_hashes(text, k)` — k must be an integer literal (it is
@@ -333,5 +342,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[ShingleHashes].getName, "graft_shingle_hashes"),
       GraftExtensions.shingleBuilder))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_fingerprint"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Fingerprint].getName, "graft_fingerprint"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Fingerprint(exprs.head)))
   }
 }

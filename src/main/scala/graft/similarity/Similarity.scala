@@ -38,19 +38,43 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       k: Int): DataFrame = {
     graft.plans.GraftExtensions.ensureFunctions(corpus.sparkSession)
-    val c = corpus.select(col("vec_id").as("b"), col("embedding").as("emb_b"),
+    // pre-cast each embedding to array<double> ONCE per row: the per-pair
+    // dot otherwise re-casts (allocates + converts) both arrays for every
+    // (query, corpus) pair — |q|·|c| array materializations instead of
+    // |q|+|c| (float→double is exact, so results are bit-identical)
+    val c = parallelized(corpus).select(col("vec_id").as("b"),
+      col("embedding").cast("array<double>").as("emb_b"),
       norm(col("embedding")).as("norm_b"))
-    val q = queries.select(col("vec_id").as("a"), col("embedding").as("emb_a"),
+    val q = queries.select(col("vec_id").as("a"),
+      col("embedding").cast("array<double>").as("emb_a"),
       norm(col("embedding")).as("norm_a"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("a").orderBy(col("sim").desc, col("b"))
-    q.join(c, q("a") =!= c("b"))
+    // corpus STREAMS, query batch broadcasts — the 100 TB orientation (a
+    // corpus never broadcasts; a query batch is small by contract). The
+    // previous shape let Catalyst broadcast the corpus and stream the
+    // 50-row query side, which also serialized the whole dot-product pass
+    // onto the query side's single input partition.
+    c.join(broadcast(q), q("a") =!= c("b"))
       .select(col("a"), col("b"),
         round(dot(col("emb_a"), col("emb_b")) /
           (col("norm_a") * col("norm_b")), 5).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("a"), col("b"), col("sim"), col("rank").cast("int").as("rank"))
+  }
+
+  /** Spread a compute-heavy pass across the cluster when the source layout
+    * under-supplies partitions (one small parquet file reads as ONE
+    * partition — every dot product would run on one core). Same shape as
+    * [[graft.dedup.Dedup.parallelized]]; well-partitioned inputs (the
+    * 100 TB case) pass through untouched.
+    */
+  private def parallelized(vectors: DataFrame): DataFrame = {
+    val want = vectors.sparkSession.sparkContext.defaultParallelism
+    if (vectors.queryExecution.toRdd.getNumPartitions >= math.max(want / 2, 2))
+      vectors
+    else vectors.repartition(want)
   }
 
   /** splitmix64-derived uniform in [-1, 1] — deterministic hyperplane
@@ -86,16 +110,22 @@ object Similarity {
     val dim =
       if (dimHint > 0) dimHint
       else vectors.select(size(col("embedding"))).limit(1).head().getInt(0)
+    // pre-cast the embedding to array<double> once per ROW: every one of
+    // the bits×tables projections dots against it, and relying on the
+    // per-projection implicit cast makes the row pay bits×tables array
+    // conversions instead of one (float→double is exact — same buckets)
+    val vecs = parallelized(vectors)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("__emb"))
     val tableCols = (0 until tables).map { t =>
       val planeBits = (0 until bits).map { p =>
         val plane = typedlit((0 until dim).map(j => planeCoef(t, p, j)))
-        val proj = dot(plane, col("embedding"))
+        val proj = dot(plane, col("__emb"))
         when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
       }
       struct(lit(t).as("table"),
         planeBits.reduce((a, b) => a.bitwiseOR(b)).as("bucket"))
     }
-    vectors.select(col("vec_id"),
+    vecs.select(col("vec_id"),
       explode(array(tableCols: _*)).as("tb"))
       .select(col("vec_id"), col("tb.table"), col("tb.bucket"))
   }
@@ -111,16 +141,20 @@ object Similarity {
     *
     * Returns (centroids: cell|centroid, assignments: vec_id|cell).
     */
-  def ivfIndex(vectors: DataFrame, nlist: Int = 16, iters: Int = 2):
+  def ivfIndex(vectorsRaw: DataFrame, nlist: Int = 16, iters: Int = 2):
       (DataFrame, DataFrame) = {
-    val spark = vectors.sparkSession
+    val spark = vectorsRaw.sparkSession
+    // one cast per row, not one per (row × centroid) in the argmin below
+    // (float→double is exact — identical assignments)
+    val vectors = vectorsRaw.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
     val n = vectors.count()
     val stride = math.max(n / nlist, 1L)
     var centroids = vectors
       .filter(col("vec_id") % stride === 0)
       .orderBy("vec_id").limit(nlist) // deterministic seed subset
       .select((col("vec_id") / stride).cast("int").as("cell"),
-        col("embedding").cast("array<double>").as("centroid"))
+        col("embedding").as("centroid"))
     def assign(cents: DataFrame): DataFrame = {
       // argmin_c ‖x−c‖² ≡ argmin_c (‖c‖² − 2x·c): the per-row ‖x‖² term is
       // rank-invariant, and both dots are codegen'd graft_dot loops.
@@ -172,7 +206,8 @@ object Similarity {
       col("cn2") - lit(2.0) * dot(col("embedding"), col("centroid"))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("a").orderBy(col("d2"), col("cell"))
-    val probes = queries.select(col("vec_id").as("a"), col("embedding"))
+    val probes = queries.select(col("vec_id").as("a"),
+        col("embedding").cast("array<double>").as("embedding"))
       .crossJoin(broadcast(scoredCents))
       .select(col("a"), col("cell"), qdist2.as("d2"))
       .withColumn("rn", row_number().over(wq))
@@ -183,9 +218,11 @@ object Similarity {
       .filter(col("a") =!= col("b"))
       .select("a", "b").distinct()
     val va = queries.select(col("vec_id").as("a"),
-      col("embedding").as("emb_a"), norm(col("embedding")).as("norm_a"))
+      col("embedding").cast("array<double>").as("emb_a"),
+      norm(col("embedding")).as("norm_a"))
     val vb = vectors.select(col("vec_id").as("b"),
-      col("embedding").as("emb_b"), norm(col("embedding")).as("norm_b"))
+      col("embedding").cast("array<double>").as("emb_b"),
+      norm(col("embedding")).as("norm_b"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("a").orderBy(col("sim").desc, col("b"))
     cands.join(va, "a").join(vb, "b")
@@ -222,7 +259,9 @@ object Similarity {
       .select(col("a"), col("b"))
     val sym = cands.unionByName(
       cands.select(col("b").as("a"), col("a").as("b")))
-    val v = vectors.select(col("vec_id"), col("embedding"),
+    // cast once per row, not per candidate pair in the verify join
+    val v = vectors.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"),
       norm(col("embedding")).as("nrm"))
     val va = v.select(col("vec_id").as("a"), col("embedding").as("emb_a"),
       col("nrm").as("norm_a"))

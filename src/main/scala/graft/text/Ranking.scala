@@ -31,25 +31,36 @@ object Ranking {
 
     // token stream, restricted to query terms immediately (predicate on the
     // exploded value — the scan never materializes non-query tokens past
-    // the filter)
+    // the filter). The doc length rides along on each surviving token row:
+    // it is constant per doc, so folding it in here removes the separate
+    // per-doc-length scan of the corpus AND the tf⋈dl join the previous
+    // shape paid (guide §2.4 — one fewer pass, one fewer join; the few
+    // extra bytes per matching-token row are trivial next to either).
     val toks = docs
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("double").as("dl"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
       .filter(col("tok").isin(terms: _*))
 
     // per-(doc, term) frequency — one shuffle on doc_id (narrow: only
-    // matching docs survive)
-    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    // matching docs survive); dl is constant per doc, max() just carries it
+    val tfLazy = toks.groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    // materialize tf once: it feeds BOTH the per-term document frequency
+    // and the scoring join — left lazy, Catalyst plans the whole
+    // tokenize→explode→aggregate subtree twice (measured: two full corpus
+    // scans in the physical plan). The frame is ≤ |matching docs|·|terms|
+    // rows — trivial to hold, released when the query's blocks rotate.
+    val tf = graft.Checkpoints.materialize(tfLazy)
 
-    // corpus stats: N docs + average doc length (single tiny aggregate)
+    // corpus stats: N docs + average doc length (single tiny aggregate —
+    // needs ALL docs, not just matching ones, so it keeps its own scan)
     val stats = docs.agg(
       count(lit(1)).cast("double").as("n_docs"),
       avg(TextOps.tokenCount(col("text")).cast("double")).as("avgdl"))
 
     // per-term document frequency (≤ |terms| rows — broadcast)
     val df = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
-
-    val dl = docs.select(col("doc_id"),
-      TextOps.tokenCount(col("text")).cast("double").as("dl"))
 
     val idf = round(
       log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)),
@@ -58,7 +69,6 @@ object Ranking {
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
     val scored = tf
       .join(broadcast(df), "tok")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("tok"), (idf * w).as("s"))
 

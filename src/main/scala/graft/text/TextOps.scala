@@ -96,10 +96,14 @@ object TextOps {
     * here the point is a portable content fingerprint for dedup.
     */
   def fingerprint(text: Column): Column =
-    aggregate(
-      transform(split(text, ""), c => ascii(c).cast("long")),
-      lit(0L),
-      (acc, c) => (acc * 31 + c) % 1000000007L)
+    // native codegen'd fold (graft.plans.Fingerprint) — the composed
+    // `aggregate(transform(split(text, "")...))` form is value-identical
+    // but CodegenFallback: two interpreted lambda invocations per CHARACTER
+    // per row (FingerprintSpec pins native ≡ composed incl. multi-byte /
+    // astral / empty / NULL; the DuckDB oracle SQL is unchanged)
+    org.apache.spark.sql.GraftColumn.column(
+      graft.plans.Fingerprint(
+        org.apache.spark.sql.GraftColumn.expression(text)))
 
   /** Full per-document feature set. */
   def docFeatures(docs: DataFrame): DataFrame =
