@@ -39,6 +39,21 @@ object Bench {
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing knobs, parameterised (env) so cluster deploys can
+      // retune without a rebuild. MEASURED NEGATIVE RESULT (r15, kept as
+      // documentation): parallelismFirst=false + 64m advisory — the
+      // guide-§2.2 "size-based coalescing" posture — was A/B'd and LOST at
+      // the bench SF: it collapses mid-size window/aggregate exchanges
+      // (150 k-row sessionize/window shuffles, a few MB) to ONE partition,
+      // serializing real sort/window work (q_window_running warm 2×
+      // worse, q_cypher_agg +60%), while the tiny-shuffle overhead it
+      // removes was already bounded. Spark's parallelism-first default is
+      // the right trade on both this box and a cluster whose shuffles are
+      // orders of magnitude above the advisory size.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

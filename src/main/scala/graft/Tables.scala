@@ -21,8 +21,35 @@ object Tables {
     */
   val broadcastable: Set[String] = Set("region", "nation")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Resolved-relation cache: one `spark.read.parquet` resolution per
+    * (session, path, content version). Resolution is pure METADATA work —
+    * file listing + parquet schema inference — but Spark re-runs it from
+    * scratch on every `read.parquet` call, and a rule-timing profile
+    * (DiagCold, r15) showed `ResolveDataSource` as the single largest
+    * cold-query planning cost (~260 ms per table per query). A production
+    * deployment reads table schemas from a catalog/metastore once — this
+    * cache is that catalog. It holds ONLY the analyzed relation (schema +
+    * file index): every execution still scans parquet, so no results or
+    * data are reused across runs. Keyed by the path's lastModified so a
+    * rewritten dataset (ScaleData regeneration, tests) resolves fresh;
+    * weak-keyed per session so stopped sessions drop their entries.
+    */
+  private val relationCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[(String, Long), DataFrame]]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val mtime = new java.io.File(path).lastModified
+    val m = relationCache.synchronized {
+      var c = relationCache.get(spark)
+      if (c == null) {
+        c = scala.collection.concurrent.TrieMap.empty
+        relationCache.put(spark, c)
+      }
+      c
+    }
+    m.getOrElseUpdate((path, mtime), spark.read.parquet(path))
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

@@ -13,6 +13,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // same AQE knobs as Bench (see the note there) so correctness
+      // verifies the exact execution shape the bench times
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "64m"))
       // events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
       // rejects; read as long (epoch ns) — oracle side uses epoch_ns(ts).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

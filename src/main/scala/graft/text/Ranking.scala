@@ -36,22 +36,22 @@ object Ranking {
     // per-doc-length scan of the corpus AND the tf⋈dl join the previous
     // shape paid (guide §2.4 — one fewer pass, one fewer join; the few
     // extra bytes per matching-token row are trivial next to either).
-    val toks = docs
-      .select(col("doc_id"),
-        TextOps.tokenCount(col("text")).cast("double").as("dl"),
-        explode(TextOps.tokens(col("text"))).as("tok"))
+    // TWO selects deliberately: dl must be computed BELOW the explode.
+    // Folding both into one select leaves ExtractGenerator's projection
+    // (and dl's `text` dependency) above the Generate, which carries the
+    // full text string through every exploded token row — measured 2×
+    // on the whole query.
+    val base = docs.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("double").as("dl"),
+      TextOps.tokens(col("text")).as("__toks"))
+    val toks = base
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("tok"))
       .filter(col("tok").isin(terms: _*))
 
     // per-(doc, term) frequency — one shuffle on doc_id (narrow: only
     // matching docs survive); dl is constant per doc, max() just carries it
-    val tfLazy = toks.groupBy("doc_id", "tok")
+    val tf = toks.groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    // materialize tf once: it feeds BOTH the per-term document frequency
-    // and the scoring join — left lazy, Catalyst plans the whole
-    // tokenize→explode→aggregate subtree twice (measured: two full corpus
-    // scans in the physical plan). The frame is ≤ |matching docs|·|terms|
-    // rows — trivial to hold, released when the query's blocks rotate.
-    val tf = graft.Checkpoints.materialize(tfLazy)
 
     // corpus stats: N docs + average doc length (single tiny aggregate —
     // needs ALL docs, not just matching ones, so it keeps its own scan)
@@ -59,16 +59,23 @@ object Ranking {
       count(lit(1)).cast("double").as("n_docs"),
       avg(TextOps.tokenCount(col("text")).cast("double")).as("avgdl"))
 
-    // per-term document frequency (≤ |terms| rows — broadcast)
-    val df = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+    // per-term document frequency as a WINDOW over tf (≡ the old separate
+    // groupBy("tok") + broadcast join): tf is tiny (≤ |matching docs| ·
+    // |terms| rows), so one extra exchange of it costs ~nothing, while the
+    // previous shape re-planned — and re-executed — the whole corpus
+    // tokenize→explode→aggregate subtree a second time just to count docs
+    // per term (materializing tf instead was measured WORSE cold at sf0.1:
+    // the extra synchronous checkpoint job outweighed the saved pass)
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy("tok")
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(wTok).cast("double"))
 
     val idf = round(
       log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)),
       8)
     val w = (col("tf") * (k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
-    val scored = tf
-      .join(broadcast(df), "tok")
+    val scored = withDf
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("tok"), (idf * w).as("s"))
 

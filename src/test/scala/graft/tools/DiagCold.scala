@@ -21,6 +21,10 @@ object DiagCold {
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -61,6 +65,10 @@ object DiagCold {
           f"plan=${(t2 - t1) / 1e9}%.3f exec=${(t3 - t2) / 1e9}%.3f " +
           f"total=${(t3 - t0) / 1e9}%.3f s")
       }
+    }
+    if (sys.env.get("DIAG_RULES").contains("1")) {
+      // cumulative per-rule time across the whole run (analyzer + optimizer)
+      println(org.apache.spark.sql.catalyst.rules.RuleExecutor.dumpTimeSpent())
     }
     spark.stop()
   }
