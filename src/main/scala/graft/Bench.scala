@@ -116,44 +116,54 @@ object Bench {
     val SpreadFlag = 2.0
     val Sf10ExtraRuns = 2
     val GateExtCores = 2.0   // external busy cores considered "quiet"
+    val GateIowaitCores = 1.0 // iowait cores considered "quiet" (r15/r16:
+    // the contaminated sweeps were IO/page-cache state the CPU-only gate
+    // could not see — iowait is the direct signal of a box still digesting
+    // an IO storm)
     val GateMaxWaitSec = 60.0
-    def totalBusyJiffies: Option[(Long, Long)] =
+    def totalBusyJiffies: Option[(Long, Long, Long)] =
       try {
         val l = scala.io.Source.fromFile("/proc/stat").getLines()
           .next().trim.split("\\s+").drop(1).map(_.toLong)
         // user nice system idle iowait irq softirq steal ...
-        val idle = l(3) + (if (l.length > 4) l(4) else 0L)
-        Some((l.sum - idle, l.sum))
+        val iowait = if (l.length > 4) l(4) else 0L
+        val idle = l(3) + iowait
+        Some((l.sum - idle, iowait, l.sum))
       } catch { case _: Throwable => None }
-    /** External busy cores over a short window: host busy cores minus our
-      * own process's CPU share. -1 when /proc/stat is unavailable.
+    /** (external busy cores, iowait cores) over a short window: host busy
+      * cores minus our own process's CPU share, plus the host's iowait
+      * expressed in cores. (-1, -1) when /proc/stat is unavailable. The
+      * gate runs between our own jobs, so residual iowait is the tail of
+      * an IO storm (ours or external) the page cache is still digesting —
+      * exactly the contamination the r15 sweeps measured.
       */
-    def externalBusyCores(windowMs: Long): Double =
+    def externalLoad(windowMs: Long): (Double, Double) =
       (totalBusyJiffies, processCpuSec) match {
-        case (Some((b0, t0)), c0) if c0 >= 0 =>
+        case (Some((b0, w0, t0)), c0) if c0 >= 0 =>
           Thread.sleep(windowMs)
           (totalBusyJiffies, processCpuSec) match {
-            case (Some((b1, t1)), c1) if t1 > t0 =>
+            case (Some((b1, w1, t1)), c1) if t1 > t0 =>
               val cores = Runtime.getRuntime.availableProcessors()
               val hostBusy = (b1 - b0).toDouble / (t1 - t0) * cores
+              val iowait = (w1 - w0).toDouble / (t1 - t0) * cores
               val winSec = windowMs / 1e3
-              math.max(hostBusy - (c1 - c0) / winSec, 0.0)
-            case _ => -1.0
+              (math.max(hostBusy - (c1 - c0) / winSec, 0.0), iowait)
+            case _ => (-1.0, -1.0)
           }
-        case _ => -1.0
+        case _ => (-1.0, -1.0)
       }
-    /** Wait (bounded) for external load to drop below GateExtCores.
-      * Returns (finalExternalCores, secondsWaited).
+    /** Wait (bounded) for external CPU load AND iowait to drop below the
+      * gates. Returns (finalExternalCores, finalIowaitCores, secondsWaited).
       */
-    def awaitQuietHost(): (Double, Double) = {
+    def awaitQuietHost(): (Double, Double, Double) = {
       val t0 = System.nanoTime()
-      var ext = externalBusyCores(500)
-      while (ext > GateExtCores &&
+      var (ext, iow) = externalLoad(500)
+      while ((ext > GateExtCores || iow > GateIowaitCores) &&
           (System.nanoTime() - t0) / 1e9 < GateMaxWaitSec) {
         Thread.sleep(3000)
-        ext = externalBusyCores(500)
+        val r = externalLoad(500); ext = r._1; iow = r._2
       }
-      (ext, (System.nanoTime() - t0) / 1e9)
+      (ext, iow, (System.nanoTime() - t0) / 1e9)
     }
     /** One query's adjudicated series: `runs` are the kept runs, `dropped`
       * the outlier runs discarded during adjudication (visible, not
@@ -161,7 +171,7 @@ object Bench {
       * reading before the series started.
       */
     case class Sf10Q(name: String, runs: Seq[Double], dropped: Seq[Double],
-        extCores: Double, gateWaitSec: Double)
+        extCores: Double, iowaitCores: Double, gateWaitSec: Double)
     case class Sf10(qs: Seq[Sf10Q], genSec: Double,
         skipped: Seq[String], contaminated: Seq[String],
         loadBefore: String, loadAfter: String,
@@ -195,17 +205,32 @@ object Bench {
         val done = scala.collection.mutable.ArrayBuffer[Sf10Q]()
         val skipped = scala.collection.mutable.ArrayBuffer[String]()
         val contaminated = scala.collection.mutable.ArrayBuffer[String]()
-        sf10Queries.foreach { n =>
+        sf10Queries.zipWithIndex.foreach { case (n, qi) =>
           val rs = scala.collection.mutable.ArrayBuffer[Double]()
           val dropped = scala.collection.mutable.ArrayBuffer[Double]()
           var failed = false
           var extras = Sf10ExtraRuns
+          // PER-QUERY budget: the remaining global budget split evenly over
+          // the remaining queries — r15's artifact lost pagerank/bm25/salted
+          // because one query's outlier re-runs drained the single global
+          // budget before they ever started. Every query now gets at least
+          // its fair share (plus any slack earlier queries left); the first
+          // run is always attempted while the GLOBAL budget holds, so a
+          // query is never silently skipped by a mis-sized share.
+          val qStart = System.nanoTime()
+          val qBudget = math.max(
+            (Sf10BudgetSec - (qStart - tSec0) / 1e9) /
+              (sf10Queries.length - qi), 1.0)
+          def overQueryBudget: Boolean =
+            (System.nanoTime() - qStart) / 1e9 > qBudget
           // external-load gate: don't START a series on a dirty host —
           // the r13/r14 contaminated medians were external load, not code
-          val (extCores, gateWait) = awaitQuietHost()
-          if (extCores > GateExtCores) System.err.println(
-            f"[bench] sf10 $n host still busy after $gateWait%.0f s " +
-              f"(external ≈ $extCores%.1f cores) — measuring anyway, gate recorded")
+          val (extCores, iowCores, gateWait) = awaitQuietHost()
+          if (extCores > GateExtCores || iowCores > GateIowaitCores)
+            System.err.println(
+              f"[bench] sf10 $n host still busy after $gateWait%.0f s " +
+                f"(external ≈ $extCores%.1f cores, iowait ≈ $iowCores%.1f)" +
+                " — measuring anyway, gate recorded")
           // a query keeps its completed runs when the budget trips mid-
           // query (a 1-run median is weaker but still adjudicable; the
           // truncation is visible in the artifact's runs array length)
@@ -222,7 +247,8 @@ object Bench {
               false
             }
           }
-          while (rs.length < Sf10Runs && !failed && !overBudget)
+          while (rs.length < Sf10Runs && !failed && !overBudget &&
+              (rs.isEmpty || !overQueryBudget))
             failed = !runOnce()
           // outlier adjudication: drop the worst run (RECORDED, not
           // erased), wait for a quiet host, take a fresh one. A FAILED
@@ -230,7 +256,8 @@ object Bench {
           // taken — a rerun crash must not discard good evidence.
           var rerunFailed = false
           while (rs.length >= 2 && spreadOf(rs.toSeq) > SpreadFlag &&
-              extras > 0 && !failed && !rerunFailed && !overBudget) {
+              extras > 0 && !failed && !rerunFailed && !overBudget &&
+              !overQueryBudget) {
             System.err.println(f"[bench] sf10 $n spread ${spreadOf(rs.toSeq)}%.1f× > $SpreadFlag — rerunning outlier")
             dropped += rs.max
             rs -= rs.max
@@ -246,7 +273,8 @@ object Bench {
           // series hides the failure); a failed ADJUDICATION rerun keeps
           // the valid evidence already taken
           if (rs.nonEmpty && !failed)
-            done += Sf10Q(n, rs.toSeq, dropped.toSeq, extCores, gateWait)
+            done += Sf10Q(n, rs.toSeq, dropped.toSeq, extCores, iowCores,
+              gateWait)
           else skipped += n
         }
         if (skipped.nonEmpty) // no silent caps
@@ -466,7 +494,17 @@ object Bench {
     // physical plans were byte-identical between rounds (EXPLAIN diff
     // empty); the swing was measurement noise a median would have absorbed.
     val WarmRuns = 3
+    // headline series get the same external-load gate as the sf10 section:
+    // the r15 headline artifact was measured on a box still digesting the
+    // sf10 section's IO storm (untouched KPIs drifted 2×) and the CPU-only
+    // loadavg context could not show it — gate on CPU + iowait BEFORE each
+    // query's series, and record the reading (gate, never block: a busy
+    // host is measured anyway with the evidence attached).
+    val headGates = scala.collection.mutable.ArrayBuffer[(String, Double,
+      Double, Double)]()
     val results = headline.map { n =>
+      val (ext, iow, gw) = awaitQuietHost()
+      headGates += ((n, ext, iow, gw))
       val colds = (1 to ColdRuns).map { _ => isolate(); timed(n) }.sorted
       val warms = (1 to WarmRuns).map { _ => timed(n) }.sorted
       (n, colds, warms)
@@ -475,6 +513,17 @@ object Bench {
     val spread = results.map { case (n, cs, _) => (n, cs.head, cs.last) }
     val warm = results.map { case (n, _, ws) => n -> ws(ws.length / 2) }
     val warmSpread = results.map { case (n, _, ws) => (n, ws.head, ws.last) }
+    // catalog-cold probe: the timed "cold" runs above are CATALOG-WARM —
+    // the resolved-relation cache (Tables.load, the engine's metastore
+    // analogue) survives isolate(), so they measure plan+data cost the way
+    // a deployment with a catalog pays it. This one-run-per-query series
+    // ALSO clears that cache, so both definitions of cold are in the
+    // artifact and the label is unambiguous (r15 verdict item).
+    val catalogCold = results.map { case (n, _, _) =>
+      isolate()
+      Tables.clearRelationCache(spark)
+      n -> timed(n)
+    }.filterNot { case (n, _) => failedQueries.contains(n) }
 
     def js(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
@@ -673,7 +722,7 @@ object Bench {
       }.mkString("{", ",", "}")
       val gateJson = s.qs.map { q =>
         "\"" + q.name +
-          f"""\":{"ext_cores":${q.extCores}%.1f,"wait_sec":${q.gateWaitSec}%.1f}"""
+          f"""\":{"ext_cores":${q.extCores}%.1f,"iowait_cores":${q.iowaitCores}%.1f,"wait_sec":${q.gateWaitSec}%.1f}"""
       }.mkString("{", ",", "}")
       f""","sf10":{"copies":$Sf10Copies,"runs_per_query":$Sf10Runs,"spread_flag":$SpreadFlag,"gen_sec":${s.genSec}%.1f,"queries":${js(
         sf10Medians)},"runs":$runsJson,"dropped":$droppedJson,"load_gate":$gateJson,"ratio_vs_base":${js(
@@ -681,10 +730,15 @@ object Bench {
         .map("\"" + _ + "\"").mkString("[", ",", "]")},"contaminated":${s.contaminated
         .map("\"" + _ + "\"").mkString("[", ",", "]")},"loadavg_before":"${s.loadBefore}","loadavg_after":"${s.loadAfter}","cpu_sec":${s.cpuSec}%.1f,"wall_sec":${s.wallSec}%.1f}"""
     }.getOrElse("")
+    val headGateJson = headGates.map { case (n, ext, iow, gw) =>
+      "\"" + n +
+        f"""\":{"ext_cores":$ext%.1f,"iowait_cores":$iow%.1f,"wait_sec":$gw%.1f}"""
+    }.mkString("{", ",", "}")
     val detail =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_runs":$ColdRuns,"queries":${js(
         cold)},"cold_spread":${jsSpread(
-        spread)},"failed":$failedJson,"warm_total":$warmTotal%.3f,"warm":${js(
+        spread)},"catalog_cold":${js(
+        catalogCold)},"headline_load_gate":$headGateJson,"failed":$failedJson,"warm_total":$warmTotal%.3f,"warm":${js(
         warm)},"warm_spread":${jsSpread(warmSpread)},$kpis$sf1Detail$sf10Json}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "BENCH_DETAIL.json")

@@ -35,12 +35,29 @@ object Tables {
     * weak-keyed per session so stopped sessions drop their entries.
     */
   private val relationCache = new java.util.WeakHashMap[SparkSession,
-    scala.collection.concurrent.TrieMap[(String, Long), DataFrame]]()
+    scala.collection.concurrent.TrieMap[(String, Long, Long), DataFrame]]()
+
+  /** Drop the session's cached relations — Bench.isolate() calls this for
+    * its catalog-cold probe, and tests that rewrite a dataset in-place can
+    * force re-resolution without relying on mtime granularity.
+    */
+  def clearRelationCache(spark: SparkSession): Unit =
+    relationCache.synchronized { relationCache.remove(spark) }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val mtime = new java.io.File(path).lastModified
+    val f = new java.io.File(path)
+    // mtime alone has 1 s granularity on some filesystems — a same-second
+    // rewrite would serve a stale file index; length catches the common
+    // regeneration case (and a missing path keys as (0, 0), re-probed on
+    // every call until the file exists)
+    val key = (path, f.lastModified, f.length)
     val m = relationCache.synchronized {
+      // the cached DataFrame strongly references its session, which would
+      // pin the weak key forever — purge stopped sessions' entries here so
+      // a long-lived multi-session JVM (tests) doesn't leak them
+      val it = relationCache.keySet.iterator
+      while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
       var c = relationCache.get(spark)
       if (c == null) {
         c = scala.collection.concurrent.TrieMap.empty
@@ -48,7 +65,7 @@ object Tables {
       }
       c
     }
-    m.getOrElseUpdate((path, mtime), spark.read.parquet(path))
+    m.getOrElseUpdate(key, spark.read.parquet(path))
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")

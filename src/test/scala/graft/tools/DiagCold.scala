@@ -32,6 +32,11 @@ object DiagCold {
     spark.sparkContext.setLogLevel("ERROR")
     def isolate(): Unit = {
       SparkEntry.clearPlanCache(spark)
+      // diag colds measure TRUE cold build cost, including table
+      // resolution — the bench's timed colds are catalog-warm by design
+      // (and say so in the artifact), but this tool's whole point is
+      // attributing the cold path
+      Tables.clearRelationCache(spark)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
