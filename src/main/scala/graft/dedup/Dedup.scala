@@ -120,7 +120,9 @@ object Dedup {
     * the shingle pass with signature computation.
     */
   def jaccard(docs: DataFrame, pairs: DataFrame, k: Int = 3,
-      pre: Option[DataFrame] = None): DataFrame = {
+      pre: Option[DataFrame] = None,
+      minJaccard: Option[Double] = None): DataFrame = {
+    graft.plans.GraftExtensions.ensureFunctions(docs.sparkSession)
     // candidates touch few docs (LSH keeps Σ bucket² small): broadcast
     // semi-filter to candidate docs before any shingle work — the
     // tokenize/explode/collect pipeline processes
@@ -131,15 +133,34 @@ object Dedup {
     val sh = pre.map(_.join(docsInPairs, Seq("doc_id"), "left_semi"))
       .getOrElse(shingleHashesRaw(
         docs.join(docsInPairs, Seq("doc_id"), "left_semi"), k))
-    // one shuffle: each candidate doc's distinct shingle-hash set as an
-    // array (collect_set dedups in the partial aggregate); |A∩B| is then a
-    // per-pair array_intersect — no intersection join, no sizes join, and
-    // arrays stay small because shingles/doc is bounded by doc length
-    val sets = sh.groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    pairs
+    // one shuffle: each candidate doc's distinct shingle-hash set as a
+    // SORTED array (collect_set dedups in the partial aggregate; one
+    // sort_array per DOC amortizes over every pair the doc appears in).
+    // |A∩B| is then a per-pair graft_intersect_count — a native two-pointer
+    // merge over primitive longs, no per-pair hash-set build or output
+    // array the way size(array_intersect(...)) paid (the measured ~2/3 of
+    // sf10 minhash time); counts are identical because the inputs are
+    // sorted distinct sets
+    val sets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("sh"))).as("shs"))
+    val inter = call_function("graft_intersect_count",
+      col("sh_a"), col("sh_b"))
+    val joined = pairs
       .join(sets.select(col("doc_id").as("a"), col("shs").as("sh_a")), "a")
       .join(sets.select(col("doc_id").as("b"), col("shs").as("sh_b")), "b")
+    // threshold pre-filter (callers that keep only jaccard ≥ t, e.g.
+    // minHashDedup): J = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|), so a
+    // pair whose size ratio cannot reach the threshold is dropped BEFORE
+    // paying the intersection. 1e-5 margin: the emitted value rounds to
+    // 5 dp (HALF_UP adds ≤ 5e-6), so every pair that could round to ≥ t
+    // survives the filter — result rows are bit-identical
+    val prefiltered = minJaccard match {
+      case Some(t) => joined.filter(
+        least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
+          lit(t - 1e-5) * greatest(size(col("sh_a")), size(col("sh_b"))))
+      case None => joined
+    }
+    prefiltered
       .select(col("a"), col("b"),
         round(inter.cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - inter), 5).as("jaccard"))
@@ -414,8 +435,9 @@ object Dedup {
     val buckets = materialize(capBuckets(exploded, joinKeys, cap))
     val cands = materialize(bucketSelfJoin(buckets, joinKeys))
     release(buckets) // the self-join is spent; candidates are the leaf
-    val result = materialize(jaccard(docs, cands, k)
-      .filter(col("jaccard") >= threshold))
+    val result = materialize(
+      jaccard(docs, cands, k, minJaccard = Some(threshold))
+        .filter(col("jaccard") >= threshold))
     release(cands)
     result
   }

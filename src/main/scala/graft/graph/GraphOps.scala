@@ -140,13 +140,86 @@ object GraphOps {
       .groupBy("start", "node").agg(min("hops").as("hops"))
   }
 
-  /** PageRank via GraphX (reference: `src/algorithms/pagerank.c`,
-    * `src/procedures/proc_pagerank.c:202`). The engine's pageRank: GraphX
-    * partitions the graph once and moves only messages per iteration,
-    * which a measured A/B (DiagPrAb, sf1: 3.7 s vs 8.4 s) shows still
-    * beats the pure-Catalyst power iteration below by ~2.3x.
+  /** PageRank (reference: `src/algorithms/pagerank.c`,
+    * `src/procedures/proc_pagerank.c:202`): the GraphX `staticPageRank`
+    * recurrence — r₀ = 1, r_k(v) = reset + (1−reset)·Σ_{u→v} r_{k−1}(u)/
+    * outdeg(u), dangling mass not redistributed, ranks normalized to sum N
+    * — computed as a single-job RDD power iteration.
+    *
+    * Why not GraphX itself (the r14/r15 shape): `staticPageRank`
+    * materializes every superstep — per iteration it caches a new graph,
+    * runs a `foreachPartition` job over the edge set and unpersists the
+    * previous generation, ~3 jobs × `iters` plus vertex-view shipping.
+    * That per-iteration job overhead was the measured #1 cold cost of the
+    * whole bench (2.8 s at sf0.1 where the data work is milliseconds;
+    * profiled r15, deferred to r16). Here the weighted adjacency is
+    * hash-partitioned ONCE (one shuffle map stage whose files every
+    * iteration re-reads — Spark serves already-computed shuffle stages
+    * from disk without recomputation), each iteration is exactly one
+    * narrow co-partitioned join + one message shuffle (`reduceByKey` with
+    * map-side combine, the same message movement GraphX does), and the
+    * whole 10-iteration chain executes as ONE job when the result is
+    * consumed — no per-iteration materialization, caching or plan
+    * re-analysis at all. The per-vertex message sum matches the oracle's
+    * arithmetic (Σ r/deg); summation order is partition-dependent exactly
+    * as GraphX's was, and the emitted value rounds to 6 dp (the tolerance
+    * the oracle was pinned at — DuckDB, GraphX and this loop agree there).
+    *
+    * Measured negative results that led here (kept for the record):
+    * Catalyst power iteration [[pageRankDf]] 2.3× slower (per-iteration
+    * plan/exchange overhead); GraphX input coalescing 10× worse at sf10.
     */
   def pageRank(graph: PropertyGraph, resetProb: Double = 0.15,
+      iters: Int = 20): DataFrame = {
+    require(iters >= 1, s"pageRank needs at least one iteration ($iters)")
+    val spark = graph.nodes.sparkSession
+    import spark.implicits._
+    val verts = vertexRdd(graph.nodes.select(col("id")))
+    val edges = graph.edges.select(col("src"), col("dst"))
+      .queryExecution.toRdd.map(r => (r.getLong(0), r.getLong(1)))
+    // scale-adaptive partitioning: never fewer partitions than the source
+    // layout supplies (the r15 GraphX-coalesce disaster), never fewer than
+    // the cluster's parallelism when the source is a single small file
+    val p = new org.apache.spark.HashPartitioner(math.max(
+      edges.getNumPartitions, spark.sparkContext.defaultParallelism))
+    val outdeg = edges.mapValues(_ => 1L).reduceByKey(p, _ + _)
+    // weighted adjacency (src, (dst, outdeg(src))), src-partitioned once
+    val contrib = edges.partitionBy(p).join(outdeg)
+    // iterate on the message vector m_k(v) = Σ_{u→v} r_{k−1}(u)/deg(u);
+    // r_{k−1}(src) reconstructs as reset + (1−reset)·m_{k−1}(src) (absent ⇒
+    // no in-edges ⇒ the constant reset mass), so no dense vertex join runs
+    // inside the loop. Iteration 1 inlines r₀ = 1.
+    var msgs = contrib
+      .map { case (_, (dst, deg)) => (dst, 1.0 / deg) }
+      .reduceByKey(p, _ + _)
+    for (_ <- 2 to iters) {
+      val prev = msgs
+      msgs = contrib.leftOuterJoin(prev)
+        .map { case (_, ((dst, deg), m)) =>
+          (dst, (resetProb + (1 - resetProb) * m.getOrElse(0.0)) / deg)
+        }
+        .reduceByKey(p, _ + _)
+    }
+    val ranks = verts.partitionBy(p).leftOuterJoin(msgs)
+      .mapValues { case (_, m) =>
+        resetProb + (1 - resetProb) * m.getOrElse(0.0)
+      }
+    // one finalization job for (n, Σr); the DF below re-runs only the final
+    // narrow stage — every shuffle map stage upstream is served from its
+    // already-written files
+    val (n, total) = ranks.map(_._2)
+      .aggregate((0L, 0.0))(
+        (acc, r) => (acc._1 + 1, acc._2 + r),
+        (a, b) => (a._1 + b._1, a._2 + b._2))
+    val scale = if (total == 0.0) 1.0 else n / total
+    ranks.mapValues(_ * scale).toDF("id", "pagerank")
+  }
+
+  /** PageRank via GraphX — the r14/r15 implementation, kept as the
+    * documented baseline [[pageRank]] replaced (staticPageRank semantics;
+    * DiagPrAb pins the two ≡ at 6 dp).
+    */
+  def pageRankGraphX(graph: PropertyGraph, resetProb: Double = 0.15,
       iters: Int = 20): DataFrame = {
     val spark = graph.nodes.sparkSession
     import spark.implicits._

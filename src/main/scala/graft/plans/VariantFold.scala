@@ -295,6 +295,15 @@ object GraftExtensions {
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           Fingerprint(exprs.head))
     }
+    val icId = new org.apache.spark.sql.catalyst.FunctionIdentifier(
+      "graft_intersect_count")
+    if (!reg.functionExists(icId)) {
+      reg.registerFunction(icId,
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[IntersectCount].getName, "graft_intersect_count"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          IntersectCount(exprs(0), exprs(1)))
+    }
   }
 
   /** `graft_shingle_hashes(text, k)` — k must be an integer literal (it is
@@ -348,5 +357,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[Fingerprint].getName, "graft_fingerprint"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Fingerprint(exprs.head)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "graft_intersect_count"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[IntersectCount].getName, "graft_intersect_count"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        IntersectCount(exprs(0), exprs(1))))
   }
 }

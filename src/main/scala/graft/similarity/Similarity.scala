@@ -34,6 +34,13 @@ object Similarity {
     *
     * Scale: queries × corpus partition-parallel brute force — right answer
     * for small query batches; for query=corpus use [[lshBuckets]].
+    *
+    * API CONTRACT: `queries` must be a SMALL batch — it is broadcast
+    * unconditionally (the 100 TB orientation: the corpus streams, the
+    * query batch ships), so a caller passing a large frame gets a broadcast
+    * failure/driver OOM instead of Catalyst's size-based fallback. Batches
+    * up to Spark's broadcast comfort zone (tens of MB) are fine; anything
+    * bigger belongs on [[annTopK]]/[[lshBuckets]].
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       k: Int): DataFrame = {

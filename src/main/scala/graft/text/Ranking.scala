@@ -27,64 +27,56 @@ object Ranking {
   def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val spark = docs.sparkSession
 
-    // token stream, restricted to query terms immediately (predicate on the
-    // exploded value — the scan never materializes non-query tokens past
-    // the filter). The doc length rides along on each surviving token row:
-    // it is constant per doc, so folding it in here removes the separate
-    // per-doc-length scan of the corpus AND the tf⋈dl join the previous
-    // shape paid (guide §2.4 — one fewer pass, one fewer join; the few
-    // extra bytes per matching-token row are trivial next to either).
-    // TWO selects deliberately: dl must be computed BELOW the explode.
-    // Folding both into one select leaves ExtractGenerator's projection
-    // (and dl's `text` dependency) above the Generate, which carries the
-    // full text string through every exploded token row — measured 2×
-    // on the whole query.
-    val base = docs.select(col("doc_id"),
-      TextOps.tokenCount(col("text")).cast("double").as("dl"),
-      TextOps.tokens(col("text")).as("__toks"))
-    val toks = base
-      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("tok"))
-      .filter(col("tok").isin(terms: _*))
+    // ONE corpus pass (was two: a term-filtered token stream AND a separate
+    // all-docs stats scan that re-tokenized every document just to count
+    // lengths). The token stream explodes once, un-filtered, and a single
+    // per-doc aggregate pivots the query terms into columns: dl = token
+    // count, tfᵢ = occurrences of term i (terms is a small fixed list, so
+    // the pivot is a handful of conditional sums inside one codegen'd
+    // map-side partial aggregate — the doc_id exchange moves one narrow row
+    // per doc, never the token stream). Stats and scorer both hang off this
+    // SAME exchange and Catalyst de-duplicates it (ReusedExchange), so the
+    // corpus is scanned and tokenized exactly once (guide §2.4/§6).
+    // Value parity with the previous shape (and the unchanged SQL oracle):
+    // dl (split never yields an empty array, so count(*) over exploded
+    // tokens ≡ size(split(...)) and no doc drops out), tf and df are exact
+    // integers, avgdl is an exact integer sum / exact count, and the idf/w
+    // arithmetic below keeps the identical expression shape and fixed term
+    // order.
+    val tfCols = terms.indices.map { i =>
+      sum(when(col("tok") === terms(i), 1L).otherwise(0L)).as(s"__tf$i")
+    }
+    val perDoc = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("double").as("dl"), tfCols: _*)
 
-    // per-(doc, term) frequency — one shuffle on doc_id (narrow: only
-    // matching docs survive); dl is constant per doc, max() just carries it
-    val tf = toks.groupBy("doc_id", "tok")
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-
-    // corpus stats: N docs + average doc length (single tiny aggregate —
-    // needs ALL docs, not just matching ones, so it keeps its own scan)
-    val stats = docs.agg(
+    // corpus stats + per-term document frequency in one broadcastable row
+    val statAggs = Seq(
       count(lit(1)).cast("double").as("n_docs"),
-      avg(TextOps.tokenCount(col("text")).cast("double")).as("avgdl"))
+      avg(col("dl")).as("avgdl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).cast("double")
+          .as(s"__df$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
 
-    // per-term document frequency as a WINDOW over tf (≡ the old separate
-    // groupBy("tok") + broadcast join): tf is tiny (≤ |matching docs| ·
-    // |terms| rows), so one extra exchange of it costs ~nothing, while the
-    // previous shape re-planned — and re-executed — the whole corpus
-    // tokenize→explode→aggregate subtree a second time just to count docs
-    // per term (materializing tf instead was measured WORSE cold at sf0.1:
-    // the extra synchronous checkpoint job outweighed the saved pass)
-    val wTok = org.apache.spark.sql.expressions.Window.partitionBy("tok")
-    val withDf = tf.withColumn("df",
-      count(lit(1)).over(wTok).cast("double"))
-
-    val idf = round(
-      log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)),
-      8)
-    val w = (col("tf") * (k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
-    val scored = withDf
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("tok"), (idf * w).as("s"))
-
-    // combine per-term partials in FIXED term order (float addition is not
-    // associative; an unordered sum() could differ from the oracle's)
-    val termCols = terms.map(t =>
-      coalesce(max(when(col("tok") === t, col("s"))), lit(0.0)))
-    scored.groupBy("doc_id")
-      .agg(round(termCols.reduce(_ + _), 5).as("score"))
+    // docs matching ≥ 1 query term, scored per term in FIXED term order
+    // (float addition is not associative; an unordered sum() could differ
+    // from the oracle's); a term absent from a doc contributes literal 0.0
+    val matched = perDoc.filter(
+      terms.indices.map(i => col(s"__tf$i")).reduce(_ + _) > 0)
+    val termCols = terms.indices.map { i =>
+      val tf = col(s"__tf$i")
+      val df = col(s"__df$i")
+      val idf = round(
+        log(lit(1.0) + (col("n_docs") - df + 0.5) / (df + 0.5)), 8)
+      val w = (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+      when(tf > 0, idf * w).otherwise(lit(0.0))
+    }
+    matched.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(termCols.reduce(_ + _), 5).as("score"))
   }
 
   /** DuckDB-SQL replication of [[bm25]] over the `documents` table —
