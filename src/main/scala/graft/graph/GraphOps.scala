@@ -156,8 +156,8 @@ object GraphOps {
     * hash-partitioned ONCE (one shuffle map stage whose files every
     * iteration re-reads — Spark serves already-computed shuffle stages
     * from disk without recomputation), each iteration is exactly one
-    * narrow co-partitioned join + one message shuffle (`reduceByKey` with
-    * map-side combine, the same message movement GraphX does), and the
+    * narrow co-partitioned zipPartitions lookup join + one combined
+    * message shuffle (the same message movement GraphX does), and the
     * whole 10-iteration chain executes as ONE job when the result is
     * consumed — no per-iteration materialization, caching or plan
     * re-analysis at all. The per-vertex message sum matches the oracle's
@@ -180,30 +180,96 @@ object GraphOps {
     // scale-adaptive partitioning: never fewer partitions than the source
     // layout supplies (the r15 GraphX-coalesce disaster), never fewer than
     // the cluster's parallelism when the source is a single small file
-    val p = new org.apache.spark.HashPartitioner(math.max(
-      edges.getNumPartitions, spark.sparkContext.defaultParallelism))
-    val outdeg = edges.mapValues(_ => 1L).reduceByKey(p, _ + _)
-    // weighted adjacency (src, (dst, outdeg(src))), src-partitioned once
-    val contrib = edges.partitionBy(p).join(outdeg)
+    val p = new org.apache.spark.HashPartitioner(
+      spark.conf.getOption("spark.graft.pagerank.parts").map(_.toInt)
+        .getOrElse {
+          // scale-adaptive partition count from the edge plan's size
+          // estimate (guide §2), NOT a local-core constant. Small graphs
+          // get ~1 MB partitions: the loop's cost there is shuffle FILE
+          // count, p files per map task per shuffle — the sampled stacks
+          // were DiskBlockObjectWriter.initialize + mmap-concat, not
+          // compute (p=32: 3.3 s at sf0.1; p=4: 0.8 s). Small branch:
+          // ~256 KB of estimated bytes per partition; large branch: ~64 MB
+          // partitions, never fewer than the cluster's cores.
+          val bytes = graph.edges.queryExecution.optimizedPlan.stats
+            .sizeInBytes.min(BigInt(Long.MaxValue)).toLong.max(1L)
+          val cores = spark.sparkContext.defaultParallelism.toLong
+          math.max(1L, math.min(bytes >> 18, math.max(cores, bytes >> 26)))
+            .toInt
+        })
+    // ONE shuffle of the edge set. partitionBy(p) co-locates every edge of
+    // a src, so outdeg is a partition-local count and the weighted
+    // adjacency lives as three parallel primitive arrays — ONE element per
+    // partition, persisted for the loop. Deliberately NO
+    // reduceByKey/join/cogroup anywhere in the loop: their
+    // ExternalAppendOnlyMap size-samples inserts through
+    // SizeEstimator.estimate (reflection object-graph walks), which stack
+    // samples showed as the dominant per-task cost of the previous shape
+    // (~160–220 ms fixed per task regardless of partition count, ~7 s of
+    // executor CPU per run on 86 k edges at sf0.1). All per-key state here
+    // is primitive open-addressing maps ([[LongDoubleMap]]) — no boxing,
+    // no size sampling; the trade is losing the spill safety net, bounded
+    // by the per-partition working set the cogroup held in memory anyway
+    // (p scales with the source partition count; override with
+    // spark.graft.pagerank.parts).
+    val contrib = edges.partitionBy(p).mapPartitions { it =>
+      val sb = new scala.collection.mutable.ArrayBuilder.ofLong
+      val db = new scala.collection.mutable.ArrayBuilder.ofLong
+      while (it.hasNext) { val e = it.next(); sb += e._1; db += e._2 }
+      val srcs = sb.result(); val dsts = db.result()
+      val deg = new LongDoubleMap(srcs.length)
+      var i = 0
+      while (i < srcs.length) { deg.add(srcs(i), 1.0); i += 1 }
+      val degs = new Array[Double](srcs.length)
+      i = 0
+      while (i < srcs.length) { degs(i) = deg.getOrElse(srcs(i), 0.0); i += 1 }
+      Iterator.single((srcs, dsts, degs))
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    // map-side partial sums land in a primitive map, the explicit
+    // partitionBy moves only the combined (dst, partial) records (the same
+    // message volume reduceByKey shipped), and the reduce side merges into
+    // a primitive map again
+    def shuffleSum(r: org.apache.spark.rdd.RDD[(Long, Double)])
+        : org.apache.spark.rdd.RDD[(Long, Double)] =
+      r.partitionBy(p).mapPartitions({ it =>
+        val m = new LongDoubleMap(1 << 10)
+        while (it.hasNext) { val kv = it.next(); m.add(kv._1, kv._2) }
+        m.iterator
+      }, preservesPartitioning = true)
     // iterate on the message vector m_k(v) = Σ_{u→v} r_{k−1}(u)/deg(u);
     // r_{k−1}(src) reconstructs as reset + (1−reset)·m_{k−1}(src) (absent ⇒
     // no in-edges ⇒ the constant reset mass), so no dense vertex join runs
     // inside the loop. Iteration 1 inlines r₀ = 1.
-    var msgs = contrib
-      .map { case (_, (dst, deg)) => (dst, 1.0 / deg) }
-      .reduceByKey(p, _ + _)
+    var msgs = shuffleSum(contrib.mapPartitions { it =>
+      val (_, dsts, degs) = it.next()
+      val out = new LongDoubleMap(dsts.length)
+      var i = 0
+      while (i < dsts.length) { out.add(dsts(i), 1.0 / degs(i)); i += 1 }
+      out.iterator
+    })
     for (_ <- 2 to iters) {
       val prev = msgs
-      msgs = contrib.leftOuterJoin(prev)
-        .map { case (_, ((dst, deg), m)) =>
-          (dst, (resetProb + (1 - resetProb) * m.getOrElse(0.0)) / deg)
+      msgs = shuffleSum(contrib.zipPartitions(prev) { (cIt, mIt) =>
+        val (srcs, dsts, degs) = cIt.next()
+        val mm = new LongDoubleMap(1 << 10)
+        while (mIt.hasNext) { val kv = mIt.next(); mm.add(kv._1, kv._2) }
+        val out = new LongDoubleMap(dsts.length)
+        var i = 0
+        while (i < srcs.length) {
+          val r = resetProb + (1 - resetProb) * mm.getOrElse(srcs(i), 0.0)
+          out.add(dsts(i), r / degs(i))
+          i += 1
         }
-        .reduceByKey(p, _ + _)
+        out.iterator
+      })
     }
-    val ranks = verts.partitionBy(p).leftOuterJoin(msgs)
-      .mapValues { case (_, m) =>
-        resetProb + (1 - resetProb) * m.getOrElse(0.0)
+    val ranks = verts.partitionBy(p).zipPartitions(msgs) { (vIt, mIt) =>
+      val mm = new LongDoubleMap(1 << 10)
+      while (mIt.hasNext) { val kv = mIt.next(); mm.add(kv._1, kv._2) }
+      vIt.map { case (id, _) =>
+        (id, resetProb + (1 - resetProb) * mm.getOrElse(id, 0.0))
       }
+    }
     // one finalization job for (n, Σr); the DF below re-runs only the final
     // narrow stage — every shuffle map stage upstream is served from its
     // already-written files
@@ -211,6 +277,9 @@ object GraphOps {
       .aggregate((0L, 0.0))(
         (acc, r) => (acc._1 + 1, acc._2 + r),
         (a, b) => (a._1 + b._1, a._2 + b._2))
+    // iterations are spent (the aggregate above ran them); the consumer
+    // below re-reads only the already-written message shuffle files
+    contrib.unpersist(blocking = false)
     val scale = if (total == 0.0) 1.0 else n / total
     ranks.mapValues(_ * scale).toDF("id", "pagerank")
   }
@@ -382,5 +451,74 @@ object GraphOps {
     val g = XGraph(vRdd, eRdd, (), StorageLevel.MEMORY_AND_DISK,
       StorageLevel.MEMORY_AND_DISK)
     g.connectedComponents().vertices.toDF("id", "component")
+  }
+}
+
+/** Minimal primitive Long→Double accumulator map: open addressing, linear
+  * probing, power-of-two capacity. Exists because the generic alternatives
+  * both tax the pagerank hot loop: `reduceByKey`/`cogroup`'s
+  * ExternalAppendOnlyMap size-samples inserts via SizeEstimator reflection
+  * walks (the measured dominant cost), and
+  * `scala.collection.mutable.LongMap` boxes its Double values on every
+  * update. Single-task lifetime only — never serialized, never spills.
+  */
+private[graph] final class LongDoubleMap(expected: Int) {
+  private[this] var cap = {
+    var c = 8
+    val target = math.min(1 << 29, math.max(1, expected)).toLong * 2
+    while (c < target) c <<= 1
+    c
+  }
+  private[this] var mask = cap - 1
+  private[this] var keys = new Array[Long](cap)
+  private[this] var vals = new Array[Double](cap)
+  private[this] var occ = new Array[Boolean](cap)
+  private[this] var n = 0
+
+  // 64-bit odd-constant multiply + fold: spreads the sequential vertex ids
+  // the HashPartitioner's modulo already grouped
+  private def slot(k: Long): Int = {
+    var h = k * -7046029254386353131L
+    h ^= h >>> 32
+    h.toInt & mask
+  }
+
+  /** vals(k) += v, inserting if absent. */
+  def add(k: Long, v: Double): Unit = {
+    var i = slot(k)
+    while (occ(i) && keys(i) != k) i = (i + 1) & mask
+    if (occ(i)) vals(i) += v
+    else {
+      occ(i) = true; keys(i) = k; vals(i) = v; n += 1
+      if (n.toLong * 10 >= cap.toLong * 7) grow()
+    }
+  }
+
+  def getOrElse(k: Long, d: Double): Double = {
+    var i = slot(k)
+    while (occ(i)) {
+      if (keys(i) == k) return vals(i)
+      i = (i + 1) & mask
+    }
+    d
+  }
+
+  private def grow(): Unit = {
+    val ok = keys; val ov = vals; val oo = occ
+    cap <<= 1; mask = cap - 1
+    keys = new Array[Long](cap); vals = new Array[Double](cap)
+    occ = new Array[Boolean](cap); n = 0
+    var i = 0
+    while (i < ok.length) { if (oo(i)) add(ok(i), ov(i)); i += 1 }
+  }
+
+  def iterator: Iterator[(Long, Double)] = new Iterator[(Long, Double)] {
+    private[this] var i = 0
+    private def advance(): Unit = while (i < cap && !occ(i)) i += 1
+    advance()
+    def hasNext: Boolean = i < cap
+    def next(): (Long, Double) = {
+      val r = (keys(i), vals(i)); i += 1; advance(); r
+    }
   }
 }
