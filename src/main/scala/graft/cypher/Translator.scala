@@ -223,6 +223,17 @@ object Translator {
       * patterns") these are exempt from cross-edge uniqueness filters.
       */
     val anonEdgeVars = scala.collection.mutable.Set[String]()
+    /** Statically-proven variant tag per flat prop column
+      * ([[propColName]] key): Some(t) = every scan that projected this
+      * column constructs tag t for non-null values; None = conflicting or
+      * unprovable. Feeds [[staticNativeCmp]].
+      */
+    val propTags = scala.collection.mutable.Map[String, Option[Int]]()
+    def registerPropTag(colName: String, tag: Option[Int]): Unit =
+      propTags(colName) = propTags.get(colName) match {
+        case Some(prev) if prev != tag => None
+        case _ => tag
+      }
     /** Resolved uniqueness scope (see [[CypherSession.edgeUniquenessScope]]). */
     def namedOnlyUniqueness: Boolean =
       session.exists(_.edgeUniquenessScope == "named")
@@ -237,6 +248,83 @@ object Translator {
     * build (`src/arithmetic/arithmetic_expression_construct.c`).
     */
   def propColName(v: String, k: String): String = s"__p:$v:$k"
+
+  /** Static variant tag of property `key` as constructed by the scan view
+    * `df`'s props map, when provably monomorphic: walks the view's
+    * ALREADY-ANALYZED plan (no extra analysis pass) to the map constructor
+    * defining `props` and reads the literal `t` field the variant
+    * constructors (vInt/vFloat/vStr/vBool/vRetag) bake in. Conservative by
+    * design — any unrecognized shape (props read raw from storage,
+    * data-dependent tags, conditional map construction) yields None and
+    * callers keep the generic variant path.
+    */
+  private[cypher] def staticPropTag(df: DataFrame, key: String)
+      : Option[Int] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical._
+    // Some(Some(t)) = constructs tag t; Some(None) = provably null (does
+    // not constrain the tag); None = unknown shape → give up
+    def merge(xs: Seq[Option[Option[Int]]]): Option[Option[Int]] =
+      if (xs.contains(None)) None
+      else {
+        val tags = xs.flatten.flatten.distinct
+        if (tags.size > 1) None else Some(tags.headOption)
+      }
+    def tagOfValue(e: Expression): Option[Option[Int]] = e match {
+      case Literal(null, _) => Some(None)
+      case Alias(c, _) => tagOfValue(c)
+      case c: Cast => tagOfValue(c.child)
+      case CaseWhen(branches, elseV) =>
+        merge((branches.map(_._2) ++ elseV.toSeq).map(tagOfValue))
+      case If(_, a, b) => merge(Seq(tagOfValue(a), tagOfValue(b)))
+      case s: CreateNamedStruct =>
+        s.children.grouped(2).collectFirst {
+          case Seq(Literal(n, _), v) if n != null && n.toString == "t" => v
+        } match {
+          case Some(Literal(t: Int, _)) => Some(Some(t))
+          case _ => None
+        }
+      case _ => None
+    }
+    def mapEntryTag(e: Expression): Option[Option[Int]] = e match {
+      case Literal(null, _) => Some(None)
+      case Alias(c, _) => mapEntryTag(c)
+      case c: Cast => mapEntryTag(c.child)
+      case CaseWhen(branches, elseV) =>
+        merge((branches.map(_._2) ++ elseV.toSeq).map(mapEntryTag))
+      case If(_, a, b) => merge(Seq(mapEntryTag(a), mapEntryTag(b)))
+      case m: CreateMap =>
+        m.children.grouped(2).collectFirst {
+          case Seq(Literal(k, _), v) if k != null && k.toString == key => v
+        } match {
+          case Some(v) => tagOfValue(v)
+          case None => Some(None) // key never in the map → always absent
+        }
+      case _ => None
+    }
+    def defOf(plan: LogicalPlan, id: ExprId): Option[Option[Int]] =
+      plan match {
+        case Project(exprs, child) =>
+          exprs.find(_.exprId == id) match {
+            case Some(a: Alias) => a.child match {
+              case ar: AttributeReference => defOf(child, ar.exprId)
+              case other => mapEntryTag(other)
+            }
+            case Some(_: AttributeReference) => defOf(child, id)
+            case _ => None
+          }
+        case u: Union =>
+          val idx = u.output.indexWhere(_.exprId == id)
+          if (idx < 0) None
+          else merge(u.children.map(c => defOf(c, c.output(idx).exprId)))
+        case other if other.children.size == 1 =>
+          defOf(other.children.head, id)
+        case _ => None // leaf relation: props is stored data → unknown
+      }
+    val analyzed = df.queryExecution.analyzed
+    analyzed.output.find(_.name == "props")
+      .flatMap(a => defOf(analyzed, a.exprId)).flatten
+  }
 
   /** Pass 0 over a statement: which property keys does each variable ever
     * get asked for? Drives scan-time property projection (the graph-layer
@@ -1034,8 +1122,10 @@ object Translator {
         element_at(col("props"), k), v), lit(false)))
     }
     // project accessed properties flat at the scan (folds to native columns)
-    val flats = ctx.propUse.getOrElse(as, Set.empty).toSeq.sorted.map(k =>
-      element_at(col("props"), k).as(propColName(as, k)))
+    val flats = ctx.propUse.getOrElse(as, Set.empty).toSeq.sorted.map { k =>
+      ctx.registerPropTag(propColName(as, k), staticPropTag(df, k))
+      element_at(col("props"), k).as(propColName(as, k))
+    }
     // props-bag pruning: a var never used as a full entity gets a null
     // props field — the scan then reads only id/label + accessed props
     val propsCol =
@@ -1274,6 +1364,7 @@ object Translator {
           element_at(col("props"), k), constantValue(ctx, expr)), lit(false)))
       }
       val flats = flatNames.map { case (k, n) =>
+        ctx.registerPropTag(n, staticPropTag(src, k))
         element_at(col("props"), k).as(n)
       }
       e.select(Seq(struct(col("id"), col("src"), col("dst"),
@@ -1541,9 +1632,11 @@ object Translator {
     var h = 0
     while (h < maxH && (!eagerHops || !frontier.isEmpty)) {
       h += 1
-      val joined = frontier.join(ev, col("__vcur") === ev("__from"))
-        .filter(!array_contains(col("__vrelids"),
-          ev("__edge").getField("id")))
+      // uniqueness predicate fused into the join condition — same rows,
+      // one less analyzed DataFrame op per hop (the hop loop's cost is
+      // driver-side analysis, one full-tree pass per op)
+      val joined = frontier.join(ev, col("__vcur") === ev("__from") &&
+        !array_contains(col("__vrelids"), ev("__edge").getField("id")))
       val step0 =
         if (keepAcc)
           joined.join(nodesTbl, ev("__to") === col("__vnid"))
@@ -3196,6 +3289,177 @@ object Translator {
     // each operand normalizes once no matter how often it is dispatched on.
     Values.snap(trExprRaw(ctx, frame, e))
 
+  private val CmpOps = Set("<", "<=", ">", ">=", "=", "<>")
+
+  /** Native fast path for `prop <op> literal` comparisons where the scan
+    * proved the property's variant tag monomorphic ([[Ctx.propTags]]):
+    * emits directly the native expression [[graft.plans.VariantFoldRule]]
+    * would fold the ~30-branch variant comparison tree to — the OPTIMIZED
+    * plan is identical, but the analyzer/optimizer/codegen never walk the
+    * variant tree (measured ~70% of cypher cold build time was WHERE
+    * translation+analysis). Ternary semantics replicated exactly from
+    * Values.lt/lte/eq: null prop → null; ordered comparison touching NaN →
+    * false (only a float PROP can be NaN — NaN literals are screened out);
+    * int/float ordering through the same double widening [[Values.num]]
+    * applies; equality same-kind only (mixed int/float equality has the
+    * round-trip precision rule — left to the generic path).
+    */
+  /** A statically-tagged flat prop column: (variant column, proven tag). */
+  private def staticPropSide(ctx: Ctx, frame: Frame, e: Ast.Expr)
+      : Option[(Column, Int)] = e match {
+    case Ast.Prop(Ast.Variable(n), k)
+        if frame.vars.get(n).exists(_ != KValue) &&
+          !frame.bindings.contains(n) =>
+      for {
+        c <- frame.propCol(n, k)
+        tOpt <- ctx.propTags.get(propColName(n, k))
+        t <- tOpt
+      } yield (c, t)
+    case _ => None
+  }
+
+  /** A pure scalar literal operand (NaN screened out — the fast paths
+    * assume literals are never NaN).
+    */
+  private def staticLitSide(e: Ast.Expr): Option[Any] = e match {
+    case Ast.LitInt(v) => Some(v) // Long
+    case Ast.LitFloat(v) if !v.isNaN => Some(v) // Double
+    case Ast.LitString(v) => Some(v)
+    case Ast.LitBool(v) => Some(v)
+    case Ast.Neg(Ast.LitInt(v)) => Some(-v)
+    case Ast.Neg(Ast.LitFloat(v)) if !v.isNaN => Some(-v)
+    case _ => None
+  }
+
+  private def staticNativeCmp(ctx: Ctx, frame: Frame, op: String,
+      l: Ast.Expr, r: Ast.Expr): Option[Column] = {
+    import Values._
+    if (!CmpOps(op)) return None
+    def propSide(e: Ast.Expr) = staticPropSide(ctx, frame, e)
+    def litSide(e: Ast.Expr) = staticLitSide(e)
+    val operands = (propSide(l), litSide(r)) match {
+      case (Some(p), Some(v)) => Some((p, v, false))
+      case _ => (propSide(r), litSide(l)) match {
+        case (Some(p), Some(v)) => Some((p, v, true))
+        case _ => None
+      }
+    }
+    operands.flatMap { case ((pc, tag), litV, flip) =>
+      val nB = lit(null).cast(BooleanType)
+      val numericLit =
+        litV.isInstanceOf[java.lang.Long] || litV.isInstanceOf[java.lang.Double]
+      def cmp(a: Column, b: Column): Column = op match {
+        case "<" => a < b
+        case "<=" => a <= b
+        case ">" => a > b
+        case ">=" => a >= b
+      }
+      if (op == "=" || op == "<>") {
+        val eqc: Option[Column] =
+          if (tag == T_INT && litV.isInstanceOf[java.lang.Long])
+            Some(pc.getField("i") === lit(litV))
+          else if (tag == T_FLOAT && litV.isInstanceOf[java.lang.Double])
+            Some(pc.getField("f") === lit(litV))
+          else if (tag == T_STRING && litV.isInstanceOf[String])
+            Some(pc.getField("s") === lit(litV))
+          else if (tag == T_BOOL && litV.isInstanceOf[java.lang.Boolean])
+            Some(pc.getField("b") === lit(litV))
+          else None
+        eqc.map { c =>
+          val signed = if (op == "=") c else !c
+          vBool(when(pc.isNull, nB).otherwise(signed))
+        }
+      } else if ((tag == T_INT || tag == T_FLOAT) && numericLit) {
+        val a = if (tag == T_INT) pc.getField("i").cast(DoubleType)
+          else pc.getField("f")
+        val b = lit(litV).cast(DoubleType)
+        val (x, y) = if (flip) (b, a) else (a, b)
+        val base = cmp(x, y)
+        val guarded =
+          if (tag == T_FLOAT)
+            when(isnan(pc.getField("f")), lit(false)).otherwise(base)
+          else base
+        Some(vBool(when(pc.isNull, nB).otherwise(guarded)))
+      } else if (tag == T_STRING && litV.isInstanceOf[String]) {
+        val a = pc.getField("s"); val b = lit(litV)
+        val (x, y) = if (flip) (b, a) else (a, b)
+        Some(vBool(when(pc.isNull, nB).otherwise(cmp(x, y))))
+      } else None
+    }
+  }
+
+  private val ArithOps = Set("+", "-", "*", "/", "%")
+
+  /** Native fast path for arithmetic over statically-tagged props and
+    * scalar literals — the exact branch [[Values]]' `arith`/`add`/`div`
+    * would pick once the tags are known: both-int → int op (div raises on
+    * /0 like the reference, % yields null like Spark); any float → double
+    * op on the same [[Values.num]] widening; string+string → concat. The
+    * explicit null-first guard replicates the variant path's
+    * `when(a.isNull || b.isNull, vNull)` so e.g. `nullProp / 0` stays null
+    * instead of raising. Mixed string/number `+` (stringification) and
+    * every other tag combination fall back to the generic path.
+    */
+  private def staticNativeArith(ctx: Ctx, frame: Frame, op: String,
+      l: Ast.Expr, r: Ast.Expr): Option[Column] = {
+    import Values._
+    if (!ArithOps(op)) return None
+    // (native column, tag, is-prop-side)
+    def natSide(e: Ast.Expr): Option[(Column, Int, Boolean)] =
+      staticPropSide(ctx, frame, e).collect {
+        case (pc, T_INT) => (pc.getField("i"), T_INT, true)
+        case (pc, T_FLOAT) => (pc.getField("f"), T_FLOAT, true)
+        case (pc, T_STRING) => (pc.getField("s"), T_STRING, true)
+      }.orElse(staticLitSide(e).collect {
+        case v: java.lang.Long => (lit(v), T_INT, false)
+        case v: java.lang.Double => (lit(v), T_FLOAT, false)
+        case v: String => (lit(v), T_STRING, false)
+      })
+    for {
+      (la, ta, pa) <- natSide(l)
+      (lb, tb, pb) <- natSide(r)
+      if pa || pb // pure-literal arithmetic constant-folds anyway
+      result <- {
+        val bothInt = ta == T_INT && tb == T_INT
+        val bothNum = (ta == T_INT || ta == T_FLOAT) &&
+          (tb == T_INT || tb == T_FLOAT)
+        def dbl(c: Column, t: Int): Column =
+          if (t == T_INT) c.cast(DoubleType) else c
+        def intDiv(x: Column, y: Column) =
+          when(y === 0, raise_error(lit("/ by zero")).cast(LongType))
+            .otherwise((x / nullif(y, lit(0))).cast(LongType))
+        def dblDiv(x: Column, y: Column) =
+          when(y === 0.0d,
+            when(x === 0.0d || isnan(x), lit(Double.NaN))
+              .when(x > 0.0d, lit(Double.PositiveInfinity))
+              .otherwise(lit(Double.NegativeInfinity)))
+            .otherwise(x / nullif(y, lit(0.0d)))
+        val core: Option[Column] =
+          if (op == "+" && ta == T_STRING && tb == T_STRING)
+            Some(vStr(concat(la, lb)))
+          else if (!bothNum) None
+          else if (bothInt) op match {
+            case "+" => Some(vInt(la + lb))
+            case "-" => Some(vInt(la - lb))
+            case "*" => Some(vInt(la * lb))
+            case "/" => Some(vInt(intDiv(la, lb)))
+            case "%" => Some(vInt(la % lb))
+          }
+          else {
+            val (x, y) = (dbl(la, ta), dbl(lb, tb))
+            op match {
+              case "+" => Some(vFloat(x + y))
+              case "-" => Some(vFloat(x - y))
+              case "*" => Some(vFloat(x * y))
+              case "/" => Some(vFloat(dblDiv(x, y)))
+              case "%" => Some(vFloat(x % y))
+            }
+          }
+        core.map(c => when(la.isNull || lb.isNull, vNull).otherwise(c))
+      }
+    } yield result
+  }
+
   private def trExprRaw(ctx: Ctx, frame: Frame, e: Ast.Expr): Column = {
     import Values._
     def t(x: Ast.Expr): Column = trExpr(ctx, frame, x)
@@ -3334,6 +3598,14 @@ object Translator {
                     .cast(StringType)))
             }
         }
+
+      case Ast.Bin(op, l, r)
+          if staticNativeCmp(ctx, frame, op, l, r).isDefined =>
+        staticNativeCmp(ctx, frame, op, l, r).get
+
+      case Ast.Bin(op, l, r)
+          if staticNativeArith(ctx, frame, op, l, r).isDefined =>
+        staticNativeArith(ctx, frame, op, l, r).get
 
       case Ast.Bin(op, l, r) =>
         val isEntity = (x: Ast.Expr) => x match {

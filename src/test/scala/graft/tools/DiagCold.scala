@@ -27,6 +27,8 @@ object DiagCold {
         sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.analyzer.singlePassResolver.enabledTentatively",
+        sys.env.getOrElse("SPARK_GRAFT_SINGLE_PASS", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
