@@ -19,6 +19,8 @@ object Verify {
         sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "64m"))
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "16"))
       // events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
       // rejects; read as long (epoch ns) — oracle side uses epoch_ns(ts).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
