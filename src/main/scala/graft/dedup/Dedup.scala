@@ -24,7 +24,21 @@ object Dedup {
     * case: thousands of files) pass through untouched.
     */
   private def parallelized(docs: DataFrame): DataFrame = {
-    val want = docs.sparkSession.sparkContext.defaultParallelism
+    val cores = docs.sparkSession.sparkContext.defaultParallelism.toLong
+    // scale-adaptive spread count (guide §2), same derivation as the
+    // pagerank loop: ~128 KB of estimated input bytes per partition for
+    // small corpora (below that, per-task fixed costs — scheduling,
+    // shuffle-block commit — dominate the expansion work being spread),
+    // ~64 MB partitions floored at the cluster's cores for large ones.
+    // Results are invariant to the count: every consumer aggregates per
+    // doc_id with order-independent functions. A KB-scale corpus no longer
+    // fans out to `cores` near-empty shuffle blocks per exchange (measured
+    // r16: the spread's own exchange plus every downstream per-doc stage
+    // carried 32 map tasks of ~18 KB each at sf0.1).
+    val bytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+      .min(BigInt(Long.MaxValue)).toLong.max(1L)
+    val want = math.max(2L,
+      math.min(bytes >> 17, math.max(cores, bytes >> 26))).toInt
     // toRdd, not .rdd: reads the physical partitioning off the already-
     // planned query without building the extra row-deserializer plan
     if (docs.queryExecution.toRdd.getNumPartitions >= math.max(want / 2, 2))

@@ -78,7 +78,14 @@ object Similarity {
     * 100 TB case) pass through untouched.
     */
   private def parallelized(vectors: DataFrame): DataFrame = {
-    val want = vectors.sparkSession.sparkContext.defaultParallelism
+    val cores = vectors.sparkSession.sparkContext.defaultParallelism.toLong
+    // scale-adaptive spread count — see graft.dedup.Dedup.parallelized:
+    // ~128 KB of estimated bytes per partition small, ~64 MB floored at
+    // the cluster's cores large; results invariant to the count
+    val bytes = vectors.queryExecution.optimizedPlan.stats.sizeInBytes
+      .min(BigInt(Long.MaxValue)).toLong.max(1L)
+    val want = math.max(2L,
+      math.min(bytes >> 17, math.max(cores, bytes >> 26))).toInt
     if (vectors.queryExecution.toRdd.getNumPartitions >= math.max(want / 2, 2))
       vectors
     else vectors.repartition(want)
